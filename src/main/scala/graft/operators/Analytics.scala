@@ -1,0 +1,461 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface (SURVEY.md §2.3–§2.9).
+  *
+  * Each query is registered as name -> (spark, sfDir) => DataFrame with a
+  * matching ANSI-SQL oracle (DuckDB) in [[oracles]]. Determinism rules:
+  *   - every output is fully ordered by its key columns,
+  *   - every floating aggregate is `round(_, n)` on BOTH sides,
+  *   - timestamps leave the plan as formatted strings,
+  * so the driver's sort+hash compare is stable across engines.
+  *
+  * Scale notes (100 TB): all queries are single-pass scan→(shuffle)→agg
+  * shapes; group-by cardinality is tiny (flags/priorities/types), so
+  * partial (map-side) aggregation collapses data before the shuffle.
+  * Joins here are dimension-sized and broadcast.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: TPC-H Q1-style pricing summary.
+    * Scan (S1) + filter (P4) + group-agg (A2) + sort (O1) in one plan.
+    * Mirrors the reference's group-mean analytics (e.g.
+    * scripts/vizualize_row_groups.py:39) at TPC-H semantics.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** P1+P2 — unit-conversion & ratio projections
+    * (scripts/visualize_stats.py:9,12,84: µs→ms, bytes→MB, time/num_columns).
+    */
+  def p1UnitConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") / 1000.0, 6).as("price_k"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("price_per_unit"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+  }
+
+  /** P3 — dict-recode enum→label (scripts/visualize_chunks_pages.py:17-18). */
+  def p3Recode(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.withColumn("status_label",
+        when(col("o_orderstatus") === "F", "Fulfilled")
+          .when(col("o_orderstatus") === "O", "Open")
+          .when(col("o_orderstatus") === "P", "Pending")
+          .otherwise("Unknown"))
+      .groupBy("status_label")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("status_label")
+  }
+
+  /** P4 — boolean/equality filter slice (scripts/visualize_stats.py:88-89). */
+  def p4Filter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "click" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+      .limit(1000)
+  }
+
+  /** P5 — conditional formatted label (notebook cell 28 row-lambda),
+    * expressed natively with when+concat — no UDF.
+    */
+  def p5ConditionalLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.withColumn("label",
+        when(col("o_orderstatus") === "O",
+          concat(col("o_orderpriority"), lit("/"), col("o_orderstatus")))
+          .otherwise(col("o_orderpriority")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  /** P6 — split + element access (scripts/vizualize_flatbuffers_benchmark.py:19). */
+  def p6SplitExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(element_at(split(col("o_orderpriority"), "-"), 2).as("priority_word"))
+      .groupBy("priority_word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("priority_word")
+  }
+
+  /** P7 — regex rewrite (scripts/modify_flatbuffers.py:8-18). */
+  def p7RegexRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    p.select(
+        col("p_partkey"),
+        regexp_replace(lower(col("p_name")), "[aeiou]", "").as("consonants"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_pattern"))
+      .orderBy("p_partkey")
+      .limit(500)
+  }
+
+  /** J1 — self-join on a key to compute an A-vs-B overhead column
+    * (scripts/visualize_stats.py:64-80: stats-enabled vs disabled merge).
+    * Both sides are pre-aggregated to ~5 rows, so the join is a broadcast.
+    */
+  def j1SelfJoinOverhead(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val f = o.filter(col("o_orderstatus") === "F").groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("avg_f"), count(lit(1)).as("n_f"))
+    val open = o.filter(col("o_orderstatus") === "O").groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("avg_o"), count(lit(1)).as("n_o"))
+    f.join(broadcast(open), Seq("o_orderpriority"), "inner")
+      .select(
+        col("o_orderpriority"),
+        round(col("avg_f"), 4).as("avg_f"),
+        round(col("avg_o"), 4).as("avg_o"),
+        round(col("avg_f") - col("avg_o"), 4).as("overhead"),
+        col("n_f"), col("n_o"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J2 — dimension join chain (net-new surface): revenue per nation.
+    * customer and nation are broadcast; only the orders scan is large.
+    */
+  def j2DimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** A1/R2 — pivot-table mean (scripts/vizualize_row_groups.py:18).
+    * Explicit pivot values avoid the extra distinct job and keep the
+    * output schema deterministic.
+    */
+  def a1PivotMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val piv = o.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(avg("o_totalprice"))
+    piv.select(col("o_orderpriority") +: Seq("F", "O", "P").map(c => round(col(c), 4).as(c)): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  /** A2/A6 — group mean over replicate rows (seaborn barplot implicit agg,
+    * scripts/visualize_compression_benchmark.py:20).
+    */
+  def a2GroupMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy("event_type")
+      .agg(
+        round(avg("value"), 4).as("avg_value"),
+        round(sum("value"), 2).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** A3 — Pearson correlation matrix cells (scripts/vizualize_row_groups.py:50-52). */
+  def a3Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.agg(
+      round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+      round(corr("l_extendedprice", "l_discount"), 4).as("corr_price_disc"),
+      round(corr("l_quantity", "l_tax"), 4).as("corr_qty_tax"))
+  }
+
+  /** A4 — distribution summary for box plots (scripts/vizualize_row_groups.py:29):
+    * exact quartiles via `percentile` (linear interpolation = DuckDB
+    * quantile_cont). percentile_approx is the 100 TB path; the exact form
+    * keeps the oracle byte-stable.
+    */
+  def a4DistributionSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("q1"),
+        round(expr("percentile(value, 0.5)"), 4).as("median"),
+        round(expr("percentile(value, 0.75)"), 4).as("q3"),
+        round(min("value"), 4).as("min_v"),
+        round(max("value"), 4).as("max_v"))
+      .orderBy("event_type")
+  }
+
+  /** A5 — key-wise accumulation picking representatives per group
+    * (scripts/vizualize_flatbuffers_benchmark.py:121-138) via min_by/max_by.
+    */
+  def a5FirstByKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy("event_type")
+      .agg(
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        min("event_id").as("min_event"),
+        max("event_id").as("max_event"))
+      .orderBy("event_type")
+  }
+
+  /** R1 — melt wide→long (scripts/visualize_data_reads.py:15-17,
+    * notebook cell 27), then aggregate per measure.
+    */
+  def r1Melt(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.unpivot(
+        Array.empty[Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "operation", "val")
+      .groupBy("operation")
+      .agg(round(sum("val"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("operation")
+  }
+
+  /** O1/O2 — sort + top-k (notebook cell 25; src/table_viewer.cc:24-26).
+    * Spark plans ORDER BY + LIMIT as TakeOrderedAndProject: no global
+    * sort, one reduction — the shape that survives 100 TB.
+    */
+  def o1TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** O3 — sorted distinct key set (notebook cell 79). */
+  def o3SortedDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select("event_type").distinct().orderBy("event_type")
+  }
+
+  /** U1 — union-all of homogeneous inputs then aggregate
+    * (scripts/visualize_compression_benchmark.py:7-9 glob+concat).
+    */
+  def u1UnionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val a = o.filter(col("o_orderstatus") === "F").select("o_orderpriority", "o_totalprice")
+    val b = o.filter(col("o_orderstatus") === "O").select("o_orderpriority", "o_totalprice")
+    a.unionByName(b)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** U2 — union-distinct of two key sets (notebook cell 79 set(a)|set(b)). */
+  def u2UnionDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type").as("k"))
+    val docs = Tables.documents(spark, sfDir).select(col("lang").as("k"))
+    ev.union(docs).distinct().orderBy("k")
+  }
+
+  /** W1 — ranked top-n per group (net-new: §2.6 is absent in the
+    * reference; provided as first-class window surface).
+    */
+  def w1RankTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** S1 — full-table scan reduced to totals (src/compression_benchmark.cc:72-78). */
+  def s1FullScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum("l_extendedprice"), 2).as("sum_price"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** S2 — column-subset scan / projection pushdown
+    * (src/data_read_benchmark.cc:66-79): plan reads only 3 of 11 columns
+    * (verify ReadSchema in explain).
+    */
+  def s2ColumnSubset(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+  }
+
+  /** E1 — time-bucketed aggregation over the events table (§2.11 note:
+    * batch equivalent of the streaming windowed agg).
+    */
+  def e1TimeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "p1_unit_conversion" -> p1UnitConversion _,
+    "p3_recode" -> p3Recode _,
+    "p4_filter" -> p4Filter _,
+    "p5_conditional_label" -> p5ConditionalLabel _,
+    "p6_split_extract" -> p6SplitExtract _,
+    "p7_regex_rewrite" -> p7RegexRewrite _,
+    "j1_selfjoin_overhead" -> j1SelfJoinOverhead _,
+    "j2_dim_join" -> j2DimJoin _,
+    "a1_pivot_mean" -> a1PivotMean _,
+    "a2_group_mean" -> a2GroupMean _,
+    "a3_correlation" -> a3Correlation _,
+    "a4_distribution_summary" -> a4DistributionSummary _,
+    "a5_first_by_key" -> a5FirstByKey _,
+    "r1_melt" -> r1Melt _,
+    "o1_topk" -> o1TopK _,
+    "o3_sorted_distinct" -> o3SortedDistinct _,
+    "u1_union_all" -> u1UnionAll _,
+    "u2_union_distinct" -> u2UnionDistinct _,
+    "w1_rank_topn" -> w1RankTopN _,
+    "s1_full_scan" -> s1FullScan _,
+    "s2_column_subset" -> s2ColumnSubset _,
+    "e1_time_bucket" -> e1TimeBucket _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "p1_unit_conversion" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice / 1000.0, 6) AS price_k,
+        | round(l_extendedprice / l_quantity, 6) AS price_per_unit
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "p3_recode" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open'
+        | WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_label,
+        | count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin,
+    "p4_filter" ->
+      """SELECT event_id, user_id, round(value, 4) AS value FROM events
+        |WHERE event_type = 'click' AND value > 50.0
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
+    "p5_conditional_label" ->
+      """SELECT CASE WHEN o_orderstatus = 'O'
+        | THEN concat(o_orderpriority, '/', o_orderstatus)
+        | ELSE o_orderpriority END AS label, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY label""".stripMargin,
+    "p6_split_extract" ->
+      """SELECT string_split(o_orderpriority, '-')[2] AS priority_word, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY priority_word""".stripMargin,
+    "p7_regex_rewrite" ->
+      """SELECT p_partkey,
+        | regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS consonants,
+        | regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_pattern
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "j1_selfjoin_overhead" ->
+      """WITH f AS (SELECT o_orderpriority, avg(o_totalprice) AS avg_f, count(*) AS n_f
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |o AS (SELECT o_orderpriority, avg(o_totalprice) AS avg_o, count(*) AS n_o
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT f.o_orderpriority, round(f.avg_f, 4) AS avg_f, round(o.avg_o, 4) AS avg_o,
+        | round(f.avg_f - o.avg_o, 4) AS overhead, f.n_f, o.n_o
+        |FROM f JOIN o ON f.o_orderpriority = o.o_orderpriority
+        |ORDER BY f.o_orderpriority""".stripMargin,
+    "j2_dim_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "a1_pivot_mean" ->
+      """SELECT o_orderpriority,
+        | round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+        | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+        | round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a2_group_mean" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value,
+        | round(sum(value), 2) AS sum_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a3_correlation" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+        | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
+        |FROM lineitem""".stripMargin,
+    "a4_distribution_summary" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 4) AS q1,
+        | round(quantile_cont(value, 0.5), 4) AS median,
+        | round(quantile_cont(value, 0.75), 4) AS q3,
+        | round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_first_by_key" ->
+      """SELECT event_type,
+        | arg_min(user_id, event_id) AS first_user,
+        | arg_max(user_id, event_id) AS last_user,
+        | min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r1_melt" ->
+      """SELECT operation, round(sum(val), 2) AS total, count(*) AS n FROM (
+        | SELECT 'l_quantity' AS operation, l_quantity AS val FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY operation ORDER BY operation""".stripMargin,
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "o3_sorted_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "u1_union_all" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM (
+        | SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        | UNION ALL
+        | SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "u2_union_distinct" ->
+      """SELECT event_type AS k FROM events UNION SELECT lang FROM documents ORDER BY k""".stripMargin,
+    "w1_rank_topn" ->
+      """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "s1_full_scan" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price,
+        | count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+    "s2_column_subset" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "e1_time_bucket" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
+}
