@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, mirroring how ANN works at scale:
+  *  - brute-force cosine top-k: the correctness baseline. Queries are a
+  *    tiny filtered set, broadcast against the full corpus scan, so the
+  *    cost is one pass over the corpus per batch of queries — the right
+  *    shape for 100 TB (no shuffle of the corpus at all).
+  *  - random-hyperplane LSH buckets: corpus is pre-partitioned by a
+  *    signature band; a query only scans colliding buckets. Bucket
+  *    assignment is a deterministic projection (hyperplanes derived from
+  *    a seeded PRNG, embedded as plan literals), so the bucketed corpus
+  *    can be written out partitioned-by-bucket and pruned at read time.
+  *
+  * Dot products use zip_with + aggregate over array<double> (codegen'd
+  * higher-order functions — no UDF).
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val NumPlanes = 6 // 2 bands × 3 bits
+  private val Seed = 42L
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+
+  /** Corpus with vectors as array<double> plus precomputed L2 norm. */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm("v"))
+
+  /** Brute-force cosine top-k (k=10) for query vectors vec_id < 5.
+    * Ranking uses the rounded similarity with vec_id tiebreak so the
+    * result is stable across engines.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Deterministic random hyperplanes as plan literals. */
+  private def planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(Seed)
+    Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** LSH-bucketed approximate neighbors: 6-bit signature split into two
+    * 3-bit bands; candidates share at least one band value; exact cosine
+    * re-ranks candidates, top-5 per query.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pl = planes
+    def bit(p: Int): Column =
+      when(expr(s"aggregate(zip_with(v, p$p, (x, y) -> x * y), 0D, (acc, w) -> acc + w)") > 0, 1).otherwise(0)
+    var c = corpus(spark, sfDir)
+    for (p <- 0 until NumPlanes) c = c.withColumn(s"p$p", array(pl(p).map(lit): _*))
+    for (p <- 0 until NumPlanes) c = c.withColumn(s"b$p", bit(p)).drop(s"p$p")
+    val sig = c
+      .withColumn("band0", expr("b0 * 4 + b1 * 2 + b2"))
+      .withColumn("band1", expr("b3 * 4 + b4 * 2 + b5"))
+      .select("vec_id", "v", "nrm", "band0", "band1")
+    val q = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("band0").as("qb0"), col("band1").as("qb1"))
+    val cand = sig.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          (col("band0") === col("qb0") || col("band1") === col("qb1")))
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "x_sim_topk_bruteforce" -> bruteForceTopK _,
+    "x_sim_topk_lsh" -> lshTopK _,
+  )
+
+  /** LSH is approximate by construction — rows-only check. Brute force
+    * has an exact DuckDB oracle via list_cosine_similarity.
+    */
+  val oracles: Map[String, String] = Map(
+    "x_sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (
+        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.v, n.v), 4) AS sim
+        | FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, sim FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM pairs)
+        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (net-new surface beyond the reference — the reference's only text
+  * handling is benchmark-name parsing,
+  * scripts/vizualize_flatbuffers_benchmark.py:19).
+  *
+  * Parity discipline for the oracle: occurrence counting uses
+  * `(length(s) - length(replace(s, w, ''))) / length(w)` — `replace` is
+  * replace-all with identical greedy scanning in Spark and DuckDB, so no
+  * regex-engine differences leak into results.
+  *
+  * Scale: every op is a narrow per-row projection followed by a tiny
+  * group-by — embarrassingly parallel, the only shuffle is the final
+  * low-cardinality aggregate (map-side combined).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Occurrences of literal `w` in the `padded` column via replace-all
+    * counting (identical semantics in Spark and DuckDB).
+    */
+  private def occ(w: String): Column =
+    (length(col("padded")) - length(expr(s"replace(padded, '$w', '')"))) / w.length
+
+  private def padded(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+
+  /** Token counting: whitespace tokens + a BPE-ish word/number/punct
+    * regex token count.
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs
+      .select(
+        col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .groupBy("source")
+      .agg(
+        sum("n_ws_tokens").as("total_tokens"),
+        round(avg("n_ws_tokens"), 4).as("avg_tokens"),
+        sum("n_bpe_tokens").as("total_bpe_tokens"),
+        sum("n_chars_m").as("total_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — the cheap heuristics a 100 TB corpus filter computes
+    * in a single projection pass.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = padded(spark, sfDir).select(
+      col("lang"),
+      length(col("text")).as("len"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("punct_chars"),
+      occ(" the ").as("the_hits"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    perDoc
+      .select(
+        col("lang"), col("len"), col("n_tokens"),
+        round(col("punct_chars").cast("double") / col("len"), 6).as("punct_ratio"),
+        round(col("the_hits") / col("n_tokens"), 6).as("stopword_ratio"),
+        round(col("len").cast("double") / col("n_tokens"), 6).as("mean_token_len"))
+      .groupBy("lang")
+      .agg(
+        round(avg("len"), 4).as("avg_len"),
+        round(avg("punct_ratio"), 6).as("avg_punct_ratio"),
+        round(avg("stopword_ratio"), 6).as("avg_stopword_ratio"),
+        round(avg("mean_token_len"), 6).as("avg_token_len"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** Language-ID by stopword-marker scoring (n-gram heuristic): highest
+    * score wins, ties broken by fixed CASE order. Output is the
+    * confusion matrix (actual lang × predicted).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = padded(spark, sfDir).select(
+      col("lang"),
+      (occ(" the ") + occ(" and ")).as("s_en"),
+      (occ(" der ") + occ(" und ")).as("s_de"),
+      (occ(" le ") + occ(" et ")).as("s_fr"),
+      (occ(" el ") + occ(" los ")).as("s_es"))
+    scored
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the content-defined key exact dedup shuffles on at scale.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs
+      .select(col("source"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("fp")).as("n_unique"),
+        count(lit(1)).as("n_docs"),
+        min("fp").as("min_fp"))
+      .orderBy("source")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "x_text_tokens" -> tokenStats _,
+    "x_text_quality" -> qualityScore _,
+    "x_text_langid" -> langId _,
+    "x_text_fingerprint" -> fingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_text_tokens" ->
+      """SELECT source,
+        | sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens,
+        | round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+        | sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS total_bpe_tokens,
+        | sum(length(text))::BIGINT AS total_chars,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_text_quality" ->
+      """WITH perdoc AS (SELECT lang, length(text) AS len,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_chars,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS the_hits,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        | FROM documents)
+        |SELECT lang, round(avg(len), 4) AS avg_len,
+        | round(avg(round(punct_chars::DOUBLE / len, 6)), 6) AS avg_punct_ratio,
+        | round(avg(round(the_hits / n_tokens, 6)), 6) AS avg_stopword_ratio,
+        | round(avg(round(len::DOUBLE / n_tokens, 6)), 6) AS avg_token_len,
+        | count(*) AS n_docs
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_text_langid" ->
+      """WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+        |s AS (SELECT lang,
+        |  (length(padded) - length(replace(padded, ' the ', ''))) / 5
+        |   + (length(padded) - length(replace(padded, ' and ', ''))) / 5 AS s_en,
+        |  (length(padded) - length(replace(padded, ' der ', ''))) / 5
+        |   + (length(padded) - length(replace(padded, ' und ', ''))) / 5 AS s_de,
+        |  (length(padded) - length(replace(padded, ' le ', ''))) / 4
+        |   + (length(padded) - length(replace(padded, ' et ', ''))) / 4 AS s_fr,
+        |  (length(padded) - length(replace(padded, ' el ', ''))) / 4
+        |   + (length(padded) - length(replace(padded, ' los ', ''))) / 5 AS s_es
+        | FROM p)
+        |SELECT lang, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+        | count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "x_text_fingerprint" ->
+      """SELECT source,
+        | count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique,
+        | count(*) AS n_docs,
+        | min(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS min_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
