@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Similarity, TextOps}
+import graft.operators.{Analytics, BenchOps, Dedup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.registry ++ Dedup.registry ++ Similarity.registry ++ TextOps.registry
+    Analytics.registry ++ Dedup.registry ++ Similarity.registry ++
+      TextOps.registry ++ BenchOps.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles
+    Analytics.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextOps.oracles ++ BenchOps.oracles
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.{BenchRunners, FooterMeta, ParquetKnobs, WideTableGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Benchmark-workload surface registered as driver queries (SURVEY §2.1,
+  * §2.2): generator, writer knobs, footer datasets, read benchmarks, and
+  * the CSV/JSON scan/sink paths. Grid sizes here are verify-scale; the
+  * full reference grids live in [[graft.BenchmarkSuite]].
+  *
+  * Timing-valued outputs are non-deterministic by nature → no SQL oracle
+  * (driver records rows-only checks). Footer-derived outputs drop the
+  * timing columns so their rows are deterministic.
+  */
+object BenchOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scratch space for generated files (inside the repo tree, gitignored). */
+  private val workRoot = "/root/repo/target/graft-work"
+
+  /** G1 — wide-table generation summary (reads nothing, generates N×M). */
+  def g1WideGen(spark: SparkSession, sfDir: String): DataFrame =
+    WideTableGen.wide(spark, 100, 10000L)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"), lit(100).as("n_cols"))
+
+  /** S4 — footer metadata Dataset over every table in sfDir (timings
+    * dropped for deterministic rows).
+    */
+  def s4FooterMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    FooterMeta.fileMeta(spark, tables.map(t => s"$sfDir/$t.parquet"))
+      .toDF()
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .select("file", "num_row_groups", "num_columns", "num_rows")
+      .orderBy("file")
+  }
+
+  /** S5 — per-chunk statistics Dataset for lineitem + orders. */
+  def s5ChunkStats(spark: SparkSession, sfDir: String): DataFrame =
+    FooterMeta.chunkStats(spark, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet"))
+      .toDF()
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .select("file", "row_group", "column", "codec", "num_values",
+        "has_min_max", "null_count", "dict_encoded")
+      .orderBy("file", "row_group", "column")
+
+  /** S1–S3 timed reads (data_read_benchmark shape). */
+  def s3ReadBench(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.dataReadBenchmark(spark, Seq(10, 50), 20000L, s"$workRoot/read")
+
+  /** K1 + compression sweep (compression_benchmark shape). */
+  def k1CompressionSweep(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.compressionBenchmark(spark, Seq(10), 10000L, s"$workRoot/comp")
+
+  /** Chunks-and-pages footer decode sweep (metadata_benchmark shape). */
+  def m2ChunksPages(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+
+  /** Stats decode benchmark (shares files with m2). */
+  def m2Stats(spark: SparkSession, sfDir: String): DataFrame = {
+    BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+    BenchRunners.statsBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+  }
+
+  /** Row-group × page-size grid (verify-scale slice of the 128-config
+    * reference grid).
+    */
+  def m3RowGroupGrid(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.rowGroupGrid(spark, Seq(10), 10000,
+      Seq(1000, 10000), Seq(8 * 1024, 1024 * 1024), s"$workRoot/rg")
+
+  /** S7 + K2 — CSV sink then CSV scan with explicit schema; the result
+    * round-trips a2_group_mean, so it shares that oracle.
+    */
+  def s7CsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"$workRoot/csv/a2"
+    Analytics.a2GroupMean(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("avg_value", DoubleType),
+      StructField("sum_value", DoubleType),
+      StructField("n", LongType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .orderBy("event_type")
+  }
+
+  /** S8 — multi-file glob scan ≡ union-all; shares u1's oracle. */
+  def s8GlobUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val base = s"$workRoot/csv/orders_slices"
+    val schema = StructType(Seq(
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    Seq("F", "O").foreach { st =>
+      o.filter(col("o_orderstatus") === st).select("o_orderpriority", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base/status_$st")
+    }
+    spark.read.option("header", "true").schema(schema).csv(s"$base/status_*")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** S9 — benchmark-JSON document scan: write a google-benchmark-shaped
+    * nested document, read it back with spark.read.json, explode the
+    * benchmarks array, and parse names (P6 shape) —
+    * scripts/vizualize_flatbuffers_benchmark.py:6-25.
+    */
+  def s9JsonScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"$workRoot/json/gbench"
+    val runs = Seq(
+      ("BM_ParseMeta/2000/0/0", 15.8e6, 15.8e6, 193.0),
+      ("BM_ParseMeta/3000/0/0", 22.8e6, 22.8e6, 180.0),
+      ("BM_ParseMeta/2000/1/0", 7.9e6, 7.9e6, 150.0),
+      ("BM_ParseMeta/3000/1/1", 11.4e6, 11.4e6, 160.0))
+    import spark.implicits._
+    val doc = runs.toDF("name", "real_time", "ThriftTime", "FlatBufferTime")
+      .agg(collect_list(struct(col("name"), col("real_time"), col("ThriftTime"),
+        col("FlatBufferTime"))).as("benchmarks"))
+    doc.coalesce(1).write.mode("overwrite").json(out)
+    spark.read.json(out)
+      .select(explode(col("benchmarks")).as("b"))
+      .select(
+        element_at(split(col("b.name"), "/"), 2).cast("int").as("cols"),
+        element_at(split(col("b.name"), "/"), 3).cast("int").as("subset"),
+        element_at(split(col("b.name"), "/"), 4).cast("int").as("random"),
+        col("b.ThriftTime").as("thrift_time"),
+        col("b.FlatBufferTime").as("flatbuffer_time"))
+      .groupBy("cols", "subset", "random")
+      .agg(first(col("thrift_time")).as("thrift_time"),
+        first(col("flatbuffer_time")).as("flatbuffer_time"))
+      .orderBy("cols", "subset", "random")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "g1_wide_gen" -> g1WideGen _,
+    "s4_footer_meta" -> s4FooterMeta _,
+    "s5_chunk_stats" -> s5ChunkStats _,
+    "s3_read_bench" -> s3ReadBench _,
+    "k1_compression_sweep" -> k1CompressionSweep _,
+    "m2_chunks_pages" -> m2ChunksPages _,
+    "m2_stats" -> m2Stats _,
+    "m3_rowgroup_grid" -> m3RowGroupGrid _,
+    "s7_csv_roundtrip" -> s7CsvRoundtrip _,
+    "s8_glob_union" -> s8GlobUnion _,
+    "s9_json_scan" -> s9JsonScan _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s7_csv_roundtrip" -> Analytics.oracles("a2_group_mean"),
+    "s8_glob_union" -> Analytics.oracles("u1_union_all"),
+  )
+}

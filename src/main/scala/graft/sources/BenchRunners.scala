@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** The reference's benchmark executables re-expressed as Spark jobs that
+  * emit result DataFrames with the reference's CSV columns (FIXTURES.md
+  * §B). Timing = System.nanoTime around Spark actions (the reference's
+  * std::chrono spans, src/metadata_benchmark.cc:183-188); first-run JIT
+  * warmup is the caller's concern (see graft.Bench).
+  */
+object BenchRunners {
+
+  private def timeMs[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e6)
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def dirBytes(spark: SparkSession, p: String): Long = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /** Driver-side footer decode timing of one file (cheap, no job). */
+  private def footerTimesUs(spark: SparkSession, p: String): (Double, Double, Long) = {
+    val conf = new Configuration()
+    val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, p).head
+    val t0 = System.nanoTime()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val footer = reader.getFooter
+    val t1 = System.nanoTime()
+    try {
+      val nCols = footer.getFileMetaData.getSchema.getColumns.asScala.size
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e3, (t2 - t1) / 1e3, nCols.toLong)
+    } finally reader.close()
+  }
+
+  /** data_read_benchmark (src/data_read_benchmark.cc:99-135): footer-only,
+    * full-table, random-half-columns, and every-10th-column reads over a
+    * generated wide table. Column names follow the reference CSV header
+    * (src/data_read_benchmark.cc:126).
+    */
+  def dataReadBenchmark(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Long,
+      workDir: String,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val rows = numColsList.map { nc =>
+      val path = s"$workDir/read_bench_${nc}cols"
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, seed), path,
+        ParquetKnobs.WriteConfig(codec = "snappy"))
+      val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
+      val df = spark.read.parquet(path)
+      val (_, fullMs) = timeMs(materialize(df))
+      val rnd = new Random(seed)
+      val half = rnd.shuffle((0 until nc).toList).take(math.max(1, nc / 2)).map(i => s"col_$i")
+      val (_, halfMs) = timeMs(materialize(df.select(half.map(df(_)): _*)))
+      val tenth = (0 until nc by 10).map(i => s"col_$i")
+      val (_, tenthMs) = timeMs(materialize(df.select(tenth.map(df(_)): _*)))
+      (nc, numRows, (thriftUs + schemaUs) / 1e3, fullMs, halfMs, tenthMs)
+    }
+    rows.toDF("num_columns", "num_rows", "metadata_decode_time_ms",
+      "full_data_read_time_ms", "random_column_read_time_ms", "page_read_time_ms")
+  }
+
+  /** metadata_benchmark BenchmarkChunksAndPages
+    * (src/metadata_benchmark.cc:13-42, CSV header :83): footer decode
+    * split into Thrift-decode and schema-build stages, per column count.
+    * stats_level is recorded as requested (§4 deviation note in
+    * ParquetKnobs).
+    */
+  def chunksAndPagesBenchmark(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Long,
+      workDir: String,
+      statsLevel: Int = 1): DataFrame = {
+    import spark.implicits._
+    val rows = numColsList.map { nc =>
+      val path = s"$workDir/meta_bench_${nc}cols"
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+        ParquetKnobs.WriteConfig())
+      val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
+      (nc, thriftUs + schemaUs, thriftUs, schemaUs, dirBytes(spark, path), statsLevel)
+    }
+    rows.toDF("num_columns", "total_decode_time_us", "thrift_decode_time_us",
+      "schema_build_time_us", "size_bytes", "stats_level")
+  }
+
+  /** metadata_benchmark BenchmarkStats (src/metadata_benchmark.cc:44-79,
+    * CSV header :96): force min/max statistics decode for every
+    * (row group × chunk).
+    */
+  def statsBenchmark(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Long,
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val rows = numColsList.map { nc =>
+      val path = s"$workDir/meta_bench_${nc}cols" // shares files with chunksAndPages
+      val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        val footer = reader.getFooter
+        val t0 = System.nanoTime()
+        var withStats = 0
+        footer.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val s = c.getStatistics
+            if (s != null && s.hasNonNullValue) withStats += 1
+          }
+        }
+        val statsUs = (System.nanoTime() - t0) / 1e3
+        (nc, footer.getBlocks.size(), statsUs, dirBytes(spark, path), withStats > 0)
+      } finally reader.close()
+    }
+    rows.toDF("num_columns", "num_row_groups", "stats_decode_time_us",
+      "size_bytes", "stats_enabled")
+  }
+
+  /** metadata_benchmark row-group grid (G2: src/metadata_benchmark.cc:269-281):
+    * cols × row-group rows × page size × stats, CSV header :215-216.
+    */
+  def rowGroupGrid(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Int,
+      rowGroupSizes: Seq[Int],
+      pageSizes: Seq[Int],
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      nc <- numColsList
+      rg <- rowGroupSizes
+      ps <- pageSizes
+      stats <- Seq(1, 0)
+    } yield {
+      val path = s"$workDir/rg_bench_${nc}c_${rg}r_${ps}p_$stats"
+      val df = WideTableGen.wide(spark, nc, numRows.toLong)
+      val (_, writeMs) = timeMs(ParquetKnobs.write(df, path,
+        ParquetKnobs.WriteConfig(
+          rowGroupBytes = ParquetKnobs.rowGroupBytesFor(rg, nc),
+          pageBytes = ps,
+          dictionary = stats == 1)))
+      val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
+      val (_, statsDecodeMs) = timeMs {
+        FooterMeta.chunkStats(spark, Seq(path)).filter(_.has_min_max).count()
+      }
+      val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
+      (nc, numRows, rg, ps, stats, writeMs,
+        (thriftUs + schemaUs) / 1e3, thriftUs / 1e3, schemaUs / 1e3,
+        statsDecodeMs, sizeMb)
+    }
+    rows.toDF("num_columns", "num_rows", "row_group_size", "page_size",
+      "stats_level", "write_time_ms", "total_decode_time_ms",
+      "thrift_decode_time_ms", "schema_build_time_ms",
+      "stats_decode_time_ms", "file_size_mb")
+  }
+
+  /** compression_benchmark (src/compression_benchmark.cc:103-121, CSV
+    * header :92): encode/decode time + compressed size per codec. The
+    * algorithm code keeps the reference's 0..4 recode domain
+    * (scripts/visualize_compression_benchmark.py:12).
+    */
+  def compressionBenchmark(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Long,
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val algoCode = Map(
+      "uncompressed" -> 0, "snappy" -> 1, "gzip" -> 2, "brotli" -> 3, "zstd" -> 4,
+      "lz4" -> 5)
+    val rows = for {
+      nc <- numColsList
+      codec <- ParquetKnobs.codecs
+    } yield {
+      val df = WideTableGen.wide(spark, nc, numRows)
+      val path = s"$workDir/comp_bench_${nc}c_$codec"
+      val (_, encodeMs) = timeMs(ParquetKnobs.write(df, path, ParquetKnobs.WriteConfig(codec = codec)))
+      val (_, decodeMs) = timeMs(materialize(spark.read.parquet(path)))
+      val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
+      (algoCode(codec), nc, numRows, encodeMs, decodeMs, sizeMb)
+    }
+    rows.toDF("algorithm", "num_columns", "num_rows", "encoding_time_ms",
+      "decoding_time_ms", "compressed_size_mb")
+  }
+}

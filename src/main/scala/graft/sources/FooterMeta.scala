@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Parquet footer metadata exposed as queryable Datasets (S4/S5:
+  * src/metadata_benchmark.cc:13-79, src/arrow_benchmarks.cc:9-26) — the
+  * reference's "metadata is data" capability, Spark-first.
+  *
+  * Footer decode runs *distributed*: file paths go through a Dataset and
+  * each partition opens its own ParquetFileReader, so a 100 TB lake with
+  * millions of files fans out across executors instead of hammering the
+  * driver. Timings per file mirror the reference's two-stage measurement
+  * (Thrift decode = open+footer, schema build = schema traversal).
+  */
+object FooterMeta {
+
+  /** One row per parquet file footer (S4). */
+  final case class FileMetaRow(
+      path: String,
+      num_row_groups: Int,
+      num_columns: Int,
+      num_rows: Long,
+      file_bytes: Long,
+      created_by: String,
+      footer_decode_us: Double,
+      schema_build_us: Double)
+
+  /** One row per (row group × column chunk) with statistics (S5). */
+  final case class ChunkStatRow(
+      path: String,
+      row_group: Int,
+      column: String,
+      codec: String,
+      compressed_bytes: Long,
+      uncompressed_bytes: Long,
+      num_values: Long,
+      has_min_max: Boolean,
+      null_count: Long,
+      encodings: String,
+      dict_encoded: Boolean)
+
+  /** Expand a path (file or directory of part files) to parquet files. */
+  def parquetFiles(conf: Configuration, p: String): Seq[String] = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(conf)
+    val st = fs.getFileStatus(path)
+    if (st.isDirectory)
+      fs.listStatus(path).toSeq
+        .filter(s => s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    else Seq(p)
+  }
+
+  /** S4 — footer-only scan with decode timings, one row per file. */
+  def fileMeta(spark: SparkSession, paths: Seq[String]): Dataset[FileMetaRow] = {
+    import spark.implicits._
+    val files = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(parquetFiles(conf, _))
+    }
+    spark.createDataset(files).mapPartitions { iter =>
+      val conf = new Configuration()
+      iter.map { f =>
+        val t0 = System.nanoTime()
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        val footer = reader.getFooter
+        val t1 = System.nanoTime()
+        try {
+          val schema = footer.getFileMetaData.getSchema
+          // schema build stage (GetSchema analog): touch every leaf field
+          val cols = schema.getColumns.asScala.map(_.getPrimitiveType.getName).size
+          val t2 = System.nanoTime()
+          FileMetaRow(
+            path = f,
+            num_row_groups = footer.getBlocks.size(),
+            num_columns = cols,
+            num_rows = footer.getBlocks.asScala.map(_.getRowCount).sum,
+            file_bytes = new Path(f).getFileSystem(conf).getFileStatus(new Path(f)).getLen,
+            created_by = footer.getFileMetaData.getCreatedBy,
+            footer_decode_us = (t1 - t0) / 1e3,
+            schema_build_us = (t2 - t1) / 1e3)
+        } finally reader.close()
+      }
+    }
+  }
+
+  /** S5 — column-chunk statistics scan, one row per (row group, chunk). */
+  def chunkStats(spark: SparkSession, paths: Seq[String]): Dataset[ChunkStatRow] = {
+    import spark.implicits._
+    val files = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(parquetFiles(conf, _))
+    }
+    spark.createDataset(files).mapPartitions { iter =>
+      val conf = new Configuration()
+      iter.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          val footer = reader.getFooter
+          footer.getBlocks.asScala.zipWithIndex.flatMap { case (block, rg) =>
+            block.getColumns.asScala.map { chunk =>
+              val stats = chunk.getStatistics
+              ChunkStatRow(
+                path = f,
+                row_group = rg,
+                column = chunk.getPath.toDotString,
+                codec = chunk.getCodec.toString,
+                compressed_bytes = chunk.getTotalSize,
+                uncompressed_bytes = chunk.getTotalUncompressedSize,
+                num_values = chunk.getValueCount,
+                has_min_max = stats != null && stats.hasNonNullValue,
+                null_count = if (stats == null) -1L else stats.getNumNulls,
+                encodings = chunk.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString("|"),
+                dict_encoded = chunk.getEncodings.asScala.exists(e =>
+                  e.toString.contains("DICTIONARY")))
+            }
+          }.toList
+        } finally reader.close()
+      }
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet sink with writer knobs (K1: src/data_generator.cc:32-52,
+  * src/metadata_benchmark.cc:132-148, src/compression_benchmark.cc:52-64):
+  * codec, row-group size, page size, dictionary encoding.
+  *
+  * Deviation from the reference (SURVEY §4 gap): parquet-mr has no
+  * three-way StatsLevel {NONE, CHUNK, PAGE} (src/data_generator.h:5-9);
+  * chunk statistics are always written. We approximate NONE/CHUNK/PAGE
+  * with the dictionary + column-index knobs and record the requested
+  * level in the result rows so downstream analytics keep the reference's
+  * column.
+  */
+object ParquetKnobs {
+
+  /** Writer configuration mirroring the reference's sweep axes
+    * (FIXTURES.md §A). rowGroupBytes maps parquet.block.size; the
+    * reference's row-group *row counts* (1000..10000) are expressed by
+    * sizing bytes ≈ rows × cols × 4B.
+    */
+  final case class WriteConfig(
+      codec: String = "snappy",
+      rowGroupBytes: Long = 128L * 1024 * 1024,
+      pageBytes: Int = 1024 * 1024,
+      dictionary: Boolean = true)
+
+  /** Byte size that yields ~`rows` rows per row group for an
+    * all-float32 table of `cols` columns.
+    */
+  def rowGroupBytesFor(rows: Int, cols: Int): Long =
+    math.max(64L * 1024, rows.toLong * cols * 4)
+
+  def write(df: DataFrame, path: String, cfg: WriteConfig): Unit =
+    df.write
+      .mode("overwrite")
+      .option("compression", cfg.codec)
+      .option("parquet.block.size", cfg.rowGroupBytes.toString)
+      .option("parquet.page.size", cfg.pageBytes.toString)
+      .option("parquet.enable.dictionary", cfg.dictionary.toString)
+      .parquet(path)
+
+  /** Codecs available without extra jars in this Spark build; brotli
+    * requires an external codec and is sweep-skipped when absent
+    * (SURVEY §7.4), mirroring the reference's 5-codec list minus the
+    * unavailable one (src/compression_benchmark.cc:12-18).
+    */
+  val codecs: Seq[String] = {
+    val base = Seq("uncompressed", "snappy", "gzip", "zstd", "lz4")
+    val brotliAvailable =
+      try { Class.forName("org.apache.hadoop.io.compress.BrotliCodec"); true }
+      catch { case _: Throwable => false }
+    if (brotliAvailable) base :+ "brotli" else base
+  }
+}
