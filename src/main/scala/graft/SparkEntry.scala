@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BenchOps, Dedup, Similarity, TextOps}
+import graft.operators.{Analytics, BenchOps, Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.registry ++ Dedup.registry ++ Similarity.registry ++
-      TextOps.registry ++ BenchOps.registry
+      TextOps.registry ++ BenchOps.registry ++ EventStreams.registry ++
+      Multimodal.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextOps.oracles ++ BenchOps.oracles
+      TextOps.oracles ++ BenchOps.oracles ++ EventStreams.oracles ++
+      Multimodal.oracles
 }

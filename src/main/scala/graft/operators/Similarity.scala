@@ -25,7 +25,9 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   private val Dim = 64
-  private val NumPlanes = 6 // 2 bands × 3 bits
+  private val NumPlanes = 12 // 4 bands × 3 bits
+  private val Bands = 4
+  private val BitsPerBand = 3
   private val Seed = 42L
 
   private def dot(a: String, b: String): Column =
@@ -64,9 +66,15 @@ object Similarity {
     Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** LSH-bucketed approximate neighbors: 6-bit signature split into two
-    * 3-bit bands; candidates share at least one band value; exact cosine
-    * re-ranks candidates, top-5 per query.
+  /** LSH-bucketed approximate neighbors: 12 hyperplane bits → 4 bands
+    * of 3 bits. Candidate generation is explode(bands) → equi-join on
+    * (band index, band value) → distinct — the hash-partitionable shape
+    * that scales (an OR-of-bands join predicate would force a
+    * nested-loop join). Exact cosine re-ranks candidates, top-5/query.
+    *
+    * On near-uniform random vectors (this testdata) expected recall@5
+    * vs. brute force is ~0.6-0.7 — LSH trades exactly this recall for
+    * scanning only colliding buckets.
     */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -76,16 +84,25 @@ object Similarity {
     var c = corpus(spark, sfDir)
     for (p <- 0 until NumPlanes) c = c.withColumn(s"p$p", array(pl(p).map(lit): _*))
     for (p <- 0 until NumPlanes) c = c.withColumn(s"b$p", bit(p)).drop(s"p$p")
-    val sig = c
-      .withColumn("band0", expr("b0 * 4 + b1 * 2 + b2"))
-      .withColumn("band1", expr("b3 * 4 + b4 * 2 + b5"))
-      .select("vec_id", "v", "nrm", "band0", "band1")
-    val q = sig.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("band0").as("qb0"), col("band1").as("qb1"))
-    val cand = sig.join(broadcast(q),
-        col("vec_id") =!= col("query_id") &&
-          (col("band0") === col("qb0") || col("band1") === col("qb1")))
+    val bandCols = (0 until Bands).map { b =>
+      val bits = (0 until BitsPerBand).map(i => b * BitsPerBand + i)
+      bits.zipWithIndex.map { case (p, i) =>
+        col(s"b$p") * (1 << (BitsPerBand - 1 - i)) }.reduce(_ + _)
+    }
+    val banded = c
+      .select(col("vec_id") +: col("v") +: col("nrm") +: Seq(posexplode(array(bandCols: _*)).as(Seq("band", "bval"))): _*)
+    val qb = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("band").as("qband"), col("bval").as("qbval"))
+    val candIds = banded.join(broadcast(qb),
+        col("band") === col("qband") && col("bval") === col("qbval") &&
+          col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val base = corpus(spark, sfDir)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = candIds
+      .join(base, "vec_id")
+      .join(broadcast(q), "query_id")
       .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     cand.withColumn("rk", row_number().over(w))

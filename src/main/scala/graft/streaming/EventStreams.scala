@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (net-new: SURVEY
+  * §2.11 — the reference has no streaming; this is the engine's stream
+  * path for the same windowed aggregations the batch side runs).
+  *
+  * The driver's correctness gate is batch (DuckDB), so the streaming
+  * query is driven to completion synchronously (memory sink +
+  * processAllAvailable) and its result returned as a DataFrame — the
+  * stream and batch answers must agree, which is exactly the
+  * Dataflow-model property Structured Streaming guarantees for a static
+  * source read to end-of-input.
+  *
+  * Scale: tumbling-window count/sum with a watermark is incremental
+  * state of O(open windows × event types) — safe on an unbounded stream;
+  * kept small here only by the test data.
+  */
+object EventStreams {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Schema of the raw events parquet (ts arrives as Long nanos — see
+    * Tables.events / GraftSession).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** FileStreamSource needs a directory; the testdata table is a single
+    * file, so stream the parent dir with a glob filter pinned to it.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+
+  /** 10-minute tumbling-window counts per event type, computed by a real
+    * streaming query (readStream → watermark → window agg → memory sink).
+    */
+  def streamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"graft_stream_win_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Batch sessionization via window functions (the SQL-expressible twin
+    * of mapGroupsWithState): a session breaks after a 30-minute gap per
+    * user. Emits per-user session stats.
+    *
+    * Scale: one shuffle on user_id; the running-sum window is a single
+    * sort within each user partition — the standard sessionize plan.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+      .limit(200)
+  }
+
+  /** Event projection used by the stateful stream (ts in epoch micros). */
+  final case class SessionEvent(event_id: Long, ts_us: Long, user_id: Long)
+
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** True stateful streaming sessionization via mapGroupsWithState —
+    * the KeyValueGroupedDataset path. Within a micro-batch events are
+    * sorted per user (stream iterators carry no order guarantee), then
+    * folded into (last ts, session count) state; a >30 min gap opens a
+    * new session. Must produce exactly w2_sessionize's answer, so it
+    * shares that DuckDB oracle.
+    *
+    * Scale: state is O(users) × 24 bytes — the bounded-state shape that
+    * survives an unbounded stream (vs. buffering events).
+    */
+  def statefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    val src = eventsStream(spark, sfDir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      .as[SessionEvent]
+    val gapUs = 1800L * 1000000L
+    val out = src.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user, events, state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(e.ts_us, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(user, st.nSessions, st.nEvents)
+      }
+    val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("user_id").limit(200)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val registry: Map[String, Q] = Map(
+    "x_stream_window" -> streamWindow _,
+    "x_stream_sessions" -> statefulSessions _,
+    "w2_sessionize" -> sessionize _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "x_stream_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM g)
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
+    "w2_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM g)
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
+  )
+}

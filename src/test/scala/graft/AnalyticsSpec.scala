@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Analytics
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q1 pricing summary: 6 flag/status groups with TPC-H Q1 columns") {
+    val rows = Analytics.q1PricingSummary(spark, sf).collect()
+    assert(rows.length === 6)
+    val cols = Analytics.q1PricingSummary(spark, sf).columns.toSeq
+    assert(cols === Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+      "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order"))
+    // groups sorted; counts positive
+    assert(rows.map(_.getLong(9)).forall(_ > 0))
+  }
+
+  test("p3 recode maps all three statuses to labels") {
+    val rows = Analytics.p3Recode(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("Fulfilled", "Open", "Pending"))
+  }
+
+  test("a1 pivot produces one column per status value") {
+    val df = Analytics.a1PivotMean(spark, sf)
+    assert(df.columns.toSeq === Seq("o_orderpriority", "F", "O", "P"))
+    assert(df.count() === 5)
+  }
+
+  test("j2 dim join covers all 25 nations with consistent totals") {
+    val rows = Analytics.j2DimJoin(spark, sf).collect()
+    assert(rows.length === 25)
+    val totalOrders = rows.map(_.getLong(2)).sum
+    assert(totalOrders === Tables.orders(spark, sf).count())
+  }
+
+  test("r1 melt yields exactly the four measures, each with full row count") {
+    val li = Tables.lineitem(spark, sf).count()
+    val rows = Analytics.r1Melt(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    assert(rows.map(_.getLong(2)).forall(_ === li))
+  }
+
+  test("o1 topk is sorted descending with deterministic tiebreak") {
+    val rows = Analytics.o1TopK(spark, sf).collect()
+    assert(rows.length === 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("w1 rank topn emits exactly 3 per priority") {
+    val rows = Analytics.w1RankTopN(spark, sf).collect()
+    assert(rows.length === 15)
+    assert(rows.groupBy(_.getString(0)).forall(_._2.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3)))
+  }
+
+  test("s2 column subset plan prunes the parquet read schema to 3 columns") {
+    val plan = Analytics.s2ColumnSubset(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+  }
+}

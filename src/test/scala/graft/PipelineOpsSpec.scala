@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("exact dedup counts all documents") {
+    val r = Dedup.exactStats(spark, sf).collect()(0)
+    assert(r.getLong(0) === 500)
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getLong(2) <= r.getLong(1))
+  }
+
+  test("minhash LSH surfaces high-jaccard near-duplicate pairs") {
+    val rows = Dedup.minhashLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // testdata plants near-dups; the top candidate must be strongly similar
+    assert(rows.head.getDouble(2) > 0.5)
+    // pairs are canonical (a < b)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash candidates have small hamming distance at the top") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getInt(2) <= 4)
+  }
+
+  test("brute-force cosine top-k: 10 neighbors per query, sims in [-1,1]") {
+    val rows = Similarity.bruteForceTopK(spark, sf).collect()
+    assert(rows.length === 50)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.size === 5 && perQuery.values.forall(_.length === 10))
+  }
+
+  test("LSH top-k recalls most of the brute-force top-5") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(-_.getDouble(2)).take(5).map(_.getLong(1)).toSet }
+    val approx = Similarity.lshTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // random-hyperplane LSH with 2 bands of 3 bits: expect >= 40% overall recall@5
+    val hits = exact.map { case (q, top) => (top & approx.getOrElse(q, Set.empty)).size }.sum
+    assert(hits >= 10, s"LSH recall too low: $hits / 25")
+  }
+
+  test("token stats cover all 20 sources with positive counts") {
+    val rows = TextOps.tokenStats(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("langid emits a full confusion matrix over the 5 actual langs") {
+    val rows = TextOps.langId(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq === Seq("de", "en", "es", "fr", "zh"))
+    assert(rows.map(_.getLong(2)).sum === 500)
+  }
+
+  test("stateful streaming sessions equal the batch window-function answer") {
+    val batch = EventStreams.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stream = EventStreams.statefulSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("multimodal feature extraction is deterministic and typed") {
+    val a = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
+    val b = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 3) // image / audio / video
+  }
+}
