@@ -15,7 +15,7 @@ object BenchmarkSuite {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.length > 0) args(0) else "/root/repo/target/bench-results"
     val scale = if (args.length > 1) args(1) else "small"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     val work = s"$outDir/files"
 

@@ -62,9 +62,18 @@ object BenchOps {
   def m2ChunksPages(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
 
-  /** Stats decode benchmark (shares files with m2). */
+  /** Stats decode benchmark — reuses m2's generated files when present
+    * (the alphabetical bench order guarantees m2_chunks_pages ran first
+    * in the same process; the existence check keeps it standalone).
+    */
   def m2Stats(spark: SparkSession, sfDir: String): DataFrame = {
-    BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val missing = Seq(10, 100).exists { nc =>
+      val p = new org.apache.hadoop.fs.Path(s"$workRoot/meta/meta_bench_${nc}cols")
+      !p.getFileSystem(conf).exists(p)
+    }
+    if (missing)
+      BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
     BenchRunners.statsBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
   }
 
@@ -74,6 +83,33 @@ object BenchOps {
   def m3RowGroupGrid(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.rowGroupGrid(spark, Seq(10), 10000,
       Seq(1000, 10000), Seq(8 * 1024, 1024 * 1024), s"$workRoot/rg")
+
+  /** S6 — subset-schema read (scripts/schema_full_partial_benchmark.py:36-45):
+    * the file is opened with an explicit 3-field schema, so the scan
+    * decodes only those column chunks — same effect as projection
+    * pruning, but imposed at the reader-schema level.
+    */
+  def s6SubsetSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val subset = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    spark.read.schema(subset).parquet(s"$sfDir/lineitem.parquet")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** K3 — console/top-k viewer (src/table_viewer.cc:24-34): first 20
+    * rows in a deterministic order (the reference prints file order; a
+    * distributed engine must impose one).
+    */
+  def k3TopView(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(20)
 
   /** S7 + K2 — CSV sink then CSV scan with explicit schema; the result
     * round-trips a2_group_mean, so it shares that oracle.
@@ -148,12 +184,20 @@ object BenchOps {
     "m2_chunks_pages" -> m2ChunksPages _,
     "m2_stats" -> m2Stats _,
     "m3_rowgroup_grid" -> m3RowGroupGrid _,
+    "s6_subset_schema" -> s6SubsetSchema _,
+    "k3_top20_view" -> k3TopView _,
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,
     "s8_glob_union" -> s8GlobUnion _,
     "s9_json_scan" -> s9JsonScan _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_subset_schema" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price FROM lineitem""".stripMargin,
+    "k3_top20_view" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin,
     "s7_csv_roundtrip" -> Analytics.oracles("a2_group_mean"),
     "s8_glob_union" -> Analytics.oracles("u1_union_all"),
   )

@@ -23,7 +23,10 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   private val NumHashes = 16
-  private val Bands = 8 // 2 rows per band
+  private val Bands = 4 // 4 rows per band: P(candidate) = 1-(1-J^4)^4 —
+  // steep around J≈0.7, so random-pair collisions (J≈0.03) are ~1e-6
+  // while true near-dups (J≥0.9) are caught with p≈0.99. Band width is
+  // the selectivity knob that keeps candidate count near-linear.
 
   /** Word 3-gram shingles of the lowercased text. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
@@ -65,20 +68,27 @@ object Dedup {
       col("doc_id"), col("shingles"),
       array((0 until NumHashes).map(i =>
         expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))")): _*).as("sig"))
+    val rowsPerBand = NumHashes / Bands
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array((0 until Bands).map(j =>
-        xxhash64(lit(j), expr(s"sig[${2 * j}]"), expr(s"sig[${2 * j + 1}]"))): _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until Bands).map { j =>
+        val slots = (0 until rowsPerBand).map(k => expr(s"sig[${rowsPerBand * j + k}]"))
+        xxhash64(lit(j) +: slots: _*)
+      }: _*)).as(Seq("band", "bucket")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Exact-verify join: hint broadcast for the doc→shingles map (MBs
+    // here). At lake scale the pairs side is the small one — semi-join
+    // the corpus down to candidate ids instead; the plan shape below
+    // stays a hash join either way, never a sort-merge of the corpus.
     val sh = docs.select(col("doc_id"), col("shingles"))
     pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a")), "doc_a")
+      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -87,30 +97,46 @@ object Dedup {
       .limit(20)
   }
 
-  /** SimHash near-dup: 32-bit signature from token hashes, byte-banded
-    * candidate join, exact Hamming distance on candidates.
+  /** SimHash near-dup: 64-bit signature (4 × 16-bit bands) from token
+    * hashes weighted by multiplicity. Pigeonhole: any pair within
+    * Hamming distance 3 shares at least one exact band, so the
+    * (band, value) equi-join finds all such pairs; 16-bit bands keep
+    * random collisions ~2^-16 per band — the candidate count stays
+    * near-linear even on a low-vocabulary corpus.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("tokens", array_distinct(split(lower(trim(col("text"))), "\\s+")))
-      .withColumn("hashes", expr("transform(tokens, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
-          | if(aggregate(hashes, 0, (a, h) -> a + if(((h >> i) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(1L, i), 0L))""".stripMargin))
-      .select("doc_id", "simhash")
+    // Per-bit majority vote as ONE codegen'd hash aggregate over
+    // exploded token hashes (64 conditional sums), not nested
+    // higher-order lambdas — interpreted per-element lambdas cost
+    // ~64×|tokens| evals per doc; the aggregate form is vectorized and
+    // map-side combined, so the only shuffle carries 64 ints per doc.
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), t -> xxhash64(t))")).as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+    val sums = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val docs = sums.select(
+      col("doc_id"),
+      array((0 until 4).map { j =>
+        (0 until 16).map(k =>
+          when(col(s"s${j * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      }: _*).as("bands"))
     val banded = docs.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        expr(s"(simhash >> ${8 * j}) & 255")): _*)).as(Seq("band", "byte")))
-    banded.as("a")
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bval")))
+    val pairs = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+    pairs
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("bands").as("ba"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("bands").as("bb"))), "doc_b")
+      .withColumn("hamming", expr(
+        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc + bit_count(ba[j] ^ bb[j]))").cast("int"))
       .select("doc_a", "doc_b", "hamming")
       .orderBy(col("hamming").asc, col("doc_a"), col("doc_b"))
       .limit(20)

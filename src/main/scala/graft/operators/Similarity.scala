@@ -30,11 +30,16 @@ object Similarity {
   private val BitsPerBand = 3
   private val Seed = 42L
 
+  /** Fused codegen loops (graft.functions.VectorExpressions) — same
+    * index-order summation as the aggregate/zip_with formulation, so
+    * results are bit-identical to the DuckDB oracle's DOUBLE[] math,
+    * without per-row intermediate arrays.
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.VectorExpressions.dot_product(col(a), col(b))
 
   private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    graft.functions.VectorExpressions.l2_norm(col(a))
 
   /** Corpus with vectors as array<double> plus precomputed L2 norm. */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
@@ -80,7 +85,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val pl = planes
     def bit(p: Int): Column =
-      when(expr(s"aggregate(zip_with(v, p$p, (x, y) -> x * y), 0D, (acc, w) -> acc + w)") > 0, 1).otherwise(0)
+      when(dot("v", s"p$p") > 0, 1).otherwise(0)
     var c = corpus(spark, sfDir)
     for (p <- 0 until NumPlanes) c = c.withColumn(s"p$p", array(pl(p).map(lit): _*))
     for (p <- 0 until NumPlanes) c = c.withColumn(s"b$p", bit(p)).drop(s"p$p")
