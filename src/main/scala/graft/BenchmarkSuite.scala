@@ -33,6 +33,7 @@ object BenchmarkSuite {
       println(s"[suite] wrote $outDir/$name")
     }
 
+    BenchRunners.warmupFooterPath(spark, work)
     sink(BenchRunners.chunksAndPagesBenchmark(spark, metaCols, 10000L, work),
       "benchmark_chunks_and_pages")
     sink(BenchRunners.statsBenchmark(spark, metaCols, 10000L, work),
@@ -44,6 +45,8 @@ object BenchmarkSuite {
     sink(BenchRunners.rowGroupGrid(spark, rgCols, 10000,
       Seq(1000, 2000, 5000, 10000), Seq(8 * 1024, 64 * 1024, 1024 * 1024, 8 * 1024 * 1024),
       work), "benchmark_rowgroup")
+    sink(BenchRunners.pushdownBenchmark(spark, if (scale == "full") 10000000L else 1000000L, work),
+      "pushdown_benchmark")
     spark.stop()
   }
 }

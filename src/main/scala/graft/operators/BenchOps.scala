@@ -84,6 +84,12 @@ object BenchOps {
     BenchRunners.rowGroupGrid(spark, Seq(10), 10000,
       Seq(1000, 10000), Seq(8 * 1024, 1024 * 1024), s"$workRoot/rg")
 
+  /** §4 — predicate-pushdown effect: same selective scan with parquet
+    * filter pushdown on vs off (row-group skipping via min/max stats).
+    */
+  def m4Pushdown(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.pushdownBenchmark(spark, 1000000L, s"$workRoot/pd")
+
   /** S6 — subset-schema read (scripts/schema_full_partial_benchmark.py:36-45):
     * the file is opened with an explicit 3-field schema, so the scan
     * decodes only those column chunks — same effect as projection
@@ -184,6 +190,7 @@ object BenchOps {
     "m2_chunks_pages" -> m2ChunksPages _,
     "m2_stats" -> m2Stats _,
     "m3_rowgroup_grid" -> m3RowGroupGrid _,
+    "m4_pushdown" -> m4Pushdown _,
     "s6_subset_schema" -> s6SubsetSchema _,
     "k3_top20_view" -> k3TopView _,
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,

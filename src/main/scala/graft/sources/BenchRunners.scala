@@ -47,6 +47,63 @@ object BenchRunners {
     } finally reader.close()
   }
 
+  /** One throwaway footer open before any timed measurement: the first
+    * ParquetFileReader.open in a JVM pays parquet-hadoop class loading
+    * (~60 ms observed), which would otherwise land entirely on the first
+    * grid row.
+    */
+  def warmupFooterPath(spark: SparkSession, workDir: String): Unit = {
+    val path = s"$workDir/warmup_1cols"
+    ParquetKnobs.write(WideTableGen.wide(spark, 1, 100L), path, ParquetKnobs.WriteConfig())
+    footerTimesUs(spark, path)
+    ()
+  }
+
+  /** Predicate-pushdown effect measurement (SURVEY §4): the same
+    * selective filter scan timed with parquet filter pushdown on vs off
+    * — the reference's stats-enabled/disabled axis expressed as the
+    * Spark conf that consumes those stats.
+    */
+  def pushdownBenchmark(
+      spark: SparkSession,
+      numRows: Long,
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$workDir/pushdown_bench"
+    // low-cardinality sorted column -> tight row-group min/max -> skippable
+    val df = spark.range(numRows).selectExpr(
+      "id AS k",
+      "CAST(id % 1000 AS DOUBLE) AS v")
+    ParquetKnobs.write(df.repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
+      path, ParquetKnobs.WriteConfig(rowGroupBytes = 1024 * 1024))
+    // untimed warm run of the same filtered shape: without it the first
+    // timed variant pays cold page cache + codegen compile and the
+    // comparison measures run order, not pushdown
+    spark.read.parquet(path).filter(s"k < ${numRows / 100}").foreach(_ => ())
+    val rows = Seq(true, false).map { on =>
+      spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
+      val df2 = spark.read.parquet(path).filter(s"k < ${numRows / 100}")
+      // execute the physical plan directly: Dataset actions run on a
+      // separate rddQueryExecution, so metrics would land elsewhere
+      val plan = df2.queryExecution.executedPlan
+      val (_, ms) = timeMs(plan.execute().count())
+      // rows emitted by the scan node = rows surviving row-group/page
+      // skipping — the deterministic evidence of pushdown (wall time on
+      // an MB-scale local file is noise)
+      val finalPlan = plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanRows = finalPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (on, numRows, scanRows, ms)
+    }
+    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    rows.toDF("pushdown_enabled", "num_rows", "scan_output_rows", "filtered_read_time_ms")
+  }
+
   /** data_read_benchmark (src/data_read_benchmark.cc:99-135): footer-only,
     * full-table, random-half-columns, and every-10th-column reads over a
     * generated wide table. Column names follow the reference CSV header

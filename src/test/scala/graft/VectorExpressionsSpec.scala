@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.VectorExpressions.{dot_product, l2_norm}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot product and norm match known values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      dot_product(col("a"), col("b")).as("dot"),
+      l2_norm(col("a")).as("na")).collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("fused expressions are bit-identical to the higher-order-function form") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val both = emb.select(
+      dot_product(col("v"), col("v")).as("fused"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, w) -> acc + w)").as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() === 0)
+  }
+
+  test("null input yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(dot_product(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
