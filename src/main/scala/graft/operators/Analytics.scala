@@ -44,6 +44,64 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Q3-style shipping priority: 3-way join, filtered both sides of the
+    * date, revenue top-10. Orders/customer dims broadcast against the
+    * lineitem scan; the only wide shuffle is the final group-by on
+    * l_orderkey (AQE-coalesced).
+    */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local-supplier volume: 6-way join with the
+    * customer-nation = supplier-nation co-location condition. Every
+    * dimension broadcasts; lineitem is the only big side.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q6-style forecast revenue: pure scan-filter-sum — every predicate
+    * pushes to parquet, no shuffle at all (single partial+final agg).
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** P1+P2 — unit-conversion & ratio projections
     * (scripts/visualize_stats.py:9,12,84: µs→ms, bytes→MB, time/num_columns).
     */
@@ -312,6 +370,9 @@ object Analytics {
 
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
     "p1_unit_conversion" -> p1UnitConversion _,
     "p3_recode" -> p3Recode _,
     "p4_filter" -> p4Filter _,
@@ -351,6 +412,38 @@ object Analytics {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "p1_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice / 1000.0, 6) AS price_k,

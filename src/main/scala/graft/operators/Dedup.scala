@@ -162,7 +162,28 @@ object Dedup {
       .limit(20)
   }
 
+  /** Embedding-cosine near-dup: top-20 most-similar embedding pairs by
+    * exact cosine (fused dot/norm expressions), canonical upper
+    * triangle. Exact all-pairs is the verify-scale baseline; the lake-
+    * scale path is the LSH bucketing in [[Similarity.lshTopK]] feeding
+    * the same exact re-rank.
+    */
+  def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{dot_product, l2_norm}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2_norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select("id_a", "id_b", "cos")
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_dedup_embedding" -> embeddingCosine _,
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,
@@ -174,6 +195,13 @@ object Dedup {
     * the driver records rows-only checks for those.
     */
   val oracles: Map[String, String] = Map(
+    "x_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p
+        |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
     "x_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
         | count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm
