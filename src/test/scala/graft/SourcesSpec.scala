@@ -51,6 +51,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(meta.head.footer_decode_us > 0)
   }
 
+  test("bucketed join plan has no shuffle exchange before the join") {
+    import graft.operators.Bucketing
+    Bucketing.bucketedJoin(spark, sf).collect() // ensures tables + executes
+    val plan = Bucketing.bucketedJoinPlan(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    // the only exchange allowed is the final single-partition order-by;
+    // the join inputs must read bucket files directly
+    val joinSection = plan.split("SortMergeJoin").last
+    assert(!joinSection.contains("ShuffleExchange") && !joinSection.contains("Exchange hashpartitioning"),
+      s"join inputs were shuffled:\n$plan")
+  }
+
   test("chunk stats expose min/max presence and codec per chunk") {
     val stats = FooterMeta.chunkStats(spark, Seq(s"$sf/orders.parquet")).collect()
     assert(stats.nonEmpty)
