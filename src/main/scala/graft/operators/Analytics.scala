@@ -107,10 +107,16 @@ object Analytics {
     */
   def p1UnitConversion(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    // ratio emitted in floor'd integer micro-units: round(x/q, 6) sits
+    // on exact decimal half-boundaries for 2-decimal prices over integer
+    // quantities, where Spark (decimal-string HALF_UP) and DuckDB
+    // (binary-double) disagree by 1 ulp. floor(x*1e6/q) is exact for
+    // both: the quotient is either an exactly-representable integer or
+    // ≥1/q away from one.
     li.select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") / 1000.0, 6).as("price_k"),
-        round(col("l_extendedprice") / col("l_quantity"), 6).as("price_per_unit"))
+        floor(col("l_extendedprice") * 1000000.0 / col("l_quantity")).cast("long").as("price_per_unit_micro"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(1000)
   }
@@ -238,6 +244,40 @@ object Analytics {
       round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
       round(corr("l_extendedprice", "l_discount"), 4).as("corr_price_disc"),
       round(corr("l_quantity", "l_tax"), 4).as("corr_qty_tax"))
+  }
+
+  /** A3b — full melted correlation matrix (upper triangle) over the four
+    * lineitem measures, matching the reference's 6-metric matrix shape
+    * (scripts/vizualize_row_groups.py:50-52) as rows instead of a grid.
+    */
+  def a3CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cells = for {
+      i <- measures.indices
+      j <- (i + 1) until measures.size
+    } yield (measures(i), measures(j))
+    val wide = li.agg(
+      round(corr(cells.head._1, cells.head._2), 4).as(s"${cells.head._1}__${cells.head._2}"),
+      cells.tail.map { case (a, b) => round(corr(a, b), 4).as(s"${a}__$b") }: _*)
+    wide.unpivot(Array.empty[Column], "pair", "corr")
+      .select(
+        element_at(split(col("pair"), "__"), 1).as("m1"),
+        element_at(split(col("pair"), "__"), 2).as("m2"),
+        col("corr"))
+      .orderBy("m1", "m2")
+  }
+
+  /** JSON scalar functions (§2.10) on real data: events.props carries a
+    * JSON object; extract and aggregate a field.
+    */
+  def f1JsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
   }
 
   /** A4 — distribution summary for box plots (scripts/vizualize_row_groups.py:29):
@@ -384,6 +424,8 @@ object Analytics {
     "a1_pivot_mean" -> a1PivotMean _,
     "a2_group_mean" -> a2GroupMean _,
     "a3_correlation" -> a3Correlation _,
+    "a3_corr_matrix" -> a3CorrMatrix _,
+    "f1_json_extract" -> f1JsonExtract _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
     "r1_melt" -> r1Melt _,
@@ -447,7 +489,7 @@ object Analytics {
     "p1_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice / 1000.0, 6) AS price_k,
-        | round(l_extendedprice / l_quantity, 6) AS price_per_unit
+        | floor(l_extendedprice * 1000000.0 / l_quantity)::BIGINT AS price_per_unit_micro
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
     "p3_recode" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open'
@@ -500,6 +542,19 @@ object Analytics {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
         |FROM lineitem""".stripMargin,
+    "a3_corr_matrix" ->
+      """SELECT m1, m2, corr FROM (
+        | SELECT 'l_quantity' AS m1, 'l_extendedprice' AS m2, round(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem
+        | UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+        | UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+        | UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem)
+        |ORDER BY m1, m2""".stripMargin,
+    "f1_json_extract" ->
+      """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        | round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a4_distribution_summary" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.25), 4) AS q1,
