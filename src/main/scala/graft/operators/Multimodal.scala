@@ -71,6 +71,69 @@ object Multimodal {
       }
   }
 
+  /** Output row of a media transform (resize / frame sample). */
+  final case class TransformedMedia(
+      doc_id: Long,
+      format: String,
+      op: String,
+      in_bytes: Long,
+      out_bytes: Long,
+      out_width: Int,
+      out_height: Int,
+      n_frames_kept: Int)
+
+  /** Resize stub: real pipeline plumbing (binary in → binary out via
+    * mapPartitions, one codec init per partition), fake pixels — the
+    * "resized" payload is a deterministic truncation scaled by the
+    * target/source area ratio.
+    */
+  def resize(spark: SparkSession, sfDir: String, w: Int, h: Int): Dataset[TransformedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select("doc_id", "format", "media")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, fmt, bytes) =>
+          val (sw, sh, _) = FakeCodec.decode(fmt, bytes)
+          val ratio = math.min(1.0, (w.toLong * h).toDouble / (sw.toLong * sh))
+          val outLen = math.max(1, (bytes.length * ratio).toInt)
+          TransformedMedia(id, fmt, s"resize_${w}x$h", bytes.length.toLong,
+            outLen.toLong, w, h, 1)
+        }
+      }
+  }
+
+  /** Frame-sample stub: keeps every k-th frame of "video" payloads
+    * (others pass through with one frame).
+    */
+  def frameSample(spark: SparkSession, sfDir: String, everyK: Int): Dataset[TransformedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select("doc_id", "format", "media")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, fmt, bytes) =>
+          val (w, h, frames) = FakeCodec.decode(fmt, bytes)
+          val kept = if (fmt == "video") math.max(1, frames / everyK) else 1
+          val outLen = math.max(1, bytes.length * kept / math.max(1, frames))
+          TransformedMedia(id, fmt, s"sample_every_$everyK", bytes.length.toLong,
+            outLen.toLong, w, h, kept)
+        }
+      }
+  }
+
+  /** Registered query: both transforms rolled up per (format, op). */
+  def transformRollup(spark: SparkSession, sfDir: String): DataFrame =
+    resize(spark, sfDir, 224, 224).toDF()
+      .unionByName(frameSample(spark, sfDir, 10).toDF())
+      .groupBy("format", "op")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("in_bytes").as("total_in_bytes"),
+        sum("out_bytes").as("total_out_bytes"),
+        max("n_frames_kept").as("max_frames_kept"))
+      .orderBy("format", "op")
+
   /** Registered query: per-format feature rollup (deterministic — the
     * stub codec is hash-based). No SQL oracle (JVM hash) → rows-only.
     */
@@ -104,6 +167,7 @@ object Multimodal {
   val registry: Map[String, Q] = Map(
     "x_multimodal_features" -> featureRollup _,
     "x_multimodal_bytes" -> byteStats _,
+    "x_multimodal_transforms" -> transformRollup _,
   )
 
   val oracles: Map[String, String] = Map(
