@@ -280,6 +280,23 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** F2 — typed Aggregator surface: weighted mean via
+    * [[graft.functions.WeightedMean]] registered as a UDAF column —
+    * the custom-aggregate path for anything built-ins can't express
+    * (buffer is associative+commutative, so it map-side combines).
+    */
+  def f2WeightedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val wm = udaf(graft.functions.WeightedMean,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(wm(col("l_extendedprice"), col("l_quantity")), 4).as("weighted_avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** A4 — distribution summary for box plots (scripts/vizualize_row_groups.py:29):
     * exact quartiles via `percentile` (linear interpolation = DuckDB
     * quantile_cont). percentile_approx is the 100 TB path; the exact form
@@ -426,6 +443,7 @@ object Analytics {
     "a3_correlation" -> a3Correlation _,
     "a3_corr_matrix" -> a3CorrMatrix _,
     "f1_json_extract" -> f1JsonExtract _,
+    "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
     "r1_melt" -> r1Melt _,
@@ -551,6 +569,11 @@ object Analytics {
         | UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
         | UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem)
         |ORDER BY m1, m2""".stripMargin,
+    "f2_weighted_mean" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "f1_json_extract" ->
       """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         | round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k, count(*) AS n
