@@ -27,6 +27,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(col("fused") =!= col("hof")).count() === 0)
   }
 
+  test("generated code compiles — no interpreted fallback") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val df = s2.range(10)
+      .selectExpr("array(cast(id AS double), 2.0) AS a")
+      .select(dot_product(col("a"), col("a")).as("d"), l2_norm(col("a")).as("n"))
+    val rows = df.collect() // would throw on codegen compile failure
+    assert(rows.length === 10)
+    assert(rows.map(_.getDouble(0)).max === 81.0 + 4.0)
+  }
+
   test("null input yields null, not a crash") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
