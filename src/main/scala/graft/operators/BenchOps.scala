@@ -150,6 +150,54 @@ object BenchOps {
       .orderBy("o_orderpriority")
   }
 
+  /** S11 — ORC sink + scan (net-new format breadth; same relational
+    * semantics as the parquet path, shared oracle shape).
+    */
+  def s11OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"$workRoot/orc/lineitem"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** K5 — partitioned write + partition-pruned read: the first-order
+    * layout optimization at lake scale. The filtered read touches only
+    * the matching partition directory (PartitionFilters in the plan,
+    * asserted in SourcesSpec).
+    */
+  def k5PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"$workRoot/part/orders_by_status"
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    partitionPrunedRead(spark)
+  }
+
+  /** The pruned-read plan over k5's output (exposed for the plan spec). */
+  def partitionPrunedRead(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$workRoot/part/orders_by_status")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+
+  /** A7 — sketch aggregates: the bounded-memory versions of
+    * count-distinct and percentile that replace the exact forms at
+    * 100 TB (approximate → rows-only check; exact twins are oracle'd
+    * in s1/a4).
+    */
+  def a7ApproxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50_price"),
+      count(lit(1)).as("n_rows"))
+
   /** S9 — benchmark-JSON document scan: write a google-benchmark-shaped
     * nested document, read it back with spark.read.json, explode the
     * benchmarks array, and parse names (P6 shape) —
@@ -196,6 +244,9 @@ object BenchOps {
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,
     "s8_glob_union" -> s8GlobUnion _,
     "s9_json_scan" -> s9JsonScan _,
+    "s11_orc_roundtrip" -> s11OrcRoundtrip _,
+    "k5_partitioned_write" -> k5PartitionedWrite _,
+    "a7_approx_stats" -> a7ApproxStats _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +258,13 @@ object BenchOps {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin,
     "s7_csv_roundtrip" -> Analytics.oracles("a2_group_mean"),
     "s8_glob_union" -> Analytics.oracles("u1_union_all"),
+    "s11_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "k5_partitioned_write" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

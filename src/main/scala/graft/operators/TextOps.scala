@@ -118,7 +118,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** TF-IDF top-3 terms per source: the corpus-statistics op behind
+    * keyword extraction.
+    *
+    * Parity notes: idf is constant per term, so the per-(source, term)
+    * score is `sum(tf) × ln(N/df)` — an integer times one double, no
+    * order-dependent float accumulation. Ranking uses the rounded score
+    * with a term tiebreak.
+    *
+    * Scale: two shuffles (term-frequency group-by, then document
+    * frequency keyed by term); df is a term-cardinality frame that
+    * broadcasts. No O(corpus) state anywhere.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count() // tiny action; N is a plan literal
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val score = tf.join(broadcast(dfT), "term")
+      .groupBy("source", "term", "df")
+      .agg(sum("tf").as("sum_tf"))
+      .withColumn("score", round(col("sum_tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term").asc)
+    score.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("source", "term", "score")
+      .orderBy("source", "term")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_text_tfidf" -> tfidfTopTerms _,
     "x_text_tokens" -> tokenStats _,
     "x_text_quality" -> qualityScore _,
     "x_text_langid" -> langId _,
@@ -126,6 +158,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT source, term,
+        |  round(sum(tf) * ln((SELECT n FROM nd)::DOUBLE / df), 4) AS score
+        | FROM tf JOIN dft USING (term) GROUP BY source, term, df)
+        |SELECT source, term, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY score DESC, term ASC) AS rk FROM sc)
+        |WHERE rk <= 3 ORDER BY source, term""".stripMargin,
     "x_text_tokens" ->
       """SELECT source,
         | sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens,

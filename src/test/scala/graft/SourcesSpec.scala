@@ -63,6 +63,15 @@ class SourcesSpec extends AnyFunSuite {
       s"join inputs were shuffled:\n$plan")
   }
 
+  test("partitioned read prunes to the matching partition directory") {
+    import graft.operators.BenchOps
+    BenchOps.k5PartitionedWrite(spark, sf).collect() // writes + executes
+    val plan = BenchOps.partitionPrunedRead(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
+      s"expected partition pruning on o_orderstatus:\n$plan")
+  }
+
   test("chunk stats expose min/max presence and codec per chunk") {
     val stats = FooterMeta.chunkStats(spark, Seq(s"$sf/orders.parquet")).collect()
     assert(stats.nonEmpty)
