@@ -198,6 +198,49 @@ object BenchOps {
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50_price"),
       count(lit(1)).as("n_rows"))
 
+  /** M5 — metadata-sidecar experiment (the Spark-idiom analog of the
+    * reference's Thrift→FlatBuffers footer transcoding,
+    * src/pq_fb_ns_data_generator.cc:34-60): re-encode footer metadata as
+    * a columnar sidecar table and compare sizes. Where the reference
+    * appends a FlatBuffer to each file, a lake-scale engine stores
+    * footer metadata *as a queryable table* — one sidecar for millions
+    * of files, scanned with the same pruned-column machinery as data.
+    */
+  def m5MetadataSidecar(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = Seq("lineitem", "orders", "events")
+    val paths = tables.map(t => s"$sfDir/$t.parquet")
+    val sidecarPath = s"$workRoot/sidecar/chunk_stats"
+    val stats = FooterMeta.chunkStats(spark, paths)
+    stats.toDF().write.mode("overwrite").parquet(sidecarPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def len(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.getFileStatus(hp).isDirectory) fs.getContentSummary(hp).getLength
+      else fs.getFileStatus(hp).getLen
+    }
+    // footer bytes per source file (Thrift length lives in the 8-byte
+    // trailer: [footer][4B length][PAR1])
+    val footerBytes = paths.map { p =>
+      val file = FooterMeta.parquetFiles(conf, p).head
+      val hp = new org.apache.hadoop.fs.Path(file)
+      val fs = hp.getFileSystem(conf)
+      val in = fs.open(hp)
+      try {
+        val size = fs.getFileStatus(hp).getLen
+        in.seek(size - 8)
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        java.lang.Integer.toUnsignedLong(
+          (b(3) & 0xff) << 24 | (b(2) & 0xff) << 16 | (b(1) & 0xff) << 8 | (b(0) & 0xff))
+      } finally in.close()
+    }
+    import spark.implicits._
+    val nChunks = stats.count()
+    Seq((tables.mkString("|"), footerBytes.sum, len(sidecarPath), nChunks))
+      .toDF("source_tables", "thrift_footer_bytes", "sidecar_parquet_bytes", "n_chunk_rows")
+  }
+
   /** S9 — benchmark-JSON document scan: write a google-benchmark-shaped
     * nested document, read it back with spark.read.json, explode the
     * benchmarks array, and parse names (P6 shape) —
@@ -247,6 +290,7 @@ object BenchOps {
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "a7_approx_stats" -> a7ApproxStats _,
+    "m5_metadata_sidecar" -> m5MetadataSidecar _,
   )
 
   val oracles: Map[String, String] = Map(
