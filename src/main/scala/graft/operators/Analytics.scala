@@ -342,6 +342,21 @@ object Analytics {
       .orderBy("operation")
   }
 
+  /** A8 — rollup (hierarchical grouping sets; net-new beyond the
+    * reference's flat group-bys). Grouping nulls are coalesced to a
+    * label so the oracle compare never depends on NULL ordering.
+    */
+  def a8Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
   /** O1/O2 — sort + top-k (notebook cell 25; src/table_viewer.cc:24-26).
     * Spark plans ORDER BY + LIMIT as TakeOrderedAndProject: no global
     * sort, one reduction — the shape that survives 100 TB.
@@ -446,6 +461,7 @@ object Analytics {
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
+    "a8_rollup" -> a8Rollup _,
     "r1_melt" -> r1Melt _,
     "o1_topk" -> o1TopK _,
     "o3_sorted_distinct" -> o3SortedDistinct _,
@@ -591,6 +607,12 @@ object Analytics {
         | arg_max(user_id, event_id) AS last_user,
         | min(event_id) AS min_event, max(event_id) AS max_event
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a8_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "r1_melt" ->
       """SELECT operation, round(sum(val), 2) AS total, count(*) AS n FROM (
         | SELECT 'l_quantity' AS operation, l_quantity AS val FROM lineitem

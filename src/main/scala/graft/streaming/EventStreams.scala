@@ -145,15 +145,51 @@ object EventStreams {
     spark.table(name).orderBy("user_id").limit(200)
   }
 
+  /** W3 — as-of join composed from existing operators (the preference-
+    * order (a) route: no custom SparkPlan needed): each 'click' event is
+    * matched to the latest prior-or-equal 'view' event of the same user
+    * via last(ignoreNulls) over a (ts, event_id)-ordered user window —
+    * the union+window formulation of ASOF, one shuffle on user_id.
+    * All comparisons run on µs integers on both engines so nanosecond
+    * truncation can't skew the match.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = ev
+      .withColumn("view_ts", when(col("event_type") === "view", col("ts_us")))
+      .withColumn("last_view_ts", last("view_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+    matched.agg(
+      count(lit(1)).as("n_clicks"),
+      count(col("last_view_ts")).as("n_matched"),
+      round(avg((col("ts_us") - col("last_view_ts")) / 1000000.0), 4).as("avg_gap_s"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
+    "w3_asof_join" -> asofJoin _,
     "x_stream_window" -> streamWindow _,
     "x_stream_sessions" -> statefulSessions _,
     "w2_sessionize" -> sessionize _,
   )
 
   val oracles: Map[String, String] = Map(
+    "w3_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT event_type, ts_us,
+        |  last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        | FROM ev)
+        |SELECT count(*) AS n_clicks, count(last_view_ts) AS n_matched,
+        | round(avg((ts_us - last_view_ts) / 1000000.0), 4) AS avg_gap_s
+        |FROM m WHERE event_type = 'click'""".stripMargin,
     "x_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
