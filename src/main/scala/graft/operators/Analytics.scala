@@ -394,6 +394,43 @@ object Analytics {
     ev.union(docs).distinct().orderBy("k")
   }
 
+  /** U3 — intersect / except (net-new: §2.8 notes the reference has
+    * neither): users who clicked AND purchased, and clickers who never
+    * purchased, as counts.
+    */
+  def u3IntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val both = clickers.intersect(buyers).count()
+    val onlyClick = clickers.except(buyers).count()
+    import spark.implicits._
+    Seq((both, onlyClick)).toDF("clicked_and_purchased", "clicked_never_purchased")
+  }
+
+  /** SQL-API surface: the same flagship pricing summary expressed as a
+    * `spark.sql` query over registered temp views — proves the engine's
+    * SQL entry point produces the identical plan/result as the
+    * DataFrame API (shares q1's oracle).
+    */
+  def sql1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** W1 — ranked top-n per group (net-new: §2.6 is absent in the
     * reference; provided as first-class window surface).
     */
@@ -467,6 +504,8 @@ object Analytics {
     "o3_sorted_distinct" -> o3SortedDistinct _,
     "u1_union_all" -> u1UnionAll _,
     "u2_union_distinct" -> u2UnionDistinct _,
+    "u3_intersect_except" -> u3IntersectExcept _,
+    "sql1_pricing_summary" -> sql1PricingSummary _,
     "w1_rank_topn" -> w1RankTopN _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
@@ -520,6 +559,20 @@ object Analytics {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "sql1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "p1_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice / 1000.0, 6) AS price_k,
@@ -633,6 +686,12 @@ object Analytics {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "u2_union_distinct" ->
       """SELECT event_type AS k FROM events UNION SELECT lang FROM documents ORDER BY k""".stripMargin,
+    "u3_intersect_except" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        | (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)) AS clicked_and_purchased,
+        | (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b)) AS clicked_never_purchased""".stripMargin,
     "w1_rank_topn" ->
       """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
