@@ -45,9 +45,12 @@ object Analytics {
   }
 
   /** Q3-style shipping priority: 3-way join, filtered both sides of the
-    * date, revenue top-10. Orders/customer dims broadcast against the
-    * lineitem scan; the only wide shuffle is the final group-by on
-    * l_orderkey (AQE-coalesced).
+    * date, revenue top-10. Only the genuinely dimension-sized customer
+    * side is hinted broadcast; orders is a fact table, so its join
+    * strategy is left to AQE/autoBroadcastJoinThreshold — at verify scale
+    * AQE still picks broadcast from runtime stats, at 100 TB it degrades
+    * to a shuffled hash join on l_orderkey instead of OOMing executors.
+    * The only wide shuffle is the final group-by on l_orderkey.
     */
   def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
@@ -55,7 +58,7 @@ object Analytics {
       .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -67,8 +70,10 @@ object Analytics {
   }
 
   /** Q5-style local-supplier volume: 6-way join with the
-    * customer-nation = supplier-nation co-location condition. Every
-    * dimension broadcasts; lineitem is the only big side.
+    * customer-nation = supplier-nation co-location condition. The true
+    * dimensions (customer, supplier, nation, region) are hinted
+    * broadcast; orders is a fact table and is left to AQE — the
+    * orders⋈lineitem leg becomes a shuffled join on orderkey at scale.
     */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
@@ -79,7 +84,7 @@ object Analytics {
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
         c("c_nationkey") === s("s_nationkey"))
@@ -396,16 +401,16 @@ object Analytics {
 
   /** U3 — intersect / except (net-new: §2.8 notes the reference has
     * neither): users who clicked AND purchased, and clickers who never
-    * purchased, as counts.
+    * purchased, as counts. One lazy plan (both set ops feed a cross join
+    * of two 1-row aggregates) — constructing the frame launches no jobs;
+    * nothing runs until the caller materializes it.
     */
   def u3IntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
     val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-    val both = clickers.intersect(buyers).count()
-    val onlyClick = clickers.except(buyers).count()
-    import spark.implicits._
-    Seq((both, onlyClick)).toDF("clicked_and_purchased", "clicked_never_purchased")
+    clickers.intersect(buyers).agg(count(lit(1)).as("clicked_and_purchased"))
+      .crossJoin(clickers.except(buyers).agg(count(lit(1)).as("clicked_never_purchased")))
   }
 
   /** SQL-API surface: the same flagship pricing summary expressed as a

@@ -81,14 +81,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact-verify join: hint broadcast for the doc→shingles map (MBs
-    // here). At lake scale the pairs side is the small one — semi-join
-    // the corpus down to candidate ids instead; the plan shape below
-    // stays a hash join either way, never a sort-merge of the corpus.
+    // Exact-verify join: the corpus is first semi-joined down to the
+    // candidate doc_ids, so only candidate rows carry shingle arrays —
+    // the corpus side is never broadcast and never shuffled in full.
+    // (The candidate-id set is bounded by the banding selectivity, so
+    // AQE may legitimately broadcast *it*; what must not happen at
+    // 100 TB is a broadcast or full shuffle of doc→shingles, and the
+    // semi-join guarantees that.)
     val sh = docs.select(col("doc_id"), col("shingles"))
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
     pairs
-      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a")), "doc_a")
-      .join(broadcast(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b")), "doc_b")
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -132,9 +138,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Same semi-join discipline as minhashLsh: signatures (40 B/doc) are
+    // reduced to candidate ids before the verify join — no corpus
+    // broadcast hint, AQE picks the strategy from the candidate size.
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sigCand = docs.join(candIds, Seq("doc_id"), "left_semi")
     pairs
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("bands").as("ba"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("bands").as("bb"))), "doc_b")
+      .join(sigCand.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(sigCand.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
       .withColumn("hamming", expr(
         "aggregate(sequence(0, 3), 0L, (acc, j) -> acc + bit_count(ba[j] ^ bb[j]))").cast("int"))
       .select("doc_a", "doc_b", "hamming")
@@ -162,20 +174,77 @@ object Dedup {
       .limit(20)
   }
 
+  private val GridBlocks = 8 // grid granularity for the exact all-pairs
+  // theta join: each of the G(G+1)/2 cells compares (n/G)² vectors, so G
+  // is the per-task-memory knob — at lake scale pick G ≈ n·rowBytes/task
+  // budget; here 8 cells × 32 threads keeps every core busy at sf0.1.
+
   /** Embedding-cosine near-dup: top-20 most-similar embedding pairs by
-    * exact cosine (fused dot/norm expressions), canonical upper
-    * triangle. Exact all-pairs is the verify-scale baseline; the lake-
-    * scale path is the LSH bucketing in [[Similarity.lshTopK]] feeding
-    * the same exact re-rank.
+    * exact cosine (fused dot/norm expressions), canonical upper triangle.
+    *
+    * Exact all-pairs is inherently O(n²) compute, but it must never be a
+    * broadcast nested-loop join. This is the grid-partitioned theta-join
+    * (the 1-Bucket-Theta scheme of Okcan & Riedewald, "Processing
+    * Theta-Joins using MapReduce", SIGMOD 2011): rows hash into G blocks;
+    * side A replicates a block-g row to grid cells (g, j≥g), side B to
+    * cells (i≤g, g), and the join is an *equi-join on the cell key* —
+    * every unordered pair meets in exactly one cell, each cell is an
+    * independent shuffle partition, and the plan is a shuffled hash/sort
+    * join, never BroadcastNestedLoopJoin. The subquadratic route (LSH
+    * candidates + exact re-rank) is [[embeddingCosineLsh]].
     */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.{dot_product, l2_norm}
+    val g = GridBlocks
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2_norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("blk", pmod(col("vec_id"), lit(g)).cast("int"))
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"),
+        col("blk").as("blk_a"),
+        explode(expr(s"transform(sequence(blk, ${g - 1}), j -> named_struct('ci', blk, 'cj', j))")).as("cell"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
+        col("blk").as("blk_b"),
+        explode(expr("transform(sequence(0, blk), i -> named_struct('ci', i, 'cj', blk))")).as("cell_b"))
+    a.join(b, col("cell") === col("cell_b") &&
+        // off-diagonal cells pair distinct blocks once by construction;
+        // the id guard dedups only the diagonal (same-block) cells
+        (col("blk_a") < col("blk_b") || col("ida") < col("idb")))
+      .withColumn("cos", round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Subquadratic embedding near-dup: random-hyperplane LSH candidates
+    * (banded signature equi-join, the [[Similarity.lshTopK]] machinery
+    * turned pairwise) + exact-cosine re-rank of collisions only. Work is
+    * O(n·bands + candidates), never all pairs. Approximate by
+    * construction → rows-only check; recall vs the exact top-20 is
+    * asserted in PipelineOpsSpec. Band width is the recall/cost knob:
+    * 3-bit bands suit this corpus's flat similarity profile (top cos
+    * ≈0.5); a corpus with true near-dups (cos ≥0.9) wants wider bands
+    * for fewer random collisions at the same recall.
+    */
+  def embeddingCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
+    val banded = Similarity.bandedCorpus(spark, sfDir)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
+    val candIds = pairs.select(col("id_a").as("vec_id"))
+      .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+    val eCand = e.join(candIds, Seq("vec_id"), "left_semi")
+    pairs
+      .join(eCand.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(eCand.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .select("id_a", "id_b", "cos")
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
@@ -184,6 +253,7 @@ object Dedup {
 
   val registry: Map[String, Q] = Map(
     "x_dedup_embedding" -> embeddingCosine _,
+    "x_dedup_embedding_lsh" -> embeddingCosineLsh _,
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,

@@ -81,8 +81,12 @@ object Similarity {
     * vs. brute force is ~0.6-0.7 — LSH trades exactly this recall for
     * scanning only colliding buckets.
     */
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Corpus exploded to one row per (vector, band): vec_id, v, nrm,
+    * band, bval. The deterministic bucket assignment shared by the ANN
+    * query path ([[lshTopK]]) and the pairwise near-dup path
+    * ([[Dedup.embeddingCosineLsh]]).
+    */
+  private[operators] def bandedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val pl = planes
     def bit(p: Int): Column =
       when(dot("v", s"p$p") > 0, 1).otherwise(0)
@@ -94,8 +98,12 @@ object Similarity {
       bits.zipWithIndex.map { case (p, i) =>
         col(s"b$p") * (1 << (BitsPerBand - 1 - i)) }.reduce(_ + _)
     }
-    val banded = c
-      .select(col("vec_id") +: col("v") +: col("nrm") +: Seq(posexplode(array(bandCols: _*)).as(Seq("band", "bval"))): _*)
+    c.select(col("vec_id") +: col("v") +: col("nrm") +: Seq(posexplode(array(bandCols: _*)).as(Seq("band", "bval"))): _*)
+  }
+
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedCorpus(spark, sfDir)
     val qb = banded.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("band").as("qband"), col("bval").as("qbval"))
     val candIds = banded.join(broadcast(qb),

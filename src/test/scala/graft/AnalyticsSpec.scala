@@ -56,6 +56,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.groupBy(_.getString(0)).forall(_._2.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3)))
   }
 
+  test("q3/q5 broadcast-hint only dimension sides, never the orders fact table") {
+    for (df <- Seq(Analytics.q3ShippingPriority(spark, sf), Analytics.q5LocalSupplier(spark, sf))) {
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.child.toString
+      }
+      assert(hinted.nonEmpty)
+      assert(!hinted.exists(_.contains("orders")),
+        "orders is a fact table: its join strategy must be left to AQE")
+    }
+  }
+
+  test("u3 intersect/except is one lazy plan: construction launches no action jobs") {
+    val sites = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        js.stageInfos.foreach(si => sites.add(si.name)); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Analytics.u3IntersectExcept(spark, sf)
+      df.queryExecution.optimizedPlan // force analysis + optimization, still no jobs
+      Thread.sleep(500) // listener bus is async
+      // the only permissible job is spark.read's one-off parquet schema
+      // inference ("parquet at ..."); an eager count()/collect() inside
+      // the constructor (the round-1 defect) would surface here
+      val actions = sites.toArray.map(_.toString).filterNot(_.startsWith("parquet at"))
+      assert(actions.isEmpty, s"constructing u3 launched action jobs: ${actions.mkString(", ")}")
+      assert(df.columns.toSeq === Seq("clicked_and_purchased", "clicked_never_purchased"))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("s2 column subset plan prunes the parquet read schema to 3 columns") {
     val plan = Analytics.s2ColumnSubset(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -50,6 +50,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 10, s"LSH recall too low: $hits / 25")
   }
 
+  test("embedding exact near-dup: grid theta join matches naive all-pairs, no BNLJ") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions.{dot_product, l2_norm}
+    val df = Dedup.embeddingCosine(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "grid theta join must not plan a BNLJ")
+    assert(!plan.contains("CartesianProduct"))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2_norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select("id_a", "id_b", "cos")
+      .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val grid = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(grid === naive)
+  }
+
+  test("embedding LSH near-dup recalls most of the exact top-20 without all-pairs") {
+    val lsh = Dedup.embeddingCosineLsh(spark, sf)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val exact = Dedup.embeddingCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (exact & approx).size
+    assert(hits >= 10, s"LSH pair recall too low: $hits / 20")
+  }
+
+  test("sketch verify joins carry no broadcast hints and semi-join the corpus") {
+    for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhash(spark, sf))) {
+      val analyzed = df.queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, "verify join must not force-broadcast the corpus")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "corpus must be semi-joined down to candidate ids before the verify join")
+    }
+  }
+
   test("token stats cover all 20 sources with positive counts") {
     val rows = TextOps.tokenStats(spark, sf).collect()
     assert(rows.length === 20)
