@@ -293,7 +293,41 @@ object BenchOps {
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
   )
 
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   val oracles: Map[String, String] = Map(
+    // footer metadata is deterministic — DuckDB's parquet_metadata() is
+    // an independent second decoder of the same footers ({SFDIR} is
+    // substituted by Verify at dump time)
+    "s4_footer_meta" -> {
+      val files = allTables.map(t => s"'{SFDIR}/$t.parquet'").mkString(", ")
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file,
+         | (max(row_group_id) + 1)::INT AS num_row_groups,
+         | count(DISTINCT column_id)::INT AS num_columns,
+         | sum(CASE WHEN column_id = 0 THEN row_group_num_rows ELSE 0 END)::BIGINT AS num_rows
+         |FROM parquet_metadata([$files])
+         |GROUP BY 1 ORDER BY file""".stripMargin
+    },
+    "s5_chunk_stats" ->
+      """SELECT regexp_extract(file_name, '[^/]+$') AS file,
+        | row_group_id::INT AS row_group, path_in_schema AS column,
+        | compression AS codec, num_values,
+        | (stats_min_value IS NOT NULL) AS has_min_max,
+        | stats_null_count AS null_count,
+        | (encodings LIKE '%DICTIONARY%') AS dict_encoded
+        |FROM parquet_metadata(['{SFDIR}/lineitem.parquet', '{SFDIR}/orders.parquet'])
+        |ORDER BY file, row_group, "column"""".stripMargin,
+    // s9's synthetic benchmark document is deterministic, so the parsed
+    // result is a fixed table
+    "s9_json_scan" ->
+      """SELECT cols, subset, random, thrift_time, flatbuffer_time FROM (VALUES
+        | (2000, 0, 0, 15.8e6, 193.0),
+        | (2000, 1, 0, 7.9e6, 150.0),
+        | (3000, 0, 0, 22.8e6, 180.0),
+        | (3000, 1, 1, 11.4e6, 160.0)) AS t(cols, subset, random, thrift_time, flatbuffer_time)
+        |ORDER BY cols, subset, random""".stripMargin,
+    "g1_wide_gen" -> "SELECT 10000::BIGINT AS n_rows, 100::INT AS n_cols",
     "s6_subset_schema" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price FROM lineitem""".stripMargin,

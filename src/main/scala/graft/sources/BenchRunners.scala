@@ -69,13 +69,19 @@ object BenchRunners {
       numRows: Long,
       workDir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$workDir/pushdown_bench"
-    // low-cardinality sorted column -> tight row-group min/max -> skippable
-    val df = spark.range(numRows).selectExpr(
-      "id AS k",
-      "CAST(id % 1000 AS DOUBLE) AS v")
-    ParquetKnobs.write(df.repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
-      path, ParquetKnobs.WriteConfig(rowGroupBytes = 1024 * 1024))
+    val path = s"$workDir/pushdown_bench_$numRows"
+    // deterministic input: reuse the generated file across bench runs
+    // (the write is the expensive half of this op and isn't what it
+    // measures) — the _SUCCESS marker gates a complete prior write
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$path/_SUCCESS"))) {
+      // low-cardinality sorted column -> tight row-group min/max -> skippable
+      val df = spark.range(numRows).selectExpr(
+        "id AS k",
+        "CAST(id % 1000 AS DOUBLE) AS v")
+      ParquetKnobs.write(df.repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
+        path, ParquetKnobs.WriteConfig(rowGroupBytes = 1024 * 1024))
+    }
     // untimed warm run of the same filtered shape: without it the first
     // timed variant pays cold page cache + codegen compile and the
     // comparison measures run order, not pushdown
@@ -246,16 +252,21 @@ object BenchRunners {
       "lz4" -> 5)
     val rows = for {
       nc <- numColsList
-      codec <- ParquetKnobs.codecs
+      codec <- ParquetKnobs.allCodecs
     } yield {
-      val df = WideTableGen.wide(spark, nc, numRows)
-      val path = s"$workDir/comp_bench_${nc}c_$codec"
-      val (_, encodeMs) = timeMs(ParquetKnobs.write(df, path, ParquetKnobs.WriteConfig(codec = codec)))
-      val (_, decodeMs) = timeMs(materialize(spark.read.parquet(path)))
-      val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
-      (algoCode(codec), nc, numRows, encodeMs, decodeMs, sizeMb)
+      // unavailable codecs (brotli without its external jar) emit a
+      // skipped-row marker instead of silently vanishing from the sweep,
+      // so the result covers the reference's full codec list either way
+      if (ParquetKnobs.codecAvailable(codec)) {
+        val df = WideTableGen.wide(spark, nc, numRows)
+        val path = s"$workDir/comp_bench_${nc}c_$codec"
+        val (_, encodeMs) = timeMs(ParquetKnobs.write(df, path, ParquetKnobs.WriteConfig(codec = codec)))
+        val (_, decodeMs) = timeMs(materialize(spark.read.parquet(path)))
+        val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
+        (algoCode(codec), nc, numRows, encodeMs, decodeMs, sizeMb, true)
+      } else (algoCode(codec), nc, numRows, -1.0, -1.0, -1.0, false)
     }
     rows.toDF("algorithm", "num_columns", "num_rows", "encoding_time_ms",
-      "decoding_time_ms", "compressed_size_mb")
+      "decoding_time_ms", "compressed_size_mb", "codec_available")
   }
 }

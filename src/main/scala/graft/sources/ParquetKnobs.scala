@@ -41,16 +41,20 @@ object ParquetKnobs {
       .option("parquet.enable.dictionary", cfg.dictionary.toString)
       .parquet(path)
 
-  /** Codecs available without extra jars in this Spark build; brotli
-    * requires an external codec and is sweep-skipped when absent
-    * (SURVEY §7.4), mirroring the reference's 5-codec list minus the
-    * unavailable one (src/compression_benchmark.cc:12-18).
+  /** The reference's codec sweep list (src/compression_benchmark.cc:12-18)
+    * plus lz4. Brotli needs an external codec jar; [[codecAvailable]]
+    * detects it at runtime and the sweep emits a skipped-row marker for
+    * unavailable codecs (SURVEY §7.4) so results are self-describing.
     */
-  val codecs: Seq[String] = {
-    val base = Seq("uncompressed", "snappy", "gzip", "zstd", "lz4")
-    val brotliAvailable =
+  val allCodecs: Seq[String] = Seq("uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4")
+
+  def codecAvailable(codec: String): Boolean = codec match {
+    case "brotli" =>
       try { Class.forName("org.apache.hadoop.io.compress.BrotliCodec"); true }
       catch { case _: Throwable => false }
-    if (brotliAvailable) base :+ "brotli" else base
+    case _ => true
   }
+
+  /** Codecs usable in this build (writer paths that must not fail). */
+  val codecs: Seq[String] = allCodecs.filter(codecAvailable)
 }

@@ -69,6 +69,68 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** Append-mode twin of [[streamWindow]] — the 100 TB shape: watermark
+    * EVICTS window state and each window is emitted exactly once when
+    * the watermark passes its end, instead of complete-mode's
+    * re-materialization of every window each batch.
+    *
+    * Drive-to-completion mechanics: the source directory is staged as
+    * (1) the real events file, then (2) a far-future sentinel event,
+    * processed as separate micro-batches (maxFilesPerTrigger=1, files
+    * ordered by mod time). The sentinel pushes the watermark past every
+    * real window's end; Spark's no-data micro-batch then flushes the
+    * remaining state, so the append output equals the batch answer for
+    * ALL real windows — which is exactly x_stream_window's oracle. The
+    * sentinel's own window never closes and is never emitted.
+    */
+  def streamWindowAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val stageDir = "/root/repo/target/graft-work/stream/events_append"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stage = new Path(stageDir)
+    val fs = stage.getFileSystem(conf)
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
+      fs, new Path(s"$stageDir/0_events.parquet"), false, conf)
+    // sentinel: one event far past the data (year ~2100, in raw nanos to
+    // match the source schema) written after the copy so its mod time —
+    // the FileStreamSource batch order — puts it in a later micro-batch
+    import spark.implicits._
+    val sentinelTmp = s"$stageDir-sentinel-tmp"
+    Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+    val part = fs.listStatus(new Path(sentinelTmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    FileUtil.copy(fs, part, fs, new Path(s"$stageDir/1_sentinel.parquet"), false, conf)
+    fs.delete(new Path(sentinelTmp), true)
+
+    val src = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"graft_stream_append_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .filter(col("event_type") =!= "__sentinel")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** Batch sessionization via window functions (the SQL-expressible twin
     * of mapGroupsWithState): a session breaks after a 30-minute gap per
     * user. Emits per-user session stats.
@@ -175,6 +237,7 @@ object EventStreams {
   val registry: Map[String, Q] = Map(
     "w3_asof_join" -> asofJoin _,
     "x_stream_window" -> streamWindow _,
+    "x_stream_window_append" -> streamWindowAppend _,
     "x_stream_sessions" -> statefulSessions _,
     "w2_sessionize" -> sessionize _,
   )
@@ -191,6 +254,12 @@ object EventStreams {
         | round(avg((ts_us - last_view_ts) / 1000000.0), 4) AS avg_gap_s
         |FROM m WHERE event_type = 'click'""".stripMargin,
     "x_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // append mode emits each real window exactly once after the
+    // watermark passes it — the total output equals the batch answer
+    "x_stream_window_append" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,

@@ -105,6 +105,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === 500)
   }
 
+  test("append-mode windowed stream equals the complete-mode answer for all closed windows") {
+    val append = EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
+    val complete = EventStreams.streamWindow(spark, sf).collect().map(_.toString)
+    assert(append.nonEmpty)
+    assert(append.toSeq === complete.toSeq,
+      "watermark-evicted append output must equal the batch/complete answer")
+  }
+
   test("stateful streaming sessions equal the batch window-function answer") {
     val batch = EventStreams.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
