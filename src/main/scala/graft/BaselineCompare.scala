@@ -1,0 +1,186 @@
+package graft
+
+import graft.sources.{FooterMeta, WideTableGen}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The BASELINE.md comparison artifact: footer (Thrift) decode time vs
+  * column width, at the reference's published configuration — 10,000
+  * float rows, statistics off, measured at 2000 and 3000 columns where
+  * the reference's notebook records ~15.8 ms and ~22.8 ms
+  * (Parquet-CPP-Benchmarking.ipynb:2977-2978, BASELINE.md). Narrower
+  * widths are included to reproduce the linear-scaling finding (cell 18).
+  *
+  * Measurement discipline: per width, 3 untimed warmup decodes then the
+  * median of 21 timed (open + Thrift footer decode) / (schema build)
+  * passes — medians, not single shots, because this box shows ~40×
+  * scheduler outliers. Our timing includes the file-open syscall the
+  * reference's in-memory ParseMetaData loop does not pay, so the
+  * comparison is conservative against us.
+  *
+  * Emits bench-results/baseline_footer_decode.csv and rewrites
+  * BASELINE_COMPARE.md (both committed) so the within-2× gate is
+  * checkable from the repo alone.
+  */
+object BaselineCompare {
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Rewrite a parquet file with an empty key-value metadata map
+    * (row groups byte-copied). Spark's writer embeds the full schema as
+    * JSON under `org.apache.spark.sql.parquet.row.metadata` — 131 KB at
+    * 2000 cols, 3× the reference's whole footer — which the reference's
+    * bare C++ writer does not carry; stripping it makes footer size and
+    * decode time structurally comparable.
+    */
+  private def stripKeyValueMetadata(conf: Configuration, file: String): String = {
+    import org.apache.parquet.hadoop.ParquetFileWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    val out = file.stripSuffix(".parquet") + "_bare.parquet"
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val writer = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(new Path(out), conf),
+        footer.getFileMetaData.getSchema, ParquetFileWriter.Mode.OVERWRITE,
+        128L * 1024 * 1024, 0)
+      writer.start()
+      writer.appendFile(in)
+      writer.end(java.util.Collections.emptyMap[String, String]())
+    } finally reader.close()
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outCsv = "bench-results/baseline_footer_decode.csv"
+    val outMd = "BASELINE_COMPARE.md"
+    val workDir = "/root/repo/target/graft-work/baseline"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+    val conf = new Configuration()
+    val widths = Seq(10, 100, 1000, 2000, 3000)
+    val numRows = 10000L
+    val reps = 21
+
+    // reference numbers (BASELINE.md): width -> (decode ms, footer bytes)
+    val ref = Map(2000 -> (15.8, 40953L), 3000 -> (22.8, 61953L))
+
+    // phase 1: generate (Spark, distributed) then strip Spark's schema-
+    // JSON key-value metadata so the footer is structurally the
+    // reference's (bare Thrift metadata, no engine extras)
+    val files: Map[Int, String] = widths.map { nc =>
+      val path = s"$workDir/footer_${nc}cols"
+      // stats off to mirror src/pq_fb_ns_data_generator.cc:229-231; the
+      // property ships in parquet-mr 1.14+ (actual effect verified and
+      // recorded in the stats_off column rather than assumed)
+      WideTableGen.wide(spark, nc, numRows)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.column.statistics.enabled", "false")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
+      val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+      nc -> stripKeyValueMetadata(conf, file)
+    }.toMap
+
+    def decodeOnce(file: String): (Double, Double, Int, Int, Boolean) = {
+      val t0 = System.nanoTime()
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      val footer = reader.getFooter
+      val t1 = System.nanoTime()
+      try {
+        val cols = footer.getFileMetaData.getSchema.getColumns.asScala.size
+        val t2 = System.nanoTime()
+        val hasStats = footer.getBlocks.asScala.exists(
+          _.getColumns.asScala.exists(c =>
+            c.getStatistics != null && c.getStatistics.hasNonNullValue))
+        ((t1 - t0) / 1e6, (t2 - t1) / 1e6, cols, footer.getBlocks.size(), !hasStats)
+      } finally reader.close()
+    }
+
+    // phase 2: JIT/page-cache warmup over every width, then interleaved
+    // sampling (one decode per width per round) so JIT state and GC
+    // pauses spread evenly across widths instead of penalizing whichever
+    // width runs first
+    (1 to 5).foreach(_ => widths.foreach(nc => decodeOnce(files(nc))))
+    val sampleRounds = (1 to reps).map(_ => widths.map(nc => nc -> decodeOnce(files(nc))))
+
+    val rows = widths.map { nc =>
+      val samples = sampleRounds.map(_.toMap.apply(nc))
+      val decodeMs = median(samples.map(_._1))
+      val schemaMs = median(samples.map(_._2))
+      // Thrift footer length from the trailer: [footer][4B len][PAR1]
+      val hp = new Path(files(nc))
+      val fs = hp.getFileSystem(conf)
+      val in = fs.open(hp)
+      val footerBytes = try {
+        val size = fs.getFileStatus(hp).getLen
+        in.seek(size - 8)
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        java.lang.Integer.toUnsignedLong(
+          (b(3) & 0xff) << 24 | (b(2) & 0xff) << 16 | (b(1) & 0xff) << 8 | (b(0) & 0xff))
+      } finally in.close()
+      val (_, _, cols, rowGroups, statsOff) = samples.head
+      (nc, cols, rowGroups, statsOff, decodeMs, schemaMs, footerBytes)
+    }
+
+    Files.createDirectories(Paths.get("bench-results"))
+    val csv = new StringBuilder(
+      "num_columns,leaf_columns,num_row_groups,stats_off,thrift_decode_ms,schema_build_ms,thrift_footer_bytes,ref_decode_ms,decode_ratio_vs_ref,ref_footer_bytes\n")
+    rows.foreach { case (nc, cols, rg, so, dms, sms, fb) =>
+      val (rms, rfb) = ref.get(nc).map { case (m, b) => (f"$m%.1f", b.toString) }.getOrElse(("", ""))
+      val ratio = ref.get(nc).map { case (m, _) => f"${dms / m}%.3f" }.getOrElse("")
+      csv.append(s"$nc,$cols,$rg,$so,${f"$dms%.3f"},${f"$sms%.3f"},$fb,$rms,$ratio,$rfb\n")
+    }
+    Files.writeString(Paths.get(outCsv), csv.toString)
+
+    val md = new StringBuilder
+    md.append("# BASELINE comparison — footer decode vs column width\n\n")
+    md.append("Generated by `sbt \"runMain graft.BaselineCompare\"` (see that file's\n")
+    md.append("scaladoc for methodology). Reference numbers: BASELINE.md /\n")
+    md.append("`Parquet-CPP-Benchmarking.ipynb:2977-2978` — Thrift footer decode at\n")
+    md.append("10,000 float rows, stats off. Ours includes the file-open syscall the\n")
+    md.append("reference's in-memory parse loop does not pay (conservative).\n\n")
+    md.append("| cols | row groups | stats off | ours: Thrift decode (ms) | ours: schema build (ms) | ours: footer bytes | ref decode (ms) | ratio ours/ref | ref footer bytes |\n")
+    md.append("|---|---|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (nc, _, rg, so, dms, sms, fb) =>
+      val (rms, rfb) = ref.get(nc).map { case (m, b) => (f"$m%.1f", b.toString) }.getOrElse(("—", "—"))
+      val ratio = ref.get(nc).map { case (m, _) => f"**${dms / m}%.2f×**" }.getOrElse("—")
+      md.append(s"| $nc | $rg | $so | ${f"$dms%.3f"} | ${f"$sms%.3f"} | $fb | $rms | $ratio | $rfb |\n")
+    }
+    val r2 = rows.find(_._1 == 2000).get; val r3 = rows.find(_._1 == 3000).get
+    md.append(s"\nWithin-2× gate: ${f"${r2._5 / 15.8}%.2f"}× at 2000 cols, " +
+      s"${f"${r3._5 / 22.8}%.2f"}× at 3000 cols " +
+      s"(gate ${if (r2._5 / 15.8 <= 2.0 && r3._5 / 22.8 <= 2.0) "PASSES" else "FAILS"}).\n\n")
+    val slope = (r3._5 - r2._5) / r2._5
+    md.append(f"Linear-scaling check (notebook cell 18 / BASELINE.md last row): the\n" +
+      f"reference sees +44%% decode time from 2000→3000 cols; we see +${slope * 100}%.0f%%.\n")
+    val overhead = rows.find(_._1 == 10).map(_._5).getOrElse(0.0)
+    md.append(
+      f"""
+         |Reading the numbers:
+         |- The ~$overhead%.0f ms at 10 columns is constant per-open overhead (file
+         |  open + reader init + checksum read), which the reference's in-memory
+         |  ParseMetaData loop never pays. Marginal Thrift decode is therefore
+         |  ~${r2._5 - overhead}%.1f ms @2000 / ~${r3._5 - overhead}%.1f ms @3000 — the pure-parse comparison is
+         |  even more favorable than the headline ratio, and explains why our
+         |  2000→3000 slope looks sub-linear.
+         |- Our footer is larger per column (~${r2._7 / 2000}%d B/col vs the reference's ~20):
+         |  modern parquet-mr also records encoding_stats, size statistics and
+         |  page-index offsets per chunk, which parquet-cpp 2023 did not. The
+         |  Spark schema-JSON key-value blob (131 KB @2000 cols) IS stripped —
+         |  see stripKeyValueMetadata — since no C++ reader would carry it.
+         |""".stripMargin)
+    Files.writeString(Paths.get(outMd), md.toString)
+    println(s"[baseline-compare] wrote $outCsv and $outMd")
+    rows.foreach(r => println(s"[baseline-compare] $r"))
+    spark.stop()
+  }
+}
