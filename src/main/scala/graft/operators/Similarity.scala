@@ -124,9 +124,84 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVF (inverted-file) approximate neighbors — the other classic ANN
+    * scale path beside LSH: a k-means coarse quantizer partitions the
+    * corpus into K inverted lists; a query probes only its `nprobe`
+    * nearest lists and exact-cosine re-ranks those rows, so the scan
+    * fraction is ~nprobe/K of the corpus.
+    *
+    * The quantizer is trained in-engine: `iters` Lloyd steps, each one
+    * a single codegen'd assignment pass (argmin over K fused dot
+    * products) plus a (cluster, dim) average. Centroids are collected
+    * to the driver between steps — that is MODEL extraction (K×Dim
+    * doubles, like MLlib's KMeans), not a data collect; data never
+    * leaves executors. At lake scale the trained centroids become plan
+    * literals exactly as here, and the assigned corpus would be written
+    * out partitioned by list id for read-time pruning.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16; val nprobe = 4; val iters = 3
+    val base = corpus(spark, sfDir)
+
+    def centroidCol(cent: Array[Double]): Column = array(cent.map(lit): _*)
+    // squared-distance argmin: |v|² is constant per row, so rank by
+    // |c_j|² - 2·v·c_j; ties break on list id (deterministic)
+    def assignTo(cents: Seq[Array[Double]])(df: DataFrame): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (cent, j) =>
+        val c2 = cent.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+            .dot_product(col("v"), centroidCol(cent))).as("d"),
+          lit(j).as("j"))
+      }
+      df.withColumn("list_id", array_min(array(scored: _*)).getField("j"))
+    }
+
+    // deterministic seed centroids: K corpus vectors in hash order
+    var cents: Seq[Array[Double]] = base
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val means = assignTo(cents)(base)
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rs) =>
+          j -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+      cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
+    }
+
+    val assigned = assignTo(cents)(base)
+    // query probes its nprobe nearest lists (same argmin machinery,
+    // keeping the nprobe smallest (d, j) structs)
+    val probeScored = cents.zipWithIndex.map { case (cent, j) =>
+      val c2 = cent.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+          .dot_product(col("v"), centroidCol(cent))).as("d"),
+        lit(j).as("j"))
+    }
+    val q = base.filter(col("vec_id") < 5)
+      .withColumn("probes", slice(array_sort(array(probeScored: _*)), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr("transform(probes, p -> p.j)")).as("list_id"))
+    val cand = assigned.join(broadcast(q), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
+    "x_sim_topk_ivf" -> ivfTopK _,
   )
 
   /** LSH is approximate by construction — rows-only check. Brute force

@@ -93,6 +93,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(-_.getDouble(2)).take(5).map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, top) => (top & ivf.getOrElse(q, Set.empty)).size }.sum
+    assert(hits >= 8, s"IVF recall too low: $hits / 25")
+  }
+
   test("token stats cover all 20 sources with positive counts") {
     val rows = TextOps.tokenStats(spark, sf).collect()
     assert(rows.length === 20)
