@@ -62,7 +62,11 @@ object Dedup {
     * 8 bands of 2 → explode bands → self-join on band hash → distinct
     * candidate pairs → exact Jaccard on shingle sets → top 20.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** All verified candidate pairs with exact Jaccard (no limit) — the
+    * edge set shared by [[minhashLsh]] (top-20 view) and
+    * [[nearDupClusters]] (cluster formation).
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir)
     val sig = docs.select(
       col("doc_id"), col("shingles"),
@@ -99,9 +103,57 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashVerifiedPairs(spark, sfDir)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+
+  /** Near-dup CLUSTER formation — the step an actual dedup pipeline
+    * needs after pairwise detection: connected components over the
+    * verified-pair edge graph (Jaccard ≥ 0.8), then one surviving
+    * representative (min doc_id) per component.
+    *
+    * Components via min-label propagation: every doc starts labeled
+    * with its own id; each round joins labels across edges (both
+    * directions) and keeps the group-wise min. Rounds needed = graph
+    * diameter; near-dup components are tiny cliques (diameter ≤ 2-3),
+    * so a fixed 4 rounds converges — the spec asserts a 5th round is a
+    * no-op. At 100 TB-scale component counts you'd switch to the
+    * large-star/small-star alternating algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014); the
+    * per-round plan shape (edge join + min-agg) is identical.
+    *
+    * Output: one row per document that is part of a near-dup cluster —
+    * (cluster representative, member, jaccard-edge count of the member).
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = minhashVerifiedPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val members = bidir.select(col("doc_a").as("doc_id")).distinct()
+    var labels = members.withColumn("label", col("doc_id"))
+    for (_ <- 1 to PropagationRounds) {
+      val viaEdge = bidir
+        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "nb_label"), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("nb_label").as("label"))
+      labels = labels.select(col("doc_id"), col("label"))
+        .union(viaEdge)
+        .groupBy("doc_id").agg(min("label").as("label"))
+    }
+    labels
+      .groupBy("label")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(
+        col("label").as("keep_id"),
+        size(col("members")).as("cluster_size"),
+        concat_ws("|", col("members").cast("array<string>")).as("members"))
+      .orderBy("keep_id")
   }
+
+  private val PropagationRounds = 4
 
   /** SimHash near-dup: 64-bit signature (4 × 16-bit bands) from token
     * hashes weighted by multiplicity. Pigeonhole: any pair within
@@ -257,6 +309,7 @@ object Dedup {
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,
+    "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
   )

@@ -32,19 +32,28 @@ object BenchRunners {
     fs.getContentSummary(path).getLength
   }
 
-  /** Driver-side footer decode timing of one file (cheap, no job). */
+  /** Driver-side footer decode timing of one file (cheap, no job):
+    * median of 5 decodes after 1 warmup — single shots on this box carry
+    * multi-× scheduler outliers that would masquerade as scaling effects.
+    */
   private def footerTimesUs(spark: SparkSession, p: String): (Double, Double, Long) = {
     val conf = new Configuration()
     val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, p).head
-    val t0 = System.nanoTime()
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-    val footer = reader.getFooter
-    val t1 = System.nanoTime()
-    try {
-      val nCols = footer.getFileMetaData.getSchema.getColumns.asScala.size
-      val t2 = System.nanoTime()
-      ((t1 - t0) / 1e3, (t2 - t1) / 1e3, nCols.toLong)
-    } finally reader.close()
+    def once(): (Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      val footer = reader.getFooter
+      val t1 = System.nanoTime()
+      try {
+        val nCols = footer.getFileMetaData.getSchema.getColumns.asScala.size
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e3, (t2 - t1) / 1e3, nCols.toLong)
+      } finally reader.close()
+    }
+    once()
+    val samples = (1 to 5).map(_ => once())
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    (med(samples.map(_._1)), med(samples.map(_._2)), samples.head._3)
   }
 
   /** One throwaway footer open before any timed measurement: the first
@@ -215,23 +224,34 @@ object BenchRunners {
       stats <- Seq(1, 0)
     } yield {
       val path = s"$workDir/rg_bench_${nc}c_${rg}r_${ps}p_$stats"
-      val df = WideTableGen.wide(spark, nc, numRows.toLong)
+      // single output file (the reference's layout): with the default 32
+      // generator partitions every part file would hold ONE sub-block-
+      // size row group and the row-group-size axis would not vary at all
+      val df = WideTableGen.wide(spark, nc, numRows.toLong).coalesce(1)
+      // the stats axis is REAL statistics on/off (StatsLevel NONE
+      // suppresses min/max entirely), not the dictionary proxy
       val (_, writeMs) = timeMs(ParquetKnobs.write(df, path,
         ParquetKnobs.WriteConfig(
           rowGroupBytes = ParquetKnobs.rowGroupBytesFor(rg, nc),
           pageBytes = ps,
-          dictionary = stats == 1)))
+          statsLevel = stats)))
       val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
       val (_, statsDecodeMs) = timeMs {
         FooterMeta.chunkStats(spark, Seq(path)).filter(_.has_min_max).count()
       }
       val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
-      (nc, numRows, rg, ps, stats, writeMs,
+      // actual row-group count from the footer — evidence the axis varied
+      val nRg = {
+        val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), new Configuration()))
+        try r.getFooter.getBlocks.size() finally r.close()
+      }
+      (nc, numRows, rg, nRg, ps, stats, writeMs,
         (thriftUs + schemaUs) / 1e3, thriftUs / 1e3, schemaUs / 1e3,
         statsDecodeMs, sizeMb)
     }
-    rows.toDF("num_columns", "num_rows", "row_group_size", "page_size",
-      "stats_level", "write_time_ms", "total_decode_time_ms",
+    rows.toDF("num_columns", "num_rows", "row_group_size", "num_row_groups",
+      "page_size", "stats_level", "write_time_ms", "total_decode_time_ms",
       "thrift_decode_time_ms", "schema_build_time_ms",
       "stats_decode_time_ms", "file_size_mb")
   }

@@ -4,27 +4,31 @@ import org.apache.spark.sql.DataFrame
 
 /** Parquet sink with writer knobs (K1: src/data_generator.cc:32-52,
   * src/metadata_benchmark.cc:132-148, src/compression_benchmark.cc:52-64):
-  * codec, row-group size, page size, dictionary encoding.
+  * codec, row-group size, page size, dictionary encoding, statistics
+  * level.
   *
-  * Deviation from the reference (SURVEY §4 gap): parquet-mr has no
-  * three-way StatsLevel {NONE, CHUNK, PAGE} (src/data_generator.h:5-9);
-  * chunk statistics are always written. We approximate NONE/CHUNK/PAGE
-  * with the dictionary + column-index knobs and record the requested
-  * level in the result rows so downstream analytics keep the reference's
-  * column.
+  * StatsLevel mapping (reference src/data_generator.h:5-9 has
+  * {NONE, CHUNK, PAGE}): NONE maps exactly —
+  * `parquet.column.statistics.enabled=false` suppresses all min/max
+  * (verified via footer has_min_max). CHUNK and PAGE both map to
+  * stats-on: parquet-mr always writes the page-level column index
+  * alongside chunk statistics (no independent page switch), so the
+  * remaining deviation (SURVEY §4) is only that CHUNK alone is not
+  * expressible; the requested level is recorded in result rows.
   */
 object ParquetKnobs {
 
   /** Writer configuration mirroring the reference's sweep axes
     * (FIXTURES.md §A). rowGroupBytes maps parquet.block.size; the
     * reference's row-group *row counts* (1000..10000) are expressed by
-    * sizing bytes ≈ rows × cols × 4B.
+    * sizing bytes ≈ rows × cols × 4B. statsLevel: 0=NONE 1=CHUNK 2=PAGE.
     */
   final case class WriteConfig(
       codec: String = "snappy",
       rowGroupBytes: Long = 128L * 1024 * 1024,
       pageBytes: Int = 1024 * 1024,
-      dictionary: Boolean = true)
+      dictionary: Boolean = true,
+      statsLevel: Int = 2)
 
   /** Byte size that yields ~`rows` rows per row group for an
     * all-float32 table of `cols` columns.
@@ -39,6 +43,7 @@ object ParquetKnobs {
       .option("parquet.block.size", cfg.rowGroupBytes.toString)
       .option("parquet.page.size", cfg.pageBytes.toString)
       .option("parquet.enable.dictionary", cfg.dictionary.toString)
+      .option("parquet.column.statistics.enabled", (cfg.statsLevel > 0).toString)
       .parquet(path)
 
   /** The reference's codec sweep list (src/compression_benchmark.cc:12-18)

@@ -24,6 +24,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("near-dup clusters: converged components with canonical representatives") {
+    val rows = Dedup.nearDupClusters(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata plants near-dups, so clusters must exist")
+    // representative is the min member and clusters have >= 2 members
+    rows.foreach { r =>
+      val members = r.getString(2).split('|').map(_.toLong)
+      assert(r.getInt(1) >= 2 && members.min === r.getLong(0))
+    }
+    // partition property: no document in two clusters
+    val all = rows.flatMap(_.getString(2).split('|'))
+    assert(all.distinct.length === all.length, "clusters must be disjoint")
+    // convergence property: both endpoints of every strong edge landed
+    // in the same component
+    val clusterOf = rows.flatMap(r =>
+      r.getString(2).split('|').map(m => m.toLong -> r.getLong(0))).toMap
+    Dedup.minhashLsh(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .foreach(e => assert(clusterOf(e.getLong(0)) === clusterOf(e.getLong(1)),
+        s"edge (${e.getLong(0)}, ${e.getLong(1)}) spans two clusters"))
+  }
+
   test("simhash candidates have small hamming distance at the top") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)

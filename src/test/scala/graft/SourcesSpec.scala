@@ -43,6 +43,19 @@ class SourcesSpec extends AnyFunSuite {
       s"expected multiple row groups, got ${meta.map(_.num_row_groups).toSeq}")
   }
 
+  test("StatsLevel NONE suppresses chunk min/max entirely") {
+    val path = s"$work/statsoff"
+    ParquetKnobs.write(WideTableGen.wide(spark, 5, 1000L), path,
+      ParquetKnobs.WriteConfig(statsLevel = 0))
+    val stats = FooterMeta.chunkStats(spark, Seq(path)).collect()
+    assert(stats.nonEmpty && stats.forall(!_.has_min_max),
+      "statsLevel=0 must write no min/max statistics (reference StatsLevel NONE)")
+    val on = s"$work/statson"
+    ParquetKnobs.write(WideTableGen.wide(spark, 5, 1000L), on,
+      ParquetKnobs.WriteConfig(statsLevel = 1))
+    assert(FooterMeta.chunkStats(spark, Seq(on)).collect().forall(_.has_min_max))
+  }
+
   test("footer metadata agrees with a batch scan of the same table") {
     val meta = FooterMeta.fileMeta(spark, Seq(s"$sf/lineitem.parquet")).collect()
     val batchCount = Tables.lineitem(spark, sf).count()
