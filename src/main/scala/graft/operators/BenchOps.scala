@@ -50,6 +50,21 @@ object BenchOps {
         "has_min_max", "null_count", "dict_encoded")
       .orderBy("file", "row_group", "column")
 
+  /** S5 via the DataSource V2 connector ([[graft.sources.v2.FooterDataSource]]):
+    * footer metadata read through Spark's connector API — per-file input
+    * partitions, column pruning at the source — producing exactly
+    * s5_chunk_stats's rows, so it shares that DuckDB oracle.
+    */
+  def s12FooterSourceV2(spark: SparkSession, sfDir: String): DataFrame = {
+    def footer(t: String) =
+      spark.read.format("graft-footer").load(s"$sfDir/$t.parquet")
+    footer("lineitem").unionByName(footer("orders"))
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .select("file", "row_group", "column", "codec", "num_values",
+        "has_min_max", "null_count", "dict_encoded")
+      .orderBy("file", "row_group", "column")
+  }
+
   /** S1–S3 timed reads (data_read_benchmark shape). */
   def s3ReadBench(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.dataReadBenchmark(spark, Seq(10, 50), 20000L, s"$workRoot/read")
@@ -287,6 +302,7 @@ object BenchOps {
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,
     "s8_glob_union" -> s8GlobUnion _,
     "s9_json_scan" -> s9JsonScan _,
+    "s12_footer_source_v2" -> s12FooterSourceV2 _,
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "a7_approx_stats" -> a7ApproxStats _,
@@ -310,6 +326,15 @@ object BenchOps {
          |GROUP BY 1 ORDER BY file""".stripMargin
     },
     "s5_chunk_stats" ->
+      """SELECT regexp_extract(file_name, '[^/]+$') AS file,
+        | row_group_id::INT AS row_group, path_in_schema AS column,
+        | compression AS codec, num_values,
+        | (stats_min_value IS NOT NULL) AS has_min_max,
+        | stats_null_count AS null_count,
+        | (encodings LIKE '%DICTIONARY%') AS dict_encoded
+        |FROM parquet_metadata(['{SFDIR}/lineitem.parquet', '{SFDIR}/orders.parquet'])
+        |ORDER BY file, row_group, "column"""".stripMargin,
+    "s12_footer_source_v2" ->
       """SELECT regexp_extract(file_name, '[^/]+$') AS file,
         | row_group_id::INT AS row_group, path_in_schema AS column,
         | compression AS codec, num_values,

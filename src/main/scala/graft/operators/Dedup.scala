@@ -132,7 +132,11 @@ object Dedup {
     val edges = minhashVerifiedPairs(spark, sfDir)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
+    // cache the edge set: every propagation round joins against it, and
+    // without caching each round would re-run the whole shingle→band→
+    // verify pipeline (lazily, so construction still launches no jobs)
     val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
     val members = bidir.select(col("doc_a").as("doc_id")).distinct()
     var labels = members.withColumn("label", col("doc_id"))
     for (_ <- 1 to PropagationRounds) {
@@ -142,6 +146,9 @@ object Dedup {
       labels = labels.select(col("doc_id"), col("label"))
         .union(viaEdge)
         .groupBy("doc_id").agg(min("label").as("label"))
+        // each round references the previous labels twice (join + union):
+        // caching per round keeps lineage linear instead of 2^rounds
+        .cache()
     }
     labels
       .groupBy("label")

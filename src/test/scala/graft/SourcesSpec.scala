@@ -43,6 +43,21 @@ class SourcesSpec extends AnyFunSuite {
       s"expected multiple row groups, got ${meta.map(_.num_row_groups).toSeq}")
   }
 
+  test("graft-footer DSv2 source prunes columns at the scan and matches the Dataset helper") {
+    val df = spark.read.format("graft-footer").load(s"$sf/lineitem.parquet")
+      .select("column", "num_values")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("column", "num_values"),
+      "required-column pushdown must reach the source")
+    val viaConnector = df.collect().map(_.toString).sorted.toSeq
+    val viaDataset = FooterMeta.chunkStats(spark, Seq(s"$sf/lineitem.parquet"))
+      .toDF().select("column", "num_values").collect().map(_.toString).sorted.toSeq
+    assert(viaConnector === viaDataset)
+  }
+
   test("StatsLevel NONE suppresses chunk min/max entirely") {
     val path = s"$work/statsoff"
     ParquetKnobs.write(WideTableGen.wide(spark, 5, 1000L), path,
