@@ -131,6 +131,37 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** Streaming exact deduplication — `dropDuplicatesWithinWatermark` on
+    * event_id, the streaming twin of [[graft.operators.Dedup.exactKeep]]:
+    * dedup state is EVICTED once the watermark passes an event's time,
+    * so state stays bounded on an unbounded stream (plain
+    * dropDuplicates would grow forever). The input is the events file
+    * read by TWO file sources unioned, so every event genuinely arrives
+    * twice and the operator must drop half; the deduped append output,
+    * re-aggregated, equals the batch per-type counts (DuckDB oracle).
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    def src() = eventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "event_type", "value")
+    val doubled = src().unionByName(src())
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Batch sessionization via window functions (the SQL-expressible twin
     * of mapGroupsWithState): a session breaks after a 30-minute gap per
     * user. Emits per-user session stats.
@@ -238,6 +269,7 @@ object EventStreams {
     "w3_asof_join" -> asofJoin _,
     "x_stream_window" -> streamWindow _,
     "x_stream_window_append" -> streamWindowAppend _,
+    "x_stream_dedup" -> streamDedup _,
     "x_stream_sessions" -> statefulSessions _,
     "w2_sessionize" -> sessionize _,
   )
@@ -272,6 +304,10 @@ object EventStreams {
         | FROM g)
         |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
+    // deduped double-stream re-aggregated == plain batch aggregate
+    "x_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w2_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

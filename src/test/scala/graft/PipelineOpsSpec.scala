@@ -145,6 +145,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       "watermark-evicted append output must equal the batch/complete answer")
   }
 
+  test("streaming dedup collapses a doubled stream back to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.streamDedup(spark, sf).collect().map(_.toString)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type").collect().map(_.toString)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("stateful streaming sessions equal the batch window-function answer") {
     val batch = EventStreams.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
