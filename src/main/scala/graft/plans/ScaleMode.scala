@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst extension surface (the preference-order (c) route from the
+  * build guide): a `Rule[LogicalPlan]` injected via
+  * `SparkSessionExtensions`, demonstrating how the engine extends the
+  * optimizer where operator SEMANTICS shouldn't change but the physical
+  * algorithm must for 100 TB.
+  *
+  * The rule: under `spark.graft.scaleMode=true`, exact `percentile`
+  * aggregates (which buffer every value per group — fine at verify
+  * scale, impossible at lake scale) are rewritten to
+  * `approx_percentile` with a 10k-bucket KLL-style sketch
+  * (bounded-memory, mergeable — the map-side-combinable form). Exact
+  * quartile plans like [[graft.operators.Analytics.a4DistributionSummary]]
+  * become sketch plans with NO query change — the knob is a conf, the
+  * rewrite is a plan transform, semantics agree to ~1/accuracy quantile
+  * error.
+  *
+  * Deployment: `--conf spark.sql.extensions=graft.plans.ScaleModeExtensions`
+  * at session build, or `spark.experimental.extraOptimizations ++=
+  * Seq(ScaleModeRewrite)` on a live session (the spec uses the latter —
+  * extensions cannot be added to an already-built session).
+  */
+class ScaleModeExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectOptimizerRule(_ => ScaleModeRewrite)
+}
+
+object ScaleModeRewrite extends Rule[LogicalPlan] {
+
+  /** Sketch accuracy: quantile error ≤ 1/accuracy relative rank. */
+  val Accuracy = 10000
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.scaleMode", "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case agg @ AggregateExpression(p: Percentile, _, _, _, _)
+          // frequency-weighted and descending percentiles have no
+          // approx twin — leave those exact
+          if p.frequencyExpression == Literal(1L) && !p.reverse =>
+        agg.copy(aggregateFunction = new ApproximatePercentile(
+          p.child, p.percentageExpression, Literal(Accuracy)))
+    }
+}
