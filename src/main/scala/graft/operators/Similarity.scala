@@ -198,9 +198,49 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** The storage-layout form of LSH ANN: the banded corpus is WRITTEN
+    * OUT partitioned by (band, bval), and a query batch's bucket list
+    * prunes partitions at the scan — Spark's dynamic partition pruning
+    * turns the broadcast query side into a partition filter, so the
+    * read touches only colliding bucket directories. This is the shape
+    * that serves repeated query batches at 100 TB: bucket assignment is
+    * paid once at write time, every query batch scans ~collisions/corpus
+    * of the data. Results are identical to [[lshTopK]] (spec-asserted);
+    * the written layout is reused across calls (deterministic planes).
+    */
+  def lshBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.Path
+    val out = s"/root/repo/target/graft-work/ann/banded_${new java.io.File(sfDir).getName}"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      bandedCorpus(spark, sfDir)
+        .write.mode("overwrite").partitionBy("band", "bval").parquet(out)
+    val corpusOnDisk = spark.read.parquet(out)
+    val qb = bandedCorpus(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("band").as("qband"), col("bval").as("qbval"))
+    val candIds = corpusOnDisk.join(broadcast(qb),
+        col("band") === col("qband") && col("bval") === col("qbval") &&
+          col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val base = corpus(spark, sfDir)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = candIds
+      .join(base, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
+    "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
   )
 

@@ -114,6 +114,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed-layout LSH equals in-memory LSH and prunes bucket partitions") {
+    val bucketed = Similarity.lshBucketedTopK(spark, sf)
+    val viaLayout = bucketed.collect().map(_.toString).toSeq
+    val viaMemory = Similarity.lshTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(viaLayout === viaMemory, "storage-layout LSH must return identical neighbors")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull"),
+      "the bucket join must prune partitions at the scan")
+  }
+
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
