@@ -95,6 +95,49 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** Q10-style returned-items report: selective fact filter (pushed to
+    * the scan) → fact-fact join on orderkey (AQE-chosen strategy) →
+    * dimension broadcasts → customer-grain aggregate → top-20. The
+    * shape: revenue attribution joins at 100 TB keep only the filtered
+    * fact slice flowing into the shuffle.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q18-style large orders: aggregate-then-join-back — the HAVING-on-
+    * aggregate shape (big orders found by a lineitem roll-up, then the
+    * order/customer detail joined back). The roll-up output is tiny
+    * after its filter, so AQE broadcasts it against orders; lineitem is
+    * scanned once.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Q6-style forecast revenue: pure scan-filter-sum — every predicate
     * pushes to parquet, no shuffle at all (single partial+final agg).
     */
@@ -487,6 +530,8 @@ object Analytics {
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q18_large_orders" -> q18LargeOrders _,
     "p1_unit_conversion" -> p1UnitConversion _,
     "p3_recode" -> p3Recode _,
     "p4_filter" -> p4Filter _,
@@ -564,6 +609,26 @@ object Analytics {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING total_qty > 200) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "sql1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
