@@ -328,6 +328,36 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** F3 — map-typed scalar functions (§2.10): props parsed with
+    * from_json into map<string,long>, exploded to (key, value) rows,
+    * aggregated per key — the dynamic-schema escape hatch for payloads
+    * whose keys aren't known at plan time.
+    */
+  def f3MapFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))).as(Seq("k", "v")))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        round(avg("v"), 4).as("avg_v"))
+      .orderBy("event_type", "k")
+  }
+
+  /** F4 — datetime scalar functions (§2.10): calendar-part extraction
+    * and aggregation over event timestamps.
+    */
+  def f4DatetimeParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        min(hour(col("ts"))).as("min_hour"), max(hour(col("ts"))).as("max_hour"))
+      .orderBy("y", "m", "dow")
+  }
+
   /** F2 — typed Aggregator surface: weighted mean via
     * [[graft.functions.WeightedMean]] registered as a UDAF column —
     * the custom-aggregate path for anything built-ins can't express
@@ -545,6 +575,8 @@ object Analytics {
     "a3_correlation" -> a3Correlation _,
     "a3_corr_matrix" -> a3CorrMatrix _,
     "f1_json_extract" -> f1JsonExtract _,
+    "f3_map_functions" -> f3MapFunctions _,
+    "f4_datetime_parts" -> f4DatetimeParts _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -708,6 +740,21 @@ object Analytics {
         | UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
         | UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem)
         |ORDER BY m1, m2""".stripMargin,
+    // json_each is unavailable in the oracle's DuckDB build; dynamic
+    // keys come from json_keys + unnest, values re-extracted per key
+    "f3_map_functions" ->
+      """SELECT event_type, k, count(*) AS n,
+        | sum(json_extract(props, '$.' || k)::BIGINT)::BIGINT AS sum_v,
+        | round(avg(json_extract(props, '$.' || k)::BIGINT), 4) AS avg_v
+        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+    // strftime %w is 0=Sunday..6; Spark dayofweek is 1=Sunday..7
+    "f4_datetime_parts" ->
+      """SELECT year(ts)::INT AS y, month(ts)::INT AS m,
+        | (strftime(ts, '%w')::INT + 1) AS dow,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | min(hour(ts))::INT AS min_hour, max(hour(ts))::INT AS max_hour
+        |FROM events GROUP BY 1, 2, 3 ORDER BY y, m, dow""".stripMargin,
     "f2_weighted_mean" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price,
