@@ -32,7 +32,9 @@ object Bench {
     */
   private val runOnce = Set(
     "s3_read_bench", "k1_compression_sweep", "m2_chunks_pages", "m2_stats",
-    "m3_rowgroup_grid", "m4_pushdown", "m5_metadata_sidecar")
+    "m3_rowgroup_grid", "m4_pushdown", "m5_metadata_sidecar",
+    "x_dedup_clusters") // iterative multi-round propagation: minutes-scale
+    // stage count, not a single-plan analytic query
 
   private def jq(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
