@@ -127,8 +127,11 @@ object TextOps {
     * with a term tiebreak.
     *
     * Scale: two shuffles (term-frequency group-by, then document
-    * frequency keyed by term); df is a term-cardinality frame that
-    * broadcasts. No O(corpus) state anywhere.
+    * frequency keyed by term). The tf⋈df join carries NO broadcast
+    * hint: df's cardinality is the vocabulary, which is corpus-dependent
+    * — AQE broadcasts it while it fits and falls back to a shuffled
+    * term-keyed join when it doesn't (both sides already partition by
+    * term, so that join is co-located anyway). No O(corpus) state.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -138,7 +141,7 @@ object TextOps {
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val tf = tok.groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val score = tf.join(broadcast(dfT), "term")
+    val score = tf.join(dfT, "term")
       .groupBy("source", "term", "df")
       .agg(sum("tf").as("sum_tf"))
       .withColumn("score", round(col("sum_tf") * log(lit(nDocs.toDouble) / col("df")), 4))
