@@ -43,6 +43,26 @@ class SourcesSpec extends AnyFunSuite {
       s"expected multiple row groups, got ${meta.map(_.num_row_groups).toSeq}")
   }
 
+  test("sort-on-write layout enables row-group/file skipping on the filter key") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.BenchOps.sortedLineitemPath(spark, sf)
+    val df = spark.read.parquet(out)
+      .filter(col("l_shipdate") < to_date(lit("1996-06-01")))
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    val finalPlan = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanRows = finalPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+    val total = spark.read.parquet(out).count()
+    assert(scanRows < total,
+      s"range-sorted layout must let min/max stats skip data: scan=$scanRows total=$total")
+  }
+
   test("graft-footer DSv2 source prunes columns at the scan and matches the Dataset helper") {
     val df = spark.read.format("graft-footer").load(s"$sf/lineitem.parquet")
       .select("column", "num_values")
