@@ -118,6 +118,33 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val ChunkLen = 64
+  private val ChunkStep = 48 // 16-token overlap between adjacent chunks
+
+  /** Document chunking — the context-window prep step of a training
+    * pipeline: each document is split into fixed-size token chunks with
+    * overlap (64-token chunks, stride 48). One `sequence` + `explode`
+    * per document, `slice` per chunk: a single narrow generator, no
+    * shuffle until the deterministic output ordering. Chunk identity is
+    * md5 of the re-joined token text, so the DuckDB oracle verifies the
+    * chunk CONTENT, not just counts. Limited to doc_id < 50 for a
+    * compact verify output; the plan is row-count-independent.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, greatest(cast(ceil((n_tok - $ChunkLen) / $ChunkStep.0) AS int), 0))")))
+      .withColumn("chunk_tokens", expr(s"slice(tokens, chunk_id * $ChunkStep + 1, $ChunkLen)"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("chunk_tokens")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** TF-IDF top-3 terms per source: the corpus-statistics op behind
     * keyword extraction.
     *
@@ -153,6 +180,7 @@ object TextOps {
   }
 
   val registry: Map[String, Q] = Map(
+    "x_text_chunks" -> chunkDocs _,
     "x_text_tfidf" -> tfidfTopTerms _,
     "x_text_tokens" -> tokenStats _,
     "x_text_quality" -> qualityScore _,
@@ -161,6 +189,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_text_chunks" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id < 50),
+        |c AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(ceil((len(toks) - 64) / 48.0)::INT, 0))) AS chunk_id
+        | FROM t)
+        |SELECT doc_id, chunk_id,
+        | len(toks[chunk_id*48+1 : least(chunk_id*48+64, len(toks))])::INT AS chunk_len,
+        | md5(array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, len(toks))], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "x_text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
