@@ -237,7 +237,29 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Per-label centroid statistics — the class-centroid computation a
+    * labeling/clustering pipeline runs over embedding columns:
+    * element-wise mean vector per label via posexplode → (label, dim)
+    * partial averages (map-side combined; shuffle carries label×dim
+    * rows, never vectors), summarized as the centroid's element sum and
+    * L2 norm so the DuckDB oracle can verify the full vector content
+    * at round-4 without comparing arrays element-wise.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    u.groupBy("label", "pos")
+      .agg(avg("x").as("mx"), count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(max("cnt").as("n_vecs"),
+        round(sum("mx"), 4).as("sum_mean"),
+        round(sqrt(sum(col("mx") * col("mx"))), 4).as("norm_mean"))
+      .orderBy("label")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
@@ -248,6 +270,16 @@ object Similarity {
     * has an exact DuckDB oracle via list_cosine_similarity.
     */
   val oracles: Map[String, String] = Map(
+    "x_emb_centroids" ->
+      """WITH u AS (
+        | SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |  unnest(range(1, len(embedding::DOUBLE[]) + 1)) AS pos
+        | FROM embeddings),
+        |m AS (SELECT label, pos, avg(x) AS mx, count(*) AS cnt FROM u GROUP BY label, pos)
+        |SELECT label, max(cnt)::BIGINT AS n_vecs,
+        | round(sum(mx), 4) AS sum_mean,
+        | round(sqrt(sum(mx * mx)), 4) AS norm_mean
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "x_sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pairs AS (
