@@ -118,6 +118,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** End-to-end training-set selection — the composition these
+    * operators exist for, as ONE lazy plan: quality gate (token count +
+    * punctuation ratio) → language gate (English by stopword score,
+    * langId's exact scoring) → exact-dedup keep (first doc per
+    * normalized fingerprint) → per-source selection stats. A 100 TB
+    * corpus filter is this plan verbatim: one projection pass, one
+    * fingerprint-keyed shuffle for the dedup window, one tiny final
+    * aggregate.
+    */
+  def pipelineSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = padded(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      length(col("text")).as("len"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("punct_chars"),
+      (occ(" the ") + occ(" and ")).as("s_en"),
+      (occ(" der ") + occ(" und ")).as("s_de"),
+      (occ(" le ") + occ(" et ")).as("s_fr"),
+      (occ(" el ") + occ(" los ")).as("s_es"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val gated = base.filter(
+      col("n_tokens") >= 30 &&
+        col("punct_chars").cast("double") / col("len") < 0.2 &&
+        col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es"))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    gated.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("tokens_kept"))
+      .orderBy("source")
+  }
+
   private val ChunkLen = 64
   private val ChunkStep = 48 // 16-token overlap between adjacent chunks
 
@@ -180,6 +213,7 @@ object TextOps {
   }
 
   val registry: Map[String, Q] = Map(
+    "x_pipeline_select" -> pipelineSelect _,
     "x_text_chunks" -> chunkDocs _,
     "x_text_tfidf" -> tfidfTopTerms _,
     "x_text_tokens" -> tokenStats _,
@@ -189,6 +223,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pipeline_select" ->
+      """WITH base AS (
+        | SELECT doc_id, source, length(text) AS len,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_chars,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+        |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS s_en,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5
+        |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5 AS s_de,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4
+        |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', ''))) / 4 AS s_fr,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) / 4
+        |   + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', ''))) / 5 AS s_es,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents),
+        |gated AS (
+        | SELECT * FROM base
+        | WHERE n_tokens >= 30 AND punct_chars::DOUBLE / len < 0.2
+        |  AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM gated)
+        | WHERE rk = 1)
+        |SELECT source, count(*) AS n_kept, sum(n_tokens)::BIGINT AS tokens_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "x_text_chunks" ->
       """WITH t AS (
         | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
