@@ -51,7 +51,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = GraftSession.local(cpus)
+    // optional focus list (comma-separated) for investigating single
+    // queries without the full sweep; absent -> every registered query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $n failed: ${e.getMessage}") }

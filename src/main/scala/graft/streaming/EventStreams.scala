@@ -24,6 +24,19 @@ object EventStreams {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Memory-sink tables from PRIOR invocations hold their full results
+    * until dropped; a bench/verify session that constructs each
+    * streaming query several times would otherwise accumulate sinks and
+    * spend its tail in GC (measured: 27 s vs 6 s for the append query
+    * late in a full bench sweep). Each new streaming query first drops
+    * the stale sinks — safe because a prior invocation's frame is
+    * always consumed before the next one is constructed.
+    */
+  private def dropStaleSinks(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+
   /** Schema of the raw events parquet (ts arrives as Long nanos — see
     * Tables.events / GraftSession).
     */
@@ -54,6 +67,7 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    dropStaleSinks(spark)
     val name = s"graft_stream_win_${counter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode("complete")
@@ -115,6 +129,7 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    dropStaleSinks(spark)
     val name = s"graft_stream_append_${counter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode("append")
@@ -148,6 +163,7 @@ object EventStreams {
     val deduped = doubled
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+    dropStaleSinks(spark)
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
     val q = deduped.writeStream
       .outputMode("append")
@@ -227,6 +243,7 @@ object EventStreams {
           state.update(st)
           UserSessions(user, st.nSessions, st.nEvents)
       }
+    dropStaleSinks(spark)
     val name = s"graft_stream_sess_${counter.incrementAndGet()}"
     val q = out.writeStream
       .outputMode(OutputMode.Update())
