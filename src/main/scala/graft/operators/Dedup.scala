@@ -339,5 +339,20 @@ object Dedup {
     "x_dedup_exact_keep" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // blocked n-gram Jaccard is exact & deterministic (no sketch), so
+    // DuckDB can recompute the identical word-3-gram shingle sets
+    "x_dedup_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id, source, n_chars,
+        |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        | FROM (SELECT doc_id, source, n_chars,
+        |        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM t a JOIN t b
+        | ON a.source = b.source AND (a.n_chars // 64) = (b.n_chars // 64)
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
   )
 }
