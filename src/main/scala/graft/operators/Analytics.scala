@@ -523,6 +523,36 @@ object Analytics {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** W4 — range (interval-containment) join, the preference-order (a)
+    * composition for an operator Spark lacks natively: matching events
+    * to time intervals with NO equi-key is naively a
+    * BroadcastNestedLoopJoin (O(events × intervals)). The scalable
+    * composition: quantize time into fixed buckets, explode each
+    * interval to the buckets it covers, EQUI-join on the bucket, then
+    * exact-filter the range predicate. Each event carries exactly one
+    * bucket, so no dedup is needed and the join is hash-partitionable;
+    * cost is O(events + intervals × span/bucket). Intervals here are
+    * derived deterministically from the data (2-hour windows opening at
+    * every 20th user's first event).
+    */
+  def w4RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketUs = 1800L * 1000000L // 30-minute buckets
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val intervals = ev.filter(pmod(col("user_id"), lit(20)) === 0)
+      .groupBy(col("user_id").as("owner"))
+      .agg(min("ts_us").as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(2L * 3600 * 1000000L))
+    val ib = intervals.withColumn("bkt",
+      explode(expr(s"sequence(start_us div $bucketUs, end_us div $bucketUs)")))
+    val eb = ev.withColumn("bkt", expr(s"ts_us div $bucketUs"))
+    eb.join(ib, Seq("bkt"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy("owner")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("owner")
+  }
+
   /** S1 — full-table scan reduced to totals (src/compression_benchmark.cc:72-78). */
   def s1FullScan(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -589,6 +619,7 @@ object Analytics {
     "u3_intersect_except" -> u3IntersectExcept _,
     "sql1_pricing_summary" -> sql1PricingSummary _,
     "w1_rank_topn" -> w1RankTopN _,
+    "w4_range_join" -> w4RangeJoin _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
@@ -816,6 +847,14 @@ object Analytics {
         |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         | FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "w4_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |iv AS (SELECT user_id AS owner, min(ts_us) AS start_us,
+        |        min(ts_us) + 7200000000 AS end_us
+        |       FROM ev WHERE user_id % 20 = 0 GROUP BY user_id)
+        |SELECT owner, count(*) AS n_events
+        |FROM iv JOIN ev ON ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+        |GROUP BY owner ORDER BY owner""".stripMargin,
     "s1_full_scan" ->
       """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price,
         | count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,

@@ -88,6 +88,25 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("w4 range join plans as a bucket equi-join, never a nested loop") {
+    val df = Analytics.w4RangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval containment must go through the bucket equi-join")
+    // equals the naive non-equi join at test scale
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val iv = ev.filter(pmod(col("user_id"), lit(20)) === 0)
+      .groupBy(col("user_id").as("owner"))
+      .agg(min("ts_us").as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(2L * 3600 * 1000000L))
+    val naive = iv.join(ev, col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy("owner").agg(count(lit(1)).as("n_events"))
+      .orderBy("owner").collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq === naive)
+  }
+
   test("s2 column subset plan prunes the parquet read schema to 3 columns") {
     val plan = Analytics.s2ColumnSubset(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
