@@ -28,6 +28,21 @@ object Dedup {
   // while true near-dups (J≥0.9) are caught with p≈0.99. Band width is
   // the selectivity knob that keeps candidate count near-linear.
 
+  /** Seeded 60-bit hash expressible IDENTICALLY in Spark and ANSI-ish
+    * SQL: the first 15 hex chars of md5("<seed>:<value>") parsed as an
+    * integer. Spark: conv(..., 16, 10); DuckDB: ('0x' || ...)::BIGINT.
+    * 15 hex chars = 60 bits, so the value always fits a signed int64 in
+    * both engines (16 chars could set the sign bit, which Spark wraps
+    * and DuckDB rejects). This is what makes the sketch family
+    * oracle-checkable end to end: DuckDB recomputes the same signatures,
+    * bands, candidates and verified pairs from the raw table. A
+    * production lake would swap in xxhash64 (one line, ~3× cheaper per
+    * call) — hashing is per-row compute with no shuffle implication, so
+    * the plan shape and scale story are unchanged.
+    */
+  private def seededHashSql(seed: Int, valueExpr: String): String =
+    s"cast(conv(substr(md5(concat('$seed:', $valueExpr)), 1, 15), 16, 10) as bigint)"
+
   /** Word 3-gram shingles of the lowercased text. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -58,9 +73,12 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
-    * Pipeline: shingle → 16 minhashes (xxhash64 with per-slot seed) →
-    * 8 bands of 2 → explode bands → self-join on band hash → distinct
-    * candidate pairs → exact Jaccard on shingle sets → top 20.
+    * Pipeline: shingle → 16 minhashes ([[seededHashSql]] with per-slot
+    * seed) → 4 bands of 4 slots → explode bands → self-join on (band,
+    * bucket) → distinct candidate pairs → exact Jaccard on shingle
+    * sets → top 20. The band bucket is the comma-joined slot string, so
+    * DuckDB reproduces it with array_to_string — no second hash whose
+    * formatting could diverge across engines.
     */
   /** All verified candidate pairs with exact Jaccard (no limit) — the
     * edge set shared by [[minhashLsh]] (top-20 view) and
@@ -71,13 +89,13 @@ object Dedup {
     val sig = docs.select(
       col("doc_id"), col("shingles"),
       array((0 until NumHashes).map(i =>
-        expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))")): _*).as("sig"))
+        expr(s"array_min(transform(shingles, s -> ${seededHashSql(i, "s")}))")): _*).as("sig"))
     val rowsPerBand = NumHashes / Bands
     val banded = sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map { j =>
         val slots = (0 until rowsPerBand).map(k => expr(s"sig[${rowsPerBand * j + k}]"))
-        xxhash64(lit(j) +: slots: _*)
+        concat_ws(",", slots.map(_.cast("string")): _*)
       }: _*)).as(Seq("band", "bucket")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -117,16 +135,24 @@ object Dedup {
     *
     * Components via min-label propagation: every doc starts labeled
     * with its own id; each round joins labels across edges (both
-    * directions) and keeps the group-wise min. Rounds needed = graph
-    * diameter; near-dup components are tiny cliques (diameter ≤ 2-3),
-    * so a fixed 4 rounds converges — the spec asserts a 5th round is a
-    * no-op. At 100 TB-scale component counts you'd switch to the
-    * large-star/small-star alternating algorithm (Kiveris et al.,
+    * directions) and keeps the group-wise min, iterating UNTIL A
+    * FIXPOINT (a round that changes no label) — so components of any
+    * diameter converge exactly, not just the diameter ≤ 4 cliques this
+    * corpus plants. At 100 TB-scale component counts you'd switch to
+    * the large-star/small-star alternating algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014); the
     * per-round plan shape (edge join + min-agg) is identical.
     *
-    * Output: one row per document that is part of a near-dup cluster —
-    * (cluster representative, member, jaccard-edge count of the member).
+    * Memory contract: each round's labels are cached (they are read
+    * twice: the convergence check and the next round), and the
+    * PREVIOUS round's cache is released as soon as the new round is
+    * materialized; the edge set is released before returning. The only
+    * cache that outlives the call is the final (tiny — one row per
+    * cluster) result, which is materialized eagerly so the parents can
+    * be unpersisted. PipelineOpsSpec asserts the storage release.
+    *
+    * Output: one row per near-dup cluster — (representative = min
+    * member, cluster size, sorted '|'-joined member list).
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = minhashVerifiedPairs(spark, sfDir)
@@ -138,19 +164,30 @@ object Dedup {
     val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     val members = bidir.select(col("doc_a").as("doc_id")).distinct()
-    var labels = members.withColumn("label", col("doc_id"))
-    for (_ <- 1 to PropagationRounds) {
+    var labels = members.withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxPropagationRounds) {
       val viaEdge = bidir
         .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "nb_label"), "doc_b")
         .select(col("doc_a").as("doc_id"), col("nb_label").as("label"))
-      labels = labels.select(col("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
         .union(viaEdge)
         .groupBy("doc_id").agg(min("label").as("label"))
-        // each round references the previous labels twice (join + union):
-        // caching per round keeps lineage linear instead of 2^rounds
+        // each round references the previous labels twice (join + union)
+        // and is itself read twice (convergence count + next round):
+        // caching keeps lineage linear instead of 2^rounds
         .cache()
+      // the count both materializes `next` and decides convergence
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist() // superseded round: release executor storage
+      labels = next
+      rounds += 1
     }
-    labels
+    val result = labels
       .groupBy("label")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .select(
@@ -158,9 +195,17 @@ object Dedup {
         size(col("members")).as("cluster_size"),
         concat_ws("|", col("members").cast("array<string>")).as("members"))
       .orderBy("keep_id")
+      .cache()
+    result.count() // materialize (one row per cluster) so parents can go
+    labels.unpersist()
+    bidir.unpersist()
+    result
   }
 
-  private val PropagationRounds = 4
+  /** Safety bound only — the loop exits on fixpoint; a path graph this
+    * deep would mean the corpus is one chain of near-identical docs.
+    */
+  private val MaxPropagationRounds = 50
 
   /** SimHash near-dup: 64-bit signature (4 × 16-bit bands) from token
     * hashes weighted by multiplicity. Pigeonhole: any pair within
@@ -170,33 +215,8 @@ object Dedup {
     * near-linear even on a low-vocabulary corpus.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // Per-bit majority vote as ONE codegen'd hash aggregate over
-    // exploded token hashes (64 conditional sums), not nested
-    // higher-order lambdas — interpreted per-element lambdas cost
-    // ~64×|tokens| evals per doc; the aggregate form is vectorized and
-    // map-side combined, so the only shuffle carries 64 ints per doc.
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(expr("transform(split(lower(trim(text)), '\\\\s+'), t -> xxhash64(t))")).as("h"))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-    val sums = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val docs = sums.select(
-      col("doc_id"),
-      array((0 until 4).map { j =>
-        (0 until 16).map(k =>
-          when(col(s"s${j * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _)
-      }: _*).as("bands"))
-    val banded = docs.select(
-      col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "bval")))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val docs = simhashSignatures(spark, sfDir)
+    val pairs = simhashCandidatePairs(spark, sfDir)
     // Same semi-join discipline as minhashLsh: signatures (40 B/doc) are
     // reduced to candidate ids before the verify join — no corpus
     // broadcast hint, AQE picks the strategy from the candidate size.
@@ -211,6 +231,53 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy(col("hamming").asc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** 64-bit SimHash signature per doc as 4 × 16-bit band values.
+    *
+    * Per-bit majority vote as ONE codegen'd hash aggregate over exploded
+    * token hashes (64 conditional sums), not nested higher-order
+    * lambdas — interpreted per-element lambdas cost ~64×|tokens| evals
+    * per doc; the aggregate form is vectorized and map-side combined, so
+    * the only shuffle carries 64 ints per doc. The 64 hash bits come
+    * from md5's first 16 hex chars, parsed as four 16-bit chunks — one
+    * md5 per token, SQL-recomputable (the DuckDB oracle rebuilds
+    * identical signatures; see [[seededHashSql]]).
+    */
+  private def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("hx"))
+      .select(col("doc_id") +: (0 until 4).map(j =>
+        expr(s"cast(conv(substr(hx, ${1 + 4 * j}, 4), 16, 10) as int)").as(s"c$j")): _*)
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(c${i / 16}, ${i % 16}) & 1)") === 1, 1).otherwise(-1)).as(s"s$i"))
+    val sums = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    sums.select(
+      col("doc_id"),
+      array((0 until 4).map { j =>
+        (0 until 16).map(k =>
+          when(col(s"s${j * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      }: _*).as("bands"))
+  }
+
+  /** Distinct banded-collision candidate pairs — exposed so the spec can
+    * bound the candidate count (the knob that makes the verify join's
+    * cost predictable run to run; 16-bit bands keep random collisions
+    * ~2^-16 per band, so candidates ≈ true near-dups + ε·n).
+    */
+  private[graft] def simhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = simhashSignatures(spark, sfDir).select(
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bval")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Blocked exact n-gram Jaccard: candidate pairs only within
@@ -321,10 +388,96 @@ object Dedup {
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
-  /** MinHash/SimHash use Spark-specific xxhash64 — no SQL oracle exists;
-    * the driver records rows-only checks for those.
+  /** Shared DuckDB CTEs recomputing the minhash pipeline from the raw
+    * table: shingles → md5-substring signatures (bit-identical to the
+    * Spark side's [[seededHashSql]]) → bands → distinct candidate
+    * pairs. Used by the minhash AND cluster oracles, the same way the
+    * Spark side shares [[minhashVerifiedPairs]].
+    */
+  private val minhashOracleCtes: String =
+    """t AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)),
+      |sig AS (
+      | SELECT doc_id,
+      |  list_transform(range(0, 16), i ->
+      |    list_min(list_transform(sh, s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS sig
+      | FROM t),
+      |banded AS (
+      | SELECT doc_id, j AS band,
+      |  array_to_string([sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]], ',') AS bucket
+      | FROM sig, range(0, 4) r(j)),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB recomputation of [[simhashSignatures]]: same md5 16-bit
+    * chunks, same 64 majority votes, same 4 band values.
+    */
+  private val simhashOracleCtes: String = {
+    val sums = (0 until 64).map(i =>
+      s"sum(CASE WHEN (c${i / 16} >> ${i % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n  ")
+    val bandVals = (0 until 4).map { j =>
+      "(" + (0 until 16).map(k =>
+        s"(CASE WHEN s${j * 16 + k} > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ") + ")::BIGINT"
+    }.mkString(",\n  ")
+    s"""tok AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents),
+       |ch AS (
+       | SELECT doc_id,
+       |  ('0x' || substr(md5(t), 1, 4))::INT AS c0, ('0x' || substr(md5(t), 5, 4))::INT AS c1,
+       |  ('0x' || substr(md5(t), 9, 4))::INT AS c2, ('0x' || substr(md5(t), 13, 4))::INT AS c3
+       | FROM tok),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       | FROM ch GROUP BY doc_id),
+       |bands AS (SELECT doc_id, [
+       |  $bandVals] AS bands FROM sums),
+       |sbanded AS (SELECT doc_id, j AS band, bands[j+1] AS bval FROM bands, range(0, 4) r(j)),
+       |spairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sbanded a JOIN sbanded b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Every sketch op is oracle-checkable: the hashes are md5-substring
+    * derived (see [[seededHashSql]]), so DuckDB recomputes identical
+    * signatures, bands, candidates, and verified pairs from the raw
+    * documents table — the same cross-engine-recompute discipline
+    * x_dedup_ngram_jaccard already applies to shingles.
     */
   val oracles: Map[String, String] = Map(
+    "x_dedup_minhash" ->
+      s"""WITH $minhashOracleCtes
+         |SELECT p.doc_a, p.doc_b,
+         | round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) AS jaccard
+         |FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         | SELECT p.doc_a, p.doc_b
+         | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b
+         | WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+         |bidir AS (SELECT doc_a, doc_b FROM edges UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+         |walk(doc_id, label) AS (
+         | SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM bidir
+         | UNION
+         | SELECT e.doc_a AS doc_id, w.label FROM bidir e JOIN walk w ON w.doc_id = e.doc_b),
+         |labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id)
+         |SELECT label AS keep_id, count(*)::INT AS cluster_size,
+         | string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS members
+         |FROM labels GROUP BY label ORDER BY keep_id""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH $simhashOracleCtes
+         |SELECT p.doc_a, p.doc_b,
+         | (bit_count(xor(a.bands[1], b.bands[1])) + bit_count(xor(a.bands[2], b.bands[2]))
+         |  + bit_count(xor(a.bands[3], b.bands[3])) + bit_count(xor(a.bands[4], b.bands[4])))::INT AS hamming
+         |FROM spairs p JOIN bands a ON a.doc_id = p.doc_a JOIN bands b ON b.doc_id = p.doc_b
+         |ORDER BY hamming ASC, doc_a, doc_b LIMIT 20""".stripMargin,
     "x_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -25,7 +25,14 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("near-dup clusters: converged components with canonical representatives") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val rows = Dedup.nearDupClusters(spark, sf).collect()
+    // memory contract: every propagation round and the edge set are
+    // unpersisted before return; only the tiny materialized result
+    // (one row per cluster) may remain cached
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 1,
+      s"nearDupClusters must release superseded rounds; leaked ${leaked.size} cached RDDs")
     assert(rows.nonEmpty, "testdata plants near-dups, so clusters must exist")
     // representative is the min member and clusters have >= 2 members
     rows.foreach { r =>
@@ -49,6 +56,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.head.getInt(2) <= 4)
+  }
+
+  test("simhash band collisions stay near-linear in corpus size") {
+    // the verify join's cost is proportional to banded-collision
+    // candidates; 16-bit bands on this corpus must keep that set a
+    // small multiple of the true near-dup count (500 docs → bound 5n).
+    // This is the run-to-run-variance guard: a candidate blow-up (e.g.
+    // a degenerate band) would show here before it shows as bench noise.
+    val n = Tables.documents(spark, sf).count()
+    val candidates = Dedup.simhashCandidatePairs(spark, sf).count()
+    assert(candidates <= 5 * n,
+      s"simhash candidate pairs ($candidates) exceed 5×corpus ($n) — banding degenerated")
   }
 
   test("brute-force cosine top-k: 10 neighbors per query, sims in [-1,1]") {
