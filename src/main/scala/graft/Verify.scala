@@ -37,7 +37,10 @@ object Verify {
     // {SFDIR} lets oracles address parquet files directly (DuckDB
     // parquet_metadata) — substituted here so the dumped oracle_sql.json
     // always targets the exact data directory this run read.
+    // filtered by the same `only` set as the parquet dump, so a subset
+    // outDir never claims oracle entries it has no outputs for
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -28,27 +28,80 @@ object Dedup {
   // while true near-dups (J≥0.9) are caught with p≈0.99. Band width is
   // the selectivity knob that keeps candidate count near-linear.
 
-  /** Seeded 60-bit hash expressible IDENTICALLY in Spark and ANSI-ish
-    * SQL: the first 15 hex chars of md5("<seed>:<value>") parsed as an
-    * integer. Spark: conv(..., 16, 10); DuckDB: ('0x' || ...)::BIGINT.
-    * 15 hex chars = 60 bits, so the value always fits a signed int64 in
-    * both engines (16 chars could set the sign bit, which Spark wraps
-    * and DuckDB rejects). This is what makes the sketch family
-    * oracle-checkable end to end: DuckDB recomputes the same signatures,
-    * bands, candidates and verified pairs from the raw table. A
-    * production lake would swap in xxhash64 (one line, ~3× cheaper per
-    * call) — hashing is per-row compute with no shuffle implication, so
-    * the plan shape and scale story are unchanged.
+  /** Minhash universal-hash family, one expensive hash per shingle.
+    *
+    * Base hash: the first 15 hex chars of md5(s) parsed as an integer
+    * (15 hex chars = 60 bits, so the value always fits a signed int64
+    * in both engines — 16 chars could set the sign bit, which Spark
+    * wraps and DuckDB rejects), reduced mod P = 2^31-1. All 16 minhash
+    * slots are then affine transforms (a_i·h + b_i) mod P with literal
+    * constants — the standard universal-hash construction, so the md5
+    * cost is paid ONCE per shingle instead of once per (shingle, slot)
+    * (the round-3 regression). a_i, h < 2^31 keeps every product below
+    * 2^62: no 64-bit overflow, which Spark would silently wrap and
+    * DuckDB would reject — identical arithmetic in both engines is what
+    * keeps the sketch family oracle-checkable end to end (DuckDB
+    * recomputes the same signatures, bands, candidates and verified
+    * pairs from the raw table). A production lake would swap the base
+    * hash for xxhash64 (one line, ~3× cheaper) — hashing is per-row
+    * compute with no shuffle implication, so the plan shape and scale
+    * story are unchanged.
     */
-  private def seededHashSql(seed: Int, valueExpr: String): String =
-    s"cast(conv(substr(md5(concat('$seed:', $valueExpr)), 1, 15), 16, 10) as bigint)"
+  private val P = 2147483647L // 2^31 - 1 (prime)
 
-  /** Word 3-gram shingles of the lowercased text. */
+  /** Deterministic (a_i, b_i) pairs, a_i ∈ [1, P-1], b_i ∈ [0, P-1];
+    * shared by the Spark expressions and the generated DuckDB CTEs so
+    * the two engines stay in lockstep by construction.
+    */
+  private val affine: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    Seq.fill(NumHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
+      rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Spark-side base hash (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT % P). */
+  private def baseHashSql(valueExpr: String): String =
+    s"cast(conv(substr(md5($valueExpr), 1, 15), 16, 10) as bigint) % $P"
+
+  /** Band bucket j as ONE BIGINT join key: the 4 slot values (< 2^31)
+    * pack pairwise into exact 62-bit ints (m·P + m'), xor-combined —
+    * an 8-byte shuffle key where round 3 shuffled ~80-char strings.
+    * Spurious xor collisions (~2^-62) would only add candidate pairs,
+    * identically in both engines, and the exact-Jaccard verify absorbs
+    * them.
+    */
+  private def bucketExpr(j: Int): String = {
+    val m = (0 until 4).map(k => s"m${4 * j + k}")
+    s"(${m(0)} * $P + ${m(1)}) ^ (${m(2)} * $P + ${m(3)})"
+  }
+
+  /** Word 3-gram shingles of the lowercased text.
+    *
+    * Two measured performance hazards shape this plan (together they
+    * were ~7 of the round-3 10 s of x_dedup_minhash at sf0.1):
+    *
+    *  - A small documents file arrives as ONE scan partition, so
+    *    per-row CPU work runs on a single core while 31 idle. The
+    *    explicit-count repartition spreads rows first (explicit because
+    *    AQE would coalesce a keyed repartition of byte-tiny input back
+    *    to one partition). At lake scale the same principle holds:
+    *    never let input file count cap parallelism ahead of CPU-heavy
+    *    row work.
+    *  - CollapseProject inlines the `tokens` projection into the
+    *    shingle lambda, so the regex split would re-execute once per
+    *    ELEMENT (~52× per doc). Binding the token array as a lambda
+    *    variable (transform over a 1-element array) forces one split
+    *    per row — a 3.4× win on the shingle stage — while keeping the
+    *    construction expression-identical for the DuckDB oracles.
+    */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("shingles", array_distinct(
-        expr("transform(sequence(0, greatest(size(tokens) - 3, 0)), i -> concat_ws(' ', slice(tokens, i + 1, 3)))")))
+      .withColumn("shingles", array_distinct(expr(
+        """transform(array(tokens), ts ->
+          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
+          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin)))
 
   /** Exact dedup summary: raw vs normalized distinct counts. */
   def exactStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -73,12 +126,12 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
-    * Pipeline: shingle → 16 minhashes ([[seededHashSql]] with per-slot
-    * seed) → 4 bands of 4 slots → explode bands → self-join on (band,
-    * bucket) → distinct candidate pairs → exact Jaccard on shingle
-    * sets → top 20. The band bucket is the comma-joined slot string, so
-    * DuckDB reproduces it with array_to_string — no second hash whose
-    * formatting could diverge across engines.
+    * Pipeline: shingle → one md5-derived base hash per shingle → 16
+    * affine minhash slots as ONE codegen'd groupBy-min aggregate
+    * (map-side combined; the shuffle carries 16 longs per doc, never
+    * shingles) → 4 bands packed into single BIGINT buckets
+    * ([[bucketExpr]]) → explode bands → self-join on (band, bucket) →
+    * distinct candidate pairs → exact Jaccard on shingle sets → top 20.
     */
   /** All verified candidate pairs with exact Jaccard (no limit) — the
     * edge set shared by [[minhashLsh]] (top-20 view) and
@@ -86,17 +139,16 @@ object Dedup {
     */
   private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir)
-    val sig = docs.select(
-      col("doc_id"), col("shingles"),
-      array((0 until NumHashes).map(i =>
-        expr(s"array_min(transform(shingles, s -> ${seededHashSql(i, "s")}))")): _*).as("sig"))
-    val rowsPerBand = NumHashes / Bands
+    val hashed = docs
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), expr(baseHashSql("s")).as("h"))
+    val minAggs = affine.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"m$i") }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array((0 until Bands).map { j =>
-        val slots = (0 until rowsPerBand).map(k => expr(s"sig[${rowsPerBand * j + k}]"))
-        concat_ws(",", slots.map(_.cast("string")): _*)
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until Bands).map(j => expr(bucketExpr(j))): _*))
+        .as(Seq("band", "bucket")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -146,10 +198,15 @@ object Dedup {
     * Memory contract: each round's labels are cached (they are read
     * twice: the convergence check and the next round), and the
     * PREVIOUS round's cache is released as soon as the new round is
-    * materialized; the edge set is released before returning. The only
-    * cache that outlives the call is the final (tiny — one row per
-    * cluster) result, which is materialized eagerly so the parents can
-    * be unpersisted. PipelineOpsSpec asserts the storage release.
+    * materialized; the edge set is released before returning. The
+    * final result (one row per cluster — tiny by construction) is
+    * collected to a local DataFrame so NO cache outlives the call.
+    * PipelineOpsSpec asserts the storage release.
+    *
+    * Each round is ONE Spark job: the previous label rides along as
+    * `old_label` through the union+min aggregation, so the cache-
+    * materializing count doubles as the convergence check — no
+    * separate join against the previous round.
     *
     * Output: one row per near-dup cluster — (representative = min
     * member, cluster size, sorted '|'-joined member list).
@@ -169,20 +226,20 @@ object Dedup {
     var rounds = 0
     while (changed > 0 && rounds < MaxPropagationRounds) {
       val viaEdge = bidir
-        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "nb_label"), "doc_b")
-        .select(col("doc_a").as("doc_id"), col("nb_label").as("label"))
-      val next = labels.select(col("doc_id"), col("label"))
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nb_label")), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("nb_label").as("label"),
+          // typed NULL: only the self-branch carries the previous label
+          when(lit(false), col("nb_label")).as("old_label"))
+      val next = labels.select(col("doc_id"), col("label"), col("label").as("old_label"))
         .union(viaEdge)
-        .groupBy("doc_id").agg(min("label").as("label"))
+        .groupBy("doc_id").agg(min("label").as("label"), max("old_label").as("old_label"))
         // each round references the previous labels twice (join + union)
         // and is itself read twice (convergence count + next round):
         // caching keeps lineage linear instead of 2^rounds
         .cache()
-      // the count both materializes `next` and decides convergence
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
+      // ONE job: materializes `next` and decides convergence (labels
+      // only ever decrease, so changed ⇔ new < old)
+      changed = next.where(col("label") < col("old_label")).count()
       labels.unpersist() // superseded round: release executor storage
       labels = next
       rounds += 1
@@ -195,11 +252,12 @@ object Dedup {
         size(col("members")).as("cluster_size"),
         concat_ws("|", col("members").cast("array<string>")).as("members"))
       .orderBy("keep_id")
-      .cache()
-    result.count() // materialize (one row per cluster) so parents can go
+    // one row per cluster — collect locally so no cache outlives the
+    // call (this is model-sized output extraction, not a data collect)
+    val localRows = result.collect()
     labels.unpersist()
     bidir.unpersist()
-    result
+    spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
   }
 
   /** Safety bound only — the loop exits on fixpoint; a path graph this
@@ -245,7 +303,10 @@ object Dedup {
     * identical signatures; see [[seededHashSql]]).
     */
   private def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // same single-scan-partition hazard as [[shingled]]: fan the docs
+    // out across cores before the per-token md5 work
     val tok = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
       .select(col("doc_id"), md5(col("t")).as("hx"))
@@ -389,30 +450,40 @@ object Dedup {
   )
 
   /** Shared DuckDB CTEs recomputing the minhash pipeline from the raw
-    * table: shingles → md5-substring signatures (bit-identical to the
-    * Spark side's [[seededHashSql]]) → bands → distinct candidate
-    * pairs. Used by the minhash AND cluster oracles, the same way the
-    * Spark side shares [[minhashVerifiedPairs]].
+    * table: shingles → one md5-derived base hash per shingle → the 16
+    * affine slots (generated from the SAME [[affine]] constants as the
+    * Spark expressions, so the engines cannot drift) → xor-packed band
+    * buckets → distinct candidate pairs. Used by the minhash AND
+    * cluster oracles, the same way the Spark side shares
+    * [[minhashVerifiedPairs]].
     */
-  private val minhashOracleCtes: String =
-    """t AS (
-      | SELECT doc_id,
-      |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)),
-      |sig AS (
-      | SELECT doc_id,
-      |  list_transform(range(0, 16), i ->
-      |    list_min(list_transform(sh, s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS sig
-      | FROM t),
-      |banded AS (
-      | SELECT doc_id, j AS band,
-      |  array_to_string([sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]], ',') AS bucket
-      | FROM sig, range(0, 4) r(j)),
-      |pairs AS (
-      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM banded a JOIN banded b
-      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  private val minhashOracleCtes: String = {
+    val slots = affine.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n  ")
+    val buckets = (0 until Bands).map { j =>
+      val m = (0 until 4).map(k => s"m${4 * j + k}")
+      s"xor(${m(0)} * $P + ${m(1)}, ${m(2)} * $P + ${m(3)})"
+    }.mkString(",\n  ")
+    s"""t AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+       |hv AS (
+       | SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+       | FROM (SELECT doc_id, unnest(sh) AS s FROM t)),
+       |sig AS (SELECT doc_id,
+       |  $slots
+       | FROM hv GROUP BY doc_id),
+       |banded AS (
+       | SELECT doc_id, j AS band, bk[j+1] AS bucket
+       | FROM (SELECT doc_id, [
+       |  $buckets] AS bk FROM sig), range(0, 4) r(j)),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB recomputation of [[simhashSignatures]]: same md5 16-bit
     * chunks, same 64 majority votes, same 4 band values.
