@@ -226,11 +226,15 @@ object BenchOps {
         round(sum("l_extendedprice"), 2).as("sum_price"))
   }
 
-  /** Writes (once per JVM/data dir) the range-partitioned date-sorted
-    * copy used by k6 and its pruning spec.
+  /** Writes (once per source version) the range-partitioned date-sorted
+    * copy used by k6 and its pruning spec. The path is keyed on the
+    * source fingerprint ([[graft.sources.LayoutCache]]) so a
+    * regenerated lineitem table always forces a fresh sorted copy.
     */
   def sortedLineitemPath(spark: SparkSession, sfDir: String): String = {
-    val out = s"$workRoot/sorted/lineitem_${new java.io.File(sfDir).getName}"
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/lineitem.parquet")
+    val out = s"$workRoot/sorted/lineitem_${new java.io.File(sfDir).getName}_$fp"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")))
@@ -299,6 +303,38 @@ object BenchOps {
       .toDF("source_tables", "thrift_footer_bytes", "sidecar_parquet_bytes", "n_chunk_rows")
   }
 
+  /** A6 — mean over iterations: the reference's repeated-measurement
+    * aggregation (src/pq_fb_ns_data_generator.cc:268-271 accumulates N
+    * timing iterations and reports their mean) as a REGISTERED query
+    * over a measurement-rows table, not just bench methodology
+    * ([[graft.Bench]] applies the same discipline to its own timings).
+    * The fixture is deterministic (quarter-step values are exact
+    * doubles, so partial-sum order cannot change the aggregate) and
+    * shared verbatim with the DuckDB oracle.
+    */
+  private[graft] val a6Fixture: Seq[(String, Int, Double)] = {
+    val benches = Seq(
+      "decode_footer_2000" -> 15.25, "decode_footer_3000" -> 22.5,
+      "scan_subset" -> 7.75, "scan_full" -> 31.0)
+    for {
+      ((name, base), bi) <- benches.zipWithIndex
+      iter <- 1 to 5
+    } yield (name, iter, base + 0.25 * ((iter * 7 + bi * 3) % 5))
+  }
+
+  def a6IterationMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    a6Fixture.toDF("bench_name", "iteration", "elapsed_ms")
+      .groupBy("bench_name")
+      .agg(
+        count(lit(1)).as("n_iters"),
+        round(avg("elapsed_ms"), 6).as("mean_ms"),
+        round(stddev("elapsed_ms"), 6).as("stddev_ms"),
+        min("elapsed_ms").as("min_ms"),
+        max("elapsed_ms").as("max_ms"))
+      .orderBy("bench_name")
+  }
+
   /** S9 — benchmark-JSON document scan: write a google-benchmark-shaped
     * nested document, read it back with spark.read.json, explode the
     * benchmarks array, and parse names (P6 shape) —
@@ -349,6 +385,7 @@ object BenchOps {
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
+    "a6_iteration_mean" -> a6IterationMean _,
     "a7_approx_stats" -> a7ApproxStats _,
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
   )
@@ -416,5 +453,16 @@ object BenchOps {
     "k6_sorted_write" ->
       """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1996-06-01'""".stripMargin,
+    "a6_iteration_mean" -> {
+      val rows = a6Fixture
+        .map { case (n, i, v) => s"('$n', $i, $v)" }.mkString(",\n ")
+      s"""WITH runs(bench_name, iteration, elapsed_ms) AS (VALUES
+         | $rows)
+         |SELECT bench_name, count(*) AS n_iters,
+         | round(avg(elapsed_ms), 6) AS mean_ms,
+         | round(stddev_samp(elapsed_ms), 6) AS stddev_ms,
+         | min(elapsed_ms) AS min_ms, max(elapsed_ms) AS max_ms
+         |FROM runs GROUP BY bench_name ORDER BY bench_name""".stripMargin
+    },
   )
 }

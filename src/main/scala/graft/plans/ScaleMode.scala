@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** Catalyst extension surface (the preference-order (c) route from the
   * build guide): a `Rule[LogicalPlan]` injected via
@@ -44,7 +45,15 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
           // frequency-weighted and descending percentiles have no
           // approx twin — leave those exact
           if p.frequencyExpression == Literal(1L) && !p.reverse =>
+        // Percentile is always DoubleType, ApproximatePercentile returns
+        // its child's type: cast non-double children so the rewrite
+        // never changes the analyzed result type (a percentile over an
+        // int column would otherwise yield a plan whose expression type
+        // contradicts the schema)
+        val child =
+          if (p.child.dataType == DoubleType) p.child
+          else Cast(p.child, DoubleType)
         agg.copy(aggregateFunction = new ApproximatePercentile(
-          p.child, p.percentageExpression, Literal(Accuracy)))
+          child, p.percentageExpression, Literal(Accuracy)))
     }
 }

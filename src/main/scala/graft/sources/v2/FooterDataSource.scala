@@ -1,11 +1,12 @@
 package graft.sources.v2
 
 import graft.sources.FooterMeta
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -76,37 +77,51 @@ class FooterScanBuilder(path: String)
   private var required: StructType = FooterDataSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FooterScan(path, required)
+  override def build(): Scan = {
+    // capture the SESSION Hadoop conf at scan build (defaultFS, s3a
+    // credentials, any spark.hadoop.* runtime setting) — a bare `new
+    // Configuration()` works on local FS but silently drops the
+    // configured filesystem on exactly the lake deployments this
+    // connector targets
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    new FooterScan(path, required, conf)
+  }
 }
 
 final case class FooterFilePartition(file: String) extends InputPartition
 
-class FooterScan(path: String, required: StructType) extends Scan with Batch {
+class FooterScan(path: String, required: StructType,
+    private[graft] val conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-footer $path ${required.fieldNames.mkString(",")}"
   // driver-side: only FILE LISTING happens here; footer decode is on executors
   override def planInputPartitions(): Array[InputPartition] =
-    FooterMeta.parquetFiles(new Configuration(), path)
+    FooterMeta.parquetFiles(conf.value, path)
       .map(FooterFilePartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FooterReaderFactory(required)
+    new FooterReaderFactory(required, conf)
 }
 
-class FooterReaderFactory(required: StructType) extends PartitionReaderFactory {
+class FooterReaderFactory(required: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FooterPartitionReader(partition.asInstanceOf[FooterFilePartition].file, required)
+    new FooterPartitionReader(
+      partition.asInstanceOf[FooterFilePartition].file, required, conf)
 }
 
 /** Executor-side reader: opens ONE footer, emits its chunk rows
-  * projected to the required (pruned) schema.
+  * projected to the required (pruned) schema. The Hadoop conf arrives
+  * serialized from the driver's session — never rebuilt from
+  * defaults on the executor.
   */
-class FooterPartitionReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class FooterPartitionReader(file: String, required: StructType,
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[Map[String, Any]] = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      HadoopInputFile.fromPath(new Path(file), conf.value))
     try {
       val footer = reader.getFooter
       footer.getBlocks.asScala.zipWithIndex.flatMap { case (block, rg) =>

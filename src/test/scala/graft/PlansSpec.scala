@@ -41,4 +41,28 @@ class PlansSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.scaleMode", "false")
     }
   }
+
+  test("scale-mode rewrite preserves the result type for non-double percentile children") {
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      // integer column: exact percentile is DoubleType, the approx twin
+      // would be LongType without the cast guard — the rewritten plan
+      // must keep the analyzed schema AND still execute
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .selectExpr("percentile(l_orderkey, 0.5) as p50")
+      assert(df.schema("p50").dataType === org.apache.spark.sql.types.DoubleType)
+      val exprs = df.queryExecution.optimizedPlan.flatMap(_.expressions)
+      assert(exprs.exists(_.exists(_.isInstanceOf[ApproximatePercentile])),
+        "int-column percentile must still be rewritten under scaleMode")
+      val optimizedTypes = df.queryExecution.optimizedPlan.output.map(_.dataType)
+      assert(optimizedTypes === Seq(org.apache.spark.sql.types.DoubleType),
+        s"rewrite changed the plan's result type: $optimizedTypes")
+      val v = df.collect()(0).getDouble(0)
+      assert(v > 0.0, "median orderkey must be positive")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+  }
 }

@@ -78,6 +78,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaConnector === viaDataset)
   }
 
+  test("graft-footer scan carries the SESSION Hadoop conf to its readers") {
+    // a runtime session setting must be visible in the conf the scan
+    // ships to executors (sessionState.newHadoopConf() copies session
+    // conf entries onto the context Hadoop conf) — `new Configuration()`
+    // would drop it, and with it any configured filesystem/credentials
+    spark.conf.set("graft.probe", "session-value-42")
+    try {
+      val scans = spark.read.format("graft-footer").load(s"$sf/lineitem.parquet")
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      assert(scans.nonEmpty)
+      val conf = scans.head.scan.asInstanceOf[graft.sources.v2.FooterScan].conf.value
+      assert(conf.get("graft.probe") === "session-value-42",
+        "scan must capture sessionState.newHadoopConf(), not defaults")
+    } finally spark.conf.unset("graft.probe")
+  }
+
   test("StatsLevel NONE suppresses chunk min/max entirely") {
     val path = s"$work/statsoff"
     ParquetKnobs.write(WideTableGen.wide(spark, 5, 1000L), path,
@@ -125,5 +143,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(stats.nonEmpty)
     assert(stats.forall(_.num_values > 0))
     assert(stats.forall(_.has_min_max)) // driver testdata writes chunk stats
+  }
+
+  test("cached layouts regenerate when the source data changes") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.{BenchOps, Bucketing, Similarity}
+    // a private sfDir copy we can touch (testdata itself is read-only)
+    val dir = s"$work/stale-sf"
+    Files.createDirectories(Paths.get(dir))
+    for (t <- Seq("lineitem", "orders", "embeddings"))
+      Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+    // sorted-lineitem layout: same source -> same path; touched source
+    // -> new path (forced regeneration)
+    val p1 = BenchOps.sortedLineitemPath(spark, dir)
+    assert(BenchOps.sortedLineitemPath(spark, dir) === p1, "unchanged source must reuse")
+    val liFile = new java.io.File(s"$dir/lineitem.parquet")
+    assert(liFile.setLastModified(liFile.lastModified() + 2000))
+    val p2 = BenchOps.sortedLineitemPath(spark, dir)
+    assert(p2 !== p1, "touched source must produce a fresh sorted layout")
+
+    // banded ANN layout: same fingerprint-keying discipline
+    val a1 = Similarity.bucketedLayoutPath(spark, dir)
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    assert(embFile.setLastModified(embFile.lastModified() + 2000))
+    assert(Similarity.bucketedLayoutPath(spark, dir) !== a1,
+      "touched embeddings must produce a fresh banded layout")
+
+    // bucketed join tables: rewrite on first use + after a touch,
+    // reuse (no rewrite) in between — so bench loops measure the join
+    assert(Bucketing.ensureBucketTables(spark, dir), "first call must write")
+    assert(!Bucketing.ensureBucketTables(spark, dir), "unchanged source must reuse")
+    val oFile = new java.io.File(s"$dir/orders.parquet")
+    assert(oFile.setLastModified(oFile.lastModified() + 2000))
+    assert(Bucketing.ensureBucketTables(spark, dir), "touched source must rewrite")
   }
 }
