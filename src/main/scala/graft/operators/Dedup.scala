@@ -220,6 +220,30 @@ object Dedup {
     // verify pipeline (lazily, so construction still launches no jobs)
     val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
+    val labels =
+      if (spark.conf.getOption("spark.graft.ccAlgorithm").contains("starcontract"))
+        starContractLabels(bidir)
+      else fixpointLabels(bidir)
+    val result = labels
+      .groupBy("label")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(
+        col("label").as("keep_id"),
+        size(col("members")).as("cluster_size"),
+        concat_ws("|", col("members").cast("array<string>")).as("members"))
+      .orderBy("keep_id")
+    // one row per cluster — collect locally so no cache outlives the
+    // call (this is model-sized output extraction, not a data collect)
+    val localRows = result.collect()
+    labels.unpersist()
+    bidir.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
+  }
+
+  /** Min-label propagation to a fixpoint — the default algorithm.
+    * Returns a CACHED (doc_id, label) frame; the caller unpersists.
+    */
+  private def fixpointLabels(bidir: DataFrame): DataFrame = {
     val members = bidir.select(col("doc_a").as("doc_id")).distinct()
     var labels = members.withColumn("label", col("doc_id")).cache()
     var changed = 1L
@@ -244,20 +268,81 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    val result = labels
-      .groupBy("label")
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .select(
-        col("label").as("keep_id"),
-        size(col("members")).as("cluster_size"),
-        concat_ws("|", col("members").cast("array<string>")).as("members"))
-      .orderBy("keep_id")
-    // one row per cluster — collect locally so no cache outlives the
-    // call (this is model-sized output extraction, not a data collect)
-    val localRows = result.collect()
-    labels.unpersist()
-    bidir.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
+    labels
+  }
+
+  /** The alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * selected by `spark.graft.ccAlgorithm=starcontract`. This is the
+    * lake-scale swap the fixpoint loop's scaladoc cites: round count is
+    * O(log²) in component size (vs O(diameter)), and every round is the
+    * same shuffle shape as one propagation round (neighborhood min +
+    * edge rewrite), so nothing about the 100 TB story changes except
+    * the number of rounds on deep components. PipelineOpsSpec asserts
+    * it produces IDENTICAL clusters to the fixpoint loop.
+    *
+    *  - large-star: every node connects its strictly-larger neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node (edges oriented larger→smaller)
+    *    connects its smaller neighbors and itself to their minimum.
+    *
+    * Convergence: the (count, order-independent hash-sum) signature of
+    * the edge set is stable across a full large+small round. At
+    * convergence the edges form stars rooted at component minima, so
+    * the label map reads straight off the edge list.
+    */
+  private def starContractLabels(bidir: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbr.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbr.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("mn"))
+      dir.join(m, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(m.select(col("u"), col("mn").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // order-independent, overflow-free set signature (edges are
+      // distinct, so xor cancellation cannot mask a change)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = bidir.filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .cache()
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxPropagationRounds) {
+      val next = smallStar(largeStar(e)).cache()
+      val nextSig = signature(next)
+      e.unpersist()
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    // converged edges are (node, root) stars; roots label themselves
+    val nodes = bidir.select(col("doc_a").as("doc_id")).distinct()
+    val labels = nodes
+      .join(e.select(col("u").as("doc_id"), col("v").as("lbl")), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min("lbl").as("lbl"))
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+      .cache()
+    labels.count() // materialize so the edge cache can be released
+    e.unpersist()
+    labels
   }
 
   /** Safety bound only — the loop exits on fixpoint; a path graph this

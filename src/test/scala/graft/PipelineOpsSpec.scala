@@ -52,6 +52,20 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"edge (${e.getLong(0)}, ${e.getLong(1)}) spans two clusters"))
   }
 
+  test("star-contraction connected components match the fixpoint loop exactly") {
+    // the Kiveris et al. large-star/small-star swap is the documented
+    // lake-scale algorithm; same clusters, no leaked caches
+    val fixpoint = Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    spark.conf.set("spark.graft.ccAlgorithm", "starcontract")
+    try {
+      val star = Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
+      assert(star === fixpoint, "starcontract must produce identical clusters")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty, s"starcontract leaked ${leaked.size} cached RDDs")
+    } finally spark.conf.unset("spark.graft.ccAlgorithm")
+  }
+
   test("simhash candidates have small hamming distance at the top") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
