@@ -358,20 +358,31 @@ object Dedup {
     * near-linear even on a low-vocabulary corpus.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = simhashSignatures(spark, sfDir)
-    val pairs = simhashCandidatePairs(spark, sfDir)
-    // Same semi-join discipline as minhashLsh: signatures (40 B/doc) are
-    // reduced to candidate ids before the verify join — no corpus
-    // broadcast hint, AQE picks the strategy from the candidate size.
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sigCand = docs.join(candIds, Seq("doc_id"), "left_semi")
-    pairs
-      .join(sigCand.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
-      .join(sigCand.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+    // The signature rides THROUGH the banded self-join (one extra
+    // 4-long array per row on the band shuffle), so Hamming distance is
+    // computed inline on collision rows and no re-join against the
+    // signature table is needed. On a low-vocabulary corpus the 16-bit
+    // bands collide heavily (~190k candidate pairs from 5k docs at
+    // sf0.1), which made the previous semi-join + two verify joins the
+    // dominant cost — the 40 B/row of signature payload is far cheaper
+    // than three extra shuffles of the candidate set. The Hamming sum
+    // is 4 expanded codegen'd bit_counts, not an interpreted
+    // higher-order aggregate.
+    val banded = simhashSignatures(spark, sfDir).select(
+      col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bval")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
       .withColumn("hamming", expr(
-        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc + bit_count(ba[j] ^ bb[j]))").cast("int"))
+        "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])").cast("int"))
       .select("doc_a", "doc_b", "hamming")
+      // multi-band collisions produce identical rows; distinct before
+      // the top-k so a pair can't appear twice
+      .distinct()
       .orderBy(col("hamming").asc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
