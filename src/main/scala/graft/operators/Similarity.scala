@@ -130,6 +130,18 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  private val IvfK = 16
+  private val IvfNProbe = 4
+  private val IvfIters = 3
+  /** Quantization scale for Lloyd-step means: component sums are taken
+    * over round(x·2^20) INTEGERS, so they are exact and
+    * order-independent — the same centroids fall out of any partial-sum
+    * order, which is what makes distributed retraining deterministic
+    * AND lets DuckDB recompute bit-identical centroids for the oracle
+    * (float averaging would differ in ulps run to run).
+    */
+  private val IvfQ = 1048576L
+
   /** IVF (inverted-file) approximate neighbors — the other classic ANN
     * scale path beside LSH: a k-means coarse quantizer partitions the
     * corpus into K inverted lists; a query probes only its `nprobe`
@@ -138,16 +150,23 @@ object Similarity {
     *
     * The quantizer is trained in-engine: `iters` Lloyd steps, each one
     * a single codegen'd assignment pass (argmin over K fused dot
-    * products) plus a (cluster, dim) average. Centroids are collected
-    * to the driver between steps — that is MODEL extraction (K×Dim
-    * doubles, like MLlib's KMeans), not a data collect; data never
-    * leaves executors. At lake scale the trained centroids become plan
-    * literals exactly as here, and the assigned corpus would be written
-    * out partitioned by list id for read-time pruning.
+    * products) plus a (cluster, dim) quantized-integer mean (see
+    * [[IvfQ]]). Centroids are collected to the driver between steps —
+    * that is MODEL extraction (K×Dim doubles, like MLlib's KMeans),
+    * not a data collect; data never leaves executors. At lake scale
+    * the trained centroids become plan literals exactly as here, and
+    * the assigned corpus would be written out partitioned by list id
+    * for read-time pruning.
+    *
+    * Everything is deterministic and SQL-expressible — md5-ordered
+    * seeding, integer-sum means, (distance, list-id) tie-breaks — so
+    * the full train+probe pipeline carries a DuckDB hash-match oracle
+    * ([[ivfOracle]]) that retrains the same quantizer from the raw
+    * table.
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 16; val nprobe = 4; val iters = 3
+    val k = IvfK; val nprobe = IvfNProbe; val iters = IvfIters
     val base = corpus(spark, sfDir)
 
     def centroidCol(cent: Array[Double]): Column = array(cent.map(lit): _*)
@@ -164,19 +183,23 @@ object Similarity {
       df.withColumn("list_id", array_min(array(scored: _*)).getField("j"))
     }
 
-    // deterministic seed centroids: K corpus vectors in hash order
+    // deterministic, cross-engine-reproducible seeding: the K corpus
+    // vectors first in md5(vec_id) order (vec_id tie-break)
     var cents: Seq[Array[Double]] = base
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(k)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
     for (_ <- 1 to iters) {
       val means = assignTo(cents)(base)
         .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("list_id", "pos").agg(avg("x").as("m"))
+        .select(col("list_id"), col("pos"),
+          expr(s"cast(round(x * $IvfQ) as bigint)").as("xi"))
+        .groupBy("list_id", "pos").agg(sum("xi").as("s"), count(lit(1)).as("cnt"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (j, rs) =>
-          j -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+          j -> rs.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * IvfQ).toDouble).toArray }
       cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
     }
 
@@ -327,15 +350,67 @@ object Similarity {
        |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)
        |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
 
-  /** Deterministic LSH paths carry full hash-match oracles (the
-    * hyperplanes are plan literals — see [[lshOracleCtes]]); IVF stays
-    * rows-only because its centroids are fitted by distributed
-    * averaging, whose partial-sum order is not reproducible
-    * cross-engine at the bit level.
+  /** DuckDB retraining of the full IVF pipeline: md5-ordered seeds →
+    * [[IvfIters]] unrolled Lloyd steps (assignment by (distance,
+    * list-id) row_number; means as exact integer sums over round(x·Q)
+    * — identical to the Spark side by construction) → final assignment
+    * → nprobe probes per query → exact-cosine re-rank. Every arithmetic
+    * step is either integer (order-independent) or an index-order dot
+    * product, so the two engines cannot drift.
+    */
+  private val ivfOracle: String = {
+    def assign(cents: String): String =
+      s"""SELECT vec_id, list_id FROM (
+         |  SELECT e.vec_id, c.j AS list_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(e.v, c.cvec), c.j) AS rn
+         |  FROM e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    val iterCtes = (1 to IvfIters).map { n =>
+      s"""asg$n AS (${assign(s"cents${n - 1}")}),
+         |m$n AS (
+         | SELECT a.list_id, u.pos, sum(u.xi) AS s, count(*) AS cnt
+         | FROM asg$n a JOIN uq u ON u.vec_id = a.vec_id GROUP BY 1, 2),
+         |cl$n AS (SELECT list_id, list(s / (cnt * $IvfQ.0) ORDER BY pos) AS cvec
+         | FROM m$n GROUP BY list_id),
+         |cents$n AS (
+         | SELECT c.j, coalesce(cl.cvec, c.cvec) AS cvec
+         | FROM cents${n - 1} c LEFT JOIN cl$n cl ON cl.list_id = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents0 AS (
+       | SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, v AS cvec
+       | FROM e QUALIFY j < $IvfK),
+       |u AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+       |uq AS (SELECT vec_id, pos, round(x * $IvfQ)::BIGINT AS xi FROM u),
+       |$iterCtes,
+       |asgF AS (${assign(s"cents$IvfIters")}),
+       |probes AS (
+       | SELECT q.vec_id AS query_id, c.j AS list_id
+       | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+       | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $IvfNProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN asgF a ON a.list_id = p.list_id
+       | WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+       | FROM candi c JOIN e eq ON eq.vec_id = c.query_id JOIN e en ON en.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** Deterministic ANN paths carry full hash-match oracles: the LSH
+    * hyperplanes are plan literals ([[lshOracleCtes]]) and the IVF
+    * quantizer retrains bit-identically cross-engine ([[ivfOracle]]).
     */
   val oracles: Map[String, String] = Map(
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
+    "x_sim_topk_ivf" -> ivfOracle,
     "x_emb_centroids" ->
       """WITH u AS (
         | SELECT label, unnest(embedding::DOUBLE[]) AS x,
