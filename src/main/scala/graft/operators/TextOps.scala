@@ -28,8 +28,16 @@ object TextOps {
   private def occ(w: String): Column =
     (length(col("padded")) - length(expr(s"replace(padded, '$w', '')"))) / w.length
 
+  /** A small documents file arrives as one scan partition; spread rows
+    * before the regex/replace-heavy projections so per-row CPU work
+    * uses every core (explicit count — AQE would coalesce a byte-tiny
+    * keyed repartition back to one partition). Same principle as
+    * [[Dedup.shingled]]: input file count must never cap parallelism
+    * ahead of CPU-bound row work.
+    */
   private def padded(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
 
   /** Token counting: whitespace tokens + a BPE-ish word/number/punct

@@ -135,16 +135,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits >= 10, s"LSH pair recall too low: $hits / 20")
   }
 
-  test("sketch verify joins carry no broadcast hints and semi-join the corpus") {
+  test("sketch verify joins carry no broadcast hints and avoid re-scanning the corpus") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhash(spark, sf))) {
       val analyzed = df.queryExecution.analyzed
       val hints = analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }
       assert(hints.isEmpty, "verify join must not force-broadcast the corpus")
-      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-        "corpus must be semi-joined down to candidate ids before the verify join")
     }
+    // minhash verifies on shingle SETS, so the corpus is semi-joined
+    // down to candidate ids before the (heavy-payload) verify join
+    assert(Dedup.minhashLsh(spark, sf).queryExecution.optimizedPlan.toString
+      .contains("LeftSemi"),
+      "minhash corpus must be semi-joined down to candidate ids before the verify join")
+    // simhash signatures are small enough to ride THROUGH the band join:
+    // exactly one join in the whole plan (the banded self-join), no
+    // re-join of candidates against the signature table
+    val simJoins = Dedup.simhash(spark, sf).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(simJoins.length === 1,
+      s"simhash must join once (banded self-join), found ${simJoins.length}")
   }
 
   test("bucketed-layout LSH equals in-memory LSH and prunes bucket partitions") {
