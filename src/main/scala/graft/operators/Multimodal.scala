@@ -31,16 +31,27 @@ object Multimodal {
       n_frames: Int)
 
   /** STUB codec — stands in for a real image/audio decoder, which this
-    * container does not ship. Deterministic: dimensions derive from
-    * MurmurHash3 of the payload, so results are stable across runs and
-    * engines-independent.
+    * container does not ship. Deterministic AND SQL-recomputable: the
+    * fake dimensions derive from the first 60 bits of md5(payload), so
+    * a second engine (the DuckDB oracle) reproduces them from the raw
+    * bytes — the multimodal queries carry full hash-match oracles
+    * despite the stubbed pixels. A real deployment swaps `decode`'s
+    * body for the codec call; the mapPartitions plumbing (one codec
+    * instance per partition, streaming iteration) is the real surface.
     */
   private object FakeCodec {
-    def decode(format: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-      val w = 64 + math.floorMod(h, 1856)            // 64..1919
-      val ht = 64 + math.floorMod(h >> 11, 1016)     // 64..1079
-      val frames = if (format == "video") 1 + math.floorMod(h >> 21, 240) else 1
+    /** One per partition — the "codec handle" of the stub. */
+    def init(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+
+    def decode(md: java.security.MessageDigest, format: String,
+        bytes: Array[Byte]): (Int, Int, Int) = {
+      md.reset()
+      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, nonneg
+      val w = (64 + h % 1856).toInt             // 64..1919
+      val ht = (64 + (h >> 11) % 1016).toInt    // 64..1079
+      val frames = if (format == "video") (1 + (h >> 21) % 240).toInt else 1
       (w, ht, frames)
     }
   }
@@ -63,9 +74,9 @@ object Multimodal {
       .select("doc_id", "format", "media")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
-        // per-partition codec init would go here (one per task, not per row)
+        val codec = FakeCodec.init() // one per task, not per row
         batch.map { case (id, fmt, bytes) =>
-          val (w, h, f) = FakeCodec.decode(fmt, bytes)
+          val (w, h, f) = FakeCodec.decode(codec, fmt, bytes)
           MediaMeta(id, fmt, bytes.length.toLong, w, h, f)
         }
       }
@@ -93,8 +104,9 @@ object Multimodal {
       .select("doc_id", "format", "media")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
+        val codec = FakeCodec.init()
         batch.map { case (id, fmt, bytes) =>
-          val (sw, sh, _) = FakeCodec.decode(fmt, bytes)
+          val (sw, sh, _) = FakeCodec.decode(codec, fmt, bytes)
           val ratio = math.min(1.0, (w.toLong * h).toDouble / (sw.toLong * sh))
           val outLen = math.max(1, (bytes.length * ratio).toInt)
           TransformedMedia(id, fmt, s"resize_${w}x$h", bytes.length.toLong,
@@ -112,8 +124,9 @@ object Multimodal {
       .select("doc_id", "format", "media")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
+        val codec = FakeCodec.init()
         batch.map { case (id, fmt, bytes) =>
-          val (w, h, frames) = FakeCodec.decode(fmt, bytes)
+          val (w, h, frames) = FakeCodec.decode(codec, fmt, bytes)
           val kept = if (fmt == "video") math.max(1, frames / everyK) else 1
           val outLen = math.max(1, bytes.length * kept / math.max(1, frames))
           TransformedMedia(id, fmt, s"sample_every_$everyK", bytes.length.toLong,
@@ -134,8 +147,9 @@ object Multimodal {
         max("n_frames_kept").as("max_frames_kept"))
       .orderBy("format", "op")
 
-  /** Registered query: per-format feature rollup (deterministic — the
-    * stub codec is hash-based). No SQL oracle (JVM hash) → rows-only.
+  /** Registered query: per-format feature rollup. The stub codec is
+    * md5-derived, so the DuckDB oracle re-decodes identical dimensions
+    * from the raw payload bytes.
     */
   def featureRollup(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(spark, sfDir)
@@ -170,7 +184,51 @@ object Multimodal {
     "x_multimodal_transforms" -> transformRollup _,
   )
 
+  /** DuckDB re-decode of [[FakeCodec]]: md5 of the varchar hashes its
+    * UTF-8 bytes — exactly the payload `mediaTable` encodes — so the
+    * 60-bit base hash and every derived dimension match the
+    * mapPartitions stub bit for bit.
+    */
+  private val decodeCtes: String =
+    """mm AS (
+      | SELECT doc_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS format,
+      |  strlen(text)::BIGINT AS n_bytes,
+      |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      | FROM documents),
+      |dec AS (
+      | SELECT doc_id, format, n_bytes,
+      |  (64 + h % 1856)::INT AS width,
+      |  (64 + (h >> 11) % 1016)::INT AS height,
+      |  (CASE WHEN format = 'video' THEN 1 + (h >> 21) % 240 ELSE 1 END)::INT AS n_frames
+      | FROM mm)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_multimodal_features" ->
+      s"""WITH $decodeCtes
+         |SELECT format, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
+         | round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
+         | max(n_frames) AS max_frames
+         |FROM dec GROUP BY format ORDER BY format""".stripMargin,
+    "x_multimodal_transforms" ->
+      s"""WITH $decodeCtes,
+         |t AS (
+         | SELECT format, 'resize_224x224' AS op, n_bytes AS in_bytes,
+         |  greatest(1, floor(n_bytes * least(1.0, 50176.0 / (width::BIGINT * height)))::BIGINT) AS out_bytes,
+         |  1 AS n_frames_kept
+         | FROM dec
+         | UNION ALL
+         | SELECT format, 'sample_every_10' AS op, n_bytes AS in_bytes,
+         |  greatest(1, (n_bytes * kept) // greatest(1, n_frames)) AS out_bytes,
+         |  kept AS n_frames_kept
+         | FROM (SELECT *,
+         |   (CASE WHEN format = 'video' THEN greatest(1, n_frames // 10) ELSE 1 END)::INT AS kept
+         |  FROM dec))
+         |SELECT format, op, count(*) AS n_media,
+         | sum(in_bytes)::BIGINT AS total_in_bytes,
+         | sum(out_bytes)::BIGINT AS total_out_bytes,
+         | max(n_frames_kept)::INT AS max_frames_kept
+         |FROM t GROUP BY format, op ORDER BY format, op""".stripMargin,
     "x_multimodal_bytes" ->
       """SELECT format, count(*) AS n_media,
         | sum(strlen(text))::BIGINT AS total_bytes,
