@@ -211,6 +211,15 @@ object Dedup {
     * Output: one row per near-dup cluster — (representative = min
     * member, cluster size, sorted '|'-joined member list).
     */
+  private def dbg(msg: => String): Unit =
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_TIMING"))
+      System.err.println(s"[graft-timing] $msg")
+
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    dbg(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = minhashVerifiedPairs(spark, sfDir)
       .filter(col("jaccard") >= 0.8)
@@ -220,24 +229,52 @@ object Dedup {
     // verify pipeline (lazily, so construction still launches no jobs)
     val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    val labels =
-      if (spark.conf.getOption("spark.graft.ccAlgorithm").contains("starcontract"))
-        starContractLabels(bidir)
-      else fixpointLabels(bidir)
-    val result = labels
-      .groupBy("label")
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .select(
-        col("label").as("keep_id"),
-        size(col("members")).as("cluster_size"),
-        concat_ws("|", col("members").cast("array<string>")).as("members"))
-      .orderBy("keep_id")
-    // one row per cluster — collect locally so no cache outlives the
-    // call (this is model-sized output extraction, not a data collect)
-    val localRows = result.collect()
-    labels.unpersist()
-    bidir.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
+    // materialize the edge cache as its own job so the candidate
+    // pipeline runs exactly once (the propagation rounds and the final
+    // aggregation then read cached edges, never the lineage)
+    timed("edge materialize")(bidir.count())
+    // The propagation loop and cluster aggregation operate on the LABEL
+    // set (candidate docs only — orders of magnitude smaller than the
+    // corpus), so their shuffles are sized to that set, not to the
+    // corpus-scale default: the explicit setting removes the fixed
+    // per-round task-launch overhead that AQE's in-job coalescing
+    // cannot. Restored in the finally; the same ratio applies at lake
+    // scale (label-set shuffles want far fewer partitions than corpus
+    // scans).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
+    // AQE's per-exchange stage materialization + re-plan is pure
+    // overhead on label-set-sized shuffles whose partitioning is
+    // already right-sized above — each propagation round has ~3
+    // exchanges, and the fixed AQE cost per exchange dominates the
+    // actual work. (The corpus-scale candidate pipeline above this
+    // point keeps AQE: there it earns its keep.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val labels =
+        if (spark.conf.getOption("spark.graft.ccAlgorithm").contains("starcontract"))
+          timed("starContractLabels")(starContractLabels(bidir))
+        else timed("fixpointLabels")(fixpointLabels(bidir))
+      val result = labels
+        .groupBy("label")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .select(
+          col("label").as("keep_id"),
+          size(col("members")).as("cluster_size"),
+          concat_ws("|", col("members").cast("array<string>")).as("members"))
+        .orderBy("keep_id")
+      // one row per cluster — collect locally so no cache outlives the
+      // call (this is model-sized output extraction, not a data collect)
+      val localRows = timed("clusterCollect")(result.collect())
+      labels.unpersist()
+      spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      bidir.unpersist()
+    }
   }
 
   /** Min-label propagation to a fixpoint — the default algorithm.
@@ -263,11 +300,13 @@ object Dedup {
         .cache()
       // ONE job: materializes `next` and decides convergence (labels
       // only ever decrease, so changed ⇔ new < old)
-      changed = next.where(col("label") < col("old_label")).count()
+      changed = timed(s"round $rounds")(
+        next.where(col("label") < col("old_label")).count())
       labels.unpersist() // superseded round: release executor storage
       labels = next
       rounds += 1
     }
+    dbg(s"fixpoint rounds: $rounds")
     labels
   }
 
