@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior + plan-shape assertions for the corpus-curation operators.
+  * Correctness vs DuckDB is the driver gate's job; these specs pin the
+  * properties the oracle can't see: selection bounds, packing
+  * invariants, merge classification totals, and shuffle counts.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+    case other => other +: other.children.flatMap(collectPlans)
+  }
+
+  test("stratified sample rates follow the per-source ladder") {
+    val rows = Curation.stratifiedSample(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val idx = r.getString(0).drop(3).toInt
+      val total = r.getLong(1)
+      val sampled = r.getLong(2)
+      val rate = (idx + 1) * 0.05
+      assert(sampled <= total)
+      // binomial tolerance at tiny strata: ±4·sqrt(n·p·(1-p)) + 1
+      val tol = 4 * math.sqrt(total * rate * (1 - rate)) + 1
+      assert(math.abs(sampled - total * rate) <= tol,
+        s"src$idx: sampled $sampled of $total at nominal rate $rate")
+    }
+  }
+
+  test("stratified sample is a single-agg plan: no join, one shuffle") {
+    val plan = Curation.stratifiedSample(spark, sf).queryExecution.executedPlan
+    val nodes = collectPlans(plan)
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("join")),
+      "hash-gated sampling must not join")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected group-by (+order-by) shuffles only, got $shuffles")
+  }
+
+  test("source mixing respects every quota") {
+    val rows = Curation.mixSources(spark, sf).collect()
+    rows.foreach { r =>
+      val selected = r.getLong(1)
+      val quota = r.getLong(3)
+      assert(selected <= quota, s"${r.getString(0)}: $selected > quota $quota")
+      assert(quota > 0)
+    }
+    // at sf0.001 every stratum is smaller than its quota, so the mix
+    // keeps all docs of every positive-quota source
+    assert(rows.map(_.getLong(1)).sum <= 500)
+  }
+
+  test("sequence packing: pack token sums reconcile and bound overflow") {
+    val packs = Curation.packSequences(spark, sf).collect()
+    val totalTokens = packs.map(_.getLong(3)).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val expected = docs.select(
+      sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))).collect()(0).getLong(0)
+    assert(totalTokens === expected, "every token lands in exactly one pack")
+    assert(packs.forall(_.getLong(2) >= 1))
+    // a doc is assigned to the pack where its offset STARTS, so a pack
+    // overfills by at most one straddling doc (max doc length bound)
+    val maxDoc = docs.select(max(size(split(trim(col("text")), "\\s+")))).collect()(0).getInt(0)
+    assert(packs.forall(_.getLong(3) <= 2048L + maxDoc))
+  }
+
+  test("merge upsert classifies every key exactly once") {
+    val rows = Curation.mergeUpsert(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val n = docs.count()
+    val updates = docs.filter(col("doc_id") % 7 === 0).count()
+    val inserts = docs.filter(col("doc_id") % 13 === 0).count()
+    assert(rows("update") === updates)
+    assert(rows("insert") === inserts)
+    assert(rows("keep") === n - updates)
+    assert(rows.values.sum === n + inserts)
+  }
+
+  test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
+    val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
+    val nodes = collectPlans(plan)
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "merge must be a key equi-join")
+    assert(nodes.exists(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("ShuffledHashJoin") || n.nodeName.contains("BroadcastHashJoin")),
+      s"expected an equi-join node in:\n$plan")
+  }
+}
