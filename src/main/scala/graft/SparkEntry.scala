@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, BenchOps, Bucketing, Curation, Dedup, Multimodal, Similarity, Skew, TextOps}
+import graft.operators.{Analytics, BenchOps, Bucketing, Curation, Dedup, Multimodal, Similarity, Skew, TextOps, ZOrder}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
     Analytics.registry ++ Dedup.registry ++ Similarity.registry ++
       TextOps.registry ++ BenchOps.registry ++ EventStreams.registry ++
       Multimodal.registry ++ Bucketing.registry ++ Skew.registry ++
-      Curation.registry
+      Curation.registry ++ ZOrder.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Analytics.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ BenchOps.oracles ++ EventStreams.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ Skew.oracles ++
-      Curation.oracles
+      Curation.oracles ++ ZOrder.oracles
 }

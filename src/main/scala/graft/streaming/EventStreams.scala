@@ -315,10 +315,62 @@ object EventStreams {
       round(avg((col("ts_us") - col("last_view_ts")) / 1000000.0), 4).as("avg_gap_s"))
   }
 
+  /** Stream-static enrichment join + windowed aggregation — the
+    * canonical streaming-ETL shape: an unbounded event stream joined to
+    * a slowly-changing dimension, then aggregated per window.
+    *
+    * The dimension is COMPUTED (a per-user value tier from a batch
+    * aggregate), not a toy literal map, and its tier thresholds compare
+    * exact integer-cent sums (`sum(round(value·100))` vs `n·4500`) so
+    * the classification is order-independent and bit-identical in the
+    * DuckDB oracle — no float-mean boundary flakes.
+    *
+    * Plan/scale shape: a stream-static equi-join is STATELESS — Spark
+    * re-plans the static side into each micro-batch (broadcast here,
+    * since the dim is per-user-small; shuffle if it weren't), so no
+    * join state accumulates; only the windowed agg holds state, bounded
+    * by the watermark. At 100 TB the dim would be a compacted lake
+    * table refreshed between micro-batches — same plan.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+        count(lit(1)).as("n_ev"))
+      .select(col("user_id"),
+        when(col("cents") < col("n_ev") * 4500L, lit("low"))
+          .when(col("cents") > col("n_ev") * 5500L, lit("high"))
+          .otherwise(lit("mid")).as("tier"))
+    val src = eventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src.join(dim, "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_sj_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("tier"), col("n"), col("sum_value"))
+      .orderBy("bucket", "tier")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
     "w3_asof_join" -> asofJoin _,
+    "x_stream_join" -> streamStaticJoin _,
     "x_stream_window" -> streamWindow _,
     "x_stream_window_append" -> streamWindowAppend _,
     "x_stream_dedup" -> streamDedup _,
@@ -341,6 +393,17 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "x_stream_join" ->
+      """WITH dim AS (
+        | SELECT user_id,
+        |  CASE WHEN sum(round(value * 100)::BIGINT) < count(*) * 4500 THEN 'low'
+        |       WHEN sum(round(value * 100)::BIGINT) > count(*) * 5500 THEN 'high'
+        |       ELSE 'mid' END AS tier
+        | FROM events GROUP BY user_id)
+        |SELECT strftime(time_bucket(INTERVAL '10 minutes', e.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | d.tier, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2 ORDER BY bucket, tier""".stripMargin,
     // append mode emits each real window exactly once after the
     // watermark passes it — the total output equals the batch answer
     "x_stream_window_append" ->
