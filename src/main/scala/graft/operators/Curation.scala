@@ -182,11 +182,87 @@ object Curation {
       .orderBy("action")
   }
 
+  // ---------------------------------------------------------------- //
+  // Test-set contamination
+  // ---------------------------------------------------------------- //
+
+  private val EvalMod = 97L // doc_id ≡ 0 (mod 97) plays the held-out eval set
+  private val HotDocFreq = 100L // shingles in more docs than this are stopword-level
+  private val ContaminationMin = 5L // shared distinct shingles ⇒ contaminated
+
+  /** Benchmark-contamination detection: flag training docs that share
+    * ≥ [[ContaminationMin]] distinct word-3-gram shingles with any doc
+    * of a held-out eval set — the overlap check every serious training
+    * corpus runs against its benchmark suites before training.
+    *
+    * Plan shape is an inverted-index join: shingles are hashed to 60-bit
+    * ints (the join/shuffle key is 8 bytes, never shingle text), the
+    * eval set's distinct shingle hashes form the small side, and
+    * stopword-level shingles (document frequency > [[HotDocFreq]]) are
+    * anti-joined away FIRST — that cap is the skew guard: one viral
+    * shingle would otherwise fan a single join key across the corpus.
+    * Work is O(corpus shingles + collisions), never corpus × eval.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("source"), h60("s").as("hs"))
+    val hot = ex.groupBy("hs").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > HotDocFreq).select("hs")
+    val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("hs").distinct()
+    val shared = ex.filter(col("doc_id") % EvalMod =!= 0)
+      .join(hot, Seq("hs"), "left_anti")
+      .join(evalSh, Seq("hs"), "left_semi")
+      .groupBy("doc_id", "source")
+      .agg(countDistinct("hs").as("shared"))
+    shared.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_overlapping"),
+        sum(when(col("shared") >= ContaminationMin, 1L).otherwise(0L)).as("n_contaminated"),
+        max("shared").as("max_shared"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Embedding quantization
+  // ---------------------------------------------------------------- //
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage cut an embedding store takes before anything else at
+    * 100 TB. Per vector: `scale = max|x| / 127`, `q_i = round(x_i /
+    * scale)`. The verification output aggregates per label in exact
+    * integer space (component sums of q, L1 mass, nano-quantized scale
+    * sums), so it is order-independent and bit-identical cross-engine —
+    * float reductions would not be.
+    *
+    * Scale: one narrow projection pass (the q vectors never shuffle;
+    * only the per-label integer partials do). The per-label sum of q is
+    * the numerator of a quantized centroid — [[Similarity]]'s
+    * label-centroid op in int8 space.
+    */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      // greatest(·, 1e-30) guards the all-zero vector identically in
+      // both engines (q collapses to 0 there either way)
+      .withColumn("scale", expr("greatest(array_max(transform(v, x -> abs(x))) / 127.0d, 1e-30d)"))
+      .withColumn("q", expr("transform(v, x -> cast(round(x / scale) as bigint))"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(expr("aggregate(q, 0L, (a, x) -> a + x)")).as("q_sum"),
+        sum(expr("aggregate(q, 0L, (a, x) -> a + abs(x))")).as("q_l1"),
+        sum(expr("cast(round(scale * 1e9) as bigint)")).as("scale_nanos"))
+      .orderBy("label")
+
   val registry: Map[String, Q] = Map(
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
+    "x_contamination" -> contamination _,
+    "x_emb_quantize" -> quantizeEmbeddings _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,6 +297,42 @@ object Curation {
          |SELECT packer, (cum - tokens) // $PackBudget AS pack_id,
          | count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens
          |FROM packed GROUP BY packer, pack_id ORDER BY packer, pack_id""".stripMargin,
+    "x_contamination" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |ex AS (
+         | SELECT doc_id, source, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, source, unnest(sh) AS s FROM t)),
+         |hot AS (
+         | SELECT hs FROM (SELECT hs, count(DISTINCT doc_id) AS df FROM ex GROUP BY hs)
+         | WHERE df > $HotDocFreq),
+         |ev AS (SELECT DISTINCT hs FROM ex WHERE doc_id % $EvalMod = 0),
+         |shared AS (
+         | SELECT e.doc_id, e.source, count(DISTINCT e.hs) AS shared
+         | FROM ex e JOIN ev USING (hs)
+         | WHERE e.doc_id % $EvalMod <> 0 AND e.hs NOT IN (SELECT hs FROM hot)
+         | GROUP BY e.doc_id, e.source)
+         |SELECT source, count(*) AS n_overlapping,
+         | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         | max(shared) AS max_shared
+         |FROM shared GROUP BY source ORDER BY source""".stripMargin,
+    "x_emb_quantize" ->
+      """WITH q AS (
+        | SELECT label,
+        |  list_transform(v, x -> round(x / scale)::BIGINT) AS qv, scale
+        | FROM (
+        |  SELECT label, v,
+        |   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale
+        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)))
+        |SELECT label, count(*) AS n_vecs,
+        | sum(list_sum(qv))::BIGINT AS q_sum,
+        | sum(list_sum(list_transform(qv, x -> abs(x))))::BIGINT AS q_l1,
+        | sum(round(scale * 1e9)::BIGINT)::BIGINT AS scale_nanos
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
     "x_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |batch AS (

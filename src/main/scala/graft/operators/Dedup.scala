@@ -94,7 +94,7 @@ object Dedup {
     *    per row — a 3.4× win on the shingle stage — while keeping the
     *    construction expression-identical for the DuckDB oracles.
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))

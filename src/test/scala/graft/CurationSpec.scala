@@ -87,6 +87,38 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.values.sum === n + inserts)
   }
 
+  test("contamination join is keyed on shingle hashes, never a cartesian") {
+    val df = Curation.contamination(spark, sf)
+    val nodes = collectPlans(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+      n.nodeName.contains("CartesianProduct")),
+      "inverted-index contamination must stay an equi-join")
+    val rows = df.collect()
+    // shared-vocabulary corpus: some corpus/eval shingle collisions exist
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "contaminated ⊆ overlapping")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("int8 quantization stays in range and reconstructs the max component") {
+    val rows = Curation.quantizeEmbeddings(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val n = r.getLong(1); val l1 = r.getLong(3)
+      assert(l1 <= 127L * 64L * n, "every |q_i| must be <= 127")
+      assert(l1 > 0)
+    }
+    // spot-check one vector end to end
+    import org.apache.spark.sql.functions._
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val scale = v.map(math.abs).max / 127.0
+    val q = v.map(x => math.round(x / scale))
+    assert(q.map(math.abs).max === 127L, "max-|x| component quantizes to exactly ±127")
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)
