@@ -195,26 +195,34 @@ object Curation {
     * of a held-out eval set — the overlap check every serious training
     * corpus runs against its benchmark suites before training.
     *
-    * Plan shape is an inverted-index join: shingles are hashed to 60-bit
-    * ints (the join/shuffle key is 8 bytes, never shingle text), the
-    * eval set's distinct shingle hashes form the small side, and
-    * stopword-level shingles (document frequency > [[HotDocFreq]]) are
-    * anti-joined away FIRST — that cap is the skew guard: one viral
-    * shingle would otherwise fan a single join key across the corpus.
-    * Work is O(corpus shingles + collisions), never corpus × eval.
+    * Plan shape is an inverted-index join: shingles are hashed to
+    * 60-bit ints (the join/shuffle key is 8 bytes, never shingle
+    * text); ONE aggregation pass classifies every shingle hash —
+    * document frequency and eval membership together — and only the
+    * eval'd shingles under the [[HotDocFreq]] cap survive as the join's
+    * small side. The cap is the skew guard: one viral stopword shingle
+    * would otherwise fan a single join key across the corpus. Work is
+    * O(corpus shingles + collisions), never corpus × eval.
     */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Dedup.shingled(spark, sfDir)
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("source"), h60("s").as("hs"))
-    val hot = ex.groupBy("hs").agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") > HotDocFreq).select("hs")
-    val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("hs").distinct()
+    // ONE aggregation pass over the exploded shingles classifies every
+    // shingle hash (document frequency + eval membership); the eval'd,
+    // non-hot survivors are the only shingles the corpus side joins
+    // against. Shingles are distinct per doc (array_distinct upstream),
+    // so plain counts are distinct-doc counts — no distinct buffers.
+    val evalShingles = ex.groupBy("hs")
+      .agg(
+        count(lit(1)).as("df"),
+        max(when(col("doc_id") % EvalMod === 0, 1).otherwise(0)).as("ev"))
+      .filter(col("df") <= HotDocFreq && col("ev") === 1)
+      .select("hs")
     val shared = ex.filter(col("doc_id") % EvalMod =!= 0)
-      .join(hot, Seq("hs"), "left_anti")
-      .join(evalSh, Seq("hs"), "left_semi")
+      .join(evalShingles, Seq("hs"), "left_semi")
       .groupBy("doc_id", "source")
-      .agg(countDistinct("hs").as("shared"))
+      .agg(count(lit(1)).as("shared"))
     shared.groupBy("source")
       .agg(
         count(lit(1)).as("n_overlapping"),

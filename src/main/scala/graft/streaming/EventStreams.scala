@@ -366,9 +366,56 @@ object EventStreams {
       .orderBy("bucket", "tier")
   }
 
+  /** Stream-STREAM interval join — view→click attribution: every click
+    * joined to the views of the same user in the preceding 30 minutes,
+    * both sides unbounded streams. This is the stateful-join shape
+    * stream-static cannot express: BOTH sides buffer, and the time
+    * bound + watermarks are what let Spark EVICT buffered rows (a
+    * stream-stream join without them accumulates state forever — the
+    * difference between a demo and something that survives an unbounded
+    * stream). Inner-join matches emit eagerly per micro-batch, so
+    * drive-to-completion needs no sentinel flush; the joined rows land
+    * in the sink and the per-user attribution summary is a batch
+    * aggregate over it, oracle-checked against the equivalent batch
+    * interval join.
+    *
+    * Scale: state is O(events inside the watermark+interval horizon)
+    * per side, shuffled on user_id — the join key must be in the
+    * condition (it is) or Spark would buffer both streams in full.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(tp: String, pre: String) = eventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tp)
+      .select(col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"),
+        col("value").as(s"${pre}_value"))
+      .withWatermark(s"${pre}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val views = side("view", "v")
+    val joined = clicks.join(views, expr(
+      "c_user = v_user AND v_ts >= c_ts - interval 30 minutes AND v_ts <= c_ts"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_ssj_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("c_value") + col("v_value")), 2).as("pair_value"))
+      .orderBy("user_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
+    "x_stream_stream_join" -> streamStreamJoin _,
     "w3_asof_join" -> asofJoin _,
     "x_stream_join" -> streamStaticJoin _,
     "x_stream_window" -> streamWindow _,
@@ -393,6 +440,14 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "x_stream_stream_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_pairs,
+        | round(sum(c.value + v.value), 2) AS pair_value
+        |FROM events c JOIN events v
+        | ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
     "x_stream_join" ->
       """WITH dim AS (
         | SELECT user_id,

@@ -9,6 +9,44 @@ class PlansSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the win of a selective dim filter is realized on the
+    // FACT side by Spark's InjectRuntimeFilter: a bloom filter built
+    // from the filtered dim keys is pushed into the fact scan, dropping
+    // non-joining rows before the shuffle. The size thresholds that
+    // gate it are lake-scale; lower them to prove the mechanism engages
+    // on our join shape (shuffle join + selective creation side).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter") ||
+        optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n$optimized")
+      // and it must not change the answer
+      val expected = lineitem.join(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.collect()(0).getLong(0) === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scale-mode rule rewrites exact percentile to the bounded-memory sketch") {
     spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
     try {
