@@ -220,7 +220,90 @@ object TextOps {
       .orderBy("source", "term")
   }
 
+  /** Intra-document repetition (a Gopher-style quality gate): the
+    * fraction of word-3-grams that are repeats of an earlier 3-gram in
+    * the same doc. Heavily repetitive docs (boilerplate, templated spam)
+    * score high and get filtered before training.
+    *
+    * Parity discipline: ratios are integer parts-per-million over
+    * SUMMED integer counts (`(n3 - d3)·1e6 div n3`) and the per-doc
+    * flag is the integer cross-multiplication `(n3 - d3)·5 > n3`
+    * (repeat fraction > 20%) — no float averaging anywhere, so the
+    * aggregate is order-independent and exact in both engines.
+    * Scale: one projection pass + a per-source integer aggregate.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("sh", expr(
+        """transform(array(tokens), ts ->
+          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
+          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin))
+      .select(
+        col("source"),
+        size(col("sh")).cast("bigint").as("n3"),
+        size(array_distinct(col("sh"))).cast("bigint").as("d3"))
+    per.groupBy("source")
+      .agg(
+        sum("n3").as("total_3grams"),
+        sum("d3").as("distinct_3grams"),
+        expr("((sum(n3) - sum(d3)) * 1000000) div sum(n3)").as("dup_ppm"),
+        sum(when((col("n3") - col("d3")) * 5 > col("n3"), 1L).otherwise(0L))
+          .as("n_repetitive"))
+      .orderBy("source")
+  }
+
+  private val SurpriseMicroNats = 4000000L // ≈ -ln p of a rare-ish token
+
+  /** Unigram-LM surprise scoring — the cheap perplexity proxy of corpus
+    * filtering, as the classic two-pass "train on the corpus, score the
+    * corpus" shape: pass 1 aggregates the unigram counts (the model),
+    * pass 2 joins every token occurrence back to the model and averages
+    * per-token surprise `-ln p(t)` per document.
+    *
+    * Parity discipline: surprise is quantized to integer MICRO-NATS per
+    * token BEFORE summing (`round((ln(total) - ln(cnt))·1e6)`), so
+    * per-doc and per-source reductions are exact integer arithmetic in
+    * any order; the 1-ulp `ln` differences between engines vanish in
+    * the quantization (a flip would need ln to land within 5e-13 of a
+    * half-micro boundary).
+    *
+    * Scale: the model is a (token, count) aggregate — a few MB for a
+    * real vocabulary — joined back hash-partitioned; per-token work
+    * never shuffles document text. A production pass hashes tokens to
+    * 64-bit before the join (8-byte keys) exactly as
+    * [[graft.operators.Curation.contamination]] does.
+    */
+  def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val model = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    // corpus token total: one exact integer scalar — model-sized
+    // extraction (like IVF centroids), becomes a plan literal that the
+    // oracle recomputes identically as a subquery
+    val total = toks.count()
+    val modelWithTotal = model
+      .withColumn("micro_nats",
+        expr(s"cast(round((ln(cast($total as double)) - ln(cast(cnt as double))) * 1000000) as bigint)"))
+      .select("t", "micro_nats")
+    val perDoc = toks.join(modelWithTotal, "t")
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("avg_micro_nats").as("sum_avg_micro_nats"),
+        sum(when(col("avg_micro_nats") > SurpriseMicroNats, 1L).otherwise(0L))
+          .as("n_high_surprise"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_text_repetition" -> repetition _,
+    "x_text_unigram_lm" -> unigramSurprise _,
     "x_pipeline_select" -> pipelineSelect _,
     "x_text_chunks" -> chunkDocs _,
     "x_text_tfidf" -> tfidfTopTerms _,
@@ -231,6 +314,35 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_text_repetition" ->
+      """WITH per AS (
+        | SELECT source, len(sh)::BIGINT AS n3, len(list_distinct(sh))::BIGINT AS d3
+        | FROM (SELECT source,
+        |   list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |     i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        |  FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)))
+        |SELECT source, sum(n3)::BIGINT AS total_3grams, sum(d3)::BIGINT AS distinct_3grams,
+        | (((sum(n3) - sum(d3)) * 1000000) // sum(n3))::BIGINT AS dup_ppm,
+        | sum(CASE WHEN (n3 - d3) * 5 > n3 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    "x_text_unigram_lm" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, source,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         | FROM documents),
+         |model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |scored AS (
+         | SELECT t, round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+         | FROM model, tot),
+         |per_doc AS (
+         | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+         | FROM toks JOIN scored USING (t) GROUP BY doc_id, source)
+         |SELECT source, count(*) AS n_docs,
+         | sum(avg_micro_nats)::BIGINT AS sum_avg_micro_nats,
+         | sum(CASE WHEN avg_micro_nats > $SurpriseMicroNats THEN 1 ELSE 0 END)::BIGINT AS n_high_surprise
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "x_pipeline_select" ->
       """WITH base AS (
         | SELECT doc_id, source, length(text) AS len,

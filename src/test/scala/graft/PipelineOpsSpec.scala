@@ -191,6 +191,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === 500)
   }
 
+  test("repetition ratios are exact integer parts-per-million within bounds") {
+    val rows = TextOps.repetition(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (n3, d3, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d3 <= n3 && ppm >= 0 && ppm <= 1000000)
+      assert(ppm === (n3 - d3) * 1000000L / n3)
+    }
+  }
+
+  test("unigram surprise: word-soup docs centre near the vocabulary entropy") {
+    val rows = TextOps.unigramSurprise(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val n = r.getLong(1); val sumAvg = r.getLong(2); val high = r.getLong(3)
+      assert(high <= n)
+      // avg per-token surprise must sit between ln(1) and ln(total):
+      // micro-nat scale sanity for the quantization
+      assert(sumAvg > 0 && sumAvg / n < 20000000L)
+    }
+  }
+
   test("append-mode windowed stream equals the complete-mode answer for all closed windows") {
     val append = EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
     val complete = EventStreams.streamWindow(spark, sf).collect().map(_.toString)
