@@ -95,8 +95,7 @@ object Dedup {
     *    construction expression-identical for the DuckDB oracles.
     */
   private[operators] def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("shingles", array_distinct(expr(
         """transform(array(tokens), ts ->
@@ -221,18 +220,39 @@ object Dedup {
   }
 
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = minhashVerifiedPairs(spark, sfDir)
+    // Cache the ONE-DIRECTIONAL edge set and materialize it before
+    // deriving the bidirectional view: a union of two projections of an
+    // UNCACHED frame executes the whole shingle→band→verify lineage
+    // once per branch (and a cache pins a no-AQE subplan around both),
+    // which measured 2-3× the cost of the pipeline itself. Caching
+    // upstream of the union runs the expensive pipeline exactly once;
+    // bidir is then two cheap cache reads per round.
+    val edgePlan = minhashVerifiedPairs(spark, sfDir)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
-    // cache the edge set: every propagation round joins against it, and
-    // without caching each round would re-run the whole shingle→band→
-    // verify pipeline (lazily, so construction still launches no jobs)
+    // Verified-near-dup edge graphs are orders of magnitude smaller
+    // than the corpus (banding selectivity + the Jaccard ≥ 0.8 gate),
+    // and component formation over a model-sized graph is pure fixed
+    // job overhead as a distributed loop (~1 s/round here for dozens
+    // of edges). The `auto` path collects up to ccLocalMaxEdges+1 edges
+    // — model extraction, like IVF centroids — in ONE fully-AQE job
+    // (a cache here would pin a no-AQE subplan around the verify joins,
+    // measured 3× the pipeline's own cost) and runs union-find on the
+    // driver. Graphs that exceed the bound fall back to the distributed
+    // loops, and `spark.graft.ccAlgorithm` forces them (the identity is
+    // spec-asserted across all three).
+    val localMax = spark.conf.getOption("spark.graft.ccLocalMaxEdges")
+      .map(_.toLong).getOrElse(1L << 20)
+    val algo = spark.conf.getOption("spark.graft.ccAlgorithm").getOrElse("auto")
+    if (algo == "auto") {
+      val collected = timed("edge collect")(
+        edgePlan.limit(localMax.toInt + 1).collect())
+      if (collected.length <= localMax)
+        return timed("localUnionFind")(localClusters(spark, collected))
+    }
+    val edges = edgePlan.cache()
+    timed("edge materialize")(edges.count())
     val bidir = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    // materialize the edge cache as its own job so the candidate
-    // pipeline runs exactly once (the propagation rounds and the final
-    // aggregation then read cached edges, never the lineage)
-    timed("edge materialize")(bidir.count())
     // The propagation loop and cluster aggregation operate on the LABEL
     // set (candidate docs only — orders of magnitude smaller than the
     // corpus), so their shuffles are sized to that set, not to the
@@ -254,7 +274,7 @@ object Dedup {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val labels =
-        if (spark.conf.getOption("spark.graft.ccAlgorithm").contains("starcontract"))
+        if (algo == "starcontract")
           timed("starContractLabels")(starContractLabels(bidir))
         else timed("fixpointLabels")(fixpointLabels(bidir))
       val result = labels
@@ -273,8 +293,47 @@ object Dedup {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      bidir.unpersist()
+      edges.unpersist()
     }
+  }
+
+  /** Driver-side union-find over a collected model-sized edge list —
+    * the `auto` fast path of [[nearDupClusters]]. Path compression +
+    * union by attaching the larger root under the smaller keeps the
+    * min-id representative invariant the distributed algorithms share;
+    * output rows are built to the identical (keep_id, cluster_size,
+    * members) schema and ordering.
+    */
+  private def localClusters(spark: SparkSession, edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.Set.empty[Long]
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      // smaller root wins: representatives are component minima
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = nodes.toSeq.groupBy(find).toSeq
+      .map { case (root, ms) =>
+        val members = ms.sorted
+        Row(root, members.length, members.mkString("|"))
+      }
+      .sortBy(_.getLong(0))
+    val schema = StructType(Seq(
+      StructField("keep_id", LongType, nullable = false),
+      StructField("cluster_size", IntegerType, nullable = false),
+      StructField("members", StringType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Min-label propagation to a fixpoint — the default algorithm.
@@ -440,8 +499,7 @@ object Dedup {
   private def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     // same single-scan-partition hazard as [[shingled]]: fan the docs
     // out across cores before the per-token md5 work
-    val tok = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val tok = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
       .select(col("doc_id"), md5(col("t")).as("hx"))
@@ -518,7 +576,11 @@ object Dedup {
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.{dot_product, l2_norm}
     val g = GridBlocks
-    val e = Tables.embeddings(spark, sfDir)
+    // fan the scan across cores: the grid join below is broadcast (no
+    // shuffle on this side), so parallelism would otherwise be capped
+    // at the input split count — one split for a small file, leaving
+    // the O(n²/G²)-per-cell dot-product loop on a single core
+    val e = Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2_norm(col("v")))
       .withColumn("blk", pmod(col("vec_id"), lit(g)).cast("int"))

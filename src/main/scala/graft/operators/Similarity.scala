@@ -41,9 +41,13 @@ object Similarity {
   private def norm(a: String): Column =
     graft.functions.VectorExpressions.l2_norm(col(a))
 
-  /** Corpus with vectors as array<double> plus precomputed L2 norm. */
+  /** Corpus with vectors as array<double> plus precomputed L2 norm,
+    * fanned out across cores ([[Tables.fanOut]]) — every consumer runs
+    * O(corpus·dims) fused-loop work per row, which a single scan split
+    * would serialize.
+    */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm("v"))
 

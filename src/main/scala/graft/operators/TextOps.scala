@@ -36,8 +36,7 @@ object TextOps {
     * ahead of CPU-bound row work.
     */
   private def padded(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
 
   /** Token counting: whitespace tokens + a BPE-ish word/number/punct
@@ -233,8 +232,7 @@ object TextOps {
     * Scale: one projection pass + a per-source integer aggregate.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val per = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("sh", expr(
         """transform(array(tokens), ts ->
@@ -276,8 +274,7 @@ object TextOps {
     * [[graft.operators.Curation.contamination]] does.
     */
   def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
     val model = toks.groupBy("t").agg(count(lit(1)).as("cnt"))

@@ -26,7 +26,13 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("near-dup clusters: converged components with canonical representatives") {
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val rows = Dedup.nearDupClusters(spark, sf).collect()
+    // force the distributed fixpoint loop (the `auto` default serves
+    // model-sized graphs with driver union-find) so the loop's cache
+    // contract stays exercised
+    spark.conf.set("spark.graft.ccAlgorithm", "fixpoint")
+    val rows =
+      try Dedup.nearDupClusters(spark, sf).collect()
+      finally spark.conf.unset("spark.graft.ccAlgorithm")
     // memory contract: every propagation round and the edge set are
     // unpersisted before return; only the tiny materialized result
     // (one row per cluster) may remain cached
@@ -52,18 +58,21 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"edge (${e.getLong(0)}, ${e.getLong(1)}) spans two clusters"))
   }
 
-  test("star-contraction connected components match the fixpoint loop exactly") {
-    // the Kiveris et al. large-star/small-star swap is the documented
-    // lake-scale algorithm; same clusters, no leaked caches
-    val fixpoint = Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
+  test("all three component algorithms produce identical clusters") {
+    // `auto` (driver union-find on model-sized graphs), the fixpoint
+    // loop, and the Kiveris et al. large-star/small-star swap must
+    // agree exactly; starcontract additionally must not leak caches
+    val auto = Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
+    def forced(algo: String): Seq[String] = {
+      spark.conf.set("spark.graft.ccAlgorithm", algo)
+      try Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.ccAlgorithm")
+    }
+    assert(forced("fixpoint") === auto, "fixpoint must match the union-find fast path")
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    spark.conf.set("spark.graft.ccAlgorithm", "starcontract")
-    try {
-      val star = Dedup.nearDupClusters(spark, sf).collect().map(_.toString).toSeq
-      assert(star === fixpoint, "starcontract must produce identical clusters")
-      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
-      assert(leaked.isEmpty, s"starcontract leaked ${leaked.size} cached RDDs")
-    } finally spark.conf.unset("spark.graft.ccAlgorithm")
+    assert(forced("starcontract") === auto, "starcontract must produce identical clusters")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"starcontract leaked ${leaked.size} cached RDDs")
   }
 
   test("simhash candidates have small hamming distance at the top") {
