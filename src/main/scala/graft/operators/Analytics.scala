@@ -435,6 +435,47 @@ object Analytics {
       .orderBy("status", "priority")
   }
 
+  /** A9 — GROUPING SETS with an arbitrary (non-rollup) set list:
+    * ((status, priority), (priority), ()) — the (priority) slice is NOT
+    * on the rollup path of [[a8Rollup]], which is what distinguishes
+    * the operator. Parity discipline: sums are grouped per set, so the
+    * same round(…, 2) applies per output row in both engines.
+    */
+  def a9GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** W5 — running (cumulative) total per key: the classic ordered
+    * window accumulation. Parity discipline: the accumulated value is
+    * integer CENTS (`round(price·100)` per row), so partial-sum order —
+    * Spark's running frame vs DuckDB's segment tree — cannot produce
+    * ulp drift; the decimal view divides the exact total once at the
+    * end. Scale: one hash-partition shuffle on the key, in-partition
+    * sort, single pass — no self-join formulation.
+    */
+  def w5RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum("cents").over(w).as("cum_cents"))
+      .withColumn("cum_total", round(col("cum_cents") / 100.0, 2))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** O1/O2 — sort + top-k (notebook cell 25; src/table_viewer.cc:24-26).
     * Spark plans ORDER BY + LIMIT as TakeOrderedAndProject: no global
     * sort, one reduction — the shape that survives 100 TB.
@@ -611,6 +652,7 @@ object Analytics {
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
     "a8_rollup" -> a8Rollup _,
+    "a9_grouping_sets" -> a9GroupingSets _,
     "r1_melt" -> r1Melt _,
     "o1_topk" -> o1TopK _,
     "o3_sorted_distinct" -> o3SortedDistinct _,
@@ -620,6 +662,7 @@ object Analytics {
     "sql1_pricing_summary" -> sql1PricingSummary _,
     "w1_rank_topn" -> w1RankTopN _,
     "w4_range_join" -> w4RangeJoin _,
+    "w5_running_total" -> w5RunningTotal _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
@@ -814,6 +857,20 @@ object Analytics {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "a9_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "w5_running_total" ->
+      """SELECT o_custkey, o_orderkey, cum_cents,
+        | round(cum_cents / 100.0, 2) AS cum_total FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  sum(round(o_totalprice * 100)::BIGINT) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS cum_cents
+        | FROM orders WHERE o_custkey < 50)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r1_melt" ->
       """SELECT operation, round(sum(val), 2) AS total, count(*) AS n FROM (
         | SELECT 'l_quantity' AS operation, l_quantity AS val FROM lineitem

@@ -132,22 +132,34 @@ object Dedup {
     * ([[bucketExpr]]) → explode bands → self-join on (band, bucket) →
     * distinct candidate pairs → exact Jaccard on shingle sets → top 20.
     */
-  /** All verified candidate pairs with exact Jaccard (no limit) — the
-    * edge set shared by [[minhashLsh]] (top-20 view) and
-    * [[nearDupClusters]] (cluster formation).
+  /** (doc_id, band, bucket) LSH postings from a [[shingled]] frame:
+    * base hash per shingle → 16 affine minhash slots as ONE codegen'd
+    * groupBy-min aggregate (map-side combined; the shuffle carries 16
+    * longs per doc, never shingles) → 4 bands packed into single
+    * BIGINT buckets ([[bucketExpr]]). Shared by the self-join pair
+    * generation ([[minhashVerifiedPairs]]) and the batch-vs-base join
+    * ([[incrementalDedup]]).
     */
-  private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(spark, sfDir)
+  private def bandedBuckets(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr(baseHashSql("s")).as("h"))
     val minAggs = affine.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $P")).as(s"m$i") }
     val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(j => expr(bucketExpr(j))): _*))
         .as(Seq("band", "bucket")))
+  }
+
+  /** All verified candidate pairs with exact Jaccard (no limit) — the
+    * edge set shared by [[minhashLsh]] (top-20 view) and
+    * [[nearDupClusters]] (cluster formation).
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val banded = bandedBuckets(docs)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -635,7 +647,97 @@ object Dedup {
       .limit(20)
   }
 
+  /** END-TO-END dedup application — the step that turns detection into
+    * a curated corpus: per source, how many docs survive after (1)
+    * exact dedup (keep the min doc_id per content hash) and (2)
+    * near-dup pruning (drop non-representative members of the verified
+    * Jaccard ≥ 0.8 clusters, applied to the exact-dedup survivors).
+    *
+    * Scale: the exact pass is the [[exactKeep]] hash-groupBy; the
+    * near-dup member list is cluster output — model-sized by
+    * construction (one row per clustered doc), so its join back to the
+    * corpus broadcasts. The corpus itself is touched by exactly one
+    * scan + one md5-keyed shuffle.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ex = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val keepers = ex.groupBy("fp").agg(min("doc_id").as("keeper"))
+    // non-representative members of near-dup clusters: cluster output
+    // is one row per cluster (driver-sized); exploding members yields
+    // the removal list, broadcast back against the corpus
+    val nearMembers = nearDupClusters(spark, sfDir)
+      .select(col("keep_id"), explode(split(col("members"), "\\|")).as("m"))
+      .select(col("keep_id"), col("m").cast("long").as("doc_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("near_member"))
+    ex.join(keepers, "fp")
+      .join(broadcast(nearMembers), Seq("doc_id"), "left")
+      .select(col("source"),
+        (col("doc_id") =!= col("keeper")).as("removed_exact"),
+        coalesce(col("near_member"), lit(false)).as("nm"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("removed_exact"), 1L).otherwise(0L)).as("n_removed_exact"),
+        sum(when(!col("removed_exact") && col("nm"), 1L).otherwise(0L)).as("n_removed_neardup"),
+        sum(when(!col("removed_exact") && !col("nm"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Incremental (batch-vs-base) dedup — the ingestion-time shape: a
+    * NEW batch (here doc_id ≡ 4 mod 5, ~20% of the corpus) is checked
+    * against the EXISTING base only, classifying each new doc as
+    * exact_dup (content hash already in the base), near_dup (banded
+    * minhash collision with a base doc, verified Jaccard ≥ 0.8), or
+    * unique.
+    *
+    * Scale: this is the shape that avoids re-deduping the lake on
+    * every ingest — the batch's band postings join the base's postings
+    * on (band, bucket), so cost is O(batch·bands + collisions), and at
+    * 100 TB the base postings are a pre-built, bucket-partitioned
+    * index the batch probes (same layout idea as
+    * [[Similarity.lshBucketedTopK]]).
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val isNew = (c: Column) => pmod(c, lit(5)) === 4
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val baseFp = fp.filter(!isNew(col("doc_id"))).select("fp").distinct()
+    val exactIds = fp.filter(isNew(col("doc_id")))
+      .join(baseFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    val banded = bandedBuckets(docs)
+    val cand = banded.filter(isNew(col("doc_id"))).as("n")
+      .join(banded.filter(!isNew(col("doc_id"))).as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("base_id"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    val nearIds = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(sh.select(col("doc_id").as("base_id"), col("shingles").as("sh_o")), "base_id")
+      .filter(round(
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))), 6) >= 0.8)
+      .select(col("new_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("is_near"))
+    docs.select(col("doc_id")).filter(isNew(col("doc_id")))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("is_exact"), lit(false)), "exact_dup")
+          .when(coalesce(col("is_near"), lit(false)), "near_dup")
+          .otherwise("unique").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("status")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_dedup_apply" -> dedupApply _,
+    "x_dedup_incremental" -> incrementalDedup _,
     "x_dedup_embedding" -> embeddingCosine _,
     "x_dedup_embedding_lsh" -> embeddingCosineLsh _,
     "x_dedup_exact" -> exactStats _,
@@ -717,7 +819,60 @@ object Dedup {
     * documents table — the same cross-engine-recompute discipline
     * x_dedup_ngram_jaccard already applies to shingles.
     */
+  /** The cluster-label CTE chain shared by the clusters and apply
+    * oracles (appended after [[minhashOracleCtes]] under WITH
+    * RECURSIVE).
+    */
+  private val clusterLabelCtes: String =
+    s"""edges AS (
+       | SELECT p.doc_a, p.doc_b
+       | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b
+       | WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+       |bidir AS (SELECT doc_a, doc_b FROM edges UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+       |walk(doc_id, label) AS (
+       | SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM bidir
+       | UNION
+       | SELECT e.doc_a AS doc_id, w.label FROM bidir e JOIN walk w ON w.doc_id = e.doc_b),
+       |labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |$clusterLabelCtes,
+         |ex AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM ex GROUP BY fp),
+         |flags AS (
+         | SELECT e.source, e.doc_id <> k.keeper AS removed_exact,
+         |  coalesce(l.doc_id <> l.label, FALSE) AS nm
+         | FROM ex e JOIN keepers k ON k.fp = e.fp
+         | LEFT JOIN labels l ON l.doc_id = e.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         | sum(CASE WHEN removed_exact THEN 1 ELSE 0 END)::BIGINT AS n_removed_exact,
+         | sum(CASE WHEN NOT removed_exact AND nm THEN 1 ELSE 0 END)::BIGINT AS n_removed_neardup,
+         | sum(CASE WHEN NOT removed_exact AND NOT nm THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+    "x_dedup_incremental" ->
+      s"""WITH $minhashOracleCtes,
+         |fpx AS (SELECT doc_id, md5(text) AS fp, doc_id % 5 = 4 AS is_new FROM documents),
+         |exact_ids AS (
+         | SELECT b.doc_id FROM fpx b
+         | WHERE b.is_new AND EXISTS (SELECT 1 FROM fpx o WHERE NOT o.is_new AND o.fp = b.fp)),
+         |icand AS (
+         | SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS base_id
+         | FROM banded n JOIN banded o ON n.band = o.band AND n.bucket = o.bucket
+         | WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4),
+         |near_ids AS (
+         | SELECT DISTINCT c.new_id AS doc_id FROM icand c
+         | JOIN t ta ON ta.doc_id = c.new_id JOIN t tb ON tb.doc_id = c.base_id
+         | WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+         |cls AS (
+         | SELECT f.doc_id,
+         |  CASE WHEN f.doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact_dup'
+         |       WHEN f.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+         |       ELSE 'unique' END AS status
+         | FROM fpx f WHERE f.is_new)
+         |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM cls GROUP BY status ORDER BY status""".stripMargin,
     "x_dedup_minhash" ->
       s"""WITH $minhashOracleCtes
          |SELECT p.doc_a, p.doc_b,
@@ -726,16 +881,7 @@ object Dedup {
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "x_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashOracleCtes,
-         |edges AS (
-         | SELECT p.doc_a, p.doc_b
-         | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b
-         | WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
-         |bidir AS (SELECT doc_a, doc_b FROM edges UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
-         |walk(doc_id, label) AS (
-         | SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM bidir
-         | UNION
-         | SELECT e.doc_a AS doc_id, w.label FROM bidir e JOIN walk w ON w.doc_id = e.doc_b),
-         |labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id)
+         |$clusterLabelCtes
          |SELECT label AS keep_id, count(*)::INT AS cluster_size,
          | string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS members
          |FROM labels GROUP BY label ORDER BY keep_id""".stripMargin,

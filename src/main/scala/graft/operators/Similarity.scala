@@ -302,7 +302,41 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** k-NN GRAPH construction (k=3) over the whole corpus — the
+    * all-vectors generalization of [[lshTopK]] that embedding-cluster
+    * and graph-based curation pipelines consume: every vector's top-3
+    * approximate neighbors from its LSH band collisions, exact-cosine
+    * ranked.
+    *
+    * Scale: candidate generation is the banded self-join (O(n·bands)
+    * postings, hash-partitioned on (band, bval)) — never all pairs —
+    * and the re-rank touches only collision rows. Deterministic
+    * hyperplanes make the whole graph oracle-checkable like the other
+    * LSH paths.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedCorpus(spark, sfDir)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val e = corpus(spark, sfDir)
+    val scored = pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("vs"), col("nrm").as("ns")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("vd"), col("nrm").as("nd")), "dst")
+      .withColumn("sim", round(dot("vs", "vd") / (col("ns") * col("nd")), 4))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"), col("sim"), col("rk"))
+      .orderBy("vec_id", "rk")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_emb_knn_graph" -> knnGraph _,
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
@@ -412,6 +446,20 @@ object Similarity {
     * quantizer retrains bit-identically cross-engine ([[ivfOracle]]).
     */
   val oracles: Map[String, String] = Map(
+    "x_emb_knn_graph" ->
+      s"""WITH $lshOracleCtes,
+         |gpairs AS (
+         | SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+         |scored AS (
+         | SELECT p.src, p.dst,
+         |  round(list_cosine_similarity(es.v, ed.v), 4) AS sim
+         | FROM gpairs p JOIN e es ON es.vec_id = p.src JOIN e ed ON ed.vec_id = p.dst)
+         |SELECT src AS vec_id, dst AS neighbor_id, sim, rk::INT AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY src
+         |   ORDER BY sim DESC, dst ASC) AS rk FROM scored)
+         |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,

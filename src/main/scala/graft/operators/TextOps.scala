@@ -252,6 +252,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Filter FUNNEL observability — the per-stage survivor counts a
+    * curation pipeline reports while narrowing a corpus: total → length
+    * gate → language gate → repetition gate (Gopher-style 3-gram
+    * duplicate fraction ≤ 20%) → exact-dedup keeper. Each stage is
+    * cumulative (a doc must pass every earlier gate), so the row reads
+    * as the funnel. One projection pass + one fingerprint-keyed window
+    * + one scalar aggregate — the same single-pass shape as
+    * [[pipelineSelect]], reported as counts instead of rows.
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("sh", expr(
+        """transform(array(tokens), ts ->
+          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
+          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin))
+      .select(
+        col("doc_id"),
+        (col("n_chars") >= 150).as("len_ok"),
+        (col("lang") === "en").as("lang_ok"),
+        ((size(col("sh")) - size(array_distinct(col("sh")))) * 5 <= size(col("sh"))).as("rep_ok"),
+        md5(col("text")).as("fp"))
+    val w = Window.partitionBy("fp")
+    per.withColumn("keep_ok", col("doc_id") === min("doc_id").over(w))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len"),
+        sum(when(col("len_ok") && col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("len_ok") && col("lang_ok") && col("rep_ok"), 1L).otherwise(0L)).as("n_rep"),
+        sum(when(col("len_ok") && col("lang_ok") && col("rep_ok") && col("keep_ok"), 1L)
+          .otherwise(0L)).as("n_final"))
+  }
+
   private val SurpriseMicroNats = 4000000L // ≈ -ln p of a rare-ish token
 
   /** Unigram-LM surprise scoring — the cheap perplexity proxy of corpus
@@ -299,6 +333,7 @@ object TextOps {
   }
 
   val registry: Map[String, Q] = Map(
+    "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
     "x_text_unigram_lm" -> unigramSurprise _,
     "x_pipeline_select" -> pipelineSelect _,
@@ -311,6 +346,27 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_filter_funnel" ->
+      """WITH per AS (
+        | SELECT doc_id,
+        |  n_chars >= 150 AS len_ok,
+        |  lang = 'en' AS lang_ok,
+        |  (len(sh) - len(list_distinct(sh))) * 5 <= len(sh) AS rep_ok,
+        |  md5(text) AS fp
+        | FROM (SELECT doc_id, lang, n_chars, text,
+        |   list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |     i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, text,
+        |        regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))),
+        |flags AS (
+        | SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep_ok FROM per)
+        |SELECT count(*) AS n_total,
+        | sum(CASE WHEN len_ok THEN 1 ELSE 0 END)::BIGINT AS n_len,
+        | sum(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+        | sum(CASE WHEN len_ok AND lang_ok AND rep_ok THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+        | sum(CASE WHEN len_ok AND lang_ok AND rep_ok AND keep_ok THEN 1 ELSE 0 END)::BIGINT AS n_final
+        |FROM flags""".stripMargin,
     "x_text_repetition" ->
       """WITH per AS (
         | SELECT source, len(sh)::BIGINT AS n3, len(list_distinct(sh))::BIGINT AS d3

@@ -113,4 +113,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
     assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
   }
+
+  test("a9 grouping sets includes the priority-only slice rollup lacks") {
+    val rows = Analytics.a9GroupingSets(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head.getLong(2) === Tables.orders(spark, sf).count())
+    // the (priority) slice: status=ALL with a concrete priority — the
+    // set a rollup of (status, priority) never emits
+    val prioritySlice = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+    assert(prioritySlice.nonEmpty)
+    assert(prioritySlice.map(_.getLong(2)).sum === grand.head.getLong(2))
+  }
+
+  test("w5 running total ends at each key's exact total") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.w5RunningTotal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the window accumulates in (o_orderdate, o_orderkey) order, so per
+    // key the LARGEST cumulative value must equal the key's full sum of
+    // integer cents, recomputed independently
+    val totals = Tables.orders(spark, sf).filter(col("o_custkey") < 50)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (k, rs) =>
+      assert(rs.map(_.getLong(2)).max === totals(k),
+        s"custkey $k: final cumulative cents must equal the key total")
+      // prices are positive, so all prefix sums are distinct
+      assert(rs.map(_.getLong(2)).distinct.length === rs.length)
+    }
+  }
 }

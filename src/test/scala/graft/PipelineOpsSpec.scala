@@ -254,4 +254,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.length === 3) // image / audio / video
   }
+
+  test("dedup apply: per-source removal counts reconcile exactly") {
+    val rows = Dedup.dedupApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"source ${r.getString(0)}: n_docs must equal removed_exact + removed_neardup + kept")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    // the corpus plants duplicates, so something must be removed
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum > 0)
+  }
+
+  test("incremental dedup classifies every new-batch doc exactly once") {
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    val statuses = rows.map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("exact_dup", "near_dup", "unique")))
+    val batchSize = Tables.documents(spark, sf)
+      .filter("doc_id % 5 = 4").count()
+    assert(rows.map(_.getLong(1)).sum === batchSize)
+  }
+
+  test("knn graph: at most k neighbors per vector, no self edges, ranked") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "no self edges")
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length <= 3)
+      // ranks are dense from 1 and similarity is nonincreasing in rank
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length))
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+    // candidate generation must stay an equi-join, never a BNLJ
+    val plan = Similarity.knnGraph(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "knn graph must not plan a BNLJ")
+  }
+
+  test("filter funnel narrows monotonically and keeps at least one doc") {
+    val r = TextOps.filterFunnel(spark, sf).collect()(0)
+    val counts = (0 to 4).map(r.getLong)
+    assert(counts === counts.sorted.reverse, s"funnel must narrow: $counts")
+    assert(counts.last > 0)
+    assert(counts.head === Tables.documents(spark, sf).count())
+  }
 }
