@@ -435,6 +435,47 @@ object Analytics {
       .orderBy("status", "priority")
   }
 
+  /** J4 — dynamic partition pruning: a status-PARTITIONED orders layout
+    * joined to a tiny dimension whose filter (`label = 'done'`) only
+    * resolves to partition keys at runtime, so Catalyst injects a
+    * DynamicPruningSubquery on the fact scan and only the matching
+    * partition directories are read (spec-asserted). This is THE
+    * read-path mechanism for star joins at 100 TB: the dimension
+    * filter, not a literal, decides which fact partitions exist in the
+    * scan. The layout is fingerprint-keyed on the source
+    * ([[graft.sources.LayoutCache]]) and reused across calls, so the
+    * query measures the pruned join, not the write.
+    */
+  def j4DppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/orders.parquet")
+    val out = s"/root/repo/target/graft-work/dpp/orders_by_status_" +
+      s"${new java.io.File(sfDir).getName}_$fp"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      Tables.orders(spark, sfDir)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    // the dimension must be a real datasource: a filtered 3-row
+    // LocalRelation is constant-folded by ConvertToLocalRelation,
+    // leaving no Filter node for DPP's selectivity heuristic — with a
+    // parquet dim the filter survives and the pruning subquery injects
+    val dimPath = s"$out/_dim_status"
+    if (!fs.exists(new Path(s"$dimPath/_SUCCESS"))) {
+      import spark.implicits._
+      Seq(("F", "done"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    val dim = spark.read.parquet(dimPath)
+    spark.read.parquet(out)
+      .join(broadcast(dim.filter(col("label") === "done")),
+        col("o_orderstatus") === col("status"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A9 — GROUPING SETS with an arbitrary (non-rollup) set list:
     * ((status, priority), (priority), ()) — the (priority) slice is NOT
     * on the rollup path of [[a8Rollup]], which is what distinguishes
@@ -663,6 +704,7 @@ object Analytics {
     "w1_rank_topn" -> w1RankTopN _,
     "w4_range_join" -> w4RangeJoin _,
     "w5_running_total" -> w5RunningTotal _,
+    "j4_dpp_join" -> j4DppJoin _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
@@ -857,6 +899,12 @@ object Analytics {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "j4_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN (VALUES ('F', 'done'), ('O', 'open'), ('P', 'pending')) d(status, label)
+        | ON o_orderstatus = d.status
+        |WHERE d.label = 'done'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a9_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

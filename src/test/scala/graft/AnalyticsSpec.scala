@@ -144,4 +144,17 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(2)).distinct.length === rs.length)
     }
   }
+
+  test("j4 dpp join prunes fact partitions via a dynamic pruning subquery") {
+    val df = Analytics.j4DppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "the partitioned fact scan must carry a DynamicPruningSubquery from the dim filter")
+    val rows = df.collect()
+    // pruned result equals the statically-filtered equivalent
+    val expected = Tables.orders(spark, sf).filter("o_orderstatus = 'F'")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === expected(r.getString(0))))
+  }
 }
