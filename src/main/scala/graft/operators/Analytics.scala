@@ -476,6 +476,52 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** J5 — anti join: customers with NO order above 300k, by segment.
+    * Spark plans left_anti as a broadcast/shuffled hash anti join on
+    * the key — the not-exists shape that at scale beats the
+    * outer-join-plus-null-filter formulation by never materializing
+    * matches.
+    */
+  def j5AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), min("c_custkey").as("min_custkey"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J6 — semi join: customers WITH at least one order above a price
+    * threshold, by segment. left_semi keeps the probe row on first
+    * match — no duplication from the many side, no post-join distinct.
+    */
+  def j6SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), min("c_custkey").as("min_custkey"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** W6 — ntile quartiles per group: per (priority, quartile) count and
+    * integer-cent price bounds. Deterministic: the window orders by
+    * (price, orderkey) so ties cannot shuffle rows across tiles.
+    */
+  def w6Ntile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** A9 — GROUPING SETS with an arbitrary (non-rollup) set list:
     * ((status, priority), (priority), ()) — the (priority) slice is NOT
     * on the rollup path of [[a8Rollup]], which is what distinguishes
@@ -705,6 +751,9 @@ object Analytics {
     "w4_range_join" -> w4RangeJoin _,
     "w5_running_total" -> w5RunningTotal _,
     "j4_dpp_join" -> j4DppJoin _,
+    "j5_anti_join" -> j5AntiJoin _,
+    "j6_semi_join" -> j6SemiJoin _,
+    "w6_ntile" -> w6Ntile _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
@@ -899,6 +948,26 @@ object Analytics {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "w6_ntile" ->
+      """SELECT o_orderpriority, quartile, count(*) AS n,
+        | min(cents) AS min_cents, max(cents) AS max_cents FROM (
+        | SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey) AS quartile
+        | FROM orders)
+        |GROUP BY o_orderpriority, quartile ORDER BY o_orderpriority, quartile""".stripMargin,
     "j4_dpp_join" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN (VALUES ('F', 'done'), ('O', 'open'), ('P', 'pending')) d(status, label)

@@ -157,4 +157,35 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) === expected(r.getString(0))))
   }
+
+  test("j5/j6 anti and semi joins partition customers at a common threshold") {
+    import org.apache.spark.sql.functions._
+    val total = Tables.customer(spark, sf).count()
+    val anti = Analytics.j5AntiJoin(spark, sf).collect().map(_.getLong(1)).sum
+    assert(anti > 0, "testdata must contain customers without a 300k order")
+    // complement at the same threshold: anti + semi must cover every customer
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi === total)
+    val j6 = Analytics.j6SemiJoin(spark, sf).collect().map(_.getLong(1)).sum
+    assert(j6 > 0 && j6 <= total)
+  }
+
+  test("w6 ntile balances quartiles within every priority") {
+    val rows = Analytics.w6Ntile(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.orders(spark, sf).count())
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 4), "4 quartiles per priority")
+      val counts = rs.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, "ntile must balance within 1 row")
+      // quartile price ranges must not overlap out of order
+      val byQ = rs.sortBy(_.getInt(1))
+      byQ.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(3) + 0,
+          "quartile max must not exceed next quartile min") // ties share cents
+        case _ =>
+      }
+    }
+  }
 }
