@@ -63,6 +63,25 @@ object Dedup {
   private def baseHashSql(valueExpr: String): String =
     s"cast(conv(substr(md5($valueExpr), 1, 15), 16, 10) as bigint) % $P"
 
+  /** The PRODUCTION base hash the md5 scaladoc promises: one xxhash64
+    * per shingle (codegen'd, no hex round-trip), reduced to [0, P).
+    * Selected by `spark.graft.fastHash=true` — candidate sets differ
+    * from the md5 family (different hash = different bands), but the
+    * exact-Jaccard verify is hash-independent, so every planted
+    * near-dup pair (J ≥ 0.8) is still caught with p≈0.99 per band
+    * family; PipelineOpsSpec asserts the verified strong-pair sets
+    * agree. Not oracle-checkable (DuckDB has no xxhash64 twin) — the
+    * default stays md5 so the sketch family keeps its hash-match
+    * oracles.
+    */
+  private def fastHashSql(valueExpr: String): String =
+    s"pmod(xxhash64($valueExpr), $P)"
+
+  private def baseHash(spark: SparkSession, valueExpr: String): String =
+    if (spark.conf.getOption("spark.graft.fastHash").contains("true"))
+      fastHashSql(valueExpr)
+    else baseHashSql(valueExpr)
+
   /** Band bucket j as ONE BIGINT join key: the 4 slot values (< 2^31)
     * pack pairwise into exact 62-bit ints (m·P + m'), xor-combined —
     * an 8-byte shuffle key where round 3 shuffled ~80-char strings.
@@ -143,7 +162,7 @@ object Dedup {
   private def bandedBuckets(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), expr(baseHashSql("s")).as("h"))
+      .select(col("doc_id"), expr(baseHash(docs.sparkSession, "s")).as("h"))
     val minAggs = affine.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $P")).as(s"m$i") }
     val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -190,6 +209,24 @@ object Dedup {
     minhashVerifiedPairs(spark, sfDir)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+
+  /** [[minhashLsh]] under the production hash family
+    * ([[fastHashSql]]): the documented lake-scale md5→xxhash64 swap as
+    * an executable, benchmarked path rather than a scaladoc promise.
+    * Registered rows-only (no cross-engine twin for xxhash64); the
+    * strong-pair agreement with the md5 family is spec-asserted.
+    */
+  def minhashLshFast(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.graft.fastHash")
+    spark.conf.set("spark.graft.fastHash", "true")
+    // the hash family is resolved at plan-construction time, so the
+    // conf can be restored as soon as the plan exists
+    try minhashLsh(spark, sfDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.fastHash", v)
+      case None => spark.conf.unset("spark.graft.fastHash")
+    }
+  }
 
   /** Near-dup CLUSTER formation — the step an actual dedup pipeline
     * needs after pairwise detection: connected components over the
@@ -743,6 +780,7 @@ object Dedup {
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,
+    "x_dedup_minhash_fast" -> minhashLshFast _,
     "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,

@@ -302,4 +302,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts.last > 0)
     assert(counts.head === Tables.documents(spark, sf).count())
   }
+
+  test("fast-hash minhash finds the same verified strong pairs as the md5 family") {
+    // different hash family => different candidate bands, but the
+    // exact-Jaccard verify is hash-independent: the planted near-dups
+    // (J >= 0.8) must be caught by both
+    def strong(df: org.apache.spark.sql.DataFrame) =
+      df.collect().filter(_.getDouble(2) >= 0.8)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = strong(Dedup.minhashLsh(spark, sf))
+    val fastPairs = strong(Dedup.minhashLshFast(spark, sf))
+    assert(md5Pairs.nonEmpty)
+    assert(fastPairs === md5Pairs,
+      "hash families must agree on verified strong pairs")
+    assert(spark.conf.getOption("spark.graft.fastHash").isEmpty,
+      "the fast variant must restore session conf")
+  }
 }
