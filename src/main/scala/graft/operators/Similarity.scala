@@ -188,24 +188,32 @@ object Similarity {
     }
 
     // deterministic, cross-engine-reproducible seeding: the K corpus
-    // vectors first in md5(vec_id) order (vec_id tie-break)
-    var cents: Seq[Array[Double]] = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
-    for (_ <- 1 to iters) {
-      val means = assignTo(cents)(base)
-        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .select(col("list_id"), col("pos"),
-          expr(s"cast(round(x * $IvfQ) as bigint)").as("xi"))
-        .groupBy("list_id", "pos").agg(sum("xi").as("s"), count(lit(1)).as("cnt"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (j, rs) =>
-          j -> rs.sortBy(_.getInt(1))
-            .map(r => r.getLong(2).toDouble / (r.getLong(3) * IvfQ).toDouble).toArray }
-      cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
-    }
+    // vectors first in md5(vec_id) order (vec_id tie-break). The
+    // corpus is cached ONLY for the training loop (seeding + `iters`
+    // assignment passes re-read it); released before the query plan is
+    // returned, so no cache outlives the call — the final probe pass
+    // recomputes the (cheap) scan lineage once.
+    val baseCached = base.cache()
+    val cents: Seq[Array[Double]] = try {
+      var c: Seq[Array[Double]] = baseCached
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
+      for (_ <- 1 to iters) {
+        val means = assignTo(c)(baseCached)
+          .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("list_id"), col("pos"),
+            expr(s"cast(round(x * $IvfQ) as bigint)").as("xi"))
+          .groupBy("list_id", "pos").agg(sum("xi").as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (j, rs) =>
+            j -> rs.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / (r.getLong(3) * IvfQ).toDouble).toArray }
+        c = c.indices.map(j => means.getOrElse(j, c(j)))
+      }
+      c
+    } finally baseCached.unpersist()
 
     val assigned = assignTo(cents)(base)
     // query probes its nprobe nearest lists (same argmin machinery,
