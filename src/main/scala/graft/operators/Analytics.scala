@@ -522,6 +522,32 @@ object Analytics {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** W7 — gap-filled resampling with forward fill, the time-series
+    * densification Spark has no native operator for, composed from
+    * primitives: per-key hourly bucket counts → a generated spine
+    * (`sequence(lo, hi)` exploded — each key's span, no cross join) →
+    * left join → `last(ignoreNulls)` ordered window for the
+    * carried-forward value. Buckets are integer hours since epoch, so
+    * both engines bucket identically. Scale: the spine is
+    * O(keys · span/step) rows generated, never materialized wider than
+    * the output; the fill is one hash-partition shuffle on the key.
+    */
+  def w7GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hb"))
+    val counts = ev.groupBy("user_id", "hb").agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy("user_id").agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("user_id"), explode(expr("sequence(lo, hi)")).as("hb"))
+    val w = Window.partitionBy("user_id").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(counts, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last("n", ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "hb")
+  }
+
   /** A9 — GROUPING SETS with an arbitrary (non-rollup) set list:
     * ((status, priority), (priority), ()) — the (priority) slice is NOT
     * on the rollup path of [[a8Rollup]], which is what distinguishes
@@ -754,6 +780,7 @@ object Analytics {
     "j5_anti_join" -> j5AntiJoin _,
     "j6_semi_join" -> j6SemiJoin _,
     "w6_ntile" -> w6Ntile _,
+    "w7_gapfill" -> w7GapFill _,
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
@@ -960,6 +987,19 @@ object Analytics {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "w7_gapfill" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 3600000000 AS hb
+        | FROM events WHERE user_id < 10),
+        |counts AS (SELECT user_id, hb, count(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb FROM span),
+        |j AS (SELECT s.user_id, s.hb, c.n
+        |      FROM spine s LEFT JOIN counts c USING (user_id, hb))
+        |SELECT user_id, hb, coalesce(n, 0)::BIGINT AS n_events,
+        | (last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hb
+        |   ROWS UNBOUNDED PRECEDING))::BIGINT AS filled
+        |FROM j ORDER BY user_id, hb""".stripMargin,
     "w6_ntile" ->
       """SELECT o_orderpriority, quartile, count(*) AS n,
         | min(cents) AS min_cents, max(cents) AS max_cents FROM (

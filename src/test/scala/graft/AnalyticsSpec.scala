@@ -188,4 +188,17 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("w7 gapfill densifies every key's span and carries values forward") {
+    val rows = Analytics.w7GapFill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val gaps = rows.count(_.getLong(2) == 0L)
+    assert(gaps > 0, "testdata has hour gaps, so filled rows must exist")
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val hbs = rs.map(_.getLong(1)).sorted
+      assert(hbs.last - hbs.head + 1 === hbs.length, "spine must be contiguous")
+      // the span starts at an observed bucket, so the fill is total
+      assert(rs.forall(!_.isNullAt(3)), "forward fill must cover every bucket")
+    }
+  }
 }
