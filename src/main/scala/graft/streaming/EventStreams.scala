@@ -102,6 +102,39 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** SLIDING-window twin of [[streamWindow]]: 20-minute windows sliding
+    * every 10 — each event contributes to exactly width/slide = 2
+    * overlapping windows, the shape rate/latency dashboards use.
+    * State per key is ×(width/slide) the tumbling cost, which is the
+    * scale knob to watch: the watermark still bounds it. The DuckDB
+    * oracle expands each event to its two window starts explicitly
+    * (epoch-aligned like Spark's window()) and aggregates.
+    */
+  def streamWindowSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_slide_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** Append-mode twin of [[streamWindow]] — the 100 TB shape: watermark
     * EVICTS window state and each window is emitted exactly once when
     * the watermark passes its end, instead of complete-mode's
@@ -419,6 +452,7 @@ object EventStreams {
     "w3_asof_join" -> asofJoin _,
     "x_stream_join" -> streamStaticJoin _,
     "x_stream_window" -> streamWindow _,
+    "x_stream_window_sliding" -> streamWindowSliding _,
     "x_stream_window_append" -> streamWindowAppend _,
     "x_stream_dedup" -> streamDedup _,
     "x_stream_sessions" -> statefulSessions _,
@@ -440,6 +474,18 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "x_stream_window_sliding" ->
+      """WITH e AS (
+        | SELECT ts, event_type, value,
+        |  time_bucket(INTERVAL '10 minutes', ts) AS b
+        | FROM events),
+        |w AS (
+        | SELECT event_type, value,
+        |  b - k * (INTERVAL '10 minutes') AS wstart
+        | FROM e, (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "x_stream_stream_join" ->
       """SELECT c.user_id AS user_id, count(*) AS n_pairs,
         | round(sum(c.value + v.value), 2) AS pair_value

@@ -318,4 +318,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spark.conf.getOption("spark.graft.fastHash").isEmpty,
       "the fast variant must restore session conf")
   }
+
+  test("sliding windows double-count every event exactly width/slide times") {
+    val rows = EventStreams.streamWindowSliding(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val events = Tables.events(spark, sf).count()
+    assert(total === 2 * events,
+      "20min/10min sliding windows must place every event in exactly 2 windows")
+  }
 }
