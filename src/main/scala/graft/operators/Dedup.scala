@@ -353,9 +353,26 @@ object Dedup {
     * output rows are built to the identical (keep_id, cluster_size,
     * members) schema and ordering.
     */
-  private def localClusters(spark: SparkSession, edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+  private[graft] def localClusters(spark: SparkSession, edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val rows = unionFindClusters(
+      edges.map(e => (e.getLong(0), e.getLong(1))))
+      .map { case (root, members) =>
+        Row(root, members.length, members.mkString("|")) }
+    val schema = StructType(Seq(
+      StructField("keep_id", LongType, nullable = false),
+      StructField("cluster_size", IntegerType, nullable = false),
+      StructField("members", StringType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The pure union-find kernel of [[localClusters]] — (root, sorted
+    * members) per component, roots = component minima, ordered by root.
+    * Spark-free so the property suite can sweep random graphs without
+    * paying a session round trip per graph.
+    */
+  private[graft] def unionFindClusters(edges: Array[(Long, Long)]): Array[(Long, Array[Long])] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -365,32 +382,41 @@ object Dedup {
       r
     }
     val nodes = scala.collection.mutable.Set.empty[Long]
-    edges.foreach { e =>
-      val (a, b) = (e.getLong(0), e.getLong(1))
+    edges.foreach { case (a, b) =>
       nodes += a; nodes += b
       val (ra, rb) = (find(a), find(b))
       // smaller root wins: representatives are component minima
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
-    val rows = nodes.toSeq.groupBy(find).toSeq
-      .map { case (root, ms) =>
-        val members = ms.sorted
-        Row(root, members.length, members.mkString("|"))
-      }
-      .sortBy(_.getLong(0))
-    val schema = StructType(Seq(
-      StructField("keep_id", LongType, nullable = false),
-      StructField("cluster_size", IntegerType, nullable = false),
-      StructField("members", StringType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    nodes.toSeq.groupBy(find).toSeq
+      .map { case (root, ms) => (root, ms.sorted.toArray) }
+      .sortBy(_._1)
+      .toArray
   }
+
+  /** Lineage-truncating leaf over an iterative round's result. Each
+    * round of the component loops references the previous round's frame
+    * several times (join + union / two star passes), and `.cache()`
+    * dedups EXECUTION but not ANALYSIS — the analyzer still walks the
+    * full logical tree, which grows k^rounds and hangs the driver on
+    * deep components (a 30-node path graph never finishes analysis by
+    * round ~25). Re-rooting the round as a `LogicalRDD` leaf keeps every
+    * round's plan constant-size while the explicit cache()/unpersist()
+    * discipline (spec-asserted: zero leaked persistent RDDs) manages the
+    * blocks. The Row round-trip this costs is confined to model-sized
+    * label/edge sets; `localCheckpoint` would avoid it but parks blocks
+    * until the ContextCleaner runs — unbounded residue over a long
+    * session.
+    */
+  private def truncated(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** Min-label propagation to a fixpoint — the default algorithm.
     * Returns a CACHED (doc_id, label) frame; the caller unpersists.
     */
-  private def fixpointLabels(bidir: DataFrame): DataFrame = {
+  private[graft] def fixpointLabels(bidir: DataFrame): DataFrame = {
     val members = bidir.select(col("doc_a").as("doc_id")).distinct()
-    var labels = members.withColumn("label", col("doc_id")).cache()
+    var labels = truncated(members.withColumn("label", col("doc_id"))).cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxPropagationRounds) {
@@ -399,12 +425,10 @@ object Dedup {
         .select(col("doc_a").as("doc_id"), col("nb_label").as("label"),
           // typed NULL: only the self-branch carries the previous label
           when(lit(false), col("nb_label")).as("old_label"))
-      val next = labels.select(col("doc_id"), col("label"), col("label").as("old_label"))
-        .union(viaEdge)
-        .groupBy("doc_id").agg(min("label").as("label"), max("old_label").as("old_label"))
-        // each round references the previous labels twice (join + union)
-        // and is itself read twice (convergence count + next round):
-        // caching keeps lineage linear instead of 2^rounds
+      val next = truncated(
+        labels.select(col("doc_id"), col("label"), col("label").as("old_label"))
+          .union(viaEdge)
+          .groupBy("doc_id").agg(min("label").as("label"), max("old_label").as("old_label")))
         .cache()
       // ONE job: materializes `next` and decides convergence (labels
       // only ever decrease, so changed ⇔ new < old)
@@ -438,7 +462,7 @@ object Dedup {
     * convergence the edges form stars rooted at component minima, so
     * the label map reads straight off the edge list.
     */
-  private def starContractLabels(bidir: DataFrame): DataFrame = {
+  private[graft] def starContractLabels(bidir: DataFrame): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = nbr.groupBy("u").agg(min("v").as("mn"))
@@ -464,14 +488,19 @@ object Dedup {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var e = bidir.filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // truncated + cache: one round references `e` ~8 times (two star
+    // passes, each union+groupBy+join over it), so without the
+    // lineage-truncating leaf the analyzed plan grows ~8^rounds and the
+    // driver hangs in the analyzer on multi-round graphs (see
+    // [[truncated]]).
+    var e = truncated(bidir.filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
       .cache()
     var sig = signature(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxPropagationRounds) {
-      val next = smallStar(largeStar(e)).cache()
+      val next = truncated(smallStar(largeStar(e))).cache()
       val nextSig = signature(next)
       e.unpersist()
       e = next

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based agreement of the connected-component implementations
+  * beyond the planted near-dup corpus (small cliques): random graphs
+  * with chains, cycles and disconnected noise for the union-find kernel
+  * (Spark-free, so hundreds of graphs cost milliseconds), plus one
+  * fixed adversarial graph (a long path — the diameter-sensitivity
+  * case — bridged cliques and isolated pairs) for the distributed
+  * loops, whose per-round Spark job cost rules out random sweeps in a
+  * unit suite.
+  */
+class ComponentsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    for {
+      n <- Gen.choose(2, 60) // node universe
+      m <- Gen.choose(1, 90) // edge count
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+
+  /** Reference partition via a second, structurally different
+    * implementation: label propagation over an adjacency map.
+    */
+  private def referenceComponents(edges: List[(Long, Long)]): Set[Set[Long]] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val comps = scala.collection.mutable.ListBuffer.empty[Set[Long]]
+    for (start <- adj.keys.toSeq.sorted if !seen(start)) {
+      val comp = scala.collection.mutable.Set.empty[Long]
+      val stack = scala.collection.mutable.Stack(start)
+      while (stack.nonEmpty) {
+        val v = stack.pop()
+        if (!comp(v)) { comp += v; seen += v; adj(v).foreach(stack.push) }
+      }
+      comps += comp.toSet
+    }
+    comps.toSet
+  }
+
+  test("union-find kernel matches BFS components on 300 random graphs") {
+    var seed = org.scalacheck.rng.Seed(42L)
+    for (_ <- 1 to 300) {
+      val edges = edgeListGen.apply(Gen.Parameters.default, seed)
+        .getOrElse(List((0L, 1L)))
+      seed = seed.next
+      if (edges.nonEmpty) {
+        val got = Dedup.unionFindClusters(edges.toArray)
+        assert(got.map(_._2.toSet).toSet === referenceComponents(edges),
+          s"union-find disagrees on $edges")
+        // representative invariant: root is the component minimum, and
+        // roots arrive sorted
+        got.foreach { case (root, members) => assert(members.min === root) }
+        assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq)
+      }
+    }
+  }
+
+  test("distributed loops agree with union-find on an adversarial graph") {
+    import spark.implicits._
+    // a 30-node path (worst case for diameter-bound propagation) plus
+    // two 5-cliques joined by a bridge, plus isolated pairs
+    val path = (0L until 29L).map(i => (i, i + 1)).toList
+    val cliqueA = (for (i <- 100L to 104L; j <- i + 1 to 104L) yield (i, j)).toList
+    val cliqueB = (for (i <- 200L to 204L; j <- i + 1 to 204L) yield (i, j)).toList
+    val bridge = List((104L, 200L))
+    val pairs = List((300L, 301L), (400L, 401L))
+    val edges = path ++ cliqueA ++ cliqueB ++ bridge ++ pairs
+    val expected = Dedup.unionFindClusters(edges.toArray).map(_._2.toSet).toSet
+    def labelsToComponents(rows: Array[org.apache.spark.sql.Row]): Set[Set[Long]] =
+      rows.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).toSet).toSet
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val df = edges.toDF("doc_a", "doc_b")
+      val bidir = df.union(df.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val fix = Dedup.fixpointLabels(bidir)
+      try assert(labelsToComponents(fix.collect()) === expected, "fixpoint disagrees")
+      finally fix.unpersist()
+      val star = Dedup.starContractLabels(bidir)
+      try assert(labelsToComponents(star.collect()) === expected, "starcontract disagrees")
+      finally star.unpersist()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+  }
+}
