@@ -144,6 +144,108 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Temperature-scaled mixture sampling
+  // ---------------------------------------------------------------- //
+
+  private val TempBudget = 2000L // docs in the temperature-mixed corpus
+
+  /** Temperature-scaled source mixing at T = 2: target_s ∝ √c_s, the
+    * standard dampening that upsamples rare sources relative to their
+    * raw share (multilingual/multi-source training mixes). The sample
+    * itself is the same hash-gate predicate as [[stratifiedSample]] —
+    * keep iff `h(doc_id) mod 1e6 < (1e6·target_s) div c_s` — so
+    * selection pushes to the scan and reproduces exactly on retry.
+    *
+    * Exactness discipline: the weight is `floor(sqrt(c_s))` — sqrt is
+    * correctly rounded per IEEE-754 on an exactly-representable integer,
+    * so the floor is bit-identical cross-engine — and every rate/quota
+    * step after it is integer arithmetic. No float thresholds anywhere
+    * near the keep decision.
+    *
+    * Scale: per-source counts are one map-side-combined aggregate; the
+    * 20-row rate table broadcasts; the gate is a pure row predicate.
+    * One corpus pass, no corpus shuffle — same shape at 100 TB.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .withColumn("isq", expr("cast(floor(sqrt(cast(c as double))) as bigint)"))
+      // Σ√c over all 20 sources — a 20-row unpartitioned window, not a
+      // second aggregate-and-join pass
+      .withColumn("wsum", sum("isq").over(Window.partitionBy(lit(0))))
+      .withColumn("target", expr(s"($TempBudget * isq) div wsum"))
+      .withColumn("thr", least(lit(1000000L), expr("(1000000 * target) div c")))
+    docs.join(broadcast(rates), "source")
+      .withColumn("sel", h60("cast(doc_id as string)") % 1000000L < col("thr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        min("target").as("target"),
+        min("thr").as("thr_ppm"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("doc_id"))).as("selected_id_sum"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Token-budget selection (global prefix sum)
+  // ---------------------------------------------------------------- //
+
+  private val TokenBudget = 30000L // whitespace tokens in the selected set
+  private val QBucketWidth = 20000L // quality-ppm per range bucket
+
+  /** Quality-ordered corpus selection to a global token budget: rank
+    * every doc by a quality score (unique-token ratio in exact ppm),
+    * take docs in descending order until the cumulative token count
+    * reaches [[TokenBudget]] — "keep the best N tokens", the final cut
+    * of a curation pipeline.
+    *
+    * A literal `sum() OVER (ORDER BY q DESC)` is a single-partition
+    * window — the classic 100 TB scale-killer. This is the two-phase
+    * distributed prefix sum instead: (1) coarsen q into ~50 range
+    * buckets (a monotone function of q, so bucket order refines to
+    * global order); per-bucket token totals are one tiny aggregate and
+    * the exclusive running offset over those ~50 rows is the only
+    * unpartitioned window — constant-size regardless of corpus scale.
+    * (2) the per-doc running sum is a window PARTITIONED by bucket
+    * (parallel, spill-safe), plus the broadcast bucket offset. Same
+    * selected set as the global window, no global sort, no single-
+    * partition shuffle. DuckDB's oracle runs the single-window
+    * formulation — the equivalence IS the correctness claim.
+    */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("toks")).cast("bigint").as("tokens"),
+        expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("q"))
+      .withColumn("bucket", expr(s"q div $QBucketWidth"))
+    val offsets = docs.groupBy("bucket").agg(sum("tokens").as("btokens"))
+      .withColumn("offset",
+        coalesce(
+          sum("btokens").over(Window.partitionBy(lit(0))
+            .orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "offset")
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + sum("tokens").over(w))
+      .filter(col("cum") <= TokenBudget)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_selected"),
+        sum("tokens").as("tokens_selected"),
+        min("q").as("min_q"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- //
   // CDC merge / upsert
   // ---------------------------------------------------------------- //
 
@@ -267,6 +369,8 @@ object Curation {
   val registry: Map[String, Q] = Map(
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
+    "x_mix_temperature" -> mixTemperature _,
+    "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
     "x_contamination" -> contamination _,
@@ -291,6 +395,38 @@ object Curation {
          |SELECT source, count(*) AS n_selected,
          | sum(n_chars)::BIGINT AS chars_selected, min(quota) AS quota
          |FROM ranked WHERE rk <= quota GROUP BY source ORDER BY source""".stripMargin,
+    "x_mix_temperature" ->
+      s"""WITH rates AS (
+         | SELECT source, count(*) AS c,
+         |  floor(sqrt(count(*)))::BIGINT AS isq
+         | FROM documents GROUP BY source),
+         |r2 AS (
+         | SELECT source, c, isq,
+         |  ($TempBudget * isq) // (SELECT sum(isq) FROM rates) AS target
+         | FROM rates),
+         |r3 AS (SELECT *, least(1000000, (1000000 * target) // c) AS thr FROM r2)
+         |SELECT d.source, count(*) AS n_total,
+         | min(r3.target) AS target, min(r3.thr) AS thr_ppm,
+         | sum(CASE WHEN ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < r3.thr
+         |   THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+         | sum(CASE WHEN ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < r3.thr
+         |   THEN d.doc_id END)::BIGINT AS selected_id_sum
+         |FROM documents d JOIN r3 USING (source)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "x_select_token_budget" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, source, len(toks)::BIGINT AS tokens,
+         |  (1000000 * len(list_distinct(toks))) // len(toks) AS q
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |cum AS (
+         | SELECT *, sum(tokens) OVER (ORDER BY q DESC, doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM docs)
+         |SELECT source, count(*) AS n_selected,
+         | sum(tokens)::BIGINT AS tokens_selected, min(q) AS min_q
+         |FROM cum WHERE cum <= $TokenBudget
+         |GROUP BY source ORDER BY source""".stripMargin,
     "x_pack_sequences" ->
       s"""WITH docs AS (
          | SELECT doc_id, ${h60Sql("doc_id::VARCHAR")} AS h,

@@ -632,6 +632,76 @@ object Dedup {
       .limit(20)
   }
 
+  private val SubstringGram = 8 // words per duplicated-span gram
+
+  /** Cross-document duplicated-span marking — the fixed-gram
+    * approximation of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, which uses
+    * a suffix array; a distributed corpus marks fixed-length gram hits
+    * instead and merges adjacent hits into spans). A word-8-gram that
+    * appears in ≥ 2 distinct documents is "duplicated"; every position
+    * covered by such a gram counts toward the doc's duplicated fraction
+    * (exact ppm), reported per source.
+    *
+    * Plan shape is the inverted index, not pairs: explode positions →
+    * hash grams to 60-bit ints (8-byte shuffle keys, never gram text) →
+    * ONE repartition on the gram hash, after which document frequency
+    * and the per-doc duplicated-position count are both computed
+    * in-partition: the (hash, doc) collapse and the df window are each
+    * satisfied by the hash partitioning, so no join-back over the gram
+    * set, no second scan of the gram pipeline, no distinct expand. The
+    * gram stream is stripped to 16-byte (hash, doc) rows before the
+    * shuffle — per-doc attributes (source, gram count) come from a
+    * separate narrow scan joined AFTER the per-doc rollup, when the
+    * frame is back to one row per document. Work is O(corpus grams);
+    * nothing is ever corpus × corpus.
+    *
+    * The gram hash is the FULL 60-bit md5 prefix — deliberately not
+    * [[baseHash]], whose mod-P reduction (right for the affine minhash
+    * family) would add collisions the oracle's unreduced hash doesn't
+    * have. `spark.graft.fastHash=true` swaps in one codegen'd raw
+    * xxhash64 per gram — the production configuration; marked positions
+    * then differ only via hash collisions (~2^-60).
+    */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= SubstringGram)
+    // per-doc attributes ride a separate narrow scan (no gram strings,
+    // no explode) and rejoin once the heavy side is doc-sized again
+    val stats = docs.select(col("doc_id"), col("source"),
+      (size(col("toks")) - (SubstringGram - 1)).cast("bigint").as("n_grams"))
+    val positions = docs
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${SubstringGram - 1}),
+           |  i -> concat_ws(' ', slice(toks, i, $SubstringGram)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), expr(
+        if (spark.conf.getOption("spark.graft.fastHash").contains("true")) "xxhash64(g)"
+        else "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("hg"))
+    // one partitioning serves the whole middle of the plan: the
+    // (hg, doc) collapse and the df window both cluster on hg
+    val perDocGram = positions.repartition(col("hg"))
+      .groupBy("hg", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    // rows are distinct per (hg, doc), so a plain count over the hg
+    // partition IS the distinct-document frequency — no distinct expand
+    val withDf = perDocGram.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("hg")))
+    withDf.groupBy("doc_id")
+      .agg(sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
+      .join(stats, Seq("doc_id"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_grams"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_grams").as("grams_total"),
+        sum("n_dup").as("grams_dup"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("n_docs_dup"),
+        max("dup_ppm").as("max_dup_ppm"))
+      .orderBy("source")
+  }
+
   private val GridBlocks = 8 // grid granularity for the exact all-pairs
   // theta join: each of the G(G+1)/2 cells compares (n/G)² vectors, so G
   // is the per-task-memory knob — at lake scale pick G ≈ n·rowBytes/task
@@ -813,6 +883,7 @@ object Dedup {
     "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
+    "x_dedup_substring" -> substringDedup _,
   )
 
   /** Shared DuckDB CTEs recomputing the minhash pipeline from the raw
@@ -1001,5 +1072,29 @@ object Dedup {
         | ON a.source = b.source AND (a.n_chars // 64) = (b.n_chars // 64)
         |  AND a.doc_id < b.doc_id
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "x_dedup_substring" ->
+      s"""WITH g AS (
+         | SELECT doc_id, source, (len(toks) - ${SubstringGram - 1})::BIGINT AS n_grams,
+         |  list_transform(range(1, len(toks) - ${SubstringGram - 1} + 1),
+         |    i -> array_to_string(toks[i:i+${SubstringGram - 1}], ' ')) AS grams
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)
+         | WHERE len(toks) >= $SubstringGram),
+         |pos AS (
+         | SELECT doc_id, source, n_grams,
+         |  ('0x' || substr(md5(gr), 1, 15))::BIGINT AS hg
+         | FROM (SELECT doc_id, source, n_grams, unnest(grams) AS gr FROM g)),
+         |dup AS (
+         | SELECT hg FROM (SELECT hg, count(DISTINCT doc_id) AS df FROM pos GROUP BY hg)
+         | WHERE df >= 2),
+         |perdoc AS (
+         | SELECT doc_id, source, n_grams,
+         |  sum(CASE WHEN hg IN (SELECT hg FROM dup) THEN 1 ELSE 0 END)::BIGINT AS n_dup
+         | FROM pos GROUP BY doc_id, source, n_grams)
+         |SELECT source, count(*) AS n_docs,
+         | sum(n_grams)::BIGINT AS grams_total, sum(n_dup)::BIGINT AS grams_dup,
+         | sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_dup,
+         | max((1000000 * n_dup) // n_grams) AS max_dup_ppm
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
   )
 }

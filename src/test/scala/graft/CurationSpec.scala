@@ -119,6 +119,65 @@ class CurationSpec extends AnyFunSuite {
     assert(q.map(math.abs).max === 127L, "max-|x| component quantizes to exactly ±127")
   }
 
+  test("temperature mix upsamples rare sources relative to their raw share") {
+    val rows = Curation.mixTemperature(spark, sf).collect()
+    assert(rows.length === 20)
+    // thr_ppm ∝ 1/√c: a strictly smaller source never gets a lower
+    // keep-rate than a larger one (monotone dampening is the point of
+    // temperature scaling)
+    val byCount = rows.map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    byCount.sliding(2).foreach { case Array((cA, thrA), (cB, thrB)) =>
+      if (cA < cB) assert(thrA >= thrB, s"thr must fall as source count grows: $cA→$thrA vs $cB→$thrB")
+    }
+    // targets spend (almost) the whole budget: Σ floor terms ≤ budget,
+    // and the floor rounding loses at most one doc per source
+    val targets = rows.map(_.getLong(2)).sum
+    assert(targets <= 2000L && targets >= 2000L - 20L, s"targets sum $targets")
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(1), "selected within stratum"))
+  }
+
+  test("token-budget selection: two-phase prefix sum equals the global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Curation.tokenBudgetSelect(spark, sf).collect()
+    // direct single-window formulation (the scale-killer we avoided)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("bigint").as("tokens"),
+        expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("q"))
+    val w = Window.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = docs.withColumn("cum", sum("tokens").over(w))
+      .filter(col("cum") <= 30000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("tokens").as("tokens_selected"),
+        min("q").as("min_q"))
+      .orderBy("source")
+      .collect()
+    assert(got.toSeq === direct.toSeq,
+      "bucketed prefix sum must select the identical set")
+    val totalSelected = got.map(_.getLong(2)).sum
+    assert(totalSelected > 0 && totalSelected <= 30000L,
+      s"selected token mass $totalSelected must respect the budget")
+  }
+
+  test("token-budget selection plan has no corpus-wide single-partition window") {
+    val plan = Curation.tokenBudgetSelect(spark, sf).queryExecution.executedPlan
+    val nodes = collectPlans(plan)
+    // every Window over the corpus must be partitioned (by bucket); the
+    // only unpartitioned window allowed is the ~50-row bucket-offset one,
+    // whose input is an aggregate, not the corpus scan
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    val corpusWindows = windows.filterNot(w =>
+      collectPlans(w).exists(_.nodeName.contains("HashAggregate")))
+    corpusWindows.foreach { w =>
+      assert(w.outputPartitioning.numPartitions > 1,
+        s"corpus window must be partitioned:\n$w")
+    }
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)

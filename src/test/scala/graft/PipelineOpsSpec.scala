@@ -326,4 +326,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(total === 2 * events,
       "20min/10min sliding windows must place every event in exactly 2 windows")
   }
+
+  test("substring dedup marks every position of exact-duplicate docs") {
+    val rows = Dedup.substringDedup(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "dup grams bounded by total grams")
+      assert(r.getLong(5) <= 1000000L, "ppm bounded")
+    }
+    // planted near/exact dups share 8-gram spans, so duplication exists
+    assert(rows.map(_.getLong(3)).sum > 0, "corpus plants duplicated spans")
+    // an exact-duplicate doc shares ALL its grams with its twin, so any
+    // source holding one must report a fully-duplicated doc (ppm = 1e6)
+    import org.apache.spark.sql.functions._
+    val twinSources = Tables.documents(spark, sf)
+      .groupBy("text").agg(collect_set("source").as("srcs"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(col("srcs")).as("source"))
+      .distinct().collect().map(_.getString(0)).toSet
+    rows.filter(r => twinSources(r.getString(0))).foreach { r =>
+      assert(r.getLong(5) === 1000000L,
+        s"${r.getString(0)} holds an exact twin; its max dup fraction must be 1e6 ppm")
+    }
+  }
 }
