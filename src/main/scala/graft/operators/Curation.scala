@@ -189,6 +189,34 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Train / validation / test split
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic 98/1/1 train/val/test assignment by document-id
+    * hash: `h(doc_id) mod 100` → <98 train, 98 val, 99 test. The same
+    * doc lands in the same split on every engine, retry and corpus
+    * re-shard — the property a held-out set exists to protect (a
+    * `rand()` split silently leaks documents across splits between
+    * runs). Output: per-split doc/token/char mass plus an id checksum.
+    *
+    * Scale: a pure projection predicate plus one 3-row aggregate; the
+    * assignment pushes to the scan like [[stratifiedSample]]'s gate.
+    */
+  def splitTrain(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(h60("cast(doc_id as string)") % 100L < 98L, lit("train"))
+          .when(h60("cast(doc_id as string)") % 100L === 98L, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("bigint")).as("tokens"),
+        sum("n_chars").as("chars"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("split")
+
+  // ---------------------------------------------------------------- //
   // Token-budget selection (global prefix sum)
   // ---------------------------------------------------------------- //
 
@@ -370,6 +398,7 @@ object Curation {
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
+    "x_split_train" -> splitTrain _,
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
@@ -413,6 +442,15 @@ object Curation {
          |   THEN d.doc_id END)::BIGINT AS selected_id_sum
          |FROM documents d JOIN r3 USING (source)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "x_split_train" ->
+      s"""SELECT CASE WHEN ${h60Sql("doc_id::VARCHAR")} % 100 < 98 THEN 'train'
+         |  WHEN ${h60Sql("doc_id::VARCHAR")} % 100 = 98 THEN 'val'
+         |  ELSE 'test' END AS split,
+         | count(*) AS n_docs,
+         | sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS tokens,
+         | sum(n_chars)::BIGINT AS chars,
+         | sum(doc_id)::BIGINT AS id_sum
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
     "x_select_token_budget" ->
       s"""WITH docs AS (
          | SELECT doc_id, source, len(toks)::BIGINT AS tokens,

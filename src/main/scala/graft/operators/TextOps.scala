@@ -332,7 +332,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val VocabTopK = 128 // largest coverage bucket (powers of 2)
+
+  /** Tokenizer-prep vocabulary induction: corpus word frequencies,
+    * ranked, with the token-coverage curve at top-{1,2,4,…,128} — the
+    * "how big must the seed vocab be" question answered before BPE
+    * training. Coverage is exact integer ppm of ALL corpus tokens.
+    *
+    * Scale: the frequency table is one map-side-combined aggregate
+    * (vocab-sized output); the top-K is `ORDER BY … LIMIT K` — planned
+    * as TakeOrderedAndProject, a per-partition heap + one reduction,
+    * never a global sort; the rank/cumulative windows then run over the
+    * K-row frame (constant-size single partition, like the bucket
+    * offsets in [[graft.operators.Curation.tokenBudgetSelect]]). The
+    * corpus total rides a 1-row aggregate cross join.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total_tokens"))
+    val byFreq = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("t"))
+    val ranked = counts.orderBy(col("cnt").desc, col("t")).limit(VocabTopK)
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum", sum("cnt").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = spark.range(0, 8)
+      .select(expr("shiftleft(1L, cast(id as int))").as("k"))
+    ks.join(ranked, col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(max(col("rank").cast("bigint")).as("n_words"),
+        max("cum").as("covered_tokens"))
+      .crossJoin(total)
+      .withColumn("coverage_ppm", expr("(1000000 * covered_tokens) div total_tokens"))
+      .select("k", "n_words", "covered_tokens", "coverage_ppm")
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
     "x_text_unigram_lm" -> unigramSurprise _,
@@ -346,6 +385,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_vocab_coverage" ->
+      s"""WITH toks AS (
+         | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         | FROM documents),
+         |counts AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |ranked AS (
+         | SELECT cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, t) AS rank,
+         |  sum(cnt) OVER (ORDER BY cnt DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM counts QUALIFY rank <= $VocabTopK),
+         |ks AS (SELECT (1::BIGINT << i) AS k FROM range(0, 8) r(i))
+         |SELECT k, max(rank) AS n_words, max(cum)::BIGINT AS covered_tokens,
+         | (1000000 * max(cum)) // (SELECT sum(cnt) FROM counts) AS coverage_ppm
+         |FROM ks JOIN ranked ON rank <= k
+         |GROUP BY k ORDER BY k""".stripMargin,
     "x_filter_funnel" ->
       """WITH per AS (
         | SELECT doc_id,

@@ -178,6 +178,17 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("train/val/test split partitions the corpus at the nominal rates") {
+    val rows = Curation.splitTrain(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("test", "train", "val"))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    val train = rows.find(_.getString(0) == "train").get.getLong(1)
+    // 98% ± binomial tolerance on 500 docs
+    assert(math.abs(train - total * 0.98) <= 4 * math.sqrt(total * 0.98 * 0.02) + 1,
+      s"train split $train of $total")
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)

@@ -327,6 +327,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       "20min/10min sliding windows must place every event in exactly 2 windows")
   }
 
+  test("vocab coverage curve is monotone and plans top-K as TakeOrdered") {
+    val df = TextOps.vocabCoverage(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3), "coverage must not decrease with k")
+      assert(a.getLong(2) <= b.getLong(2))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "n_words bounded by k")
+      assert(r.getLong(3) <= 1000000L)
+    }
+    // the word-soup vocabulary fits in the top-128, so coverage completes
+    assert(rows.last.getLong(3) === 1000000L, "full vocab ⇒ full coverage")
+    // top-K must be a per-partition heap, never a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "vocab top-K must plan as TakeOrderedAndProject")
+  }
+
   test("substring dedup marks every position of exact-duplicate docs") {
     val rows = Dedup.substringDedup(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
