@@ -176,12 +176,37 @@ object Multimodal {
         max(octet_length(col("media"))).as("max_bytes"))
       .orderBy("format")
 
+  /** Content-hash dedup over the binary media column — the first pass
+    * of any image/audio curation pipeline (identical bytes ⇒ identical
+    * media, no decode needed). One md5 per payload, keeper = min doc_id
+    * per fingerprint, per-format removal stats.
+    *
+    * Scale: the only shuffle is keyed on the 32-char fingerprint —
+    * media bytes never move; at 100 TB the hash is computed where the
+    * bytes were read and the keeper choice is a 16-byte-key aggregate.
+    * (Perceptual near-dup needs a real decoder — out of scope for the
+    * stub codec, whose "pixels" are themselves md5-derived.)
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .withColumn("fp", md5(col("media")))
+      .groupBy("format", "fp")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum("copies").as("n_media"),
+        (sum("copies") - count(lit(1))).as("n_removed"),
+        sum("keeper").as("keeper_id_sum"))
+      .orderBy("format")
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
     "x_multimodal_features" -> featureRollup _,
     "x_multimodal_bytes" -> byteStats _,
     "x_multimodal_transforms" -> transformRollup _,
+    "x_multimodal_dedup" -> mediaDedup _,
   )
 
   /** DuckDB re-decode of [[FakeCodec]]: md5 of the varchar hashes its
@@ -229,6 +254,15 @@ object Multimodal {
          | sum(out_bytes)::BIGINT AS total_out_bytes,
          | max(n_frames_kept)::INT AS max_frames_kept
          |FROM t GROUP BY format, op ORDER BY format, op""".stripMargin,
+    "x_multimodal_dedup" ->
+      """WITH fp AS (
+        | SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS format,
+        |  md5(text) AS fp, count(*) AS copies, min(doc_id) AS keeper
+        | FROM documents GROUP BY 1, 2)
+        |SELECT format, count(*) AS n_distinct, sum(copies)::BIGINT AS n_media,
+        | (sum(copies) - count(*))::BIGINT AS n_removed,
+        | sum(keeper)::BIGINT AS keeper_id_sum
+        |FROM fp GROUP BY format ORDER BY format""".stripMargin,
     "x_multimodal_bytes" ->
       """SELECT format, count(*) AS n_media,
         | sum(strlen(text))::BIGINT AS total_bytes,

@@ -347,6 +347,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       "vocab top-K must plan as TakeOrderedAndProject")
   }
 
+  test("semantic dedup removes planted near-dup embeddings inside clusters") {
+    val rows = Similarity.semanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16, "at most one row per inverted list")
+    val nVecs = rows.map(_.getLong(1)).sum
+    assert(nVecs === Tables.embeddings(spark, sf).count(),
+      "every vector is assigned to exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1), "a cluster always keeps at least one member")
+      assert(r.getLong(2) >= 0L)
+    }
+    // the corpus's same-label embeddings exceed τ in co-clustered
+    // pairs, so semantic removals must exist
+    assert(rows.map(_.getLong(2)).sum > 0, "same-label near-dups must be removed")
+  }
+
+  test("media dedup reconciles with the corpus and keeps one copy per fingerprint") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.mediaDedup(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(2) - r.getLong(1),
+      "removed = copies - distinct, per format"))
+    // twins that share a format tag (doc_id % 3) must be deduped
+    val sameFormatTwins = Tables.documents(spark, sf)
+      .groupBy("text").agg(countDistinct(expr("doc_id % 3")).as("nf"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("nf") < col("n"))
+      .count()
+    if (sameFormatTwins > 0)
+      assert(rows.map(_.getLong(3)).sum > 0, "same-format twins must be removed")
+  }
+
   test("substring dedup marks every position of exact-duplicate docs") {
     val rows = Dedup.substringDedup(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
