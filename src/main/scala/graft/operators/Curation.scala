@@ -274,6 +274,80 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Policy-driven filtering
+  // ---------------------------------------------------------------- //
+
+  /** Config-as-data filtering: the curation policy (minimum length,
+    * allowed languages, sampling rate) lives in a TABLE joined against
+    * the corpus, not in code — the shape that lets a 100 TB pipeline
+    * change policy without redeploying, audit what policy produced a
+    * snapshot, and A/B two policies as two joins. Four policy classes
+    * keyed by source id mod 4; the policy side broadcasts (it is
+    * config-sized by definition) and every predicate evaluates
+    * row-local after the join — one corpus pass, no corpus shuffle
+    * before the final rollup.
+    */
+  def policyFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val policy = Seq(
+      (0, 64, Seq("en", "de", "es", "fr", "zh"), 1000000L),
+      (1, 96, Seq("en", "de", "es", "fr"), 800000L),
+      (2, 128, Seq("en", "de"), 600000L),
+      (3, 160, Seq("en"), 400000L))
+      .toDF("pclass", "min_tokens", "langs", "keep_ppm")
+    Tables.documents(spark, sfDir)
+      .withColumn("pclass", expr("cast(cast(substr(source, 4) as int) % 4 as int)"))
+      .withColumn("tokens", size(split(lower(trim(col("text"))), "\\s+")).cast("bigint"))
+      .join(broadcast(policy), "pclass")
+      .withColumn("kept",
+        col("tokens") >= col("min_tokens") &&
+          array_contains(col("langs"), col("lang")) &&
+          h60("cast(doc_id as string)") % 1000000L < col("keep_ppm"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tokens"))).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Outlier detection (exact integer z-score)
+  // ---------------------------------------------------------------- //
+
+  /** Numeric outlier flags (|x − μ| > 3σ per event type) computed in
+    * EXACT integer arithmetic: values quantize to micros, and the
+    * z-test cross-multiplies to `(n·x − S1)² > 9·(n·S2 − S1²)` over
+    * decimal(38) — no float mean, no float variance, no ulp drift, so
+    * the flag set is bit-identical cross-engine and retry-stable (the
+    * same discipline as [[quantizeEmbeddings]], applied to second
+    * moments). This is the data-cleaning gate a feature pipeline runs
+    * before training on telemetry-like columns.
+    *
+    * Scale: one map-side-combined moment aggregate (3 numbers per
+    * group), broadcast back; flagging is a row-local predicate. The
+    * corpus never shuffles.
+    */
+  def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1000000) as decimal(20,0))").as("v"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(20,0)").as("n"),
+      sum("v").as("s1"),
+      sum(expr("v * v")).as("s2"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("is_out",
+        expr("(n*v - s1)*(n*v - s1) > 9*(n*s2 - s1*s1)"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("is_out"), col("event_id"))).as("outlier_id_sum"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- //
   // CDC merge / upsert
   // ---------------------------------------------------------------- //
 
@@ -399,6 +473,8 @@ object Curation {
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
     "x_split_train" -> splitTrain _,
+    "x_policy_filter" -> policyFilter _,
+    "x_outlier_zscore" -> outlierZscore _,
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
@@ -451,6 +527,40 @@ object Curation {
          | sum(n_chars)::BIGINT AS chars,
          | sum(doc_id)::BIGINT AS id_sum
          |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "x_policy_filter" ->
+      s"""WITH policy(pclass, min_tokens, langs, keep_ppm) AS (VALUES
+         |  (0, 64, ['en','de','es','fr','zh'], 1000000),
+         |  (1, 96, ['en','de','es','fr'], 800000),
+         |  (2, 128, ['en','de'], 600000),
+         |  (3, 160, ['en'], 400000)),
+         |d AS (
+         | SELECT doc_id, source, lang,
+         |  substr(source, 4)::INT % 4 AS pclass,
+         |  len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT AS tokens
+         | FROM documents),
+         |k AS (
+         | SELECT d.source, d.tokens,
+         |  (d.tokens >= p.min_tokens AND list_contains(p.langs, d.lang)
+         |   AND ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < p.keep_ppm) AS kept
+         | FROM d JOIN policy p USING (pclass))
+         |SELECT source, count(*) AS n_docs,
+         | sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         | sum(CASE WHEN kept THEN tokens END)::BIGINT AS kept_tokens
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "x_outlier_zscore" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, round(value * 1000000)::HUGEINT AS v
+        | FROM events),
+        |st AS (
+        | SELECT event_type, count(*)::HUGEINT AS n, sum(v) AS s1, sum(v*v) AS s2
+        | FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_rows,
+        | sum(CASE WHEN (st.n*e.v - st.s1)*(st.n*e.v - st.s1)
+        |       > 9*(st.n*st.s2 - st.s1*st.s1) THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        | sum(CASE WHEN (st.n*e.v - st.s1)*(st.n*e.v - st.s1)
+        |       > 9*(st.n*st.s2 - st.s1*st.s1) THEN e.event_id END)::BIGINT AS outlier_id_sum
+        |FROM e JOIN st USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "x_select_token_budget" ->
       s"""WITH docs AS (
          | SELECT doc_id, source, len(toks)::BIGINT AS tokens,

@@ -189,6 +189,44 @@ class CurationSpec extends AnyFunSuite {
       s"train split $train of $total")
   }
 
+  test("policy filter: stricter policy classes keep fewer docs") {
+    val rows = Curation.policyFilter(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val kept = rows.map(_.getLong(2)).sum
+    val total = rows.map(_.getLong(1)).sum
+    assert(kept > 0 && kept < total, s"policy must bite: kept $kept of $total")
+    // per policy class (source idx mod 4), the keep RATE must fall as
+    // the class tightens (min_tokens up, langs down, sample rate down)
+    val rateByClass = rows.groupBy(r => r.getString(0).drop(3).toInt % 4)
+      .map { case (c, rs) => c -> rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum }
+    for (c <- 0 to 2)
+      assert(rateByClass(c) >= rateByClass(c + 1),
+        s"class $c must keep at least the rate of class ${c + 1}: $rateByClass")
+  }
+
+  test("z-score outliers: flags exist, are rare, and agree with float z-scores away from the boundary") {
+    val rows = Curation.outlierZscore(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, out) = (r.getLong(1), r.getLong(2))
+      assert(out > 0, s"${r.getString(0)}: heavy-tailed values must produce outliers")
+      assert(out < n / 20, s"${r.getString(0)}: 3-sigma outliers must be rare, got $out of $n")
+    }
+    // cross-check one group against a driver-side float computation:
+    // integer and float flags may only disagree within float error of
+    // the 3-sigma boundary, which this data does not sit on
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select(col("value")).collect().map(_.getDouble(0))
+    val mu = vals.sum / vals.length
+    val sigma = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / vals.length)
+    val floatFlags = vals.count(x => math.abs(x - mu) > 3 * sigma)
+    val intFlags = rows.find(_.getString(0) == "click").get.getLong(2)
+    assert(math.abs(floatFlags - intFlags) <= 2,
+      s"float ($floatFlags) and exact-integer ($intFlags) outlier counts must agree")
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)
