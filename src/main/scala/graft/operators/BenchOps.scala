@@ -182,6 +182,32 @@ object BenchOps {
       .orderBy("l_returnflag")
   }
 
+  /** S13 — JSON-lines sink + scan roundtrip (the write-side twin of
+    * S9's benchmark-JSON scan): events written as newline-delimited
+    * JSON with an explicit read schema — schema-on-read is the
+    * footgun JSON sources carry at scale (a schema-inference pass
+    * reads the whole dataset TWICE), so the read is always
+    * schema-supplied. Timestamps stay out of the roundtrip columns:
+    * JSON timestamp formatting is engine/timezone-config dependent,
+    * exactly the kind of implicit coupling a lake format should not
+    * rely on.
+    */
+  def s13JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"$workRoot/json/events"
+    Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .json(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("event_id").as("id_sum"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** K5 — partitioned write + partition-pruned read: the first-order
     * layout optimization at lake scale. The filtered read touches only
     * the matching partition directory (PartitionFilters in the plan,
@@ -383,6 +409,7 @@ object BenchOps {
     "s9_json_scan" -> s9JsonScan _,
     "s12_footer_source_v2" -> s12FooterSourceV2 _,
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
+    "s13_json_roundtrip" -> s13JsonRoundtrip _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -446,6 +473,10 @@ object BenchOps {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s13_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS id_sum,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "k5_partitioned_write" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'

@@ -200,6 +200,65 @@ object Multimodal {
         sum("keeper").as("keeper_id_sum"))
       .orderBy("format")
 
+  /** Fixture dir of loose media files for [[ingestFiles]], keyed by
+    * source fingerprint so regenerated testdata rebuilds it; exposed
+    * for the spec.
+    */
+  private[graft] def mediaFilesDir(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
+    s"/root/repo/target/graft-work/media/ingest_${new java.io.File(sfDir).getName}_$fp"
+  }
+
+  /** File-based media ingestion — the path media actually arrives by
+    * at lake scale: loose binary files on storage, read with Spark's
+    * `binaryFile` source (path, mtime, length, content per file), ids
+    * parsed from filenames, the stub codec's dimensions derived
+    * natively from md5(content) — no UDF, no mapPartitions, whole
+    * pipeline in codegen. Every 25th document's payload is
+    * materialized ONCE as `media_<doc_id>.bin` under a
+    * fingerprint-keyed dir (fixture construction, not the measured
+    * path — real deployments read files that already exist).
+    *
+    * Scale: binaryFile parallelizes by file; tiny-file floods are the
+    * known cost at 100 TB (per-file open dominates), which is why the
+    * rollup reports per-format file counts and byte mass — the inputs
+    * to the "pack small files into archives" decision every media lake
+    * makes.
+    */
+  def ingestFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = mediaFilesDir(spark, sfDir)
+    val marker = Paths.get(dir, "_SUCCESS")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(dir))
+      // fixture materialization: ~4% of the corpus, model-sized
+      mediaTable(spark, sfDir).filter(col("doc_id") % 25 === 0)
+        .select("doc_id", "media").collect()
+        .foreach { r =>
+          Files.write(Paths.get(dir, s"media_${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      Files.write(marker, Array.emptyByteArray)
+    }
+    spark.read.format("binaryFile").load(s"$dir/media_*.bin")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin", 1).cast("bigint").as("doc_id"),
+        col("length"),
+        expr("cast(conv(substr(md5(content), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        col("length"), col("h"))
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("length").as("total_bytes"),
+        sum(expr("64 + h % 1856")).as("width_sum"),
+        sum(expr("64 + (h >> 11) % 1016")).as("height_sum"))
+      .orderBy("format")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
@@ -207,6 +266,7 @@ object Multimodal {
     "x_multimodal_bytes" -> byteStats _,
     "x_multimodal_transforms" -> transformRollup _,
     "x_multimodal_dedup" -> mediaDedup _,
+    "x_multimodal_ingest" -> ingestFiles _,
   )
 
   /** DuckDB re-decode of [[FakeCodec]]: md5 of the varchar hashes its
@@ -254,6 +314,17 @@ object Multimodal {
          | sum(out_bytes)::BIGINT AS total_out_bytes,
          | max(n_frames_kept)::INT AS max_frames_kept
          |FROM t GROUP BY format, op ORDER BY format, op""".stripMargin,
+    "x_multimodal_ingest" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS format,
+        |  strlen(text)::BIGINT AS length,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        | FROM documents WHERE doc_id % 25 = 0)
+        |SELECT format, count(*) AS n_files, sum(length)::BIGINT AS total_bytes,
+        | sum(64 + h % 1856)::BIGINT AS width_sum,
+        | sum(64 + (h >> 11) % 1016)::BIGINT AS height_sum
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
     "x_multimodal_dedup" ->
       """WITH fp AS (
         | SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS format,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.{BenchOps, Multimodal}
 import graft.sources.{FooterMeta, ParquetKnobs, WideTableGen}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -178,5 +179,29 @@ class SourcesSpec extends AnyFunSuite {
     val oFile = new java.io.File(s"$dir/orders.parquet")
     assert(oFile.setLastModified(oFile.lastModified() + 2000))
     assert(Bucketing.ensureBucketTables(spark, dir), "touched source must rewrite")
+  }
+
+  test("json roundtrip preserves rows and typed values under an explicit schema") {
+    import org.apache.spark.sql.functions._
+    val rows = BenchOps.s13JsonRoundtrip(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, TestSpark.sf).count())
+    // id_sum is an exact integer — any row loss or type corruption shows
+    val direct = Tables.events(spark, TestSpark.sf)
+      .agg(sum("event_id")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === direct)
+  }
+
+  test("binaryFile ingest parses ids from filenames and matches the table payloads") {
+    val rows = Multimodal.ingestFiles(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    val expected = Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 25 === 0).count()
+    assert(rows.map(_.getLong(1)).sum === expected, "one file per selected doc")
+    // stub dimensions are bounded by construction
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(3) >= 64 * n && r.getLong(3) < (64 + 1856) * n)
+      assert(r.getLong(4) >= 64 * n && r.getLong(4) < (64 + 1016) * n)
+    }
   }
 }
