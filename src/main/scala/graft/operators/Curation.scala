@@ -348,6 +348,57 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Right-to-be-forgotten cascade
+  // ---------------------------------------------------------------- //
+
+  /** Deletion-request accounting across every table keyed by the
+    * subject id — the audit query a right-to-be-forgotten pipeline
+    * runs before and after the rewrite. The forget list here is
+    * `id ≡ 0 (mod 101)`; affected rows cascade to DERIVED data
+    * (64-token/48-stride chunks per document, counted in closed form
+    * — integer ceil, no explode) and to the embedding store.
+    *
+    * Scale: three narrow scans with one-row aggregates each — the
+    * forget list is a broadcast anti-join predicate on the rewrite
+    * path, and a pure row predicate here; with an id-range-partitioned
+    * layout the rewrite touches only partitions containing forgotten
+    * subjects. Payload bytes removed is the reclaim estimate.
+    */
+  def forgetIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("forget", col("doc_id") % 101L === 0L)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), "\\s+")).cast("bigint"))
+      // chunks(doc) = 1 + ceil(max(n_tok - 64, 0) / 48) in pure
+      // integer arithmetic: (a + 47) div 48, clamped
+      .withColumn("n_chunks",
+        expr("1 + greatest((n_tok - 64 + 47) div 48, 0)"))
+    val d = docs.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("forget"), 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("forget"), col("n_chars")).otherwise(0L)).as("payload_removed"))
+      .select(lit("documents").as("tbl"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"), col("payload_removed"))
+    val c = docs.agg(
+      sum("n_chunks").as("n_before"),
+      sum(when(col("forget"), col("n_chunks")).otherwise(0L)).as("n_removed"),
+      sum(when(col("forget"), col("n_tok")).otherwise(0L)).as("payload_removed"))
+      .select(lit("doc_chunks").as("tbl"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"), col("payload_removed"))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("forget", col("vec_id") % 101L === 0L)
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("forget"), 1L).otherwise(0L)).as("n_removed"),
+        // reclaim estimate: 4 bytes per float32 component
+        sum(when(col("forget"), size(col("embedding")).cast("bigint") * 4L)
+          .otherwise(0L)).as("payload_removed"))
+      .select(lit("embeddings").as("tbl"), col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"), col("payload_removed"))
+    d.unionByName(c).unionByName(e).orderBy("tbl")
+  }
+
+  // ---------------------------------------------------------------- //
   // CDC merge / upsert
   // ---------------------------------------------------------------- //
 
@@ -475,6 +526,7 @@ object Curation {
     "x_split_train" -> splitTrain _,
     "x_policy_filter" -> policyFilter _,
     "x_outlier_zscore" -> outlierZscore _,
+    "x_forget_ids" -> forgetIds _,
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
@@ -547,6 +599,30 @@ object Curation {
          | sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          | sum(CASE WHEN kept THEN tokens END)::BIGINT AS kept_tokens
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "x_forget_ids" ->
+      """WITH d AS (
+        | SELECT doc_id % 101 = 0 AS forget, n_chars,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n_tok
+        | FROM documents),
+        |dd AS (SELECT *, 1 + greatest((n_tok - 64 + 47) // 48, 0) AS n_chunks FROM d),
+        |rows3 AS (
+        | SELECT 'documents' AS tbl, count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN forget THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN forget THEN n_chars ELSE 0 END)::BIGINT AS payload_removed
+        | FROM dd
+        | UNION ALL
+        | SELECT 'doc_chunks', sum(n_chunks)::BIGINT,
+        |  sum(CASE WHEN forget THEN n_chunks ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN forget THEN n_tok ELSE 0 END)::BIGINT
+        | FROM dd
+        | UNION ALL
+        | SELECT 'embeddings', count(*)::BIGINT,
+        |  sum(CASE WHEN vec_id % 101 = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN vec_id % 101 = 0 THEN len(embedding) * 4 ELSE 0 END)::BIGINT
+        | FROM embeddings)
+        |SELECT tbl, n_before, n_removed, (n_before - n_removed)::BIGINT AS n_after,
+        | payload_removed
+        |FROM rows3 ORDER BY tbl""".stripMargin,
     "x_outlier_zscore" ->
       """WITH e AS (
         | SELECT event_type, event_id, round(value * 1000000)::HUGEINT AS v

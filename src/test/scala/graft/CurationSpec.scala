@@ -227,6 +227,27 @@ class CurationSpec extends AnyFunSuite {
       s"float ($floatFlags) and exact-integer ($intFlags) outlier counts must agree")
   }
 
+  test("forget-id cascade reconciles across primary and derived tables") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.forgetIds(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("doc_chunks", "documents", "embeddings"))
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"${r.getString(0)}: forget list must hit rows")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    // documents row must match a direct count of the forget predicate
+    val direct = Tables.documents(spark, sf).filter(col("doc_id") % 101 === 0).count()
+    assert(rows.find(_.getString(0) == "documents").get.getLong(2) === direct)
+    // derived chunk count must equal the exploded chunking of forgotten docs
+    val chunks = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 101 === 0)
+      .withColumn("n_tok", size(split(lower(trim(col("text"))), "\\s+")).cast("bigint"))
+      .select(expr("1 + greatest(cast(ceil(greatest(n_tok - 64, 0) / 48.0) as bigint), 0)").as("nc"))
+      .agg(sum("nc")).head().getLong(0)
+    assert(rows.find(_.getString(0) == "doc_chunks").get.getLong(2) === chunks,
+      "closed-form chunk count must equal the ceil form")
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)
