@@ -208,6 +208,51 @@ object BenchOps {
       .orderBy("event_type")
   }
 
+  /** K8 — small-file compaction: the maintenance pass every lake runs.
+    * A 64-file fragmentation of `orders` (the fixture, built once per
+    * source fingerprint) is rewritten to a file count sized from the
+    * actual input bytes (ceil(bytes / target)), and the query returns
+    * the data-identity aggregate over the COMPACTED copy — compaction
+    * must be a pure layout change, which the oracle checks against the
+    * original source. File-count reduction itself is engine-layout, not data,
+    * so it is spec-asserted (SourcesSpec), not oracled.
+    *
+    * Scale: compaction is one narrow read + `repartition(n)` +
+    * write per partition-directory; at 100 TB it runs per-partition
+    * with n from that partition's bytes, never a global job.
+    */
+  def k8Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/orders.parquet")
+    val frag = s"$workRoot/compact/frag_${new java.io.File(sfDir).getName}_$fp"
+    val fs = new Path(frag).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$frag/_SUCCESS")))
+      Tables.orders(spark, sfDir).repartition(64).write.mode("overwrite").parquet(frag)
+    val inputBytes = fs.listStatus(new Path(frag))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val targetFileBytes = 4L << 20 // 4 MiB here; 128 MiB-1 GiB on a lake
+    val n = math.max(1, ((inputBytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    val compacted = s"$workRoot/compact/out"
+    spark.read.parquet(frag).repartition(n)
+      .write.mode("overwrite").parquet(compacted)
+    spark.read.parquet(compacted)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("o_orderkey").as("key_sum"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Compacted-output file count, exposed for the spec. */
+  private[graft] def compactedFileCount(spark: SparkSession): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$workRoot/compact/out")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** K5 — partitioned write + partition-pruned read: the first-order
     * layout optimization at lake scale. The filtered read touches only
     * the matching partition directory (PartitionFilters in the plan,
@@ -410,6 +455,7 @@ object BenchOps {
     "s12_footer_source_v2" -> s12FooterSourceV2 _,
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
     "s13_json_roundtrip" -> s13JsonRoundtrip _,
+    "k8_compaction" -> k8Compaction _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -477,6 +523,10 @@ object BenchOps {
       """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS id_sum,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "k8_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "k5_partitioned_write" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'

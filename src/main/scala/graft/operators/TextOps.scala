@@ -332,6 +332,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  // classifier head: integer micro-unit weights over exact-ppm features
+  private val ClfWeights = (3L, 2L, 1L) // uniq-ratio, stopword-rate, length
+  private val ClfThreshold = 300000L // micro-units; ~38% of this corpus passes
+
+  /** Model-based quality filtering — the SERVING half of a fastText-
+    * style quality classifier: a linear head over per-doc features,
+    * thresholded into a keep decision. (Training the head is an
+    * offline job; its weights arrive here as plan literals, like the
+    * IVF centroids.) Every feature is an exact integer ppm — unique-
+    * token ratio, stopword rate via replace-all counting, capped
+    * length — and the fusion is integer-weighted, so the score and the
+    * decision are bit-identical cross-engine: no float anywhere in the
+    * decision path, the same discipline as [[graft.operators.Curation]]
+    * gates.
+    *
+    * Scale: one narrow projection pass + a per-source rollup; the
+    * decision never shuffles the corpus and pushes to a scan filter
+    * when used as a gate.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w1, w2, w3) = ClfWeights
+    val wsum = w1 + w2 + w3
+    val perDoc = padded(spark, sfDir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(
+        col("source"),
+        expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("f_uniq"),
+        expr("""(1000000 * ((length(padded) - length(replace(padded, ' the ', ''))) div 5))
+               | div size(toks)""".stripMargin).as("f_stop"),
+        expr("cast(least(size(toks), 256) as bigint) * 3906").as("f_len"))
+      .withColumn("score",
+        expr(s"($w1 * f_uniq + $w2 * f_stop + $w3 * f_len) div $wsum"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= ClfThreshold, 1L).otherwise(0L)).as("n_pass"),
+        sum("score").as("score_sum"),
+        min("score").as("min_score"),
+        max("score").as("max_score"))
+      .orderBy("source")
+  }
+
   private val VocabTopK = 128 // largest coverage bucket (powers of 2)
 
   /** Tokenizer-prep vocabulary induction: corpus word frequencies,
@@ -371,6 +413,7 @@ object TextOps {
   }
 
   val registry: Map[String, Q] = Map(
+    "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
@@ -385,6 +428,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_quality_classifier" ->
+      s"""WITH f AS (
+         | SELECT source,
+         |  (1000000 * len(list_distinct(toks))) // len(toks) AS f_uniq,
+         |  (1000000 * ((strlen(padded) - strlen(replace(padded, ' the ', ''))) // 5))
+         |    // len(toks) AS f_stop,
+         |  least(len(toks), 256) * 3906 AS f_len
+         | FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |        ' ' || lower(text) || ' ' AS padded FROM documents)),
+         |s AS (SELECT source,
+         |  (${ClfWeights._1}*f_uniq + ${ClfWeights._2}*f_stop + ${ClfWeights._3}*f_len)
+         |    // ${ClfWeights._1 + ClfWeights._2 + ClfWeights._3} AS score FROM f)
+         |SELECT source, count(*) AS n_docs,
+         | sum(CASE WHEN score >= $ClfThreshold THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         | sum(score)::BIGINT AS score_sum,
+         | min(score) AS min_score, max(score) AS max_score
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "x_vocab_coverage" ->
       s"""WITH toks AS (
          | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t

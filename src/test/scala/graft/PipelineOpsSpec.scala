@@ -327,6 +327,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "20min/10min sliding windows must place every event in exactly 2 windows")
   }
 
+  test("quality classifier separates the corpus at the calibrated threshold") {
+    val rows = TextOps.qualityClassifier(spark, sf).collect()
+    assert(rows.length === 20)
+    val (pass, total) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(1)).sum)
+    assert(pass > 0 && pass < total,
+      s"threshold must separate, not rubber-stamp: $pass of $total")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "min <= max")
+      assert(r.getLong(5) <= 1000000L * 6, "scores bounded by the micro scale")
+    }
+  }
+
   test("vocab coverage curve is monotone and plans top-K as TakeOrdered") {
     val df = TextOps.vocabCoverage(spark, sf)
     val rows = df.collect()

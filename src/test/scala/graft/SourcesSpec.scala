@@ -181,6 +181,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(Bucketing.ensureBucketTables(spark, dir), "touched source must rewrite")
   }
 
+  test("compaction reduces file count without changing the data") {
+    val rows = BenchOps.k8Compaction(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, TestSpark.sf).count())
+    val files = BenchOps.compactedFileCount(spark)
+    assert(files < 64, s"compaction must shrink the 64-file fixture, got $files")
+    assert(files >= 1)
+  }
+
   test("json roundtrip preserves rows and typed values under an explicit schema") {
     import org.apache.spark.sql.functions._
     val rows = BenchOps.s13JsonRoundtrip(spark, TestSpark.sf).collect()
