@@ -91,16 +91,17 @@ object Similarity {
     * vs. brute force is ~0.6-0.7 — LSH trades exactly this recall for
     * scanning only colliding buckets.
     */
-  /** Corpus exploded to one row per (vector, band): vec_id, v, nrm,
-    * band, bval. The deterministic bucket assignment shared by the ANN
-    * query path ([[lshTopK]]) and the pairwise near-dup path
-    * ([[Dedup.embeddingCosineLsh]]).
+  /** Any (vec_id, v[, nrm]) frame exploded to one row per (vector,
+    * band): vec_id, v, nrm, band, bval — the plane literals are baked
+    * into the plan, so a STREAMING frame bands identically to the
+    * static corpus (used by [[graft.streaming.EventStreams]]'s online
+    * ANN path).
     */
-  private[operators] def bandedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def bandedOf(vecs: DataFrame): DataFrame = {
     val pl = planes
     def bit(p: Int): Column =
       when(dot("v", s"p$p") > 0, 1).otherwise(0)
-    var c = corpus(spark, sfDir)
+    var c = if (vecs.columns.contains("nrm")) vecs else vecs.withColumn("nrm", norm("v"))
     for (p <- 0 until NumPlanes) c = c.withColumn(s"p$p", array(pl(p).map(lit): _*))
     for (p <- 0 until NumPlanes) c = c.withColumn(s"b$p", bit(p)).drop(s"p$p")
     val bandCols = (0 until Bands).map { b =>
@@ -110,6 +111,13 @@ object Similarity {
     }
     c.select(col("vec_id") +: col("v") +: col("nrm") +: Seq(posexplode(array(bandCols: _*)).as(Seq("band", "bval"))): _*)
   }
+
+  /** Corpus exploded to one row per (vector, band): the deterministic
+    * bucket assignment shared by the ANN query path ([[lshTopK]]) and
+    * the pairwise near-dup path ([[Dedup.embeddingCosineLsh]]).
+    */
+  private[graft] def bandedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    bandedOf(corpus(spark, sfDir))
 
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

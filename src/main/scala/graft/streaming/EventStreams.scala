@@ -447,7 +447,68 @@ object EventStreams {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Online ANN serving: a STREAM of query vectors retrieved against
+    * the static LSH-bucketed corpus — the retrieval loop an embedding
+    * store serves, expressed as Structured Streaming. Each micro-batch
+    * bands its queries with the SAME plane literals as the corpus
+    * ([[graft.operators.Similarity.bandedOf]]), equi-joins the banded
+    * static side (stream-static join: stateless, no watermark, no
+    * state store), and scores collisions inline; the append sink
+    * collects candidates and the final exact top-5 re-rank runs over
+    * the sink table. The result must be IDENTICAL to the batch LSH
+    * path — it shares `x_sim_topk_lsh`'s hash-match oracle.
+    *
+    * Scale: per micro-batch cost is O(batch·bands + collisions); the
+    * static side is the pre-built bucket layout
+    * ([[graft.operators.Similarity.lshBucketedTopK]]'s partitioned
+    * form), so each batch prunes to colliding buckets. Nothing about
+    * the stream accumulates: this is the stateless serving shape.
+    */
+  def streamAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
+    import org.apache.spark.sql.expressions.Window
+    val queries = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qBanded = graft.operators.Similarity.bandedOf(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("band"), col("bval"))
+    val staticBanded = graft.operators.Similarity.bandedCorpus(spark, sfDir)
+    val cand = qBanded.join(staticBanded, Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot_product(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_ann_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = cand.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // multi-band collisions duplicate a candidate with an identical
+    // score; distinct + exact re-rank reproduces the batch LSH answer
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    spark.table(name).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_stream_ann" -> streamAnn _,
     "x_stream_stream_join" -> streamStreamJoin _,
     "w3_asof_join" -> asofJoin _,
     "x_stream_join" -> streamStaticJoin _,
@@ -460,6 +521,9 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streaming retrieval path must reproduce the batch LSH answer
+    // bit for bit, so it shares its oracle
+    "x_stream_ann" -> graft.operators.Similarity.oracles("x_sim_topk_lsh"),
     "w3_asof_join" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT event_type, ts_us,

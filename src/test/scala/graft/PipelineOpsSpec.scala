@@ -319,6 +319,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the fast variant must restore session conf")
   }
 
+  test("streaming ANN serves the identical answer to the batch LSH path") {
+    val streamed = EventStreams.streamAnn(spark, sf).collect().map(_.toString).toSeq
+    val batch = Similarity.lshTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(streamed === batch,
+      "online retrieval must reproduce the batch LSH top-k exactly")
+  }
+
   test("sliding windows double-count every event exactly width/slide times") {
     val rows = EventStreams.streamWindowSliding(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum
