@@ -853,30 +853,64 @@ object Dedup {
     * index the batch probes (same layout idea as
     * [[Similarity.lshBucketedTopK]]).
     */
+  /** On-disk base index for [[incrementalDedup]], keyed by the source
+    * fingerprint ([[graft.sources.LayoutCache]] staleness discipline):
+    * the base corpus's content fingerprints, band postings, and verify
+    * shingles are written ONCE and probed by every ingest batch — the
+    * executable form of the "pre-built postings index" the ingest
+    * story promises. At lake scale the postings would additionally be
+    * bucket-partitioned on (band, bucket) for probe-side pruning.
+    */
+  private[graft] def baseIndexDir(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
+    s"/root/repo/target/graft-work/dedup/base_${new java.io.File(sfDir).getName}_$fp"
+  }
+
+  private def ensureBaseIndex(spark: SparkSession, sfDir: String,
+      isNew: Column => Column): String = {
+    import org.apache.hadoop.fs.Path
+    val dir = baseIndexDir(spark, sfDir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shingles/ is written last, so its _SUCCESS marks the whole index
+    if (!fs.exists(new Path(s"$dir/shingles/_SUCCESS"))) {
+      val base = shingled(spark, sfDir).filter(!isNew(col("doc_id")))
+      base.select(col("doc_id"), md5(col("text")).as("fp"))
+        .select("fp").distinct()
+        .write.mode("overwrite").parquet(s"$dir/fp")
+      bandedBuckets(base)
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      base.select(col("doc_id"), col("shingles"))
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+    }
+    dir
+  }
+
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(spark, sfDir)
     val isNew = (c: Column) => pmod(c, lit(5)) === 4
-    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val baseFp = fp.filter(!isNew(col("doc_id"))).select("fp").distinct()
-    val exactIds = fp.filter(isNew(col("doc_id")))
+    val idx = ensureBaseIndex(spark, sfDir, isNew)
+    // only the NEW batch (~20%) is shingled/banded per ingest; the base
+    // side arrives from the materialized index
+    val newDocs = shingled(spark, sfDir).filter(isNew(col("doc_id")))
+    val baseFp = spark.read.parquet(s"$idx/fp")
+    val exactIds = newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(baseFp, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("is_exact"))
-    val banded = bandedBuckets(docs)
-    val cand = banded.filter(isNew(col("doc_id"))).as("n")
-      .join(banded.filter(!isNew(col("doc_id"))).as("o"),
+    val cand = bandedBuckets(newDocs).as("n")
+      .join(spark.read.parquet(s"$idx/postings").as("o"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("base_id"))
       .distinct()
-    val sh = docs.select(col("doc_id"), col("shingles"))
     val nearIds = cand
-      .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
-      .join(sh.select(col("doc_id").as("base_id"), col("shingles").as("sh_o")), "base_id")
+      .join(newDocs.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(spark.read.parquet(s"$idx/shingles")
+        .select(col("doc_id").as("base_id"), col("shingles").as("sh_o")), "base_id")
       .filter(round(
         size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_o"))), 6) >= 0.8)
       .select(col("new_id").as("doc_id")).distinct()
       .select(col("doc_id"), lit(true).as("is_near"))
-    docs.select(col("doc_id")).filter(isNew(col("doc_id")))
+    newDocs.select(col("doc_id"))
       .join(exactIds, Seq("doc_id"), "left")
       .join(nearIds, Seq("doc_id"), "left")
       .select(col("doc_id"),

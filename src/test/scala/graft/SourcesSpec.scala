@@ -152,9 +152,17 @@ class SourcesSpec extends AnyFunSuite {
     // a private sfDir copy we can touch (testdata itself is read-only)
     val dir = s"$work/stale-sf"
     Files.createDirectories(Paths.get(dir))
-    for (t <- Seq("lineitem", "orders", "embeddings"))
+    for (t <- Seq("lineitem", "orders", "embeddings", "documents"))
       Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
+
+    // incremental-dedup base index: same fingerprint-keying discipline
+    val i1 = graft.operators.Dedup.baseIndexDir(spark, dir)
+    assert(graft.operators.Dedup.baseIndexDir(spark, dir) === i1)
+    val docFile = new java.io.File(s"$dir/documents.parquet")
+    assert(docFile.setLastModified(docFile.lastModified() + 2000))
+    assert(graft.operators.Dedup.baseIndexDir(spark, dir) !== i1,
+      "touched documents must produce a fresh base postings index")
 
     // sorted-lineitem layout: same source -> same path; touched source
     // -> new path (forced regeneration)
