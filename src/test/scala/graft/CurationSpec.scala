@@ -248,6 +248,21 @@ class CurationSpec extends AnyFunSuite {
       "closed-form chunk count must equal the ceil form")
   }
 
+  test("policy filter plan broadcasts the policy; corpus shuffles only for the rollup") {
+    val nodes = collectPlans(Curation.policyFilter(spark, sf).queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "config-sized policy must broadcast")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"group-by (+order-by) shuffles only, got $shuffles")
+  }
+
+  test("outlier z-score plan broadcasts the 5-row moment table") {
+    val nodes = collectPlans(Curation.outlierZscore(spark, sf).queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "per-group moments must broadcast back, never shuffle the events")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")))
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)
