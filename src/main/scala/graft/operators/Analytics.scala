@@ -1021,7 +1021,7 @@ object Analytics {
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
     "w5_running_total" ->
-      """SELECT o_custkey, o_orderkey, cum_cents,
+      """SELECT o_custkey, o_orderkey, cum_cents::BIGINT AS cum_cents,
         | round(cum_cents / 100.0, 2) AS cum_total FROM (
         | SELECT o_custkey, o_orderkey,
         |  sum(round(o_totalprice * 100)::BIGINT) OVER (PARTITION BY o_custkey

@@ -324,9 +324,17 @@ object Curation {
     * moments). This is the data-cleaning gate a feature pipeline runs
     * before training on telemetry-like columns.
     *
-    * Scale: one map-side-combined moment aggregate (3 numbers per
+    * Scale: one map-side-combined moment aggregate (4 numbers per
     * group), broadcast back; flagging is a row-local predicate. The
     * corpus never shuffles.
+    *
+    * Magnitude bound: the cross-multiplied test squares `n·v − S1`, so
+    * exactness requires `n·|v|max + |S1| < 10^19` (square < decimal(38)).
+    * Beyond it Spark (non-ANSI) NULLs the intermediate — which would
+    * silently flag nothing — while the DuckDB HUGEINT twin errors. The
+    * guard below turns that divergent-and-silent mode into the same
+    * loud failure on both engines: it raises as soon as a group's
+    * `n·|v|max` (a broadcast-side constant per group) nears the bound.
     */
   def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -335,8 +343,18 @@ object Curation {
     val stats = ev.groupBy("event_type").agg(
       count(lit(1)).cast("decimal(20,0)").as("n"),
       sum("v").as("s1"),
-      sum(expr("v * v")).as("s2"))
-    ev.join(broadcast(stats), "event_type")
+      sum(expr("v * v")).as("s2"),
+      max(abs(col("v"))).as("vmax"))
+    // double-precision guard with margin (exact ≤ 2^53 and we compare
+    // against 9e18 < 10^19): loud, not a silent NULL→false
+    val guarded = stats.withColumn("n", expr(
+      """CASE WHEN cast(n as double) * cast(vmax as double)
+        |          + abs(cast(s1 as double)) >= 9e18
+        |     THEN cast(raise_error(concat('outlierZscore: n*|v| for group ',
+        |          event_type, ' exceeds the decimal(38) exact-z-test bound;',
+        |          ' rescale the quantization')) as decimal(20,0))
+        |     ELSE n END""".stripMargin))
+    ev.join(broadcast(guarded), "event_type")
       .withColumn("is_out",
         expr("(n*v - s1)*(n*v - s1) > 9*(n*s2 - s1*s1)"))
       .groupBy("event_type")
@@ -563,7 +581,7 @@ object Curation {
          | FROM rates),
          |r3 AS (SELECT *, least(1000000, (1000000 * target) // c) AS thr FROM r2)
          |SELECT d.source, count(*) AS n_total,
-         | min(r3.target) AS target, min(r3.thr) AS thr_ppm,
+         | min(r3.target)::BIGINT AS target, min(r3.thr)::BIGINT AS thr_ppm,
          | sum(CASE WHEN ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < r3.thr
          |   THEN 1 ELSE 0 END)::BIGINT AS n_selected,
          | sum(CASE WHEN ${h60Sql("d.doc_id::VARCHAR")} % 1000000 < r3.thr
@@ -662,7 +680,7 @@ object Curation {
          |  sum(tokens) OVER (PARTITION BY packer ORDER BY h, doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum
          | FROM dealt)
-         |SELECT packer, (cum - tokens) // $PackBudget AS pack_id,
+         |SELECT packer, ((cum - tokens) // $PackBudget)::BIGINT AS pack_id,
          | count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens
          |FROM packed GROUP BY packer, pack_id ORDER BY packer, pack_id""".stripMargin,
     "x_contamination" ->

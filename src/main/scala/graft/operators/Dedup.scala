@@ -82,6 +82,15 @@ object Dedup {
       fastHashSql(valueExpr)
     else baseHashSql(valueExpr)
 
+  /** Resolved base-hash family tag. Every memoized artifact derived from
+    * the minhash pipeline (on-disk base index, cluster model) embeds this
+    * in its cache key/path: the band postings of the two families are
+    * disjoint, so serving an artifact built under the other family would
+    * silently find zero collisions and classify near-dups as unique.
+    */
+  private[graft] def hashFamily(spark: SparkSession): String =
+    if (spark.conf.getOption("spark.graft.fastHash").contains("true")) "xxh" else "md5"
+
   /** Band bucket j as ONE BIGINT join key: the 4 slot values (< 2^31)
     * pack pairwise into exact 62-bit ints (m·P + m'), xor-combined —
     * an 8-byte shuffle key where round 3 shuffled ~80-char strings.
@@ -294,9 +303,13 @@ object Dedup {
       .map(_.toLong).getOrElse(1L << 20)
     val algo = spark.conf.getOption("spark.graft.ccAlgorithm").getOrElse("auto")
     if (algo == "auto") {
+      // Clamp before toInt: a ccLocalMaxEdges at/above Int.MaxValue would
+      // wrap negative and make limit() throw instead of falling back to
+      // the distributed loop.
+      val cap = math.min(localMax, (Int.MaxValue - 1).toLong).toInt
       val collected = timed("edge collect")(
-        edgePlan.limit(localMax.toInt + 1).collect())
-      if (collected.length <= localMax)
+        edgePlan.limit(cap + 1).collect())
+      if (collected.length <= cap)
         return timed("localUnionFind")(localClusters(spark, collected))
     }
     val edges = edgePlan.cache()
@@ -810,7 +823,7 @@ object Dedup {
   private def clusterModel(spark: SparkSession, sfDir: String): Array[org.apache.spark.sql.Row] = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    clusterCache.computeIfAbsent(s"$sfDir|$fp",
+    clusterCache.computeIfAbsent(s"$sfDir|$fp|${hashFamily(spark)}",
       _ => nearDupClusters(spark, sfDir).collect())
   }
 
@@ -864,7 +877,7 @@ object Dedup {
   private[graft] def baseIndexDir(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    s"/root/repo/target/graft-work/dedup/base_${new java.io.File(sfDir).getName}_$fp"
+    s"/root/repo/target/graft-work/dedup/base_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
   }
 
   private def ensureBaseIndex(spark: SparkSession, sfDir: String,

@@ -232,12 +232,18 @@ object Multimodal {
     val marker = Paths.get(dir, "_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dir))
-      // fixture materialization: ~4% of the corpus, model-sized
+      // fixture materialization: ~4% of the corpus, written WHERE the
+      // bytes are produced (executor-side foreachPartition — the scale
+      // idiom; media bytes never visit the driver). The driver's only
+      // write is the _SUCCESS marker after the job completes.
       mediaTable(spark, sfDir).filter(col("doc_id") % 25 === 0)
-        .select("doc_id", "media").collect()
-        .foreach { r =>
-          Files.write(Paths.get(dir, s"media_${r.getLong(0)}.bin"),
-            r.getAs[Array[Byte]](1))
+        .select("doc_id", "media")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"media_${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]](1))
+          }
         }
       Files.write(marker, Array.emptyByteArray)
     }

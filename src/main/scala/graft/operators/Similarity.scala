@@ -230,7 +230,10 @@ object Similarity {
     * staleness discipline as [[graft.sources.LayoutCache]] layouts
     * (regenerated data ⇒ new fingerprint ⇒ retrain). Queries then
     * measure list-probe latency, not training, which at lake scale is
-    * an offline job whose output ships as plan literals.
+    * an offline job whose output ships as plan literals. Unlike the
+    * dedup base index/cluster model, training reads only the embedding
+    * vectors — no `spark.graft.*` conf reaches it — so (path,
+    * fingerprint) is the complete dependency set for this key.
     */
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()

@@ -457,7 +457,7 @@ object TextOps {
          | FROM counts QUALIFY rank <= $VocabTopK),
          |ks AS (SELECT (1::BIGINT << i) AS k FROM range(0, 8) r(i))
          |SELECT k, max(rank) AS n_words, max(cum)::BIGINT AS covered_tokens,
-         | (1000000 * max(cum)) // (SELECT sum(cnt) FROM counts) AS coverage_ppm
+         | ((1000000 * max(cum)) // (SELECT sum(cnt) FROM counts))::BIGINT AS coverage_ppm
          |FROM ks JOIN ranked ON rank <= k
          |GROUP BY k ORDER BY k""".stripMargin,
     "x_filter_funnel" ->
