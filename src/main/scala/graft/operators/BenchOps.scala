@@ -65,13 +65,36 @@ object BenchOps {
       .orderBy("file", "row_group", "column")
   }
 
+  // Shared grid constants — the timed benchmarks, their deterministic
+  // twins, and the DuckDB oracles must all address the same files.
+  private val ReadCols = Seq(10, 50)
+  private val ReadRows = 20000L
+  private val CompCols = 10
+  private val CompRows = 10000L
+  private val PushRows = 1000000L
+  private val GridCols = Seq(10)
+  private val GridRows = 10000
+  private val GridRg = Seq(1000, 10000)
+  private val GridPs = Seq(8 * 1024, 1024 * 1024)
+
   /** S1–S3 timed reads (data_read_benchmark shape). */
   def s3ReadBench(spark: SparkSession, sfDir: String): DataFrame =
-    BenchRunners.dataReadBenchmark(spark, Seq(10, 50), 20000L, s"$workRoot/read")
+    BenchRunners.dataReadBenchmark(spark, ReadCols, ReadRows, s"$workRoot/read")
+
+  /** S3 deterministic twin — layout facts + exact extrema of the same
+    * generated files, fully oracle-checked (the timed twin stays
+    * rows-only by nature).
+    */
+  def s3ReadCounts(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.readBenchCounts(spark, ReadCols, ReadRows, s"$workRoot/read")
 
   /** K1 + compression sweep (compression_benchmark shape). */
   def k1CompressionSweep(spark: SparkSession, sfDir: String): DataFrame =
-    BenchRunners.compressionBenchmark(spark, Seq(10), 10000L, s"$workRoot/comp")
+    BenchRunners.compressionBenchmark(spark, Seq(CompCols), CompRows, s"$workRoot/comp")
+
+  /** K1 deterministic twin — per-codec lossless roundtrip + byte mass. */
+  def k1CodecRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.codecRoundtrip(spark, CompCols, CompRows, s"$workRoot/comp")
 
   /** Chunks-and-pages footer decode sweep (metadata_benchmark shape). */
   def m2ChunksPages(spark: SparkSession, sfDir: String): DataFrame =
@@ -96,14 +119,27 @@ object BenchOps {
     * reference grid).
     */
   def m3RowGroupGrid(spark: SparkSession, sfDir: String): DataFrame =
-    BenchRunners.rowGroupGrid(spark, Seq(10), 10000,
-      Seq(1000, 10000), Seq(8 * 1024, 1024 * 1024), s"$workRoot/rg")
+    BenchRunners.rowGroupGrid(spark, GridCols, GridRows, GridRg, GridPs, s"$workRoot/rg")
+
+  /** M3 deterministic twin — the layout every grid config actually
+    * produced (row-group count, stats presence, bytes), oracle-checked
+    * against DuckDB parquet_metadata() over the same files.
+    */
+  def m3RowGroupLayout(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.rowGroupLayout(spark, GridCols, GridRows, GridRg, GridPs, s"$workRoot/rg")
 
   /** §4 — predicate-pushdown effect: same selective scan with parquet
     * filter pushdown on vs off (row-group skipping via min/max stats).
     */
   def m4Pushdown(spark: SparkSession, sfDir: String): DataFrame =
-    BenchRunners.pushdownBenchmark(spark, 1000000L, s"$workRoot/pd")
+    BenchRunners.pushdownBenchmark(spark, PushRows, s"$workRoot/pd")
+
+  /** M4 deterministic twin — the filtered results under both pushdown
+    * settings (pushdown must never change results), oracle-checked by
+    * DuckDB scanning the same file.
+    */
+  def m4PushdownRows(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.pushdownRows(spark, PushRows, s"$workRoot/pd")
 
   /** S6 — subset-schema read (scripts/schema_full_partial_benchmark.py:36-45):
     * the file is opened with an explicit 3-field schema, so the scan
@@ -442,11 +478,15 @@ object BenchOps {
     "s4_footer_meta" -> s4FooterMeta _,
     "s5_chunk_stats" -> s5ChunkStats _,
     "s3_read_bench" -> s3ReadBench _,
+    "s3_read_counts" -> s3ReadCounts _,
     "k1_compression_sweep" -> k1CompressionSweep _,
+    "k1_codec_roundtrip" -> k1CodecRoundtrip _,
     "m2_chunks_pages" -> m2ChunksPages _,
     "m2_stats" -> m2Stats _,
     "m3_rowgroup_grid" -> m3RowGroupGrid _,
+    "m3_rowgroup_layout" -> m3RowGroupLayout _,
     "m4_pushdown" -> m4Pushdown _,
+    "m4_pushdown_rows" -> m4PushdownRows _,
     "s6_subset_schema" -> s6SubsetSchema _,
     "k3_top20_view" -> k3TopView _,
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,
@@ -534,6 +574,58 @@ object BenchOps {
     "k6_sorted_write" ->
       """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1996-06-01'""".stripMargin,
+    // deterministic twins of the timed benchmarks: DuckDB recomputes
+    // every column independently from the SAME generated files (its own
+    // parquet decoder, parquet_metadata(), read_blob byte lengths)
+    "m4_pushdown_rows" -> {
+      val p = s"$workRoot/pd/pushdown_bench_$PushRows"
+      val thr = PushRows / 100
+      s"""WITH f AS (
+         | SELECT count(*)::BIGINT AS num_rows,
+         |  (count(*) FILTER (WHERE k < $thr))::BIGINT AS matched_rows,
+         |  (sum(k) FILTER (WHERE k < $thr))::BIGINT AS matched_k_sum
+         | FROM '$p/*.parquet')
+         |SELECT t.pushdown_enabled, f.num_rows, f.matched_rows, f.matched_k_sum
+         |FROM f, (VALUES (true), (false)) t(pushdown_enabled)
+         |ORDER BY pushdown_enabled""".stripMargin
+    },
+    "s3_read_counts" -> ReadCols.map { nc =>
+      val p = s"$workRoot/read/read_bench_${nc}cols"
+      s"""SELECT
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::INT AS num_columns,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS num_rows,
+         | ${math.max(1, nc / 2)}::INT AS n_half_cols,
+         | ${(nc + 9) / 10}::INT AS n_tenth_cols,
+         | (SELECT min(col_0) FROM '$p/*.parquet') AS min_col0,
+         | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY num_columns"),
+    "k1_codec_roundtrip" -> graft.sources.ParquetKnobs.codecs.map { c =>
+      val p = s"$workRoot/comp/comp_bench_${CompCols}c_$c"
+      s"""SELECT ${BenchRunners.algoCode(c)}::INT AS algorithm,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS n_rows,
+         | (SELECT min(col_0) FROM '$p/*.parquet') AS min_col0,
+         | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0,
+         | (SELECT sum(octet_length(content)) FROM read_blob('$p/*.parquet'))::BIGINT AS parquet_bytes""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY algorithm"),
+    "m3_rowgroup_layout" -> {
+      val parts = for {
+        nc <- GridCols
+        rg <- GridRg
+        ps <- GridPs
+        stats <- Seq(1, 0)
+      } yield {
+        val p = s"$workRoot/rg/rg_bench_${nc}c_${rg}r_${ps}p_$stats"
+        s"""SELECT $nc::INT AS num_columns,
+           | (SELECT count(*) FROM '$p/*.parquet')::INT AS num_rows,
+           | $rg::INT AS row_group_size, $ps::INT AS page_size,
+           | $stats::INT AS stats_level,
+           | (SELECT (max(row_group_id) + 1)::INT FROM parquet_metadata('$p/*.parquet')) AS num_row_groups,
+           | (SELECT bool_or(stats_min_value IS NOT NULL) FROM parquet_metadata('$p/*.parquet')) AS stats_present,
+           | (SELECT sum(octet_length(content)) FROM read_blob('$p/*.parquet'))::BIGINT AS parquet_bytes""".stripMargin
+      }
+      parts.mkString("", "\nUNION ALL\n",
+        "\nORDER BY row_group_size, page_size, stats_level")
+    },
     "a6_iteration_mean" -> {
       val rows = a6Fixture
         .map { case (n, i, v) => s"('$n', $i, $v)" }.mkString(",\n ")

@@ -625,24 +625,55 @@ object Dedup {
       .distinct()
   }
 
+  private val JaccardSubBlocks = 4 // per-block grid granularity: a hot
+  // (source, len_bucket) block's n² pair space splits over s(s+1)/2
+  // independent grid cells of ≤ ⌈n/s⌉² pairs — the per-task bound the
+  // plain blocked join lacked. Raise s as the hottest block grows (the
+  // knob trades replication factor ≈ (s+1)/2 for per-cell memory).
+
   /** Blocked exact n-gram Jaccard: candidate pairs only within
-    * (source, length-bucket) blocks — bounds the quadratic term by the
-    * largest block, the standard fallback when sketches are ruled out.
+    * (source, length-bucket) blocks — the standard no-sketch fallback.
+    * Each block's pair space is further grid-decomposed on a
+    * deterministic doc-id sub-block salt (the same 1-Bucket-Theta
+    * scheme as [[embeddingCosine]], Okcan & Riedewald SIGMOD'11): every
+    * unordered pair meets in exactly ONE grid cell, so coverage stays
+    * EXACT — identical output to the unsalted join (spec-asserted) —
+    * while the hottest block's quadratic term is bounded per task
+    * instead of unbounded. This closes the round-5 scale caveat.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("shingles"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"))
-    docs.as("a")
-      .join(docs.as("b"),
-        col("a.source") === col("b.source") &&
-          col("a.len_bucket") === col("b.len_bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(spark, sfDir, JaccardSubBlocks)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+
+  /** All within-block pairs with exact Jaccard, grid-decomposed over
+    * `s` sub-blocks (`s = 1` recovers the plain blocked join; the spec
+    * asserts the two are identical).
+    */
+  private[graft] def ngramJaccardPairs(spark: SparkSession, sfDir: String, s: Int): DataFrame = {
+    val docs = shingled(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("shingles"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        // hash the id before the mod: raw doc_id % s degenerates on
+        // strided id populations (one residue swallows a whole block)
+        pmod(xxhash64(col("doc_id")), lit(s.toLong)).cast("int").as("blk"))
+    val a = docs.select(col("source"), col("len_bucket"),
+      col("doc_id").as("doc_id_a"), col("shingles").as("sh_a"), col("blk").as("blk_a"),
+      explode(expr(s"transform(sequence(blk, ${s - 1}), j -> named_struct('ci', blk, 'cj', j))")).as("cell"))
+    val b = docs.select(col("source").as("source_b"), col("len_bucket").as("len_bucket_b"),
+      col("doc_id").as("doc_id_b"), col("shingles").as("sh_b"), col("blk").as("blk_b"),
+      explode(expr("transform(sequence(0, blk), i -> named_struct('ci', i, 'cj', blk))")).as("cell_b"))
+    a.join(b,
+        col("source") === col("source_b") &&
+          col("len_bucket") === col("len_bucket_b") &&
+          col("cell") === col("cell_b") &&
+          // off-diagonal cells pair distinct sub-blocks once by
+          // construction; the id guard dedups only the diagonal cells
+          (col("blk_a") < col("blk_b") || col("doc_id_a") < col("doc_id_b")))
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
   }
 
   private val SubstringGram = 8 // words per duplicated-span gram

@@ -73,15 +73,14 @@ object BenchRunners {
     * — the reference's stats-enabled/disabled axis expressed as the
     * Spark conf that consumes those stats.
     */
-  def pushdownBenchmark(
-      spark: SparkSession,
-      numRows: Long,
-      workDir: String): DataFrame = {
-    import spark.implicits._
+  /** Generates (once, _SUCCESS-gated) the sorted, 1 MiB-row-group file
+    * that [[pushdownBenchmark]] and [[pushdownRows]] share; returns its
+    * path. Deterministic input: the write is the expensive half of the
+    * op and isn't what either query measures.
+    */
+  private[graft] def ensurePushdownFile(
+      spark: SparkSession, numRows: Long, workDir: String): String = {
     val path = s"$workDir/pushdown_bench_$numRows"
-    // deterministic input: reuse the generated file across bench runs
-    // (the write is the expensive half of this op and isn't what it
-    // measures) — the _SUCCESS marker gates a complete prior write
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$path/_SUCCESS"))) {
       // low-cardinality sorted column -> tight row-group min/max -> skippable
@@ -91,6 +90,15 @@ object BenchRunners {
       ParquetKnobs.write(df.repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
         path, ParquetKnobs.WriteConfig(rowGroupBytes = 1024 * 1024))
     }
+    path
+  }
+
+  def pushdownBenchmark(
+      spark: SparkSession,
+      numRows: Long,
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensurePushdownFile(spark, numRows, workDir)
     // untimed warm run of the same filtered shape: without it the first
     // timed variant pays cold page cache + codegen compile and the
     // comparison measures run order, not pushdown
@@ -261,15 +269,20 @@ object BenchRunners {
     * algorithm code keeps the reference's 0..4 recode domain
     * (scripts/visualize_compression_benchmark.py:12).
     */
+  /** Codec → the reference's algorithm recode domain
+    * (scripts/visualize_compression_benchmark.py:12), extended with 5
+    * for the net-new lz4_raw member.
+    */
+  private[graft] val algoCode: Map[String, Int] = Map(
+    "uncompressed" -> 0, "snappy" -> 1, "gzip" -> 2, "brotli" -> 3, "zstd" -> 4,
+    "lz4_raw" -> 5)
+
   def compressionBenchmark(
       spark: SparkSession,
       numColsList: Seq[Int],
       numRows: Long,
       workDir: String): DataFrame = {
     import spark.implicits._
-    val algoCode = Map(
-      "uncompressed" -> 0, "snappy" -> 1, "gzip" -> 2, "brotli" -> 3, "zstd" -> 4,
-      "lz4" -> 5)
     val rows = for {
       nc <- numColsList
       codec <- ParquetKnobs.allCodecs
@@ -288,5 +301,142 @@ object BenchRunners {
     }
     rows.toDF("algorithm", "num_columns", "num_rows", "encoding_time_ms",
       "decoding_time_ms", "compressed_size_mb", "codec_available")
+  }
+
+  // ------------------------------------------------------------------ //
+  // Deterministic twins of the timed benchmarks: the same generated
+  // artifacts, but the emitted columns are layout/content facts a
+  // SECOND engine recomputes independently from the files (DuckDB's
+  // parquet reader, parquet_metadata(), read_blob byte lengths) — full
+  // cross-engine oracles where the timing twins are rows-only by
+  // nature. Wall-clock never appears in these outputs.
+  // ------------------------------------------------------------------ //
+
+  private def parquetBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+  }
+
+  /** Deterministic half of the pushdown experiment: the filtered
+    * results themselves, computed under BOTH pushdown settings — the
+    * semantic guarantee the timing twin leans on (row-group/page
+    * skipping must never change query results), cross-checked by a
+    * DuckDB scan of the same generated file.
+    */
+  def pushdownRows(spark: SparkSession, numRows: Long, workDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensurePushdownFile(spark, numRows, workDir)
+    val thr = numRows / 100
+    val rows = Seq(true, false).map { on =>
+      spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
+      try {
+        val df = spark.read.parquet(path)
+        val total = df.count()
+        val m = df.filter(s"k < $thr")
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("k")).first()
+        (on, total, m.getLong(0), m.getLong(1))
+      } finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    }
+    rows.toDF("pushdown_enabled", "num_rows", "matched_rows", "matched_k_sum")
+  }
+
+  /** Deterministic half of [[dataReadBenchmark]]: layout facts (column/
+    * row counts, projected-column counts) plus order-independent
+    * content extrema of the generated wide files. Float SUMs are
+    * excluded on purpose — partial-sum combine order makes them
+    * run-dependent — while min/max are exact under any order.
+    */
+  def readBenchCounts(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Long,
+      workDir: String,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin}
+    import spark.implicits._
+    val rows = numColsList.map { nc =>
+      val path = s"$workDir/read_bench_${nc}cols"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$path/_SUCCESS")))
+        ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, seed), path,
+          ParquetKnobs.WriteConfig(codec = "snappy"))
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)), fmin("col_0"), fmax("col_0")).first()
+      (nc, r.getLong(0), math.max(1, nc / 2), (nc + 9) / 10,
+        r.getFloat(1), r.getFloat(2))
+    }
+    rows.toDF("num_columns", "num_rows", "n_half_cols", "n_tenth_cols",
+      "min_col0", "max_col0")
+  }
+
+  /** Deterministic half of [[compressionBenchmark]]: every available
+    * codec's written file read back (count + exact float extrema) plus
+    * its parquet byte mass — the data-identity claim of a codec sweep
+    * (compression must be lossless), checked by DuckDB's independent
+    * decoder over the same files.
+    */
+  def codecRoundtrip(
+      spark: SparkSession, nc: Int, numRows: Long, workDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin}
+    import spark.implicits._
+    val rows = ParquetKnobs.codecs.map { codec =>
+      val path = s"$workDir/comp_bench_${nc}c_$codec"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$path/_SUCCESS")))
+        ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+          ParquetKnobs.WriteConfig(codec = codec))
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)), fmin("col_0"), fmax("col_0")).first()
+      (algoCode(codec), r.getLong(0), r.getFloat(1), r.getFloat(2),
+        parquetBytes(spark, path))
+    }
+    rows.toDF("algorithm", "n_rows", "min_col0", "max_col0", "parquet_bytes")
+      .orderBy("algorithm")
+  }
+
+  /** Deterministic half of [[rowGroupGrid]]: per writer config, the
+    * layout the knobs actually produced — row-group count, statistics
+    * presence, byte mass — recomputed cross-engine from the files via
+    * DuckDB parquet_metadata(). This is the evidence that the
+    * row-group-size, page-size, and stats axes REALLY varied, separated
+    * from the timings they influence.
+    */
+  def rowGroupLayout(
+      spark: SparkSession,
+      numColsList: Seq[Int],
+      numRows: Int,
+      rowGroupSizes: Seq[Int],
+      pageSizes: Seq[Int],
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val rows = for {
+      nc <- numColsList
+      rg <- rowGroupSizes
+      ps <- pageSizes
+      stats <- Seq(1, 0)
+    } yield {
+      val path = s"$workDir/rg_bench_${nc}c_${rg}r_${ps}p_$stats"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$path/_SUCCESS")))
+        ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows.toLong).coalesce(1), path,
+          ParquetKnobs.WriteConfig(
+            rowGroupBytes = ParquetKnobs.rowGroupBytesFor(rg, nc),
+            pageBytes = ps, statsLevel = stats))
+      val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      val (nRg, statsPresent) =
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          (blocks.size, blocks.exists(_.getColumns.asScala.exists { c =>
+            val s = c.getStatistics; s != null && s.hasNonNullValue }))
+        } finally reader.close()
+      (nc, numRows, rg, ps, stats, nRg, statsPresent, parquetBytes(spark, path))
+    }
+    rows.toDF("num_columns", "num_rows", "row_group_size", "page_size",
+      "stats_level", "num_row_groups", "stats_present", "parquet_bytes")
+      .orderBy("row_group_size", "page_size", "stats_level")
   }
 }

@@ -47,11 +47,16 @@ object ParquetKnobs {
       .parquet(path)
 
   /** The reference's codec sweep list (src/compression_benchmark.cc:12-18)
-    * plus lz4. Brotli needs an external codec jar; [[codecAvailable]]
-    * detects it at runtime and the sweep emits a skipped-row marker for
-    * unavailable codecs (SURVEY §7.4) so results are self-describing.
+    * plus lz4_raw (the parquet-spec LZ4 framing — hadoop-framed "lz4" is
+    * deprecated in the spec and unreadable by second engines, so the
+    * net-new sweep member uses the interoperable codec). Brotli needs an
+    * external codec jar; [[codecAvailable]] detects it at runtime and
+    * the sweep emits a skipped-row marker for unavailable codecs
+    * (SURVEY §7.4) so results are self-describing — this container has
+    * no brotli JVM codec anywhere on disk and no egress, so the
+    * degradation is permanent here and the marker row documents it.
     */
-  val allCodecs: Seq[String] = Seq("uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4")
+  val allCodecs: Seq[String] = Seq("uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4_raw")
 
   def codecAvailable(codec: String): Boolean = codec match {
     case "brotli" =>

@@ -134,6 +134,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grid === naive)
   }
 
+  test("ngram jaccard sub-block grid is exact and splits the hottest block") {
+    import org.apache.spark.sql.functions._
+    // identity: the s=4 grid decomposition produces exactly the pair set
+    // of the plain (s=1) blocked join — coverage is exact, not sampled
+    def pairSet(s: Int) = Dedup.ngramJaccardPairs(spark, sf, s).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = pairSet(4)
+    assert(grid === pairSet(1))
+    assert(grid.forall { case (a, b, _) => a < b }, "pairs must be canonical")
+    // the registered query must stay an equi-join on the cell key
+    val plan = Dedup.ngramJaccard(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // bound: the largest grid cell's pair count is strictly below the
+    // hottest block's full pair count — the quadratic term really split
+    val s = 4
+    val subCounts = Tables.documents(spark, sf)
+      .select(col("source"), (col("n_chars") / 64).cast("long").as("len_bucket"),
+        pmod(xxhash64(col("doc_id")), lit(s.toLong)).cast("int").as("blk"))
+      .groupBy("source", "len_bucket", "blk").count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toMap }
+    val hotPairs = subCounts.values
+      .map { m => val n = m.values.sum; n * (n - 1) / 2 }.max
+    val maxCellPairs = subCounts.values.flatMap { m =>
+      for { i <- 0 until s; j <- i until s } yield
+        if (i == j) { val n = m.getOrElse(i, 0L); n * (n - 1) / 2 }
+        else m.getOrElse(i, 0L) * m.getOrElse(j, 0L)
+    }.max
+    assert(maxCellPairs < hotPairs,
+      s"grid must split the hottest block: cell=$maxCellPairs block=$hotPairs")
+  }
+
   test("embedding LSH near-dup recalls most of the exact top-20 without all-pairs") {
     val lsh = Dedup.embeddingCosineLsh(spark, sf)
     assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
