@@ -150,6 +150,100 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q4-style priority check: correlated EXISTS expressed as a
+    * LEFT-SEMI join — orders in a half-year window counted per priority
+    * when at least one of their lines was returned. The semi join never
+    * materializes matches (first hit wins), so the probe side stays
+    * one row per order regardless of how many lines matched; at scale
+    * the returned-lines projection is a narrow two-column slice of the
+    * fact. (The reference schema here has no commit/receipt dates, so
+    * the EXISTS predicate is the returnflag; the plan shape is Q4's.)
+    */
+  def q4PriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join so
+    * zero-order customers survive with c_count = 0 (count of a nullable
+    * column), then a second aggregation over the first's output — the
+    * histogram-of-group-sizes shape. At scale the first aggregate's
+    * output is one row per customer (shuffle on c_custkey), the second
+    * is a tiny rollup over distinct counts.
+    */
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") =!= "P")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q16-style supplier-variety report: distinct-aggregate
+    * (count(DISTINCT suppkey)) per part attribute group, with a NOT-IN
+    * exclusion list expressed as a broadcast LEFT-ANTI join. The
+    * distinct count is the two-level shuffle Spark plans for
+    * count(DISTINCT) — partials on (group, suppkey), then the final
+    * distinct count; the anti side (low-balance suppliers) is
+    * dimension-sized and broadcasts. (No partsupp table in this schema;
+    * lineitem links parts to suppliers, the Q16 shape is intact.)
+    */
+  def q16SupplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 2000).select(col("s_suppkey").as("x_suppkey"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"), "left_anti")
+    li.join(p, col("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(30)
+  }
+
+  /** Q21-style exclusive-blame report: the multi-correlated-subquery
+    * shape — for each (order, supplier) with a returned line, EXISTS
+    * another supplier in the same order (semi join) AND NOT EXISTS
+    * another supplier with a returned line (anti join). Both
+    * subqueries become equi-joins on orderkey with a suppkey
+    * inequality, so the plan is two shuffled joins over narrow
+    * projections — never a correlated per-row re-scan.
+    */
+  def q21WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val blamed = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = li.select(col("l_orderkey").as("e_orderkey"), col("l_suppkey").as("e_suppkey"))
+    val othersReturned = blamed
+      .select(col("l_orderkey").as("n_orderkey"), col("l_suppkey").as("n_suppkey"))
+    val s = Tables.supplier(spark, sfDir)
+    blamed
+      .join(others,
+        col("l_orderkey") === col("e_orderkey") && col("l_suppkey") =!= col("e_suppkey"),
+        "left_semi")
+      .join(othersReturned,
+        col("l_orderkey") === col("n_orderkey") && col("l_suppkey") =!= col("n_suppkey"),
+        "left_anti")
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** P1+P2 — unit-conversion & ratio projections
     * (scripts/visualize_stats.py:9,12,84: µs→ms, bytes→MB, time/num_columns).
     */
@@ -742,10 +836,14 @@ object Analytics {
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q4_priority_exists" -> q4PriorityExists _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q13_order_distribution" -> q13OrderDistribution _,
+    "q16_supplier_variety" -> q16SupplierVariety _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q21_waiting_supplier" -> q21WaitingSupplier _,
     "p1_unit_conversion" -> p1UnitConversion _,
     "p3_recode" -> p3Recode _,
     "p4_filter" -> p4Filter _,
@@ -801,6 +899,39 @@ object Analytics {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH blamed AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, count(*) AS numwait
+        |FROM blamed b JOIN supplier ON b.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem e
+        |              WHERE e.l_orderkey = b.l_orderkey AND e.l_suppkey <> b.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM blamed n
+        |                 WHERE n.l_orderkey = b.l_orderkey AND n.l_suppkey <> b.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
