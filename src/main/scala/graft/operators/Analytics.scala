@@ -244,6 +244,171 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** Q7-style bilateral nation volume: the two-role dimension shape —
+    * the same nation table joins twice under different roles (supplier
+    * nation vs customer nation), with a symmetric pair predicate that
+    * only holds for two named nations in either direction. Both nation
+    * copies broadcast (25 rows), so the pair filter evaluates
+    * map-side right after the dimension joins; only lineitem⋈orders
+    * shuffles. Year extraction groups the surviving rows into a
+    * 2-nations × 2-directions × years rollup.
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_12") ||
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_11"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("volume"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q12-style priority line counts: fact-fact join followed by
+    * conditional aggregation — sum(CASE WHEN …) twin counters in ONE
+    * pass, the shape that replaces two filtered scans with one. The
+    * group key is line status (this schema's stand-in for shipmode);
+    * both counters collapse map-side before the tiny final shuffle.
+    */
+  def q12PriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q14-style promo revenue share: conditional-numerator ratio — the
+    * percent-of-total shape computed in ONE aggregate over the joined
+    * slice (no second scan for the denominator). Part broadcasts;
+    * the month-windowed lineitem slice is the only flowing data. The
+    * ratio divides the two already-rounded sums so the emitted
+    * percentage is a deterministic function of deterministic inputs.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    val p = Tables.part(spark, sfDir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4).as("promo_pct"))
+  }
+
+  /** Q15-style top supplier: aggregate → global-max scalar → equality
+    * join-back. The supplier-grain revenue rollup is computed once and
+    * reused for both the max (a 1-row frame cross-joined back — no
+    * second scan, no single-partition window over the whole rollup)
+    * and the winner row(s). Revenues compare ROUNDED on both sides so
+    * the max-equality is deterministic across summation orders.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val s = Tables.supplier(spark, sfDir)
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17-style small-quantity revenue: correlated scalar subquery
+    * (per-part average) decorrelated into an aggregate + equi-join —
+    * each brand-filtered line compares against its part's mean
+    * quantity. The per-part mean frame is part-grain (≪ fact); AQE
+    * picks its join strategy, and at 100 TB it becomes a shuffled
+    * join on partkey rather than a per-row re-scan, which is the whole
+    * point of the decorrelation.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val avgQty = li.groupBy(col("l_partkey").as("aq_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val p = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#3")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(avgQty, li("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q19-style disjunctive predicate: three conjunct groups OR'd across
+    * a join boundary — the shape that stresses predicate normalization.
+    * Catalyst extracts the common part-side disjuncts (brand ∈ {1,2,3},
+    * size bounds) below the join while keeping the cross-table residual
+    * above it, so the broadcast hash join probes only pre-filtered
+    * parts instead of evaluating the full OR per joined row.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q22-style idle-customer report: global scalar aggregate feeding a
+    * filter (cross-join of a 1-row mean frame — no correlated re-scan)
+    * plus a NOT EXISTS anti join against the *recent* orders slice
+    * (every customer has some order in this data, so "idle" means no
+    * order since the cutoff — the anti build side is the date-filtered
+    * custkey projection, pushed to the scan). Cohorts come from the
+    * customer-name suffix (this schema's stand-in for the phone
+    * country code).
+    */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .withColumn("cohort", expr("right(c_name, 1)"))
+    val meanBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 4).as("mean_bal"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(meanBal))
+      .filter(col("c_acctbal") > col("mean_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("cohort")
+  }
+
   /** P1+P2 — unit-conversion & ratio projections
     * (scripts/visualize_stats.py:9,12,84: µs→ms, bytes→MB, time/num_columns).
     */
@@ -839,11 +1004,18 @@ object Analytics {
     "q4_priority_exists" -> q4PriorityExists _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_nation_volume" -> q7NationVolume _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q12_priority_counts" -> q12PriorityCounts _,
     "q13_order_distribution" -> q13OrderDistribution _,
+    "q14_promo_revenue" -> q14PromoRevenue _,
+    "q15_top_supplier" -> q15TopSupplier _,
     "q16_supplier_variety" -> q16SupplierVariety _,
+    "q17_small_quantity" -> q17SmallQuantity _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q19_disjunctive" -> q19Disjunctive _,
     "q21_waiting_supplier" -> q21WaitingSupplier _,
+    "q22_idle_customers" -> q22IdleCustomers _,
     "p1_unit_conversion" -> p1UnitConversion _,
     "p3_recode" -> p3Recode _,
     "p4_filter" -> p4Filter _,
@@ -932,6 +1104,81 @@ object Analytics {
         | AND NOT EXISTS (SELECT 1 FROM blamed n
         |                 WHERE n.l_orderkey = b.l_orderkey AND n.l_suppkey <> b.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | round(sum(volume), 2) AS volume, count(*) AS n_lines
+        |FROM (
+        | SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  l_extendedprice * (1.0 - l_discount) AS volume
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12')
+        |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q12_priority_counts" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT promo_revenue, total_revenue,
+        | round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
+        |FROM (
+        | SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN (SELECT l_partkey AS aq_partkey, avg(l_quantity) AS avg_qty
+        |       FROM lineitem GROUP BY l_partkey) aq ON l_partkey = aq_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT right(c_name, 1) AS cohort, count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

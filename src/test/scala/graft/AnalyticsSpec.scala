@@ -189,6 +189,60 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q4/q21/q22 plan EXISTS/NOT-EXISTS as semi/anti joins, never a re-scan per row") {
+    val semiPlans = Analytics.q4PriorityExists(spark, sf).queryExecution.executedPlan.toString
+    assert(semiPlans.contains("LeftSemi"), "q4 EXISTS must plan as a left-semi join")
+    val q21 = Analytics.q21WaitingSupplier(spark, sf).queryExecution.executedPlan.toString
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      "q21 needs both the EXISTS semi join and the NOT-EXISTS anti join")
+    val q22 = Analytics.q22IdleCustomers(spark, sf).queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), "q22 NOT EXISTS must plan as a left-anti join")
+  }
+
+  test("q12 conditional counters partition the joined slice exactly") {
+    val rows = Analytics.q12PriorityCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val o = Tables.orders(spark, sf)
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(total === joined, "high+low must account for every joined line exactly once")
+  }
+
+  test("q14 promo share is a valid percentage of one-pass sums") {
+    val r = Analytics.q14PromoRevenue(spark, sf).collect().head
+    assert(r.getDouble(0) >= 0 && r.getDouble(0) <= r.getDouble(1))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 100.0)
+  }
+
+  test("q15 winners all carry the maximum rounded revenue") {
+    val rows = Analytics.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length === 1, "every winner ties at the max revenue")
+  }
+
+  test("q17 decorrelates the per-part average: no more than the two expected shuffles of lineitem") {
+    val df = Analytics.q17SmallQuantity(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the scalar subquery must decorrelate to an equi-join, not a nested loop")
+    val r = df.collect().head
+    assert(r.getLong(1) > 0, "brand slice must keep some small-quantity lines")
+  }
+
+  test("q7 bilateral volume keeps only the named pair in both directions") {
+    val rows = Analytics.q7NationVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val pair = (r.getString(0), r.getString(1))
+      pair == ("NATION_11", "NATION_12") || pair == ("NATION_12", "NATION_11")
+    })
+  }
+
   test("w7 gapfill densifies every key's span and carries values forward") {
     val rows = Analytics.w7GapFill(spark, sf).collect()
     assert(rows.nonEmpty)
