@@ -188,6 +188,36 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch-weighted amplification: repeat each document `epochs(source)`
+    * times (here 1–3, derived deterministically from the source id) —
+    * the multi-epoch sampling a training mix applies to high-value
+    * sources. The amplification is a generator explode
+    * (`sequence(1, epochs)`), so rows multiply map-side inside the
+    * scan stage and flow straight into a map-side-combined aggregate;
+    * nothing is collected, joined or shuffled at corpus grain. The
+    * epoch-weighted id sum proves per-epoch rows really materialized
+    * (a metadata-only multiply of aggregates could not produce it).
+    *
+    * Scale: at 100 TB the same plan streams — amplified rows exist
+    * only inside the pipeline between explode and the consumer (an
+    * aggregate here; a shuffled-write in production), never at rest.
+    */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("epochs", expr("cast(substr(source, 4) as int) % 3 + 1"))
+      .select(col("source"), col("epochs"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        explode(expr("sequence(1, epochs)")).as("epoch"))
+      .groupBy("source")
+      .agg(
+        max("epochs").as("epochs"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("amp_rows"),
+        sum(col("n_tokens").cast("long")).as("amp_tokens"),
+        sum(col("doc_id") * col("epoch")).as("epoch_weighted_id_sum"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- //
   // Train / validation / test split
   // ---------------------------------------------------------------- //
@@ -541,6 +571,7 @@ object Curation {
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
+    "x_mix_epochs" -> mixEpochs _,
     "x_split_train" -> splitTrain _,
     "x_policy_filter" -> policyFilter _,
     "x_outlier_zscore" -> outlierZscore _,
@@ -570,6 +601,16 @@ object Curation {
          |SELECT source, count(*) AS n_selected,
          | sum(n_chars)::BIGINT AS chars_selected, min(quota) AS quota
          |FROM ranked WHERE rk <= quota GROUP BY source ORDER BY source""".stripMargin,
+    "x_mix_epochs" ->
+      """WITH amp AS (
+        | SELECT source, (substr(source, 4)::INT % 3) + 1 AS epochs, doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  unnest(generate_series(1, (substr(source, 4)::INT % 3) + 1)) AS epoch
+        | FROM documents)
+        |SELECT source, max(epochs) AS epochs, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS amp_rows, sum(n_tokens)::BIGINT AS amp_tokens,
+        | sum(doc_id * epoch)::BIGINT AS epoch_weighted_id_sum
+        |FROM amp GROUP BY source ORDER BY source""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH rates AS (
          | SELECT source, count(*) AS c,

@@ -412,7 +412,67 @@ object TextOps {
       .orderBy("k")
   }
 
+  /** Denylist terms for [[piiScrub]] — stand-ins for the PII patterns
+    * (emails, phone numbers, IDs) a production scrubber would target;
+    * this corpus is synthetic word soup, so the denylist names real
+    * corpus words to keep the operator non-vacuous.
+    */
+  private val ScrubTerms = Seq("value", "table", "hash")
+
+  /** PII-style denylist scrub: rewrite every denylisted word to a
+    * redaction marker and account for the damage — docs touched,
+    * redactions made, characters before/after, and a 60-bit checksum
+    * of every scrubbed text (md5-prefix sum) proving the rewrite is
+    * byte-identical across engines, not just counted the same.
+    *
+    * Scale: one regexp projection + one tiny per-source aggregate; the
+    * scrubbed text never shuffles (only its length and checksum do).
+    * The word-boundary regex compiles once per task; RE2 (DuckDB) and
+    * Java regex agree on `\b` for ASCII word chars.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = s"\\\\b(${ScrubTerms.mkString("|")})\\\\b"
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("lowered", lower(col("text")))
+      .withColumn("scrubbed", expr(s"regexp_replace(lowered, '$pat', '<redacted>')"))
+      .withColumn("hits", expr(s"size(regexp_extract_all(lowered, '$pat', 0))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("hits").cast("long")).as("n_redactions"),
+        sum(length(col("lowered")).cast("long")).as("chars_before"),
+        sum(length(col("scrubbed")).cast("long")).as("chars_after"),
+        // per-doc 60-bit digests reduced mod 1e12 before summing so the
+        // corpus-level sum stays far inside int64 at any doc count
+        sum(expr("cast(conv(substr(md5(scrubbed), 1, 15), 16, 10) as bigint) % 1000000000000"))
+          .as("scrub_checksum"))
+      .orderBy("source")
+  }
+
+  /** Tokenizer-training prep: adjacent-token-pair counts — the inner
+    * statistic of one BPE merge round (the highest-count pair is the
+    * merge a tokenizer trainer would pick next). Pairs are formed
+    * per-document with an index-free array transform, so the fact
+    * table explodes to (tokens-1) rows per doc and immediately
+    * collapses in a map-side-combined count; only (pair, count)
+    * partials shuffle. Top-30 plans as TakeOrderedAndProject.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_pii_scrub" -> piiScrub _,
+    "x_bpe_pairs" -> bpePairs _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
@@ -428,6 +488,29 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pii_scrub" ->
+      s"""WITH per AS (
+         | SELECT source, lower(text) AS lowered,
+         |  regexp_replace(lower(text), '\\b(${ScrubTerms.mkString("|")})\\b',
+         |                 '<redacted>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(lower(text), '\\b(${ScrubTerms.mkString("|")})\\b')) AS hits
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_hit,
+         | sum(hits)::BIGINT AS n_redactions,
+         | sum(length(lowered))::BIGINT AS chars_before,
+         | sum(length(scrubbed))::BIGINT AS chars_after,
+         | sum(('0x' || substr(md5(scrubbed), 1, 15))::BIGINT % 1000000000000)::BIGINT AS scrub_checksum
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    "x_bpe_pairs" ->
+      """WITH tok AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |idx AS (
+        | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        | FROM tok WHERE len(t) >= 2),
+        |pairs AS (SELECT t[i] || ' ' || t[i + 1] AS pair FROM idx)
+        |SELECT pair, count(*) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "x_quality_classifier" ->
       s"""WITH f AS (
          | SELECT source,

@@ -210,6 +210,94 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** Late-data accounting: the watermark's DROP side, measured exactly.
+    *
+    * Staging splits the events file into four micro-batches:
+    * (1) the on-time bulk (event_id % 5 != 0) — its max timestamp M
+    * sets the watermark to M−1h; (2) a one-row on-time advancer —
+    * needed because Spark (3.4+, SPARK-40925) filters late events
+    * against the PREVIOUS batch's committed watermark
+    * (`watermarkForLateEvents`), so the bulk watermark only becomes
+    * the drop threshold one batch later; (3) the late cohort
+    * (event_id % 5 == 0), now genuinely behind the committed
+    * watermark, so every late row whose 10-minute window already
+    * closed (window end ≤ M−1h) is dropped by the aggregation while
+    * late rows in still-open windows are merged; (4) a far-future
+    * sentinel that flushes remaining state.
+    * The memory-sink output therefore equals the batch answer
+    * over "bulk ∪ late-rows-in-open-windows" — which is exactly the
+    * DuckDB oracle's predicate, so the drop semantics are verified
+    * value-for-value, not just counted. Timestamps carry microsecond
+    * components while window ends are whole minutes, so the
+    * open/closed test never lands on the ambiguous equality boundary.
+    *
+    * Scale: identical plan to [[streamWindowAppend]] — watermark-backed
+    * state eviction keeps the store bounded regardless of how late the
+    * stragglers are; the drop is a per-row predicate against the
+    * current watermark, no state lookup.
+    */
+  def streamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = s"/root/repo/target/graft-work/stream/events_late_$fp"
+    val stage = new Path(stageDir)
+    val fs = stage.getFileSystem(conf)
+    if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
+      fs.delete(stage, true)
+      fs.mkdirs(stage)
+      val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      def stagePart(df: DataFrame, name: String): Unit = {
+        val tmp = s"$stageDir-tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        FileUtil.copy(fs, part, fs, new Path(s"$stageDir/$name.parquet"), false, conf)
+        fs.delete(new Path(tmp), true)
+      }
+      val bulk = raw.filter(col("event_id") % 5 =!= 0)
+      stagePart(bulk, "0_bulk")
+      // on-time row at the bulk max timestamp: watermark-neutral, but
+      // forces the batch boundary that commits the bulk watermark
+      // before the late cohort arrives
+      val maxNanos = bulk.agg(max("ts")).head.getLong(0)
+      import spark.implicits._
+      stagePart(Seq((-2L, maxNanos, -2L, "__advance", 0.0, """{"k": 0}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "1_advance")
+      stagePart(raw.filter(col("event_id") % 5 === 0), "2_late")
+      stagePart(Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "3_sentinel")
+      fs.create(new Path(s"$stageDir/_STAGED")).close()
+    }
+
+    val src = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_late_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .filter(!col("event_type").isin("__sentinel", "__advance"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** Streaming exact deduplication — `dropDuplicatesWithinWatermark` on
     * event_id, the streaming twin of [[graft.operators.Dedup.exactKeep]]:
     * dedup state is EVICTED once the watermark passes an event's time,
@@ -516,6 +604,7 @@ object EventStreams {
     "x_stream_window_sliding" -> streamWindowSliding _,
     "x_stream_window_append" -> streamWindowAppend _,
     "x_stream_dedup" -> streamDedup _,
+    "x_stream_late_data" -> streamLateData _,
     "x_stream_sessions" -> statefulSessions _,
     "w2_sessionize" -> sessionize _,
   )
@@ -538,6 +627,21 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // batch twin of the watermark drop rule: a late row (event_id%5=0)
+    // survives iff its 10-minute window was still open when it arrived,
+    // i.e. window end > max(on-time ts) - 1h
+    "x_stream_late_data" ->
+      """WITH base AS (
+        | SELECT ts, event_type, value, event_id % 5 = 0 AS is_late FROM events),
+        |wm AS (
+        | SELECT max(ts) - INTERVAL 1 HOUR AS w FROM base WHERE NOT is_late),
+        |kept AS (
+        | SELECT * FROM base
+        | WHERE NOT is_late
+        |    OR time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE > (SELECT w FROM wm))
+        |SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM kept GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "x_stream_window_sliding" ->
       """WITH e AS (
         | SELECT ts, event_type, value,

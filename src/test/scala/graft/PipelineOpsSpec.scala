@@ -453,4 +453,52 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"${r.getString(0)} holds an exact twin; its max dup fraction must be 1e6 ppm")
     }
   }
+
+  test("pii scrub redacts denylisted words and accounts for every character") {
+    val rows = TextOps.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum > 0, "denylist names corpus words; redactions must occur")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "docs_hit cannot exceed n_docs")
+      if (r.getLong(3) == 0)
+        assert(r.getLong(4) === r.getLong(5), "no redactions => text length unchanged")
+    }
+  }
+
+  test("bpe pair counts rank adjacent pairs in strict descending order") {
+    val rows = TextOps.bpePairs(spark, sf).collect()
+    assert(rows.length === 30)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getString(0).split(" ").length === 2),
+      "every pair is exactly two whitespace tokens")
+  }
+
+  test("epoch amplification multiplies rows by the per-source epoch factor exactly") {
+    val rows = graft.operators.Curation.mixEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (epochs, nDocs, ampRows) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(epochs >= 1 && epochs <= 3)
+      assert(ampRows === nDocs * epochs, s"${r.getString(0)}: explode must yield docs*epochs rows")
+    }
+  }
+
+  test("streaming late data drops closed-window stragglers but keeps open-window ones") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.streamLateData(spark, sf)
+    val streamedGroups = streamed.count()
+    val allGroups = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type")).count().count()
+    assert(streamedGroups < allGroups,
+      "some windows consist only of late rows; the watermark must have dropped them")
+    // every surviving group's count never exceeds the batch answer's
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_format(window(col("ts"), "10 minutes").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_all"))
+    val joined = streamed.join(batch, Seq("bucket", "event_type"), "left_outer").collect()
+    assert(joined.forall(r => !r.isNullAt(4) && r.getLong(2) <= r.getLong(4)),
+      "streamed counts must be a per-group subset of the batch answer")
+  }
 }
