@@ -276,6 +276,77 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q8-style market share: conditional-numerator share over the full
+    * 6-way star — the "fraction of a region's volume supplied by one
+    * nation, by year" shape. Numerator and denominator come out of ONE
+    * aggregate pass (sum(CASE WHEN supplier-nation matches)), so the
+    * fact slice is scanned and joined once; all five dimension legs
+    * broadcast. The share divides the two already-rounded sums, keeping
+    * the emitted ratio deterministic across summation orders.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val cn = n.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_region") === r("r_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2)
+          .as("nation_volume"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_volume"))
+      .select(col("l_year"), col("nation_volume"), col("total_volume"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy("l_year")
+  }
+
+  /** Q9-style product profit: LIKE-filtered part slice joined through
+    * the fact to supplier nation, profit aggregated by (nation, year).
+    * The part filter (`p_name LIKE '%widget%'`) cannot push below the
+    * join, but the filtered part dimension broadcasts, so only
+    * matching fact rows survive the probe. (No partsupp/supplycost in
+    * this schema; cost is proxied at 10% of retail price per unit —
+    * the multi-join profit-expression shape is Q9's.)
+    *
+    * Profit sums EXACTLY in integer 1e-4-dollar units: the revenue and
+    * cost terms cancel, so a double sum amplifies ulp noise right onto
+    * rounding boundaries (observed at sf0.01) — prices carry 2
+    * decimals and discounts 2, so the integerization is lossless and
+    * the BIGINT sum is order-independent on both engines.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_name").like("%widget%"))
+    val o = Tables.orders(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .withColumn("profit_u",
+        expr("""cast(round(l_extendedprice * 100) as bigint)
+               |  * (100 - cast(round(l_discount * 100) as bigint))
+               |  - cast(round(p_retailprice * 100) as bigint)
+               |  * cast(round(l_quantity) as bigint) * 10""".stripMargin))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum("profit_u").as("sum_profit_u"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Q12-style priority line counts: fact-fact join followed by
     * conditional aggregation — sum(CASE WHEN …) twin counters in ONE
     * pass, the shape that replaces two filtered scans with one. The
@@ -1005,6 +1076,8 @@ object Analytics {
     "q5_local_supplier" -> q5LocalSupplier _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q7_nation_volume" -> q7NationVolume _,
+    "q8_market_share" -> q8MarketShare _,
+    "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q12_priority_counts" -> q12PriorityCounts _,
     "q13_order_distribution" -> q13OrderDistribution _,
@@ -1123,6 +1196,39 @@ object Analytics {
         |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT l_year, nation_volume, total_volume,
+        | round(nation_volume / total_volume, 6) AS mkt_share
+        |FROM (
+        | SELECT year(l_shipdate) AS l_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS nation_volume,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_volume
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | WHERE r_name = 'ASIA'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY l_year)
+        |ORDER BY l_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)
+        |   - round(p_retailprice * 100)::BIGINT * round(l_quantity)::BIGINT * 10
+        | )::BIGINT AS sum_profit_u,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
     "q12_priority_counts" ->
       """SELECT l_linestatus,
         | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,

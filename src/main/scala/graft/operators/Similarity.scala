@@ -422,7 +422,30 @@ object Similarity {
       .orderBy("vec_id", "rk")
   }
 
+  /** Gram matrix of the embedding corpus via [[graft.functions.GramMatrix]]
+    * — one typed-Aggregator pass, map-side combined; the only shuffled
+    * payload is one d×d buffer per partition. Emitted as the upper
+    * triangle in (i, j, g) coordinate form (1-based to match the
+    * oracle's list indexing), rounded so cross-engine summation order
+    * cannot leak into the hash.
+    */
+  def embGram(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GramMatrix
+    val g = udaf(GramMatrix)
+    val d = GramMatrix.Dim
+    corpus(spark, sfDir)
+      .agg(g(col("v")).as("gram"))
+      .select(posexplode(col("gram")).as(Seq("k", "gv")))
+      .select(
+        expr(s"cast(k div $d + 1 as int)").as("i"),
+        expr(s"cast(k % $d + 1 as int)").as("j"),
+        round(col("gv"), 4).as("g"))
+      .filter(col("i") <= col("j"))
+      .orderBy("i", "j")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
@@ -542,6 +565,11 @@ object Similarity {
     * quantizer retrains bit-identically cross-engine ([[ivfOracle]]).
     */
   val oracles: Map[String, String] = Map(
+    "x_emb_gram" ->
+      """SELECT i::INT AS i, j::INT AS j,
+        | round(sum(embedding[i]::DOUBLE * embedding[j]::DOUBLE), 4) AS g
+        |FROM embeddings, range(1, 65) r1(i), range(1, 65) r2(j)
+        |WHERE i <= j GROUP BY i, j ORDER BY i, j""".stripMargin,
     "x_emb_knn_graph" ->
       s"""WITH $lshOracleCtes,
          |gpairs AS (

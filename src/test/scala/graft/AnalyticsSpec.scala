@@ -243,6 +243,25 @@ class AnalyticsSpec extends AnyFunSuite {
     })
   }
 
+  test("q8 market share is a valid fraction of the region's volume") {
+    val rows = Analytics.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= r.getDouble(2))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q9 profit sums exactly in integer micro-units") {
+    val rows = Analytics.q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum ===
+      Tables.lineitem(spark, sf).join(
+        Tables.part(spark, sf).filter(org.apache.spark.sql.functions.col("p_name").like("%widget%")),
+        org.apache.spark.sql.functions.col("l_partkey") === org.apache.spark.sql.functions.col("p_partkey")).count(),
+      "every widget line is attributed to exactly one (nation, year) group")
+  }
+
   test("w7 gapfill densifies every key's span and carries values forward") {
     val rows = Analytics.w7GapFill(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -484,6 +484,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram matrix: one aggregator pass, positive diagonal, upper triangle only") {
+    val df = Similarity.embGram(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "the gram matrix is one aggregate pass, never a self-join")
+    val rows = df.collect()
+    assert(rows.length === 64 * 65 / 2)
+    rows.filter(r => r.getInt(0) == r.getInt(1)).foreach { r =>
+      assert(r.getDouble(2) > 0.0, s"diagonal Σv_i² must be positive (i=${r.getInt(0)})")
+    }
+  }
+
   test("streaming late data drops closed-window stragglers but keeps open-window ones") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamLateData(spark, sf)
