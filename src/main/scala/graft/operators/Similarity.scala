@@ -444,7 +444,31 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * shape): each vector projected onto the first 8 seeded hyperplanes
+    * — REAL coordinates this time, not the sign bits the LSH path
+    * keeps. A pure narrow projection (8 fused dot products per row, no
+    * shuffle, no state); the plane literals bake into the plan exactly
+    * like [[bandedOf]], and the fused index-order summation keeps the
+    * coordinates bit-identical to the DuckDB twin, so rounding is
+    * deterministic.
+    */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val pl = planes
+    var c = corpus(spark, sfDir)
+    for (p <- 0 until ProjDims) {
+      c = c.withColumn(s"pl$p", array(pl(p).map(lit): _*))
+        .withColumn(s"r$p", round(dot("v", s"pl$p"), 6))
+        .drop(s"pl$p")
+    }
+    c.select(col("vec_id") +: (0 until ProjDims).map(p => col(s"r$p")): _*)
+      .orderBy("vec_id")
+  }
+
+  private val ProjDims = 8
+
   val registry: Map[String, Q] = Map(
+    "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
     "x_emb_centroids" -> labelCentroids _,
@@ -565,6 +589,16 @@ object Similarity {
     * quantizer retrains bit-identically cross-engine ([[ivfOracle]]).
     */
   val oracles: Map[String, String] = Map(
+    "x_emb_project" -> {
+      val coords = (0 until ProjDims).map { p =>
+        val lit = planes(p).mkString("[", ", ", "]")
+        s"round(list_dot_product(v, $lit), 6) AS r$p"
+      }.mkString(",\n ")
+      s"""SELECT vec_id,
+         | $coords
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    },
     "x_emb_gram" ->
       """SELECT i::INT AS i, j::INT AS j,
         | round(sum(embedding[i]::DOUBLE * embedding[j]::DOUBLE), 4) AS g

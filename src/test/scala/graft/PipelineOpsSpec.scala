@@ -495,6 +495,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection is a pure narrow map: one row per vector, no join") {
+    val df = Similarity.randomProjection(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+    val rows = df.collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    assert(rows.forall(r => (1 to 8).forall(i => !r.isNullAt(i))),
+      "all 8 projected coordinates must be present")
+  }
+
   test("streaming late data drops closed-window stragglers but keeps open-window ones") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamLateData(spark, sf)
