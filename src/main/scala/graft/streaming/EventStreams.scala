@@ -150,37 +150,10 @@ object EventStreams {
     * sentinel's own window never closes and is never emitted.
     */
   def streamWindowAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = spark.sparkContext.hadoopConfiguration
-    // the staged directory is a pure function of the source file, so it
-    // is keyed on the source fingerprint and reused across invocations
-    // (bench repeats then time the STREAMING query, not the staging);
-    // the _STAGED marker is written last and is invisible to the file
-    // source (underscore-prefixed files are filtered)
-    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_append_$fp"
-    val stage = new Path(stageDir)
-    val fs = stage.getFileSystem(conf)
-    if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
-      fs.delete(stage, true)
-      fs.mkdirs(stage)
-      FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
-        fs, new Path(s"$stageDir/0_events.parquet"), false, conf)
-      // sentinel: one event far past the data (year ~2100, in raw nanos
-      // to match the source schema) written after the copy so its mod
-      // time — the FileStreamSource batch order — puts it in a later
-      // micro-batch
-      import spark.implicits._
-      val sentinelTmp = s"$stageDir-sentinel-tmp"
-      Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
-      val part = fs.listStatus(new Path(sentinelTmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      FileUtil.copy(fs, part, fs, new Path(s"$stageDir/1_sentinel.parquet"), false, conf)
-      fs.delete(new Path(sentinelTmp), true)
-      fs.create(new Path(s"$stageDir/_STAGED")).close()
-    }
+    // staged (events, far-future sentinel) dir — keyed on the source
+    // fingerprint and reused across invocations (bench repeats then
+    // time the STREAMING query, not the staging); see [[stagedAppendDir]]
+    val stageDir = stagedAppendDir(spark, sfDir)
 
     val src = spark.readStream
       .schema(rawSchema)
@@ -296,6 +269,90 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("bucket", "event_type")
+  }
+
+  /** Streaming ETL to a DURABLE sink: the append-mode windowed
+    * aggregate written through Spark's transactional FileStreamSink
+    * (parquet + `_spark_metadata` commit log) instead of the memory
+    * sink, then read back as a plain batch table. This is the
+    * 100 TB shape end to end — an unbounded stream compacting into a
+    * queryable lake table with exactly-once file commits (a task
+    * retry re-writes the file, the commit log keeps one) — and the
+    * result must STILL equal the batch answer for all closed windows,
+    * so it shares [[streamWindowAppend]]'s oracle.
+    *
+    * The sink directory is keyed on the source fingerprint and rebuilt
+    * from a fresh checkpoint when absent; the read-back goes through
+    * the commit log (Spark lists `_spark_metadata`, not the raw
+    * directory), which is what makes concurrent-writer garbage
+    * invisible to readers at scale.
+    */
+  def streamFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = stagedAppendDir(spark, sfDir)
+    val outDir = s"/root/repo/target/graft-work/stream/events_filesink_$fp"
+    val fs = new Path(outDir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$outDir/_DONE"))) {
+      fs.delete(new Path(outDir), true)
+      val src = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+      withStatePartitions(spark, 8) {
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$outDir/data")
+          .option("checkpointLocation", s"$outDir/chk")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      fs.create(new Path(s"$outDir/_DONE")).close()
+    }
+    spark.read.parquet(s"$outDir/data")
+      .filter(col("event_type") =!= "__sentinel")
+      .orderBy("bucket", "event_type")
+  }
+
+  /** The staged (events file, far-future sentinel) directory used by
+    * [[streamWindowAppend]], extracted so the file-sink twin reuses the
+    * same two-batch drive-to-completion input.
+    */
+  private def stagedAppendDir(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = s"/root/repo/target/graft-work/stream/events_append_$fp"
+    val stage = new Path(stageDir)
+    val fs = stage.getFileSystem(conf)
+    if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
+      fs.delete(stage, true)
+      fs.mkdirs(stage)
+      FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
+        fs, new Path(s"$stageDir/0_events.parquet"), false, conf)
+      import spark.implicits._
+      val sentinelTmp = s"$stageDir-sentinel-tmp"
+      Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = fs.listStatus(new Path(sentinelTmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      FileUtil.copy(fs, part, fs, new Path(s"$stageDir/1_sentinel.parquet"), false, conf)
+      fs.delete(new Path(sentinelTmp), true)
+      fs.create(new Path(s"$stageDir/_STAGED")).close()
+    }
+    stageDir
   }
 
   /** Streaming exact deduplication — `dropDuplicatesWithinWatermark` on
@@ -603,6 +660,7 @@ object EventStreams {
     "x_stream_window" -> streamWindow _,
     "x_stream_window_sliding" -> streamWindowSliding _,
     "x_stream_window_append" -> streamWindowAppend _,
+    "x_stream_file_sink" -> streamFileSink _,
     "x_stream_dedup" -> streamDedup _,
     "x_stream_late_data" -> streamLateData _,
     "x_stream_sessions" -> statefulSessions _,
@@ -673,6 +731,12 @@ object EventStreams {
         | d.tier, count(*) AS n, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1, 2 ORDER BY bucket, tier""".stripMargin,
+    // the durable-sink path must read back exactly the append answer
+    // (transactional file commits change WHERE rows land, not values)
+    "x_stream_file_sink" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     // append mode emits each real window exactly once after the
     // watermark passes it — the total output equals the batch answer
     "x_stream_window_append" ->

@@ -504,6 +504,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "all 8 projected coordinates must be present")
   }
 
+  test("file-sink streaming commits through _spark_metadata and equals the memory-sink answer") {
+    val fromFiles = EventStreams.streamFileSink(spark, sf).collect()
+    val fromMemory = EventStreams.streamWindowAppend(spark, sf).collect()
+    assert(fromFiles.length === fromMemory.length)
+    assert(fromFiles.map(_.toString).toSeq === fromMemory.map(_.toString).toSeq,
+      "the durable sink must hold exactly the append-mode rows")
+    val sinkDirs = new java.io.File("/root/repo/target/graft-work/stream")
+      .listFiles.filter(_.getName.startsWith("events_filesink_"))
+    assert(sinkDirs.exists(d => new java.io.File(d, "data/_spark_metadata").exists),
+      "FileStreamSink must write its transactional commit log")
+  }
+
   test("streaming late data drops closed-window stragglers but keeps open-window ones") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.streamLateData(spark, sf)
