@@ -507,6 +507,55 @@ object Curation {
     * would otherwise fan a single join key across the corpus. Work is
     * O(corpus shingles + collisions), never corpus × eval.
     */
+  /** Snapshot versioning with an as-of read (time travel): the corpus
+    * is materialized as immutable snapshot v1, the [[mergeUpsert]]
+    * batch is applied and written as immutable snapshot v2, and the
+    * query reads BOTH snapshots as plain parquet tables — "as of v1"
+    * never sees the upsert because versions are separate directories,
+    * not mutated files. Per-version row count, id sum and a text
+    * checksum prove both snapshots' full contents, not just counts.
+    *
+    * Scale: this is the copy-on-write table-format pattern (Iceberg/
+    * Delta snapshot isolation) reduced to its Spark-native core — each
+    * version is a write-once directory keyed by the source fingerprint;
+    * readers pin a version by path and never race the writer. The
+    * snapshot build is a one-time cost amortized across reads, exactly
+    * like the bucketed/z-ordered layouts.
+    */
+  def snapshotVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
+    val dir = s"/root/repo/target/graft-work/snapshots_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$dir/_SNAPSHOTTED"))) {
+      fs.delete(new Path(dir), true)
+      val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      base.write.mode("overwrite").parquet(s"$dir/v1")
+      val updates = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("new_text"))
+      val inserts = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("synthetic doc "), col("doc_id").cast("string")).as("text"))
+      base.join(updates, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("new_text"), col("text")).as("text"))
+        .unionByName(inserts)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      fs.create(new Path(s"$dir/_SNAPSHOTTED")).close()
+    }
+    def stats(version: String): DataFrame =
+      spark.read.parquet(s"$dir/$version")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("doc_id").as("id_sum"),
+          sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
+            .as("text_checksum"))
+        .select(lit(version).as("version"), col("n_rows"), col("id_sum"), col("text_checksum"))
+    stats("v1").unionByName(stats("v2")).orderBy("version")
+  }
+
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Dedup.shingled(spark, sfDir)
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
@@ -579,6 +628,7 @@ object Curation {
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
+    "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
     "x_emb_quantize" -> quantizeEmbeddings _,
   )
@@ -774,5 +824,27 @@ object Curation {
         | FROM base b FULL OUTER JOIN batch u USING (doc_id))
         |SELECT action, count(*) AS n_rows, sum(chars)::BIGINT AS chars
         |FROM merged GROUP BY action ORDER BY action""".stripMargin,
+    // both snapshots recomputed from the raw table: v1 is the corpus,
+    // v2 is the applied upsert; the checksum proves full contents
+    "k9_snapshot_read" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |upd AS (SELECT doc_id, text || ' [rev2]' AS new_text
+        |        FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id,
+        |        'synthetic doc ' || doc_id::VARCHAR AS text
+        |        FROM documents WHERE doc_id % 13 = 0),
+        |v2 AS (
+        | SELECT b.doc_id, coalesce(u.new_text, b.text) AS text
+        | FROM v1 b LEFT JOIN upd u USING (doc_id)
+        | UNION ALL SELECT doc_id, text FROM ins),
+        |stats AS (
+        | SELECT 'v1' AS version, count(*) AS n_rows, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)::BIGINT AS text_checksum
+        | FROM v1
+        | UNION ALL
+        | SELECT 'v2', count(*), sum(doc_id)::BIGINT,
+        |  sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)::BIGINT
+        | FROM v2)
+        |SELECT * FROM stats ORDER BY version""".stripMargin,
   )
 }

@@ -183,6 +183,32 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** Native `session_window` sessionization — the built-in gap-based
+    * session operator (one output row per session, window end = last
+    * event + gap), complementing [[sessionize]]'s window-function
+    * formulation and [[statefulSessions]]'s mapGroupsWithState state
+    * machine. Per-user daily session stats keep the output deterministic
+    * and compact; the oracle rebuilds identical sessions with a
+    * lag/cumulative-sum in DuckDB (which has no native session window —
+    * exactly why the native operator is worth surfacing).
+    *
+    * Scale: session_window aggregates shuffle on (user, session) after
+    * a map-side sort — no full-corpus window function; in streaming the
+    * same expression runs under a watermark with merging session state.
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+      .limit(500)
+  }
+
   /** Late-data accounting: the watermark's DROP side, measured exactly.
     *
     * Staging splits the events file into four micro-batches:
@@ -665,6 +691,7 @@ object EventStreams {
     "x_stream_late_data" -> streamLateData _,
     "x_stream_sessions" -> statefulSessions _,
     "w2_sessionize" -> sessionize _,
+    "w8_session_window" -> sessionWindow _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -756,6 +783,27 @@ object EventStreams {
     "x_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB rebuilds gap sessions via lag + cumulative sum; session
+    // end is last event + gap, matching Spark's session_window.end
+    "w8_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start LIMIT 500""".stripMargin,
     "w2_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

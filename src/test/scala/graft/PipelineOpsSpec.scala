@@ -504,6 +504,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       "all 8 projected coordinates must be present")
   }
 
+  test("native session_window agrees with the window-function sessionization per user") {
+    import org.apache.spark.sql.functions._
+    val raw = EventStreams.sessionWindow(spark, sf)
+    // the 500-session limit cuts inside the LAST user's sessions; every
+    // user strictly below it is complete and comparable
+    val lastUser = raw.agg(max("user_id")).head.getLong(0)
+    val native = raw.filter(col("user_id") < lastUser)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val viaLag = EventStreams.sessionize(spark, sf)
+    val joined = native.join(viaLag, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"user ${r.getLong(0)}: session counts must agree")
+      assert(r.getLong(2) === r.getLong(4), s"user ${r.getLong(0)}: event counts must agree")
+    }
+  }
+
+  test("snapshot versions are immutable: v1 stats unchanged by the v2 upsert") {
+    val rows = graft.operators.Curation.snapshotVersions(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("v1", "v2"))
+    val Array(v1, v2) = rows
+    assert(v2.getLong(1) > v1.getLong(1), "inserts must grow v2")
+    assert(v1.getLong(1) === Tables.documents(spark, sf).count(),
+      "the as-of-v1 read must still see exactly the original corpus")
+    assert(v1.getLong(3) !== v2.getLong(3), "updates must change the v2 content checksum")
+  }
+
   test("file-sink streaming commits through _spark_metadata and equals the memory-sink answer") {
     val fromFiles = EventStreams.streamFileSink(spark, sf).collect()
     val fromMemory = EventStreams.streamWindowAppend(spark, sf).collect()
