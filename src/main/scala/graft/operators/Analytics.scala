@@ -688,6 +688,28 @@ object Analytics {
       .orderBy("y", "m", "dow")
   }
 
+  /** F5 — higher-order array functions (§2.10): `filter`, `transform`,
+    * `aggregate` and `zip_with` over the embedding arrays, all
+    * codegen'd lambda expressions evaluated inside the scan stage (no
+    * UDF, no explode — the array never leaves the row). The zip_with
+    * pairs each vector with its own reverse, so every function sees a
+    * genuinely element-wise computation the oracle can rebuild with
+    * DuckDB's list lambdas.
+    */
+  def f5ArrayHigherOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        expr("size(filter(v, x -> x > 0))").as("n_pos"),
+        expr("round(aggregate(v, 0D, (a, x) -> a + abs(x)), 4)").as("l1_norm"),
+        expr("round(aggregate(zip_with(v, reverse(v), (a, b) -> a * b), 0D, (a, x) -> a + x), 4)")
+          .as("dot_reversed"),
+        expr("round(array_max(transform(v, x -> abs(x))), 4)").as("linf_norm"))
+      .orderBy("vec_id")
+      .limit(500)
+  }
+
   /** F2 — typed Aggregator surface: weighted mean via
     * [[graft.functions.WeightedMean]] registered as a UDAF column —
     * the custom-aggregate path for anything built-ins can't express
@@ -1104,6 +1126,7 @@ object Analytics {
     "f1_json_extract" -> f1JsonExtract _,
     "f3_map_functions" -> f3MapFunctions _,
     "f4_datetime_parts" -> f4DatetimeParts _,
+    "f5_array_higher_order" -> f5ArrayHigherOrder _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -1425,6 +1448,14 @@ object Analytics {
         |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
     // strftime %w is 0=Sunday..6; Spark dayofweek is 1=Sunday..7
+    "f5_array_higher_order" ->
+      """SELECT vec_id,
+        | len(list_filter(v, x -> x > 0)) AS n_pos,
+        | round(list_sum(list_transform(v, x -> abs(x))), 4) AS l1_norm,
+        | round(list_dot_product(v, list_reverse(v)), 4) AS dot_reversed,
+        | round(list_max(list_transform(v, x -> abs(x))), 4) AS linf_norm
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |ORDER BY vec_id LIMIT 500""".stripMargin,
     "f4_datetime_parts" ->
       """SELECT year(ts)::INT AS y, month(ts)::INT AS m,
         | (strftime(ts, '%w')::INT + 1) AS dow,
