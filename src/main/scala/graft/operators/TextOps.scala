@@ -412,6 +412,55 @@ object TextOps {
       .orderBy("k")
   }
 
+  /** Bigram language model with add-one smoothing: per-doc average
+    * conditional surprise −ln P(w₂|w₁) where
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V) — the next step up from
+    * [[unigramSurprise]]'s context-free model, scoring how predictable
+    * each document's word SEQUENCE is (boilerplate scores low, shuffled
+    * text scores high even when its unigram mix is normal).
+    *
+    * Determinism discipline (same as the unigram LM): both count
+    * models are exact integers; ln() is evaluated once per MODEL ROW
+    * and rounded to integer micro-nats before any aggregation, so
+    * engine-side float summation order never touches the result.
+    *
+    * Scale: the bigram model is corpus-vocabulary²-bounded in theory
+    * but Zipf-bounded in practice (distinct observed bigrams); both
+    * model builds are map-side-combined aggregates, and scoring is an
+    * equi-join of the exploded fact against the two model tables —
+    * shuffled on the bigram/unigram keys, never broadcast-assumed.
+    */
+  def bigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = docs.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, concat(t[i], ' ', t[i + 1]) as bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bigrams.select(col("w1")).distinct().count()
+    val model = c2
+      .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
+      .join(c1, col("mw1") === c1("w1"))
+      .withColumn("micro_nats",
+        expr(s"cast(round((ln(cast(c1 + $vocab as double)) - ln(cast(c2 + 1 as double))) * 1000000) as bigint)"))
+      .select(col("bg"), col("micro_nats"))
+    val perDoc = bigrams.join(model, "bg")
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("avg_micro_nats").as("sum_avg_micro_nats"),
+        min("avg_micro_nats").as("min_surprise"),
+        max("avg_micro_nats").as("max_surprise"))
+      .orderBy("source")
+  }
+
   /** Denylist terms for [[piiScrub]] — stand-ins for the PII patterns
     * (emails, phone numbers, IDs) a production scrubber would target;
     * this corpus is synthetic word soup, so the denylist names real
@@ -473,6 +522,7 @@ object TextOps {
   val registry: Map[String, Q] = Map(
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
+    "x_text_bigram_lm" -> bigramSurprise _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
@@ -488,6 +538,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_text_bigram_lm" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        | FROM documents
+        | WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2),
+        |idx AS (
+        | SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok),
+        |bgs AS (
+        | SELECT doc_id, source, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS vocab FROM bgs),
+        |model AS (
+        | SELECT c2.bg,
+        |  round((ln((c1.c1 + (SELECT vocab FROM v))::DOUBLE)
+        |       - ln((c2.c2 + 1)::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+        | FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        |per_doc AS (
+        | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+        | FROM bgs JOIN model USING (bg) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        | sum(avg_micro_nats)::BIGINT AS sum_avg_micro_nats,
+        | min(avg_micro_nats)::BIGINT AS min_surprise,
+        | max(avg_micro_nats)::BIGINT AS max_surprise
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "x_pii_scrub" ->
       s"""WITH per AS (
          | SELECT source, lower(text) AS lowered,

@@ -504,6 +504,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       "all 8 projected coordinates must be present")
   }
 
+  test("bigram LM scores every multi-token doc with bounded integer surprise") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.bigramSurprise(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scored = rows.map(_.getLong(1)).sum
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(scored === eligible, "every doc with at least one bigram must be scored")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "min surprise cannot exceed max")
+      assert(r.getLong(3) > 0, "add-one smoothing keeps every surprise strictly positive")
+    }
+  }
+
   test("native session_window agrees with the window-function sessionization per user") {
     import org.apache.spark.sql.functions._
     val raw = EventStreams.sessionWindow(spark, sf)
