@@ -710,6 +710,51 @@ object Analytics {
       .limit(500)
   }
 
+  /** E2 — ordered event-funnel conversion: view → click → purchase,
+    * each stage's first event strictly AFTER the previous stage's.
+    * Classic product-analytics sequence matching, expressed as
+    * stage-wise user-grain aggregates chained by equi-joins — per-user
+    * state never exceeds one timestamp per stage, and each stage's
+    * frame only shrinks, so at 100 TB the three shuffles on user_id
+    * carry monotonically less data. Conversion lags average in EXACT
+    * integer microseconds (timestamps are integral micros, so the
+    * integer-division mean is engine-order-independent).
+    */
+  def e2EventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"), min(col("t_click")).as("t_click2"))
+    val nv = v.count()
+    val clickStats = c.agg(count(lit(1)).as("n_click"),
+      expr("sum(unix_micros(t_click) - unix_micros(t_view)) div count(1)").as("avg_view_to_click_us"))
+    val purchStats = p.agg(count(lit(1)).as("n_purchase"),
+      expr("sum(unix_micros(t_purchase) - unix_micros(t_click2)) div count(1)").as("avg_click_to_purchase_us"))
+    clickStats.crossJoin(purchStats)
+      .select(lit(nv).as("n_view"), col("n_click"), col("n_purchase"),
+        col("avg_view_to_click_us"), col("avg_click_to_purchase_us"))
+  }
+
+  /** A10 — histogram binning: fixed-width buckets over order totals,
+    * computed with integer floor division (exact, no width_bucket
+    * float edges) — the binning shape behind every distribution chart
+    * the reference's scripts plot. One map-side-combined aggregate.
+    */
+  def a10Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket", expr("cast(floor(o_totalprice / 50000) as bigint)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("bucket")
+  }
+
   /** F2 — typed Aggregator surface: weighted mean via
     * [[graft.functions.WeightedMean]] registered as a UDAF column —
     * the custom-aggregate path for anything built-ins can't express
@@ -1127,6 +1172,8 @@ object Analytics {
     "f3_map_functions" -> f3MapFunctions _,
     "f4_datetime_parts" -> f4DatetimeParts _,
     "f5_array_higher_order" -> f5ArrayHigherOrder _,
+    "e2_event_funnel" -> e2EventFunnel _,
+    "a10_histogram" -> a10Histogram _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -1448,6 +1495,32 @@ object Analytics {
         |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
     // strftime %w is 0=Sunday..6; Spark dayofweek is 1=Sunday..7
+    "e2_event_funnel" ->
+      """WITH v AS (
+        | SELECT user_id, min(ts) AS t_view FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        | SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'click' AND e.ts > v.t_view
+        | GROUP BY e.user_id),
+        |p AS (
+        | SELECT e.user_id, min(e.ts) AS t_purchase, min(c.t_click) AS t_click2
+        | FROM events e JOIN c ON e.user_id = c.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        | GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        | (SELECT count(*) FROM c) AS n_click,
+        | (SELECT count(*) FROM p) AS n_purchase,
+        | (SELECT sum(epoch_us(t_click) - epoch_us(t_view)) // count(*) FROM c)::BIGINT
+        |   AS avg_view_to_click_us,
+        | (SELECT sum(epoch_us(t_purchase) - epoch_us(t_click2)) // count(*) FROM p)::BIGINT
+        |   AS avg_click_to_purchase_us""".stripMargin,
+    "a10_histogram" ->
+      """SELECT floor(o_totalprice / 50000)::BIGINT AS bucket, count(*) AS n,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "f5_array_higher_order" ->
       """SELECT vec_id,
         | len(list_filter(v, x -> x > 0)) AS n_pos,

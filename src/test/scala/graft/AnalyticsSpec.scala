@@ -262,6 +262,23 @@ class AnalyticsSpec extends AnyFunSuite {
       "every widget line is attributed to exactly one (nation, year) group")
   }
 
+  test("event funnel narrows monotonically with positive conversion lags") {
+    val r = Analytics.e2EventFunnel(spark, sf).collect().head
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2),
+      "each funnel stage can only lose users")
+    assert(r.getLong(2) > 0, "testdata has full-funnel users")
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0, "ordered stages imply positive lags")
+  }
+
+  test("a10 histogram buckets partition all orders with consistent edges") {
+    val rows = Analytics.a10Histogram(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getLong(0) * 50000.0 && r.getDouble(3) < (r.getLong(0) + 1) * 50000.0,
+        s"bucket ${r.getLong(0)}: min/max must fall inside the bucket edges")
+    }
+  }
+
   test("w7 gapfill densifies every key's span and carries values forward") {
     val rows = Analytics.w7GapFill(spark, sf).collect()
     assert(rows.nonEmpty)
