@@ -467,7 +467,30 @@ object Similarity {
 
   private val ProjDims = 8
 
+  /** Per-dimension feature statistics — the standardization model
+    * (mean/std/min/max per coordinate) a whitening or normalization
+    * step extracts before training. One posexplode + a 64-group
+    * aggregate: the shuffle carries per-(partition, dim) partials, so
+    * the wire cost is partitions × d regardless of corpus size — the
+    * same model-extraction posture as [[embGram]].
+    */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        // + 0.0 collapses IEEE negative zero (round can yield -0.0,
+        // which DuckDB renders "-0" and Spark "0")
+        (round(avg("x"), 4) + lit(0.0)).as("mean"),
+        (round(stddev_samp(col("x")), 4) + lit(0.0)).as("std"),
+        (round(min("x"), 4) + lit(0.0)).as("min_x"),
+        (round(max("x"), 4) + lit(0.0)).as("max_x"))
+      .orderBy("dim")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_emb_dim_stats" -> dimStats _,
     "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
@@ -589,6 +612,14 @@ object Similarity {
     * quantizer retrains bit-identically cross-engine ([[ivfOracle]]).
     */
   val oracles: Map[String, String] = Map(
+    "x_emb_dim_stats" ->
+      """SELECT i::BIGINT AS dim, count(*) AS n,
+        | round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS mean,
+        | round(stddev_samp(embedding[i]::DOUBLE), 4) + 0.0 AS std,
+        | round(min(embedding[i]::DOUBLE), 4) + 0.0 AS min_x,
+        | round(max(embedding[i]::DOUBLE), 4) + 0.0 AS max_x
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
     "x_emb_project" -> {
       val coords = (0 until ProjDims).map { p =>
         val lit = planes(p).mkString("[", ", ", "]")
