@@ -688,6 +688,39 @@ object Analytics {
       .orderBy("y", "m", "dow")
   }
 
+  /** A11 — CUBE: all 2² grouping combinations in one pass, completing
+    * the rollup/grouping-sets family. Spark plans one Expand + one
+    * aggregate — the fact is scanned once for all four granularities.
+    */
+  def a11Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** W9 — lead/lag day-over-day deltas: per-type daily revenue with the
+    * previous day's value and the delta — the offset window functions
+    * ([[Analytics.w5RunningTotal]] covers frames; this covers offsets).
+    * Cents stay integral so deltas are exact at any partition order.
+    */
+  def w9LeadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(expr("sum(cast(round(value * 100) as bigint))").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("delta_cents", col("cents") - coalesce(col("prev_cents"), col("cents")))
+      .withColumn("next_day", lead("day", 1).over(w))
+      .orderBy("event_type", "day")
+  }
+
   /** F5 — higher-order array functions (§2.10): `filter`, `transform`,
     * `aggregate` and `zip_with` over the embedding arrays, all
     * codegen'd lambda expressions evaluated inside the scan stage (no
@@ -1174,6 +1207,8 @@ object Analytics {
     "f5_array_higher_order" -> f5ArrayHigherOrder _,
     "e2_event_funnel" -> e2EventFunnel _,
     "a10_histogram" -> a10Histogram _,
+    "a11_cube" -> a11Cube _,
+    "w9_lead_lag" -> w9LeadLag _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -1516,6 +1551,25 @@ object Analytics {
         |   AS avg_view_to_click_us,
         | (SELECT sum(epoch_us(t_purchase) - epoch_us(t_click2)) // count(*) FROM p)::BIGINT
         |   AS avg_click_to_purchase_us""".stripMargin,
+    "a11_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "w9_lead_lag" ->
+      """WITH daily AS (
+        | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        | FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, cents,
+        | lag(cents) OVER w AS prev_cents,
+        | (cents - coalesce(lag(cents) OVER w, cents))::BIGINT AS delta_cents,
+        | lead(day) OVER w AS next_day
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
     "a10_histogram" ->
       """SELECT floor(o_totalprice / 50000)::BIGINT AS bucket, count(*) AS n,
         | round(min(o_totalprice), 2) AS min_price,
