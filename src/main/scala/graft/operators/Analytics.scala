@@ -743,6 +743,33 @@ object Analytics {
       .limit(500)
   }
 
+  /** F6 — ordered string aggregation (listagg family): per order
+    * priority, the top spenders' names concatenated in a DETERMINISTIC
+    * order (collect_list carries no order guarantee in a distributed
+    * engine — sort_array imposes one before joining, which is the only
+    * way the aggregate is reproducible across partitionings and
+    * engines). The per-group top-3 keeps the collected list bounded —
+    * collect over an unbounded group is the anti-pattern this op
+    * demonstrates avoiding.
+    */
+  def f6StringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderpriority"), col("c_name"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("cents"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents").desc, col("c_name"))
+    spend.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_list(col("c_name"))), ",").as("top_names"),
+        sum("cents").as("top_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** E2 — ordered event-funnel conversion: view → click → purchase,
     * each stage's first event strictly AFTER the previous stage's.
     * Classic product-analytics sequence matching, expressed as
@@ -1209,6 +1236,7 @@ object Analytics {
     "a10_histogram" -> a10Histogram _,
     "a11_cube" -> a11Cube _,
     "w9_lead_lag" -> w9LeadLag _,
+    "f6_string_agg" -> f6StringAgg _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -1551,6 +1579,21 @@ object Analytics {
         |   AS avg_view_to_click_us,
         | (SELECT sum(epoch_us(t_purchase) - epoch_us(t_click2)) // count(*) FROM p)::BIGINT
         |   AS avg_click_to_purchase_us""".stripMargin,
+    "f6_string_agg" ->
+      """WITH spend AS (
+        | SELECT o_orderpriority, c_name,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY o_orderpriority, c_name),
+        |top3 AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents DESC, c_name) AS rk FROM spend)
+        | WHERE rk <= 3)
+        |SELECT o_orderpriority,
+        | string_agg(c_name, ',' ORDER BY c_name) AS top_names,
+        | sum(cents)::BIGINT AS top_cents
+        |FROM top3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a11_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
