@@ -248,10 +248,11 @@ object Analytics {
     * the same nation table joins twice under different roles (supplier
     * nation vs customer nation), with a symmetric pair predicate that
     * only holds for two named nations in either direction. Both nation
-    * copies broadcast (25 rows), so the pair filter evaluates
-    * map-side right after the dimension joins; only lineitem⋈orders
-    * shuffles. Year extraction groups the surviving rows into a
-    * 2-nations × 2-directions × years rollup.
+    * copies broadcast (25 rows), so the pair filter evaluates map-side
+    * right after the dimension joins. Customer and supplier are
+    * fact-proportional (SF × 150k / SF × 10k rows), so they carry NO
+    * broadcast hint — AQE picks broadcast at bench scale and degrades
+    * to shuffle join at large SF instead of OOMing the driver.
     */
   def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -264,8 +265,8 @@ object Analytics {
     val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
       .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
       .filter((col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_12") ||
@@ -280,9 +281,11 @@ object Analytics {
     * 6-way star — the "fraction of a region's volume supplied by one
     * nation, by year" shape. Numerator and denominator come out of ONE
     * aggregate pass (sum(CASE WHEN supplier-nation matches)), so the
-    * fact slice is scanned and joined once; all five dimension legs
-    * broadcast. The share divides the two already-rounded sums, keeping
-    * the emitted ratio deterministic across summation orders.
+    * fact slice is scanned and joined once; the true dimension legs
+    * (nation × 2, region) broadcast while fact-proportional customer
+    * and supplier stay un-hinted for AQE to size. The share divides
+    * the two already-rounded sums, keeping the emitted ratio
+    * deterministic across summation orders.
     */
   def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -296,10 +299,10 @@ object Analytics {
     val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
       .join(broadcast(r), col("cn_region") === r("r_regionkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
       .groupBy(year(col("l_shipdate")).as("l_year"))
       .agg(
@@ -478,6 +481,127 @@ object Analytics {
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy("cohort")
+  }
+
+  /** Q2-style min-cost supplier: the correlated-scalar-subquery
+    * decorrelation over a 4-table dimension chain. The partsupp
+    * stand-in is lineitem's distinct (partkey, suppkey) grain with the
+    * minimum observed discounted unit price as supply cost; cost lives
+    * in floor'd integer 1e-6-dollar units (same determinism argument as
+    * [[p1UnitConversion]]: the quotient is either an exactly
+    * representable integer or ≥1/qty away from one, so floor agrees
+    * bit-for-bit across engines where round(x, n) does not).
+    *
+    * The correlated per-part min decorrelates into a partkey-partition
+    * window min over the region-eligible supply frame — built ONCE, so
+    * the fact (the partsupp stand-in) is scanned exactly once. (A
+    * q15-style aggregate-plus-join-back computes the same answer but
+    * column pruning specializes the two branches and defeats
+    * ReuseExchange, re-scanning lineitem; the window form is one
+    * shuffle on partkey with per-part groups bounded by the region's
+    * supplier count — no skew risk.) The equality filter keeps SQL's
+    * all-ties semantics. Nation/region and the 1-in-300 filtered part
+    * slice broadcast; supplier (100·SF rows) broadcasts as the small
+    * side of the supply probe.
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supply = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("""floor(cast(round(l_extendedprice * 100) as bigint)
+               |  * (100 - cast(round(l_discount * 100) as bigint)) * 100
+               |  / l_quantity)""".stripMargin).as("cost_u"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cost_u").as("supply_cost_u"))
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val eligSupp = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val elig = supply
+      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    elig
+      .withColumn("min_cost_u",
+        min(col("supply_cost_u")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supply_cost_u") === col("min_cost_u"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost_u"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-style important stock: group-HAVING against a global-fraction
+    * scalar. Per-part inventory value (exact integer 1e-4-dollar units,
+    * [[q9ProductProfit]]'s idiom) over one region's suppliers, kept iff
+    * the part's value exceeds 1.5× the mean part value. The mean is the
+    * classic scale-free replacement for TPC-H's 0.0001/SF literal: the
+    * fraction threshold self-adjusts as the part population grows, so
+    * the predicate is meaningful at every SF with one definition.
+    *
+    * The HAVING comparison cross-joins the 1-row (total, n_parts)
+    * frame — no correlated re-scan — and evaluates in decimal(38,0)
+    * so 2·value·n_parts stays exact past the BIGINT range at large SF
+    * (DuckDB side uses HUGEINT for the same reason).
+    */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val eligSupp = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, sfDir)
+      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("""cast(round(l_extendedprice * 100) as bigint)
+                     |  * (100 - cast(round(l_discount * 100) as bigint))""".stripMargin))
+          .as("value_u"),
+        count(lit(1)).as("n_lines"))
+    val tot = vals.agg(sum(col("value_u")).as("total_u"),
+      count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("value_u").cast("decimal(38,0)") * 2 * col("n_parts") >
+        col("total_u").cast("decimal(38,0)") * 3)
+      .select(col("l_partkey"), col("value_u"), col("n_lines"))
+      .orderBy(col("value_u").desc, col("l_partkey"))
+  }
+
+  /** Q20-style potential promotion: the nested agg-subquery semi-join
+    * chain — suppliers (in one region) having SOME name-sliced part
+    * whose shipments concentrated in the target year. The correlated
+    * "availability" subquery decorrelates into ONE (part, supplier)-
+    * grain aggregate with a conditional sum (year slice and lifetime
+    * total in the same pass — no second fact scan, no BNLJ anywhere);
+    * the EXISTS becomes a LEFT SEMI join from supplier onto the
+    * qualifying pairs. Quantities are integer-valued, so the 2·q1996 >
+    * qtotal comparison is exact BIGINT arithmetic on both engines.
+    */
+  def q20PotentialPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")),
+          expr("cast(round(l_quantity) as bigint)")).otherwise(0L)).as("qty_1996"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("qty_total"))
+    val qualifying = pairs.filter(col("qty_1996") * 2 > col("qty_total"))
+      .select(col("l_suppkey"))
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    s.join(qualifying, s("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy("s_name")
   }
 
   /** P1+P2 — unit-conversion & ratio projections
@@ -1198,6 +1322,7 @@ object Analytics {
 
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q4_priority_exists" -> q4PriorityExists _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -1206,6 +1331,7 @@ object Analytics {
     "q8_market_share" -> q8MarketShare _,
     "q9_product_profit" -> q9ProductProfit _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q11_important_stock" -> q11ImportantStock _,
     "q12_priority_counts" -> q12PriorityCounts _,
     "q13_order_distribution" -> q13OrderDistribution _,
     "q14_promo_revenue" -> q14PromoRevenue _,
@@ -1214,6 +1340,7 @@ object Analytics {
     "q17_small_quantity" -> q17SmallQuantity _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive" -> q19Disjunctive _,
+    "q20_potential_promotion" -> q20PotentialPromotion _,
     "q21_waiting_supplier" -> q21WaitingSupplier _,
     "q22_idle_customers" -> q22IdleCustomers _,
     "p1_unit_conversion" -> p1UnitConversion _,
@@ -1285,6 +1412,63 @@ object Analytics {
         | AND EXISTS (SELECT 1 FROM lineitem
         |             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        | SELECT l_partkey, l_suppkey,
+        |  min(floor(round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT) * 100
+        |    / l_quantity)::BIGINT) AS supply_cost_u
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |elig AS (
+        | SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  supply_cost_u, l_partkey
+        | FROM supply
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON l_partkey = p_partkey
+        |   AND p_size <= 15 AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost_u
+        |FROM elig e
+        |WHERE supply_cost_u = (
+        |  SELECT min(supply_cost_u) FROM elig m WHERE m.l_partkey = e.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH vals AS (
+        | SELECT l_partkey,
+        |  sum(round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS value_u,
+        |  count(*) AS n_lines
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        | GROUP BY l_partkey),
+        |tot AS (
+        | SELECT sum(value_u)::BIGINT AS total_u, count(*)::BIGINT AS n_parts
+        | FROM vals)
+        |SELECT l_partkey, value_u, n_lines
+        |FROM vals, tot
+        |WHERE 2 * value_u::HUGEINT * n_parts > 3 * total_u::HUGEINT
+        |ORDER BY value_u DESC, l_partkey""".stripMargin,
+    "q20_potential_promotion" ->
+      """WITH pairs AS (
+        | SELECT l_partkey, l_suppkey,
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |           THEN round(l_quantity)::BIGINT ELSE 0 END)::BIGINT AS qty_1996,
+        |  sum(round(l_quantity)::BIGINT)::BIGINT AS qty_total
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE 'small%'
+        | GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, s_acctbal, n_name
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE EXISTS (SELECT 1 FROM pairs
+        |              WHERE l_suppkey = s_suppkey AND qty_1996 * 2 > qty_total)
+        |ORDER BY s_name""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         | SELECT c_custkey, count(o_orderkey) AS c_count

@@ -328,6 +328,9 @@ object BenchRunners {
     import spark.implicits._
     val path = ensurePushdownFile(spark, numRows, workDir)
     val thr = numRows / 100
+    // restore whatever the session had, not a hardcoded default — a
+    // caller that deliberately disabled pushdown must get it back off
+    val saved = spark.conf.get("spark.sql.parquet.filterPushdown")
     val rows = Seq(true, false).map { on =>
       spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
       try {
@@ -337,7 +340,7 @@ object BenchRunners {
           .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
             org.apache.spark.sql.functions.sum("k")).first()
         (on, total, m.getLong(0), m.getLong(1))
-      } finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+      } finally spark.conf.set("spark.sql.parquet.filterPushdown", saved)
     }
     rows.toDF("pushdown_enabled", "num_rows", "matched_rows", "matched_k_sum")
   }

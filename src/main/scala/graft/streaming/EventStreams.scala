@@ -784,12 +784,16 @@ object EventStreams {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // DuckDB rebuilds gap sessions via lag + cumulative sum; session
-    // end is last event + gap, matching Spark's session_window.end
+    // end is last event + gap, matching Spark's session_window.end.
+    // The gap test is >= because native session_window merges only on
+    // strict overlap: an event arriving EXACTLY 30 minutes after the
+    // previous one starts a new session ([prev, prev+gap) does not
+    // overlap [prev+gap, ...)), so an exact-gap tie must split here too.
     "w8_session_window" ->
       """WITH g AS (
         | SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |       THEN 1 ELSE 0 END AS new_session
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

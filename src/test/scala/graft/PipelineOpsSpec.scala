@@ -574,4 +574,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(joined.forall(r => !r.isNullAt(4) && r.getLong(2) <= r.getLong(4)),
       "streamed counts must be a per-group subset of the batch answer")
   }
+
+  test("embeddings corpus holds the fixed-width vector invariant GramMatrix/dimStats assume") {
+    import org.apache.spark.sql.functions._
+    // GramMatrix hardcodes Dim=64 and dimStats' oracle counts rows ×
+    // range(1,65): both are correct ONLY if every embedding has exactly
+    // 64 elements. Assert it once here so a corpus change fails loudly
+    // instead of throwing IndexOutOfBounds / silently diverging counts.
+    val r = Tables.embeddings(spark, sf)
+      .agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"))
+      .first()
+    assert(r.getInt(0) === 64 && r.getInt(1) === 64,
+      s"embedding dims must all be exactly 64, saw [${r.getInt(0)}, ${r.getInt(1)}]")
+  }
 }
