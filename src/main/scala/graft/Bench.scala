@@ -25,6 +25,27 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Fixed sentinel workload for host-noise detection: a deterministic
+    * in-memory range aggregation (no I/O, no data dependence) whose
+    * runtime on an idle box is constant. It is timed 3× up front for a
+    * baseline, then re-timed after every `sentinelEvery` queries; when
+    * any re-timing drifts >2× over baseline the whole sweep is
+    * self-annotated `"contended": true`, so a slow artifact can be
+    * told apart from a genuine regression (the round-6 sweep's 210 s
+    * vs quiet-box 89 s ambiguity cannot recur).
+    */
+  private def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    materialize(
+      spark.range(0L, 4000000L, 1L, 32)
+        .withColumn("k", col("id") % 97)
+        .groupBy("k")
+        .agg(sum("id").as("s"), avg("id").as("a"), count("*").as("c")))
+    (System.nanoTime() - t0) / 1e9
+  }
+  private val sentinelEvery = 10
+
   /** Queries that are themselves generate-then-measure benchmark
     * harnesses (minutes-scale, self-timing): run once, not repeated —
     * medianing applies to the analytic queries where scheduler noise
@@ -62,8 +83,18 @@ object Bench {
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $n failed: ${e.getMessage}") }
     }
+    // Sentinel baseline: median of 3 after its own warmup (the warmup
+    // pass above already compiled codegen for range/agg shapes).
+    sentinelOnce(spark)
+    val sentinelBaseline = {
+      val ts = (1 to 3).map(_ => sentinelOnce(spark)).sorted
+      ts(ts.size / 2)
+    }
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { n =>
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % sentinelEvery == 0)
+        sentinelSeries += ((i, sentinelOnce(spark)))
       val reps = if (runOnce(n)) 1 else repeats
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -79,10 +110,20 @@ object Bench {
       }
       n -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
+    sentinelSeries += ((names.size, sentinelOnce(spark)))
+    val maxDrift =
+      if (sentinelBaseline <= 0) 1.0
+      else sentinelSeries.map(_._2 / sentinelBaseline).max
+    val contended = maxDrift > 2.0
+    val sentinelJson = {
+      val series = sentinelSeries
+        .map { case (i, t) => s"""[$i,${f"$t%.3f"}]""" }.mkString("[", ",", "]")
+      s"""{"baseline":${f"$sentinelBaseline%.3f"},"series":$series,"max_drift":${f"$maxDrift%.2f"},"contended":$contended}"""
+    }
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repeats":$repeats,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repeats":$repeats,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
     println(line)
@@ -97,7 +138,7 @@ object Bench {
     val budget = 1700
     val fmt = (v: Double) => if (v < 0) "-1" else f"$v%.3f"
     val bySlowest = results.sortBy { case (_, v) => -v }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","errors":$errJson,"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"errors":$errJson,"queries":{"""
     val entries = bySlowest.map { case (k, v) => jq(k) + ":" + fmt(v) }
     var kept = entries.length
     def digest(n: Int): String = {
