@@ -46,6 +46,14 @@ object Bench {
   }
   private val sentinelEvery = 10
 
+  /** Min of two back-to-back timings: sustained host contention slows
+    * both, while a one-off GC pause or page-cache eviction (common right
+    * after a heavy parquet write) only hits one — the min is the robust
+    * contention signal, the single shot a false-positive generator.
+    */
+  private def sentinelMin2(spark: org.apache.spark.sql.SparkSession): Double =
+    math.min(sentinelOnce(spark), sentinelOnce(spark))
+
   /** Queries that are themselves generate-then-measure benchmark
     * harnesses (minutes-scale, self-timing): run once, not repeated —
     * medianing applies to the analytic queries where scheduler noise
@@ -94,7 +102,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % sentinelEvery == 0)
-        sentinelSeries += ((i, sentinelOnce(spark)))
+        sentinelSeries += ((i, sentinelMin2(spark)))
       val reps = if (runOnce(n)) 1 else repeats
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -110,7 +118,7 @@ object Bench {
       }
       n -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
-    sentinelSeries += ((names.size, sentinelOnce(spark)))
+    sentinelSeries += ((names.size, sentinelMin2(spark)))
     val maxDrift =
       if (sentinelBaseline <= 0) 1.0
       else sentinelSeries.map(_._2 / sentinelBaseline).max

@@ -67,6 +67,12 @@ object BenchOps {
 
   // Shared grid constants — the timed benchmarks, their deterministic
   // twins, and the DuckDB oracles must all address the same files.
+  // MetaCols includes 1000 so every round's gated sweep decodes a
+  // genuinely wide footer (the reference's metadata grid goes to 10000
+  // cols — that full width runs under BenchmarkSuite scale="full",
+  // recorded in BASELINE_QUALITATIVE.md; 1000 here keeps the per-round
+  // budget ~3 s while still exercising the wide-footer decode path).
+  private val MetaCols = Seq(10, 100, 1000)
   private val ReadCols = Seq(10, 50)
   private val ReadRows = 20000L
   private val CompCols = 10
@@ -98,7 +104,7 @@ object BenchOps {
 
   /** Chunks-and-pages footer decode sweep (metadata_benchmark shape). */
   def m2ChunksPages(spark: SparkSession, sfDir: String): DataFrame =
-    BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+    BenchRunners.chunksAndPagesBenchmark(spark, MetaCols, 10000L, s"$workRoot/meta")
 
   /** Stats decode benchmark — reuses m2's generated files when present
     * (the alphabetical bench order guarantees m2_chunks_pages ran first
@@ -106,13 +112,13 @@ object BenchOps {
     */
   def m2Stats(spark: SparkSession, sfDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val missing = Seq(10, 100).exists { nc =>
+    val missing = MetaCols.exists { nc =>
       val p = new org.apache.hadoop.fs.Path(s"$workRoot/meta/meta_bench_${nc}cols")
       !p.getFileSystem(conf).exists(p)
     }
     if (missing)
-      BenchRunners.chunksAndPagesBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
-    BenchRunners.statsBenchmark(spark, Seq(10, 100), 10000L, s"$workRoot/meta")
+      BenchRunners.chunksAndPagesBenchmark(spark, MetaCols, 10000L, s"$workRoot/meta")
+    BenchRunners.statsBenchmark(spark, MetaCols, 10000L, s"$workRoot/meta")
   }
 
   /** Row-group × page-size grid (verify-scale slice of the 128-config

@@ -56,6 +56,38 @@ object BenchRunners {
     (med(samples.map(_._1)), med(samples.map(_._2)), samples.head._3)
   }
 
+  /** True when `path` already holds a generated wide table with exactly
+    * `nc` fields and `numRows` total rows. WideTableGen is deterministic
+    * (fixed seed), so a matching file IS the file a regeneration would
+    * produce — the metadata benchmarks measure footer DECODE, and the
+    * reference likewise generates each grid file once and then times
+    * decode in a loop (src/metadata_benchmark.cc:232-246), so skipping
+    * an identical rewrite keeps the measured quantity honest while
+    * cutting the 1000-col write out of every repeat.
+    */
+  private def wideFileMatches(
+      spark: SparkSession, path: String, nc: Int, numRows: Long): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    try {
+      if (!p.getFileSystem(hconf).exists(p)) return false
+      val files = FooterMeta.parquetFiles(hconf, path)
+      if (files.isEmpty) return false
+      val conf = new Configuration()
+      var totalRows = 0L
+      var fieldCount = -1
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          val footer = reader.getFooter
+          fieldCount = footer.getFileMetaData.getSchema.getFieldCount
+          totalRows += footer.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+      }
+      fieldCount == nc && totalRows == numRows
+    } catch { case _: Throwable => false }
+  }
+
   /** One throwaway footer open before any timed measurement: the first
     * ParquetFileReader.open in a JVM pays parquet-hadoop class loading
     * (~60 ms observed), which would otherwise land entirely on the first
@@ -141,8 +173,9 @@ object BenchRunners {
     import spark.implicits._
     val rows = numColsList.map { nc =>
       val path = s"$workDir/read_bench_${nc}cols"
-      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, seed), path,
-        ParquetKnobs.WriteConfig(codec = "snappy"))
+      if (!wideFileMatches(spark, path, nc, numRows))
+        ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, seed), path,
+          ParquetKnobs.WriteConfig(codec = "snappy"))
       val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
       val df = spark.read.parquet(path)
       val (_, fullMs) = timeMs(materialize(df))
@@ -172,8 +205,9 @@ object BenchRunners {
     import spark.implicits._
     val rows = numColsList.map { nc =>
       val path = s"$workDir/meta_bench_${nc}cols"
-      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
-        ParquetKnobs.WriteConfig())
+      if (!wideFileMatches(spark, path, nc, numRows))
+        ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+          ParquetKnobs.WriteConfig())
       val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
       (nc, thriftUs + schemaUs, thriftUs, schemaUs, dirBytes(spark, path), statsLevel)
     }
