@@ -16,9 +16,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as Long nanos
-      // (Tables.events converts to TimestampType micros).
+      // events.parquet's ts column has varied across testdata
+      // generations: TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false). Handle both without caring which one
+      // this round's data carries: nanos arrive as Long (Tables.events
+      // converts to TimestampType micros), and NTZ-annotated micros
+      // read directly as TimestampType — under the UTC session zone the
+      // stored integer is the same instant DuckDB's naive TIMESTAMP
+      // sees, so oracles agree bit-for-bit.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def local(cpus: String): SparkSession = {
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()

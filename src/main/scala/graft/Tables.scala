@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md).
   *
@@ -21,18 +21,21 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in the driver's parquet, which Spark's
-    * TimestampType (micros) can't represent directly. Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true (see [[GraftSession]]), so
-    * the column arrives as Long nanos; convert via integral division to
-    * micros — `/` on longs would go through Double and lose precision at
-    * 1.7e18 ns.
+  /** events.ts has varied across testdata generations — TIMESTAMP(NANOS)
+    * (which Spark's micros TimestampType can't represent; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true per [[GraftSession]], so it
+    * arrives as Long nanos and is integrally divided to micros — `/` on
+    * longs would go through Double and lose precision at 1.7e18 ns) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TimestampType via
+    * inferTimestampNTZ=false; the NTZ cast below covers sessions without
+    * that flag — identical micros under the UTC session zone either way).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => raw
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -274,6 +274,43 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Recall@5 of the two approximate ANN paths (LSH, IVF) against the
+    * exact brute-force top-5 — the accuracy/cost dial every ANN
+    * deployment tunes (bands/bits for LSH, K/nprobe for IVF). Emitted
+    * as a per-(method, query) DataFrame so the number is a GATED
+    * artifact, not a spec-only assertion: the DuckDB oracle re-derives
+    * both candidate sets from the raw table (deterministic hyperplane
+    * literals; bit-identical integer-mean quantizer retrain) and must
+    * reproduce the identical recall fractions.
+    *
+    * Scale: everything here is the same banded/inverted-list candidate
+    * generation as the underlying queries — recall evaluation at 100 TB
+    * runs the exact ranking only for a small sampled query set (here:
+    * the 5 gated query vectors), which is exactly this shape.
+    */
+  def simRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact top-5: re-rank the brute-force top-10 output (same
+    // (sim desc, neighbor asc) order ⇒ identical prefix)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    val exact5 = bruteForceTopK(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val approx =
+      lshTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+        .withColumn("method", lit("lsh"))
+        .unionByName(
+          ivfTopK(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+            .withColumn("method", lit("ivf")))
+    approx.join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .groupBy("method", "query_id")
+      .agg(sum("hit").as("n_hit"))
+      .select(col("method"), col("query_id"), lit(5).cast("int").as("k"),
+        col("n_hit"), round(col("n_hit") / lit(5.0), 4).as("recall"))
+      .orderBy("method", "query_id")
+  }
+
   /** Within-cluster cosine ⇒ semantic duplicate. Calibrated to the
     * synthetic corpus, whose embedding structure is label clusters
     * (top pairwise cosine ≈ 0.51, random pairs ≈ 0): 0.35 marks the
@@ -499,6 +536,7 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
+    "x_sim_recall" -> simRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
 
@@ -510,7 +548,12 @@ object Similarity {
     * list_dot_product sums in index order like the fused
     * VectorExpressions loop, so the sign bits are bit-identical.
     */
-  private[operators] val lshOracleCtes: String = {
+  /** The band CTEs WITHOUT the shared `e` base-table CTE, so they can
+    * compose with [[ivfTrainCtes]] (which also defines `e`, identically)
+    * in a single statement — used by the recall oracle that needs both
+    * LSH and IVF candidate generation.
+    */
+  private val bandCtes: String = {
     val bandVals = (0 until Bands).map { b =>
       (0 until BitsPerBand).map { i =>
         val p = planes(b * BitsPerBand + i).mkString("[", ", ", "]")
@@ -518,11 +561,14 @@ object Similarity {
         s"(CASE WHEN list_dot_product(v, $p) > 0 THEN $w ELSE 0 END)"
       }.mkString("\n   + ")
     }.mkString(",\n  ")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bd AS (SELECT vec_id, [
+    s"""bd AS (SELECT vec_id, [
        |  $bandVals] AS bands FROM e),
        |banded AS (SELECT vec_id, j AS band, bands[j+1] AS bval FROM bd, range(0, 4) r(j))""".stripMargin
   }
+
+  private[operators] val lshOracleCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$bandCtes""".stripMargin
 
   /** The query-side top-5 ANN oracle shared by the in-memory and the
     * bucketed-layout LSH paths (their results are identical by
@@ -652,6 +698,64 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,
+    // Recall@5 oracle: one statement re-deriving BOTH candidate paths
+    // (bandCtes for LSH, the full quantizer retrain for IVF — they
+    // share the single `e` CTE from ivfTrainCtes) plus the exact
+    // brute-force top-5, then the same left-join/count as the Spark
+    // side. CTE names are disjoint from the per-path oracles because
+    // they live in one WITH block here.
+    "x_sim_recall" ->
+      s"""WITH $ivfTrainCtes,
+         |$bandCtes,
+         |xp AS (
+         | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v, n.v), 4) AS sim
+         | FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5),
+         |exact5 AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM xp)
+         | WHERE rk <= 5),
+         |qb AS (SELECT vec_id AS query_id, band, bval FROM banded WHERE vec_id < 5),
+         |lcand AS (
+         | SELECT DISTINCT q.query_id, c.vec_id
+         | FROM banded c JOIN qb q ON c.band = q.band AND c.bval = q.bval
+         |  AND c.vec_id <> q.query_id),
+         |lsc AS (
+         | SELECT lcand.query_id, lcand.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+         | FROM lcand JOIN e eq ON eq.vec_id = lcand.query_id
+         |  JOIN e en ON en.vec_id = lcand.vec_id),
+         |lsh5 AS (
+         | SELECT 'lsh' AS method, query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM lsc)
+         | WHERE rk <= 5),
+         |iprobes AS (
+         | SELECT q.vec_id AS query_id, c.j AS list_id
+         | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+         | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $IvfNProbe),
+         |icand AS (
+         | SELECT p.query_id, a.vec_id
+         | FROM iprobes p JOIN asgF a ON a.list_id = p.list_id
+         | WHERE a.vec_id <> p.query_id),
+         |isc AS (
+         | SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+         | FROM icand c JOIN e eq ON eq.vec_id = c.query_id JOIN e en ON en.vec_id = c.vec_id),
+         |ivf5 AS (
+         | SELECT 'ivf' AS method, query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM isc)
+         | WHERE rk <= 5),
+         |appx AS (SELECT * FROM lsh5 UNION ALL SELECT * FROM ivf5)
+         |SELECT a.method, a.query_id, 5::INT AS k,
+         | sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         | round(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall
+         |FROM appx a LEFT JOIN exact5 x
+         | ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |GROUP BY a.method, a.query_id ORDER BY a.method, a.query_id""".stripMargin,
     "x_dedup_semantic" ->
       s"""WITH $ivfTrainCtes,
          |pairs AS (

@@ -54,32 +54,68 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Schema of the raw events parquet (ts arrives as Long nanos — see
-    * Tables.events / GraftSession).
+  /** The on-disk type of events.ts for this sfDir — LongType in the
+    * nanos-era testdata (nanosAsLong), TimestampType in the
+    * micros-era (see [[graft.Tables.events]]). FileStreamSource needs
+    * an explicit schema, and it must match the files, so resolve it
+    * from the batch reader's footer-derived schema once per directory
+    * (a footer read, no job).
     */
-  private val rawSchema = StructType(Seq(
+  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def rawTsType(spark: SparkSession, sfDir: String): DataType =
+    tsTypeCache.computeIfAbsent(sfDir, _ =>
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+
+  /** Schema of the raw events parquet with ts as this data's type. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Normalize ts to TimestampType micros whatever its raw layout —
+    * the streaming twin of [[graft.Tables.events]]'s match.
+    */
+  private def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType            => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                   => df
+  }
+
   /** FileStreamSource needs a directory; the testdata table is a single
     * file, so stream the parent dir with a glob filter pinned to it.
+    * ts arrives already normalized to TimestampType micros.
     */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(sfDir))
+
+  /** One synthetic event row (sentinel / watermark advancer) with ts in
+    * the same layout as the staged raw file, so a staged directory that
+    * mixes copied raw parquet with synthetic rows stays schema-uniform
+    * for the stream reader. tsNanos is the canonical input; the
+    * micros-era cast truncates to the same instant.
+    */
+  private def syntheticEvent(spark: SparkSession, tsType: DataType,
+      id: Long, tsNanos: Long, tp: String): DataFrame = {
+    import spark.implicits._
+    val base = Seq((id, tsNanos, id, tp, 0.0, """{"k": 0}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    tsType match {
+      case LongType => base
+      case t => base.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(t))
+    }
+  }
 
   /** 10-minute tumbling-window counts per event type, computed by a real
     * streaming query (readStream → watermark → window agg → memory sink).
     */
   def streamWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -112,7 +148,6 @@ object EventStreams {
     */
   def streamWindowSliding(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
@@ -155,11 +190,10 @@ object EventStreams {
     // time the STREAMING query, not the staging); see [[stagedAppendDir]]
     val stageDir = stagedAppendDir(spark, sfDir)
 
-    val src = spark.readStream
-      .schema(rawSchema)
+    val src = normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
       .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stageDir))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -245,7 +279,8 @@ object EventStreams {
     if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
       fs.delete(stage, true)
       fs.mkdirs(stage)
-      val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      val tsT = rawTsType(spark, sfDir)
+      val raw = spark.read.schema(rawSchema(tsT)).parquet(s"$sfDir/events.parquet")
       def stagePart(df: DataFrame, name: String): Unit = {
         val tmp = s"$stageDir-tmp-$name"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -258,22 +293,22 @@ object EventStreams {
       stagePart(bulk, "0_bulk")
       // on-time row at the bulk max timestamp: watermark-neutral, but
       // forces the batch boundary that commits the bulk watermark
-      // before the late cohort arrives
-      val maxNanos = bulk.agg(max("ts")).head.getLong(0)
-      import spark.implicits._
-      stagePart(Seq((-2L, maxNanos, -2L, "__advance", 0.0, """{"k": 0}"""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "1_advance")
+      // before the late cohort arrives (ts-layout-agnostic: the max
+      // aggregate keeps the raw column type)
+      stagePart(bulk.agg(max("ts").as("ts")).select(
+        lit(-2L).as("event_id"), col("ts"), lit(-2L).as("user_id"),
+        lit("__advance").as("event_type"), lit(0.0).as("value"),
+        lit("""{"k": 0}""").as("props")), "1_advance")
       stagePart(raw.filter(col("event_id") % 5 === 0), "2_late")
-      stagePart(Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "3_sentinel")
+      stagePart(syntheticEvent(spark, tsT, -1L, 4102444800L * 1000000000L, "__sentinel"),
+        "3_sentinel")
       fs.create(new Path(s"$stageDir/_STAGED")).close()
     }
 
-    val src = spark.readStream
-      .schema(rawSchema)
+    val src = normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
       .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stageDir))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -322,11 +357,10 @@ object EventStreams {
     val fs = new Path(outDir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$outDir/_DONE"))) {
       fs.delete(new Path(outDir), true)
-      val src = spark.readStream
-        .schema(rawSchema)
+      val src = normTs(spark.readStream
+        .schema(rawSchema(rawTsType(spark, sfDir)))
         .option("maxFilesPerTrigger", "1")
-        .parquet(stageDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(stageDir))
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -367,10 +401,9 @@ object EventStreams {
       fs.mkdirs(stage)
       FileUtil.copy(fs, new Path(s"$sfDir/events.parquet"),
         fs, new Path(s"$stageDir/0_events.parquet"), false, conf)
-      import spark.implicits._
       val sentinelTmp = s"$stageDir-sentinel-tmp"
-      Seq((-1L, 4102444800L * 1000000000L, -1L, "__sentinel", 0.0, """{"k": 0}"""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      syntheticEvent(spark, rawTsType(spark, sfDir), -1L,
+          4102444800L * 1000000000L, "__sentinel")
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = fs.listStatus(new Path(sentinelTmp))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
@@ -392,7 +425,6 @@ object EventStreams {
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     def src() = eventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "event_type", "value")
     val doubled = src().unionByName(src())
     val deduped = doubled
@@ -465,7 +497,7 @@ object EventStreams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
     val src = eventsStream(spark, sfDir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
       .as[SessionEvent]
     val gapUs = 1800L * 1000000L
     val out = src.groupByKey(_.user_id)
@@ -547,7 +579,6 @@ object EventStreams {
           .when(col("cents") > col("n_ev") * 5500L, lit("high"))
           .otherwise(lit("mid")).as("tier"))
     val src = eventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = src.join(dim, "user_id")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("tier"))
@@ -589,7 +620,6 @@ object EventStreams {
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     def side(tp: String, pre: String) = eventsStream(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter(col("event_type") === tp)
       .select(col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"),
         col("value").as(s"${pre}_value"))
