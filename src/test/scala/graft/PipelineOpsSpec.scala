@@ -263,6 +263,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       "watermark-evicted append output must equal the batch/complete answer")
   }
 
+  test("append-mode stream under the RocksDB state store matches the default store") {
+    // The 100 TB streaming posture: HDFS-backed state holds everything
+    // on the JVM heap, while RocksDB spills state to local disk — the
+    // store a large deployment actually runs. The provider is fixed at
+    // the first batch of each fresh checkpoint, so flipping the conf
+    // around one invocation pins the whole query to RocksDB; output
+    // must be byte-identical to the default-store answer.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks =
+      try EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    val default = EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
+    assert(rocks.nonEmpty)
+    assert(rocks.toSeq === default.toSeq,
+      "state-store backend must not change streaming results")
+  }
+
   test("streaming dedup collapses a doubled stream back to the batch aggregate") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.streamDedup(spark, sf).collect().map(_.toString)
