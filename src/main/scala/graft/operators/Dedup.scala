@@ -115,20 +115,21 @@ object Dedup {
     *    to one partition). At lake scale the same principle holds:
     *    never let input file count cap parallelism ahead of CPU-heavy
     *    row work.
-    *  - CollapseProject inlines the `tokens` projection into the
-    *    shingle lambda, so the regex split would re-execute once per
-    *    ELEMENT (~52× per doc). Binding the token array as a lambda
-    *    variable (transform over a 1-element array) forces one split
-    *    per row — a 3.4× win on the shingle stage — while keeping the
-    *    construction expression-identical for the DuckDB oracles.
+    *  - The earlier higher-order-function formulation (nested
+    *    `transform` lambdas) was CodegenFallback: the shingle Project
+    *    dropped out of whole-stage codegen across the whole minhash
+    *    family, and CollapseProject re-executed the regex split once
+    *    per ELEMENT unless masked by a lambda-bound array. The native
+    *    [[graft.functions.TextExpressions.WordNGrams]] expression
+    *    computes the identical n-gram array (same windows, same
+    *    short-document tail), fuses into codegen, and evaluates its
+    *    split child once per row.
     */
   private[operators] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("shingles", array_distinct(expr(
-        """transform(array(tokens), ts ->
-          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
-          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin)))
+      .withColumn("shingles", array_distinct(
+        graft.functions.TextExpressions.word_ngrams(col("tokens"), 3)))
 
   /** Exact dedup summary: raw vs normalized distinct counts. */
   def exactStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -717,9 +718,11 @@ object Dedup {
     val stats = docs.select(col("doc_id"), col("source"),
       (size(col("toks")) - (SubstringGram - 1)).cast("bigint").as("n_grams"))
     val positions = docs
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(toks) - ${SubstringGram - 1}),
-           |  i -> concat_ws(' ', slice(toks, i, $SubstringGram)))""".stripMargin)).as("g"))
+      // docs are pre-filtered to size >= SubstringGram, so the native
+      // n-gram expression emits exactly the full-width windows the old
+      // sequence/slice lambda did (its short-tail window never occurs)
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), SubstringGram)).as("g"))
       .select(col("doc_id"), expr(
         if (spark.conf.getOption("spark.graft.fastHash").contains("true")) "xxhash64(g)"
         else "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("hg"))

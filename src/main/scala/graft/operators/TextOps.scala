@@ -234,10 +234,8 @@ object TextOps {
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val per = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sh", expr(
-        """transform(array(tokens), ts ->
-          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
-          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin))
+      .withColumn("sh",
+        graft.functions.TextExpressions.word_ngrams(col("tokens"), 3))
       .select(
         col("source"),
         size(col("sh")).cast("bigint").as("n3"),
@@ -265,10 +263,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sh", expr(
-        """transform(array(tokens), ts ->
-          |  transform(sequence(0, greatest(size(ts) - 3, 0)),
-          |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin))
+      .withColumn("sh",
+        graft.functions.TextExpressions.word_ngrams(col("tokens"), 3))
       .select(
         col("doc_id"),
         (col("n_chars") >= 150).as("len_ok"),

@@ -44,4 +44,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val r = df.select(dot_product(col("a"), col("b"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("word_ngrams is identical to the higher-order-function shingle form") {
+    import graft.functions.TextExpressions.word_ngrams
+    import spark.implicits._
+    // real corpus text plus the edge shapes: empty text (split -> [""]),
+    // one word, exactly n words, n+1 words
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).limit(200)
+      .unionByName(Seq("", "one", "a b c", "a b c d").toDF("text"))
+    val both = docs
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .select(
+        word_ngrams(col("tokens"), 3).as("fused"),
+        expr(
+          """transform(array(tokens), ts ->
+            |  transform(sequence(0, greatest(size(ts) - 3, 0)),
+            |    i -> concat_ws(' ', slice(ts, i + 1, 3))))[0]""".stripMargin).as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() === 0)
+    assert(both.filter(col("fused").isNull =!= col("hof").isNull).count() === 0)
+  }
+
+  test("word_ngrams generated code compiles — no interpreted fallback") {
+    import graft.functions.TextExpressions.word_ngrams
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val rows = s2.range(5)
+      .selectExpr("split(concat('w', id, ' x y z'), ' ') AS t")
+      .select(word_ngrams(col("t"), 3).as("g"))
+      .collect() // would throw on codegen compile failure
+    assert(rows.length === 5)
+    assert(rows.forall(_.getSeq[String](0).length === 2))
+  }
 }
