@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the similarity hot path.
   *
@@ -85,6 +85,110 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // ------------------------------------------------------------------ //
+  // Quantization kernels — fused twins of the HOF formulation
+  //   array_max(transform(v, x -> abs(x)))            -> max_abs
+  //   transform(v, x -> cast(round(x / s) as bigint)) -> quantize_round
+  //   aggregate(q, 0L, (a, x) -> a + x)               -> sum_longs
+  //   aggregate(q, 0L, (a, x) -> a + abs(x))          -> abs_sum_longs
+  // Lambda expressions are CodegenFallback in Spark, which pushed the
+  // whole quantization Project/HashAggregate out of whole-stage codegen
+  // (flagged by `graft.Explain --codegen`); these static kernels inline.
+  // Each replicates its HOF twin's semantics EXACTLY (spec-asserted):
+  // NaN is greatest for max (array_max ordering), Round is
+  // BigDecimal.valueOf(x).setScale(0, HALF_UP) with the NaN/Infinity
+  // passthrough (Spark's RoundBase), double->long cast truncates, a
+  // null element poisons the fold to null, an empty array maxes to null.
+  // ------------------------------------------------------------------ //
+
+  /** max |x| over array<double>; null for an empty array, NaN wins. */
+  def maxAbs(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var best: java.lang.Double = null
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = math.abs(a.getDouble(i))
+        if (java.lang.Double.isNaN(x)) return java.lang.Double.NaN
+        if (best == null || x > best.doubleValue()) best = java.lang.Double.valueOf(x)
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Spark `cast(round(x, 0) as bigint)` for a double, element-wise. */
+  private def roundToLong(x: Double): Long =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x.toLong
+    else java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue().toLong
+
+  /** transform(v, x -> cast(round(x / scale) as bigint)), fused. */
+  def quantizeRound(v: ArrayData, scale: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (v.isNullAt(i)) null else java.lang.Long.valueOf(roundToLong(v.getDouble(i) / scale))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** aggregate(q, 0L, (a, x) -> a + (abs?|x|:x)) — null element poisons. */
+  def sumLongs(q: ArrayData, useAbs: Boolean): java.lang.Long = {
+    val n = q.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      val x = q.getLong(i)
+      acc += (if (useAbs) math.abs(x) else x)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  case class MaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // empty array -> null
+    override def nullSafeEval(v: Any): Any = maxAbs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Double $r = graft.functions.VectorExpressions.maxAbs($c);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class QuantizeRound(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullSafeEval(v: Any, s: Any): Any =
+      quantizeRound(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, s) => s"graft.functions.VectorExpressions.quantizeRound($v, $s)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class SumLongs(child: Expression, useAbs: Boolean) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // null element poisons the fold
+    override def nullSafeEval(v: Any): Any = sumLongs(v.asInstanceOf[ArrayData], useAbs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("r")
+        s"""
+           |java.lang.Long $r = graft.functions.VectorExpressions.sumLongs($c, $useAbs);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Column API. Inputs must already be array<double> (cast upstream —
     * keeping the cast visible in the plan preserves oracle parity with
     * the DOUBLE[] cast on the DuckDB side).
@@ -93,4 +197,12 @@ object VectorExpressions {
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def l2_norm(a: Column): Column =
     GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(a)))
+  def max_abs(a: Column): Column =
+    GraftColumnBridge.column(MaxAbs(GraftColumnBridge.expression(a)))
+  def quantize_round(v: Column, scale: Column): Column =
+    GraftColumnBridge.column(QuantizeRound(GraftColumnBridge.expression(v), GraftColumnBridge.expression(scale)))
+  def sum_longs(q: Column): Column =
+    GraftColumnBridge.column(SumLongs(GraftColumnBridge.expression(q), useAbs = false))
+  def abs_sum_longs(q: Column): Column =
+    GraftColumnBridge.column(SumLongs(GraftColumnBridge.expression(q), useAbs = true))
 }

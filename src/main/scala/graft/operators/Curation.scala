@@ -600,21 +600,26 @@ object Curation {
     * the numerator of a quantized centroid — [[Similarity]]'s
     * label-centroid op in int8 space.
     */
-  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{abs_sum_longs, max_abs, quantize_round, sum_longs}
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       // greatest(·, 1e-30) guards the all-zero vector identically in
-      // both engines (q collapses to 0 there either way)
-      .withColumn("scale", expr("greatest(array_max(transform(v, x -> abs(x))) / 127.0d, 1e-30d)"))
-      .withColumn("q", expr("transform(v, x -> cast(round(x / scale) as bigint))"))
+      // both engines (q collapses to 0 there either way). The fused
+      // kernels replace the HOF lambda formulation bit-identically
+      // (spec-asserted) so the quantization pass stays inside
+      // whole-stage codegen — it runs once per corpus vector.
+      .withColumn("scale", greatest(max_abs(col("v")) / lit(127.0d), lit(1e-30d)))
+      .withColumn("q", quantize_round(col("v"), col("scale")))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum(expr("aggregate(q, 0L, (a, x) -> a + x)")).as("q_sum"),
-        sum(expr("aggregate(q, 0L, (a, x) -> a + abs(x))")).as("q_l1"),
+        sum(sum_longs(col("q"))).as("q_sum"),
+        sum(abs_sum_longs(col("q"))).as("q_l1"),
         sum(expr("cast(round(scale * 1e9) as bigint)")).as("scale_nanos"))
       .orderBy("label")
+  }
 
   val registry: Map[String, Q] = Map(
     "x_sample_stratified" -> stratifiedSample _,

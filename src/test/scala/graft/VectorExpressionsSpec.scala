@@ -65,6 +65,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(col("fused").isNull =!= col("hof").isNull).count() === 0)
   }
 
+  test("quantization kernels are bit-identical to the higher-order-function form") {
+    import graft.functions.VectorExpressions.{abs_sum_longs, max_abs, quantize_round, sum_longs}
+    import spark.implicits._
+    // corpus vectors plus edge shapes: rounding ties (HALF_UP), exact
+    // .5 boundaries, negatives, zero vector (scale floor), empty array
+    val edges = Seq(
+      Seq(0.5, 1.5, 2.5, -0.5, -1.5), Seq(0.49999999999999994, 126.5, -126.5),
+      Seq(0.0, 0.0), Seq[Double]()).toDF("v")
+    val corpus = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("embedding").cast("array<double>").as("v")).limit(300)
+    val both = corpus.unionByName(edges)
+      .withColumn("s_hof", expr("greatest(array_max(transform(v, x -> abs(x))) / 127.0d, 1e-30d)"))
+      .withColumn("s_fused", greatest(max_abs(col("v")) / lit(127.0d), lit(1e-30d)))
+      .withColumn("q_hof", expr("transform(v, x -> cast(round(x / s_hof) as bigint))"))
+      .withColumn("q_fused", quantize_round(col("v"), col("s_fused")))
+      .select(
+        (col("s_hof") === col("s_fused")).as("s_ok"),
+        (col("q_hof") === col("q_fused")).as("q_ok"),
+        (expr("aggregate(q_hof, 0L, (a, x) -> a + x)") <=> sum_longs(col("q_fused"))).as("sum_ok"),
+        (expr("aggregate(q_hof, 0L, (a, x) -> a + abs(x))") <=> abs_sum_longs(col("q_fused"))).as("l1_ok"))
+    assert(both.filter(!col("s_ok") || !col("q_ok") || !col("sum_ok") || !col("l1_ok")).count() === 0)
+  }
+
   test("word_ngrams generated code compiles — no interpreted fallback") {
     import graft.functions.TextExpressions.word_ngrams
     val s2 = spark.newSession()
