@@ -526,6 +526,75 @@ object EventStreams {
     spark.table(name).orderBy("user_id").limit(200)
   }
 
+  /** Per-user session state machine for [[statefulSessionsTws]] — the
+    * arbitrary-state processor of Spark 4's transformWithState API.
+    * Identical fold to [[statefulSessions]]'s mapGroupsWithState
+    * closure, carried in a typed ValueState cell.
+    */
+  private class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, UserSessions] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, events: Iterator[SessionEvent],
+        tv: TimerValues): Iterator[UserSessions] = {
+      val gapUs = 1800L * 1000000L
+      val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var s = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L, 0L)
+      sorted.foreach { e =>
+        val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
+        s = SessionState(e.ts_us, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+      }
+      st.update(s)
+      Iterator.single(UserSessions(user, s.nSessions, s.nEvents))
+    }
+  }
+
+  /** Sessionization via Spark 4's transformWithState — the NEW
+    * arbitrary-state API (typed ValueState/ListState/MapState cells,
+    * timers, TTL) that supersedes mapGroupsWithState for custom
+    * streaming state. Must produce exactly [[statefulSessions]]' /
+    * w2_sessionize's answer, so it shares that DuckDB oracle.
+    *
+    * transformWithState REQUIRES the RocksDB state store provider —
+    * state lives in per-partition RocksDB instances on local disk, the
+    * backend whose working set is not bounded by executor heap. That is
+    * the 100 TB posture: O(users) state cells spilled to disk, the
+    * provider conf pinned at the first batch of the fresh checkpoint.
+    */
+  def statefulSessionsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+        .as[SessionEvent]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Update())
+      dropStaleSinks(spark)
+      val name = s"graft_stream_tws_${counter.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = out.writeStream
+          .outputMode(OutputMode.Update())
+          .format("memory")
+          .queryName(name)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table(name).orderBy("user_id").limit(200)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** W3 — as-of join composed from existing operators (the preference-
     * order (a) route: no custom SparkPlan needed): each 'click' event is
     * matched to the latest prior-or-equal 'view' event of the same user
@@ -720,6 +789,7 @@ object EventStreams {
     "x_stream_dedup" -> streamDedup _,
     "x_stream_late_data" -> streamLateData _,
     "x_stream_sessions" -> statefulSessions _,
+    "x_stream_sessions_tws" -> statefulSessionsTws _,
     "w2_sessionize" -> sessionize _,
     "w8_session_window" -> sessionWindow _,
   )
@@ -800,6 +870,17 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // the transformWithState twin must reproduce the mapGroupsWithState
+    // answer exactly — same oracle
+    "x_stream_sessions_tws" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM g)
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
     "x_stream_sessions" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

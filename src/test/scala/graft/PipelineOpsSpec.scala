@@ -304,6 +304,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("transformWithState sessions equal the mapGroupsWithState answer") {
+    // the new arbitrary-state API (typed ValueState + RocksDB-backed
+    // store) must be a drop-in for the legacy state machine
+    val legacy = EventStreams.statefulSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tws = EventStreams.statefulSessionsTws(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tws.nonEmpty)
+    assert(tws.toSeq === legacy.toSeq)
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val a = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
     val b = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
