@@ -245,14 +245,12 @@ object Similarity {
     quantizerCache.computeIfAbsent(s"$sfDir|$fp", _ => trainQuantizer(base))
   }
 
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nprobe = IvfNProbe
-    val base = corpus(spark, sfDir)
-    val cents = trainedCentroids(spark, sfDir, base)
-    val assigned = assignTo(cents)(base)
-    // query probes its nprobe nearest lists (same argmin machinery,
-    // keeping the nprobe smallest (d, j) structs)
+  /** (query_id, qv, qn, list_id) probe frame: each of the 5 gated query
+    * vectors exploded to its nprobe nearest inverted lists (same argmin
+    * machinery as [[assignTo]], keeping the nprobe smallest (d, j)
+    * structs). Shared by the in-memory and bucketed-storage IVF paths.
+    */
+  private def probeFrame(base: DataFrame, cents: Seq[Array[Double]], nprobe: Int): DataFrame = {
     val probeScored = cents.zipWithIndex.map { case (cent, j) =>
       val c2 = cent.map(x => x * x).sum
       struct(
@@ -260,10 +258,17 @@ object Similarity {
           .dot_product(col("v"), centroidCol(cent))).as("d"),
         lit(j).as("j"))
     }
-    val q = base.filter(col("vec_id") < 5)
+    base.filter(col("vec_id") < 5)
       .withColumn("probes", slice(array_sort(array(probeScored: _*)), 1, nprobe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(expr("transform(probes, p -> p.j)")).as("list_id"))
+  }
+
+  /** Exact-cosine top-5 re-rank of (assigned ⋈ probes) — the shared
+    * tail of both IVF paths.
+    */
+  private def ivfRerank(assigned: DataFrame, q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cand = assigned.join(broadcast(q), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
@@ -272,6 +277,40 @@ object Similarity {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
       .orderBy("query_id", "neighbor_id")
+  }
+
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    ivfRerank(assignTo(cents)(base), probeFrame(base, cents, IvfNProbe))
+  }
+
+  /** The storage-layout form of IVF ANN — the promise in [[ivfTopK]]'s
+    * scaladoc made real: the assigned corpus is WRITTEN OUT partitioned
+    * by list_id (fingerprint-keyed like [[bucketedLayoutPath]]), and a
+    * query batch's probe list prunes inverted-list directories at the
+    * scan, so each batch reads ~nprobe/K of the corpus from disk. This
+    * is the serving shape at 100 TB: quantizer training and list
+    * assignment are paid once at write time; results are identical to
+    * [[ivfTopK]] (spec-asserted) and share its retrain oracle.
+    */
+  private[graft] def ivfLayoutPath(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    s"/root/repo/target/graft-work/ann/ivf_${new java.io.File(sfDir).getName}_$fp"
+  }
+
+  def ivfBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val out = ivfLayoutPath(spark, sfDir)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      assignTo(cents)(base)
+        .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(out)
+    ivfRerank(spark.read.parquet(out), probeFrame(base, cents, IvfNProbe))
   }
 
   /** Recall@5 of the two approximate ANN paths (LSH, IVF) against the
@@ -536,6 +575,7 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
+    "x_sim_topk_ivf_bucketed" -> ivfBucketedTopK _,
     "x_sim_recall" -> simRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
@@ -698,6 +738,9 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,
+    // the bucketed layout changes WHERE list rows are read, not what
+    // they contain — identical results, same retrain oracle
+    "x_sim_topk_ivf_bucketed" -> ivfOracle,
     // Recall@5 oracle: one statement re-deriving BOTH candidate paths
     // (bandCtes for LSH, the full quantizer retrain for IVF — they
     // share the single `e` CTE from ivfTrainCtes) plus the exact

@@ -210,6 +210,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the bucket join must prune partitions at the scan")
   }
 
+  test("bucketed-layout IVF equals in-memory IVF and prunes list partitions") {
+    val bucketed = Similarity.ivfBucketedTopK(spark, sf)
+    val viaLayout = bucketed.collect().map(_.toString).toSeq
+    val viaMemory = Similarity.ivfTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(viaLayout === viaMemory, "storage-layout IVF must return identical neighbors")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull"),
+      "the probe join must prune inverted-list partitions at the scan")
+  }
+
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
