@@ -552,6 +552,138 @@ object EventStreams {
     }
   }
 
+  /** Typed event for the timer-driven session stream (ts kept as a
+    * timestamp for the watermark, µs long for arithmetic).
+    */
+  final case class TwsEvent(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      user_id: Long, value: Double)
+
+  /** One closed session, in w8_session_window's output shape. */
+  final case class ClosedSession(user_id: Long, s_start: String, s_end: String,
+      n_events: Long, sum_value: Double)
+
+  /** Open-session accumulator carried in ValueState. */
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
+
+  /** Timer-driven gap sessionization — the flagship of the new API:
+    * a session CLOSES when the event-time watermark passes
+    * last-event + gap, detected by a per-user event-time TIMER rather
+    * than by the next event's arrival, so sessions are emitted even
+    * for users who never return. Gap-split semantics match the native
+    * session_window (an exact-gap tie SPLITS: `>=`), so the output is
+    * w8_session_window's rows and shares its oracle.
+    */
+  private class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def fmt(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+    private def close(s: OpenSession, user: Long): ClosedSession =
+      ClosedSession(user, fmt(s.startUs),
+        fmt(s.lastUs + gapUs),
+        s.nEvents,
+        // match Spark's round(sum(value), 2): BigDecimal.valueOf
+        // (decimal-string route) + HALF_UP, like RoundBase
+        java.math.BigDecimal.valueOf(s.sumValue)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+
+    override def handleInputRows(user: Long, events: Iterator[TwsEvent],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs < gapUs =>
+            cur = Some(OpenSession(s.startUs, e.ts_us, s.nEvents + 1, s.sumValue + e.value))
+          case Some(s) => // exact-gap tie splits (session_window semantics)
+            out += close(s, user)
+            cur = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+          case None =>
+            cur = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one timer per key: re-arm to the open session's close time
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(Math.floorDiv(s.lastUs, 1000L) + gapUs / 1000L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(close(s, user))
+      } else Iterator.empty
+  }
+
+  /** Append-style session emission driven by event-time timers: the
+    * staged (events, far-future sentinel) input pushes the watermark
+    * past every real session's close time, so every session is emitted
+    * exactly once — by a TIMER, not by a successor event — and the
+    * total output equals the batch session_window answer
+    * (w8_session_window's oracle). transformWithState requires the
+    * RocksDB store; the sentinel user's own session is dropped.
+    *
+    * Scale: state is one OpenSession + one timer per ACTIVE user —
+    * the bounded-state sessionization that emits immediately at
+    * watermark passage instead of buffering whole sessions windows.
+    */
+  def streamSessionTimers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stageDir = stagedAppendDir(spark, sfDir)
+      val src = normTs(spark.readStream
+        .schema(rawSchema(rawTsType(spark, sfDir)))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"))
+        .as[TwsEvent]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      dropStaleSinks(spark)
+      val name = s"graft_stream_sesstimer_${counter.incrementAndGet()}"
+      withStatePartitions(spark, 8) {
+        val q = out.writeStream
+          .outputMode(OutputMode.Append())
+          .format("memory")
+          .queryName(name)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table(name)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "s_start")
+        .limit(500)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Sessionization via Spark 4's transformWithState — the NEW
     * arbitrary-state API (typed ValueState/ListState/MapState cells,
     * timers, TTL) that supersedes mapGroupsWithState for custom
@@ -790,6 +922,7 @@ object EventStreams {
     "x_stream_late_data" -> streamLateData _,
     "x_stream_sessions" -> statefulSessions _,
     "x_stream_sessions_tws" -> statefulSessionsTws _,
+    "x_stream_session_timers" -> streamSessionTimers _,
     "w2_sessionize" -> sessionize _,
     "w8_session_window" -> sessionWindow _,
   )
@@ -870,6 +1003,27 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // timer-driven session emission must reproduce the batch
+    // session_window answer — same oracle as w8 (exact-gap ties split)
+    "x_stream_session_timers" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start LIMIT 500""".stripMargin,
     // the transformWithState twin must reproduce the mapGroupsWithState
     // answer exactly — same oracle
     "x_stream_sessions_tws" ->

@@ -325,6 +325,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tws.toSeq === legacy.toSeq)
   }
 
+  test("timer-driven session emission equals the batch session_window answer") {
+    // every session must be emitted exactly once by an event-time
+    // timer (the sentinel pushes the watermark past all close times)
+    val timers = EventStreams.streamSessionTimers(spark, sf).collect().map(_.toString)
+    val batch = EventStreams.sessionWindow(spark, sf).collect().map(_.toString)
+    assert(timers.nonEmpty)
+    assert(timers.toSeq === batch.toSeq,
+      "timer-closed sessions must equal the native session_window result")
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val a = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
     val b = Multimodal.featureRollup(spark, sf).collect().map(_.toString)
