@@ -621,7 +621,55 @@ object Curation {
       .orderBy("label")
   }
 
+  /** Schema evolution under `mergeSchema` — the lake reality that a
+    * table's files span schema generations: generation 1 was written
+    * before the `lang` column existed, generation 2 carries it. One
+    * merged read reconciles both (missing columns surface as nulls),
+    * and the per-source aggregate proves no rows were dropped or
+    * misaligned: n_rows covers both generations, lang is counted only
+    * where gen-2 files supplied it, and the n_chars checksum matches
+    * the base table exactly.
+    *
+    * Files are staged once per source fingerprint (like
+    * [[snapshotVersions]]): even doc_ids → gen1 WITHOUT lang, odd →
+    * gen2 with it. The oracle recomputes the same aggregate from the
+    * base table with the parity split inlined.
+    *
+    * Scale: mergeSchema reconciles FOOTERS (one per file), not data;
+    * the read plan is a plain union of scans with null-fill projection
+    * — schema migration without rewriting petabytes.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
+    val dir = s"/root/repo/target/graft-work/schema_evo_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$dir/_STAGED"))) {
+      fs.delete(new Path(dir), true)
+      val docs = Tables.documents(spark, sfDir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      fs.create(new Path(s"$dir/_STAGED")).close()
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("lang")).as("n_with_lang"),
+        sum("n_chars").as("n_chars_sum"),
+        // parity-keyed (not lang-null-keyed) so a future corpus with
+        // genuinely-null lang in gen-2 rows cannot skew the checksum
+        sum(when(col("doc_id") % 2 === 0, col("doc_id"))).as("gen1_id_sum"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_schema_evolution" -> schemaEvolution _,
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
@@ -639,6 +687,14 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // merged-schema read == base table with the generation split
+    // inlined: lang exists only for odd doc_ids (gen-2 files)
+    "x_schema_evolution" ->
+      """SELECT source, count(*) AS n_rows,
+        | sum(CASE WHEN doc_id % 2 <> 0 AND lang IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_lang,
+        | sum(n_chars)::BIGINT AS n_chars_sum,
+        | sum(CASE WHEN doc_id % 2 = 0 THEN doc_id END)::BIGINT AS gen1_id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_total,
          | sum(CASE WHEN ${h60Sql("doc_id::VARCHAR")} % 1000000
