@@ -668,7 +668,60 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Small-file compaction — the lake's perpetual maintenance job:
+    * streaming ingest and per-batch commits leave a table as thousands
+    * of KB-sized files whose per-file open/footer cost dominates reads;
+    * compaction rewrites them into target-sized files. Staged once per
+    * fingerprint: the documents table scattered into 16 hash-keyed
+    * shard files (the ingest shape), then compacted with
+    * `repartition(2)` + `maxRecordsPerFile` (the two knobs a real
+    * compactor tunes). The GATED output is the data-preservation
+    * invariant — per-source rows and content checksums read back from
+    * the COMPACTED files must equal the base table (oracle recomputes
+    * from base); the file-count collapse itself is spec-asserted
+    * ([[compactionFileCounts]]).
+    *
+    * Scale: compaction is one shuffle of the partitions being
+    * rewritten (never the whole table — a real table compacts
+    * per-partition); reading survivors costs O(files) footers, which
+    * is the point.
+    */
+  private[graft] def compactionDirs(spark: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
+    val dir = s"/root/repo/target/graft-work/compact_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$dir/_STAGED"))) {
+      fs.delete(new Path(dir), true)
+      val docs = Tables.documents(spark, sfDir)
+      // 16 small shard files — the many-small-commits ingest shape
+      docs.repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/small")
+      spark.read.parquet(s"$dir/small")
+        .repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000000L)
+        .parquet(s"$dir/compacted")
+      fs.create(new Path(s"$dir/_STAGED")).close()
+    }
+    (s"$dir/small", s"$dir/compacted")
+  }
+
+  def compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, compacted) = compactionDirs(spark, sfDir)
+    spark.read.parquet(compacted)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("doc_id").as("id_sum"),
+        sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
+          .as("text_checksum"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_compaction" -> compaction _,
     "x_schema_evolution" -> schemaEvolution _,
     "x_sample_stratified" -> stratifiedSample _,
     "x_mix_sources" -> mixSources _,
@@ -687,6 +740,12 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // compacted read-back == base table: compaction moves bytes
+    // between files, never changes rows
+    "x_compaction" ->
+      """SELECT source, count(*) AS n_rows, sum(doc_id)::BIGINT AS id_sum,
+        | sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)::BIGINT AS text_checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // merged-schema read == base table with the generation split
     // inlined: lang exists only for odd doc_ids (gen-2 files)
     "x_schema_evolution" ->

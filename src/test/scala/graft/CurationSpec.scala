@@ -11,6 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * properties the oracle can't see: selection bounds, packing
   * invariants, merge classification totals, and shuffle counts.
   */
+class CurationSpecCompaction extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("compaction collapses the small-file layout without losing a row") {
+    import org.apache.hadoop.fs.Path
+    val (small, compacted) = graft.operators.Curation.compactionDirs(spark, TestSpark.sf)
+    def parts(dir: String): Int = {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(parts(small) === 16, "staged ingest shape must be 16 shard files")
+    assert(parts(compacted) <= 2, "compaction must collapse to the target file count")
+    assert(spark.read.parquet(compacted).count() ===
+      spark.read.parquet(small).count(), "compaction must preserve every row")
+  }
+}
+
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
