@@ -65,6 +65,53 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Weighted (probability-proportional-to-size) sampling
+  // ---------------------------------------------------------------- //
+
+  // p_i = WeightedC · w_i / 2^60 ≈ w_i / 3000: an avg-length doc
+  // (~300 chars) samples at ~10%. WeightedC = 2^60 div 3000.
+  private val WeightedC = 384307168202282L
+  private val TwoPow60 = 1152921504606846976L
+
+  /** Weighted Poisson (PPS) sampling with a Horvitz–Thompson estimate:
+    * doc i is kept iff `h(doc_id) div w_i < C`, i.e. with probability
+    * p_i = C·w_i/2^60 ∝ n_chars — longer docs sample heavier, the
+    * "sample proportional to token count" step of corpus budgeting.
+    * The HT columns (Σ floor(1/p_i) over the sample) estimate the
+    * full-corpus doc and char totals from the sample alone — the
+    * unbiased-subset-sum machinery of priority/PPS sampling
+    * (Duffield–Lund–Thorup), here in exact integer form.
+    *
+    * Determinism discipline: inclusion is a BIGINT compare (`h div w <
+    * C` ⟺ `h < C·w`, no floats anywhere), and the HT terms are exact
+    * integer divisions — every engine, retry, and partitioning computes
+    * the identical sample and the identical estimates, which is what
+    * makes a weighted sample auditable (the DuckDB oracle re-derives it
+    * bit-for-bit). `rand()`-based PPS gives none of this.
+    *
+    * Scale: like [[stratifiedSample]] the decision is a pure scan
+    * predicate — no shuffle touches the corpus; the only exchange is
+    * the 20-row per-source rollup. Docs with C·w ≥ 2^60 have p = 1 and
+    * are always kept (the compare is automatically true); their HT term
+    * clamps to 1.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = expr(
+      s"cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)" +
+        s" div greatest(n_chars, 1) < ${WeightedC}L")
+    val htTerm = greatest(lit(1L), expr(s"${TwoPow60}L div (${WeightedC}L * greatest(n_chars, 1))"))
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(keep, col("doc_id"))).as("id_sum"),
+        sum(when(keep, col("n_chars"))).as("chars_sampled"),
+        sum(when(keep, htTerm)).as("ht_docs"),
+        sum(when(keep, htTerm * col("n_chars"))).as("ht_chars"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- //
   // Mixture / quota selection
   // ---------------------------------------------------------------- //
 
@@ -724,6 +771,7 @@ object Curation {
     "x_compaction" -> compaction _,
     "x_schema_evolution" -> schemaEvolution _,
     "x_sample_stratified" -> stratifiedSample _,
+    "x_sample_weighted" -> weightedSample _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
     "x_mix_epochs" -> mixEpochs _,
@@ -761,6 +809,19 @@ object Curation {
          | sum(CASE WHEN ${h60Sql("doc_id::VARCHAR")} % 1000000
          |   < (substr(source, 4)::INT + 1) * 50000 THEN doc_id END)::BIGINT AS sampled_id_sum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_sample_weighted" ->
+      s"""WITH g AS (
+         | SELECT source, doc_id, n_chars,
+         |  ${h60Sql("doc_id::VARCHAR")} // greatest(n_chars, 1) < $WeightedC AS keep,
+         |  greatest(1, $TwoPow60 // ($WeightedC * greatest(n_chars, 1))) AS ht
+         | FROM documents)
+         |SELECT source,
+         | sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         | sum(CASE WHEN keep THEN doc_id END)::BIGINT AS id_sum,
+         | sum(CASE WHEN keep THEN n_chars END)::BIGINT AS chars_sampled,
+         | sum(CASE WHEN keep THEN ht END)::BIGINT AS ht_docs,
+         | sum(CASE WHEN keep THEN ht * n_chars END)::BIGINT AS ht_chars
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "x_mix_sources" ->
       s"""WITH ranked AS (
          | SELECT source, n_chars,

@@ -63,6 +63,38 @@ class CurationSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected group-by (+order-by) shuffles only, got $shuffles")
   }
 
+  test("weighted PPS sample: HT estimates recover the corpus totals") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val (nTrue, charsTrue) = {
+      val r = docs.agg(count(lit(1)), sum("n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val agg = Curation.weightedSample(spark, sf)
+      .agg(sum("n_sampled"), sum("chars_sampled"), sum("ht_docs"), sum("ht_chars")).head()
+    val (nSampled, htDocs, htChars) = (agg.getLong(0), agg.getLong(2), agg.getLong(3))
+    assert(nSampled > 0 && nSampled < nTrue, "PPS must sample a strict subset")
+    // Horvitz–Thompson: Σ 1/p over the sample estimates the population.
+    // Tolerance 4·sqrt over the ~Poisson sample size, plus floor bias.
+    assert(math.abs(htDocs - nTrue) <= 4 * nTrue / math.sqrt(nSampled.toDouble) + nSampled,
+      s"HT doc estimate $htDocs vs true $nTrue")
+    assert(math.abs(htChars - charsTrue).toDouble / charsTrue < 0.35,
+      s"HT char estimate $htChars vs true $charsTrue")
+    // p ∝ n_chars: sampled docs must be longer than the corpus average
+    val avgSampled = agg.getLong(1).toDouble / nSampled
+    val avgTrue = charsTrue.toDouble / nTrue
+    assert(avgSampled > avgTrue, s"length-weighted sample mean $avgSampled ≤ corpus mean $avgTrue")
+  }
+
+  test("weighted PPS sample is a single-agg plan: no join, scan-side predicate") {
+    val plan = Curation.weightedSample(spark, sf).queryExecution.executedPlan
+    val nodes = collectPlans(plan)
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("join")),
+      "hash-gated PPS sampling must not join")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected group-by (+order-by) shuffles only, got $shuffles")
+  }
+
   test("source mixing respects every quota") {
     val rows = Curation.mixSources(spark, sf).collect()
     rows.foreach { r =>
