@@ -443,6 +443,67 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // k-anonymity audit
+  // ---------------------------------------------------------------- //
+
+  private val AnonK = 10L
+
+  /** k-anonymity audit over a generalization ladder (Sweeney's model:
+    * a row is at risk when its quasi-identifier combination matches
+    * fewer than k rows). Three QI levels over customer — (nation,
+    * segment) → generalized (region, segment) → fully generalized
+    * (segment) — report group counts, groups below k, and rows at
+    * risk per level; generalizing must monotonically shrink risk,
+    * which is the release-or-generalize loop of a privacy review.
+    *
+    * Scale: the corpus is shuffled ONCE, into the finest-level group
+    * table (|nations|·|segments| rows — model-sized); coarser-level
+    * group sizes are window sums OVER that tiny table (no second
+    * corpus pass, no cache), and the region lookup is a broadcast of
+    * the 25-row nation dim. At 100 TB the at-risk rows
+    * themselves would be suppressed by broadcasting the below-k QI
+    * combos back against the scan — the audit here counts them from
+    * the group table alone, no second corpus pass.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"), col("n"))
+    // coarser-level group sizes as window sums over the finest group
+    // table — the corpus itself shuffles only into `base`
+    val aug = base
+      .withColumn("gn2", sum("n").over(
+        Window.partitionBy("n_regionkey", "c_mktsegment")))
+      .withColumn("gn3", sum("n").over(Window.partitionBy("c_mktsegment")))
+    val k = lit(AnonK)
+    val one = aug.agg(
+      count(lit(1)).as("g1"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("b1"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("r1"),
+      min("n").as("m1"),
+      countDistinct(struct(col("n_regionkey"), col("c_mktsegment"))).as("g2"),
+      countDistinct(when(col("gn2") < k,
+        struct(col("n_regionkey"), col("c_mktsegment")))).as("b2"),
+      sum(when(col("gn2") < k, col("n")).otherwise(0L)).as("r2"),
+      min("gn2").as("m2"),
+      countDistinct(col("c_mktsegment")).as("g3"),
+      countDistinct(when(col("gn3") < k, col("c_mktsegment"))).as("b3"),
+      sum(when(col("gn3") < k, col("n")).otherwise(0L)).as("r3"),
+      min("gn3").as("m3"))
+    one.select(expr(
+      """stack(3,
+        | 'l1_nation_segment', g1, b1, r1, m1,
+        | 'l2_region_segment', g2, b2, r2, m2,
+        | 'l3_segment',        g3, b3, r3, m3)
+        | AS (level, n_groups, groups_below_k, rows_at_risk, min_group)""".stripMargin))
+      .orderBy("level")
+  }
+
+  // ---------------------------------------------------------------- //
   // Right-to-be-forgotten cascade
   // ---------------------------------------------------------------- //
 
@@ -772,6 +833,7 @@ object Curation {
     "x_schema_evolution" -> schemaEvolution _,
     "x_sample_stratified" -> stratifiedSample _,
     "x_sample_weighted" -> weightedSample _,
+    "x_k_anonymity" -> kAnonymity _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
     "x_mix_epochs" -> mixEpochs _,
@@ -822,6 +884,29 @@ object Curation {
          | sum(CASE WHEN keep THEN ht END)::BIGINT AS ht_docs,
          | sum(CASE WHEN keep THEN ht * n_chars END)::BIGINT AS ht_chars
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "x_k_anonymity" ->
+      s"""WITH base AS (
+         | SELECT n_regionkey, c_nationkey, c_mktsegment, count(*) AS n
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY 1, 2, 3),
+         |l2g AS (SELECT n_regionkey, c_mktsegment, sum(n) AS gn
+         |        FROM base GROUP BY 1, 2),
+         |l3g AS (SELECT c_mktsegment, sum(n) AS gn FROM base GROUP BY 1)
+         |SELECT 'l1_nation_segment' AS level, count(*)::BIGINT AS n_groups,
+         | sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END)::BIGINT AS groups_below_k,
+         | sum(CASE WHEN n < $AnonK THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+         | min(n)::BIGINT AS min_group FROM base
+         |UNION ALL
+         |SELECT 'l2_region_segment', count(*)::BIGINT,
+         | sum(CASE WHEN gn < $AnonK THEN 1 ELSE 0 END)::BIGINT,
+         | sum(CASE WHEN gn < $AnonK THEN gn ELSE 0 END)::BIGINT,
+         | min(gn)::BIGINT FROM l2g
+         |UNION ALL
+         |SELECT 'l3_segment', count(*)::BIGINT,
+         | sum(CASE WHEN gn < $AnonK THEN 1 ELSE 0 END)::BIGINT,
+         | sum(CASE WHEN gn < $AnonK THEN gn ELSE 0 END)::BIGINT,
+         | min(gn)::BIGINT FROM l3g
+         |ORDER BY level""".stripMargin,
     "x_mix_sources" ->
       s"""WITH ranked AS (
          | SELECT source, n_chars,

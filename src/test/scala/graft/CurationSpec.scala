@@ -95,6 +95,26 @@ class CurationSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected group-by (+order-by) shuffles only, got $shuffles")
   }
 
+  test("k-anonymity: generalizing monotonically shrinks re-identification risk") {
+    val rows = Curation.kAnonymity(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l1_nation_segment", "l2_region_segment", "l3_segment"))
+    val risk = rows.map(_.getLong(3))
+    val minG = rows.map(_.getLong(4))
+    assert(risk(0) >= risk(1) && risk(1) >= risk(2),
+      s"rows_at_risk must fall along the ladder: ${risk.toSeq}")
+    assert(minG(0) <= minG(1) && minG(1) <= minG(2),
+      s"min group size must grow along the ladder: ${minG.toSeq}")
+    assert(risk(2) === 0L, "fully generalized level must be k-anonymous here")
+  }
+
+  test("k-anonymity: only the dim lookup joins, and it broadcasts") {
+    val plan = Curation.kAnonymity(spark, sf).queryExecution.executedPlan
+    val joins = collectPlans(plan).filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.nonEmpty && joins.forall(_.nodeName.contains("BroadcastHashJoin")),
+      s"nation lookup must broadcast, got ${joins.map(_.nodeName)}")
+  }
+
   test("source mixing respects every quota") {
     val rows = Curation.mixSources(spark, sf).collect()
     rows.foreach { r =>
