@@ -504,6 +504,76 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Data-quality expectations
+  // ---------------------------------------------------------------- //
+
+  /** Declarative data-quality expectation suite (the Deequ/dbt-test
+    * pattern): ten checks — uniqueness, referential integrity, value
+    * domains, null rates, NaN guards, derived-column consistency —
+    * evaluated across five tables, emitted one row per check with its
+    * violation count and pass flag. This is the admission gate a lake
+    * runs before a corpus snapshot is released to training.
+    *
+    * Scale: every non-FK check is a conditional sum inside ONE
+    * map-side-combined aggregate pass per table (five corpus scans
+    * total, no shuffle beyond the 1-row partials); the two FK checks
+    * are left-anti joins that shuffle only the key columns and degrade
+    * gracefully under AQE. The 1-row aggregate frames are assembled
+    * with cross joins (each side is a scalar — the decorrelated-scalar
+    * pattern used throughout [[Analytics]]) and unpivoted with `stack`.
+    */
+  def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    val segments = Seq("MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE")
+    val ordersStats = o.agg(
+      count(lit(1)).as("o_total"),
+      countDistinct(col("o_orderkey")).as("o_distinct"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("o_price_viol"),
+      viol(col("o_orderdate").isNull).as("o_date_viol"))
+    val custStats = c.agg(
+      count(lit(1)).as("c_total"),
+      viol(col("c_acctbal").isNull).as("c_bal_viol"),
+      viol(!col("c_mktsegment").isin(segments: _*) || col("c_mktsegment").isNull)
+        .as("c_seg_viol"))
+    val liStats = l.agg(
+      count(lit(1)).as("l_total"),
+      viol(col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 50)
+        .as("l_qty_viol"))
+    val docStats = Tables.documents(spark, sfDir).agg(
+      count(lit(1)).as("d_total"),
+      viol(col("n_chars") =!= length(col("text"))).as("d_len_viol"))
+    val evStats = Tables.events(spark, sfDir).agg(
+      count(lit(1)).as("e_total"),
+      viol(col("value").isNull || isnan(col("value"))).as("e_val_viol"))
+    val fkOrders = o.select("o_custkey")
+      .join(c.select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("o_fk_viol"))
+    val fkLineitem = l.select("l_orderkey")
+      .join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("l_fk_viol"))
+    ordersStats.crossJoin(custStats).crossJoin(liStats).crossJoin(docStats)
+      .crossJoin(evStats).crossJoin(fkOrders).crossJoin(fkLineitem)
+      .select(expr(
+        """stack(10,
+          | 'customer',  'domain_c_mktsegment',   c_total, c_seg_viol,
+          | 'customer',  'not_null_c_acctbal',    c_total, c_bal_viol,
+          | 'documents', 'consistent_n_chars',    d_total, d_len_viol,
+          | 'events',    'finite_value',          e_total, e_val_viol,
+          | 'lineitem',  'fk_l_orderkey',         l_total, l_fk_viol,
+          | 'lineitem',  'range_l_quantity_1_50', l_total, l_qty_viol,
+          | 'orders',    'fk_o_custkey',          o_total, o_fk_viol,
+          | 'orders',    'not_null_o_orderdate',  o_total, o_date_viol,
+          | 'orders',    'positive_o_totalprice', o_total, o_price_viol,
+          | 'orders',    'unique_o_orderkey',     o_total, o_total - o_distinct)
+          | AS (tbl, check, n_rows, n_violations)""".stripMargin))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("tbl", "check")
+  }
+
+  // ---------------------------------------------------------------- //
   // Right-to-be-forgotten cascade
   // ---------------------------------------------------------------- //
 
@@ -834,6 +904,7 @@ object Curation {
     "x_sample_stratified" -> stratifiedSample _,
     "x_sample_weighted" -> weightedSample _,
     "x_k_anonymity" -> kAnonymity _,
+    "x_dq_expectations" -> dqExpectations _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
     "x_mix_epochs" -> mixEpochs _,
@@ -907,6 +978,40 @@ object Curation {
          | sum(CASE WHEN gn < $AnonK THEN gn ELSE 0 END)::BIGINT,
          | min(gn)::BIGINT FROM l3g
          |ORDER BY level""".stripMargin,
+    "x_dq_expectations" ->
+      """WITH checks AS (
+        | SELECT 'customer' AS tbl, 'domain_c_mktsegment' AS "check",
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN c_mktsegment NOT IN
+        |   ('MACHINERY','AUTOMOBILE','HOUSEHOLD','BUILDING','FURNITURE')
+        |   OR c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        | FROM customer
+        | UNION ALL SELECT 'customer', 'not_null_c_acctbal', count(*)::BIGINT,
+        |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT FROM customer
+        | UNION ALL SELECT 'documents', 'consistent_n_chars', count(*)::BIGINT,
+        |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT FROM documents
+        | UNION ALL SELECT 'events', 'finite_value', count(*)::BIGINT,
+        |  sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END)::BIGINT FROM events
+        | UNION ALL SELECT 'lineitem', 'fk_l_orderkey', count(*)::BIGINT,
+        |  (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey))::BIGINT
+        |  FROM lineitem
+        | UNION ALL SELECT 'lineitem', 'range_l_quantity_1_50', count(*)::BIGINT,
+        |  sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |   THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        | UNION ALL SELECT 'orders', 'fk_o_custkey', count(*)::BIGINT,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |  FROM orders
+        | UNION ALL SELECT 'orders', 'not_null_o_orderdate', count(*)::BIGINT,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+        | UNION ALL SELECT 'orders', 'positive_o_totalprice', count(*)::BIGINT,
+        |  sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |   THEN 1 ELSE 0 END)::BIGINT FROM orders
+        | UNION ALL SELECT 'orders', 'unique_o_orderkey', count(*)::BIGINT,
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders)
+        |SELECT tbl, "check", n_rows, n_violations, n_violations = 0 AS pass
+        |FROM checks ORDER BY tbl, "check"""".stripMargin,
     "x_mix_sources" ->
       s"""WITH ranked AS (
          | SELECT source, n_chars,

@@ -115,6 +115,43 @@ class CurationSpec extends AnyFunSuite {
       s"nation lookup must broadcast, got ${joins.map(_.nodeName)}")
   }
 
+  test("dq expectations: clean corpus passes all ten checks") {
+    val rows = Curation.dqExpectations(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getBoolean(4)),
+      s"clean testdata must pass: ${rows.filterNot(_.getBoolean(4)).mkString(";")}")
+    assert(rows.forall(_.getLong(3) === 0L))
+  }
+
+  test("dq expectations: injected violations are detected, clean checks stay green") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/repo/target/graft-work/dq_corrupt"
+    // clone the sf layout, corrupting only orders: one duplicated key,
+    // one negative price, one null date, one dangling custkey
+    Seq("customer", "lineitem", "documents", "events").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val corrupt = o.limit(1).select(
+      lit(o.select("o_orderkey").head().getLong(0)).as("o_orderkey"),
+      lit(-7L).as("o_custkey"),
+      col("o_orderstatus"),
+      lit(-1.0).as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      col("o_orderpriority"))
+    o.unionByName(corrupt).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val byCheck = Curation.dqExpectations(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byCheck("unique_o_orderkey") === 1L)
+    assert(byCheck("positive_o_totalprice") === 1L)
+    assert(byCheck("not_null_o_orderdate") === 1L)
+    assert(byCheck("fk_o_custkey") === 1L)
+    assert(byCheck("fk_l_orderkey") === 0L)
+    assert(byCheck("range_l_quantity_1_50") === 0L)
+    assert(byCheck("consistent_n_chars") === 0L)
+  }
+
   test("source mixing respects every quota") {
     val rows = Curation.mixSources(spark, sf).collect()
     rows.foreach { r =>
