@@ -1320,6 +1320,54 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** A12 — mergeable distinct-count sketches (Apache DataSketches HLL
+    * via Spark's `hll_sketch_agg`/`hll_union_agg`, lgK=14): per-day
+    * user sketches, the union of the daily sketches, and a direct
+    * whole-corpus sketch. This is the 100 TB cardinality pattern — the
+    * corpus is sketched once per partition-slice (here: per day) into
+    * a ~16 KB register array, and any rollup (week, month, all-time)
+    * is a register-wise max-merge of the slice sketches, never a
+    * re-scan. HLL register state is order- and partition-insensitive,
+    * so the estimates are deterministic; `all_merged` must equal
+    * `all_direct` exactly (merge ≡ sketching the union), which the
+    * spec and the twin's oracle shape pin.
+    *
+    * Rows-only at the gate (DuckDB's HLL is a different
+    * implementation, so no cross-engine estimate oracle exists);
+    * [[a12CardExact]] is the fully-oracled exact twin at the same
+    * grain.
+    */
+  def a12HllUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    val daily = ev.groupBy("day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val perDay = daily.select(
+      concat(lit("day_"), col("day")).as("scope"),
+      expr("hll_sketch_estimate(sk)").as("est_users"))
+    val merged = daily.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .select(lit("all_merged").as("scope"), col("est_users"))
+    val direct = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_users"))
+      .select(lit("all_direct").as("scope"), col("est_users"))
+    perDay.unionByName(merged).unionByName(direct).orderBy("scope")
+  }
+
+  /** Exact twin of [[a12HllUsers]]: the same scopes with exact distinct
+    * counts (the number the sketch estimates), fully DuckDB-oracled.
+    */
+  def a12CardExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    val perDay = ev.groupBy(concat(lit("day_"), col("day")).as("scope"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val overall = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    perDay
+      .unionByName(overall.select(lit("all_direct").as("scope"), col("n_users")))
+      .unionByName(overall.select(lit("all_merged").as("scope"), col("n_users")))
+      .orderBy("scope")
+  }
+
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
@@ -1387,6 +1435,8 @@ object Analytics {
     "s1_full_scan" -> s1FullScan _,
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
+    "a12_card_sketch" -> a12HllUsers _,
+    "a12_card_exact" -> a12CardExact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1948,5 +1998,15 @@ object Analytics {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "a12_card_exact" ->
+      """WITH d AS (
+        | SELECT 'day_' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS scope,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        | FROM events GROUP BY 1),
+        |o AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events)
+        |SELECT scope, n_users FROM d
+        |UNION ALL SELECT 'all_direct', n_users FROM o
+        |UNION ALL SELECT 'all_merged', n_users FROM o
+        |ORDER BY scope""".stripMargin,
   )
 }

@@ -291,4 +291,22 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(rs.forall(!_.isNullAt(3)), "forward fill must cover every bucket")
     }
   }
+
+  test("a12 HLL sketches: merged rollup equals direct sketch, estimates near exact") {
+    val est = Analytics.a12HllUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Analytics.a12CardExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    // union of daily sketches must be register-identical to sketching
+    // the whole corpus — the mergeability contract
+    assert(est("all_merged") === est("all_direct"),
+      s"merge must equal direct: ${est("all_merged")} vs ${est("all_direct")}")
+    // lgK=14 → relative standard error ~0.8%; allow 4σ plus integer slack
+    est.foreach { case (scope, e) =>
+      val x = exact(scope)
+      assert(math.abs(e - x) <= math.max(2.0, 0.04 * x),
+        s"$scope: estimate $e too far from exact $x")
+    }
+  }
 }
