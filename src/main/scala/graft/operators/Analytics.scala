@@ -1368,6 +1368,39 @@ object Analytics {
       .orderBy("scope")
   }
 
+  /** A13 — day-over-day retention via theta-sketch SET ALGEBRA
+    * ([[graft.functions.ThetaSketchAgg]]): one sketch per day (map-side
+    * combined; the shuffle carries ≤ 32 KB per day, never user sets),
+    * then retained = |d ∩ d+1|, churned = |d \ d+1|, new = |d+1 \ d|
+    * as pairwise sketch ops over the ~30-row daily frame. This is the
+    * query shape HLL cannot serve (no intersection); at 100 TB the
+    * daily sketches are also the REUSABLE artifact — any cohort
+    * overlap/churn matrix is post-hoc set algebra on stored sketches.
+    *
+    * The single-partition `lead` window and the CodegenFallback set
+    * ops run on the model-sized daily frame only. Sketches are in
+    * exact mode below 2^12 distinct users/day, so the output is
+    * exactly the true retention table and carries a full DuckDB
+    * oracle (see [[graft.functions.ThetaSketch]] scaladoc).
+    */
+  def a13RetentionSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ThetaSketch._
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    val daily = ev.groupBy("day").agg(sketchAgg(col("user_id")).as("sk"))
+    val paired = daily
+      .withColumn("sk_next",
+        lead("sk", 1).over(org.apache.spark.sql.expressions.Window.orderBy("day")))
+      .filter(col("sk_next").isNotNull)
+    paired.select(
+        col("day"),
+        estimate(col("sk")).as("dau"),
+        intersectEstimate(col("sk"), col("sk_next")).as("retained"),
+        aNotBEstimate(col("sk"), col("sk_next")).as("churned"),
+        aNotBEstimate(col("sk_next"), col("sk")).as("new_users"))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
@@ -1437,6 +1470,7 @@ object Analytics {
     "e1_time_bucket" -> e1TimeBucket _,
     "a12_card_sketch" -> a12HllUsers _,
     "a12_card_exact" -> a12CardExact _,
+    "a13_retention_sketch" -> a13RetentionSketch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2008,5 +2042,26 @@ object Analytics {
         |UNION ALL SELECT 'all_direct', n_users FROM o
         |UNION ALL SELECT 'all_merged', n_users FROM o
         |ORDER BY scope""".stripMargin,
+    "a13_retention_sketch" ->
+      """WITH d AS (
+        | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+        | FROM events GROUP BY 1, 2),
+        |dd AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+        |pairs AS (SELECT day, lead(day) OVER (ORDER BY day) AS dnext FROM dd),
+        |ret AS (
+        | SELECT a.day, count(*) AS retained
+        | FROM d a JOIN pairs p ON p.day = a.day
+        |  JOIN d b ON b.day = p.dnext AND b.user_id = a.user_id
+        | GROUP BY 1)
+        |SELECT p.day, da.dau::BIGINT AS dau,
+        | coalesce(r.retained, 0)::BIGINT AS retained,
+        | (da.dau - coalesce(r.retained, 0))::BIGINT AS churned,
+        | (dn.dau - coalesce(r.retained, 0))::BIGINT AS new_users
+        |FROM pairs p
+        | JOIN dd da ON da.day = p.day
+        | JOIN dd dn ON dn.day = p.dnext
+        | LEFT JOIN ret r ON r.day = p.day
+        |WHERE p.dnext IS NOT NULL
+        |ORDER BY p.day""".stripMargin,
   )
 }
