@@ -504,6 +504,86 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Dynamic partition overwrite (backfill)
+  // ---------------------------------------------------------------- //
+
+  /** Stage the day-partitioned events table and dynamically backfill
+    * its earliest day with revised values (value doubled). Returns
+    * (tableDir, revisedDay). Idempotent via a staging sentinel.
+    */
+  private[graft] def backfillDirs(spark: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val dir = s"/root/repo/target/graft-work/backfill_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    val dayFile = new Path(s"$dir/_REVISED_DAY")
+    if (!fs.exists(dayFile)) {
+      fs.delete(new Path(dir), true)
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      // one output file per day partition: repartition on the
+      // partition column so the write doesn't fan 32 tasks × N days
+      ev.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/t")
+      val revisedDay = ev.agg(min("day")).head().getString(0)
+      backfillDay(spark, sfDir, s"$dir/t", revisedDay)
+      val out = fs.create(dayFile)
+      out.write(revisedDay.getBytes("UTF-8")); out.close()
+    }
+    val in = fs.open(dayFile)
+    val revised = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    in.close()
+    (s"$dir/t", revised)
+  }
+
+  /** The backfill job itself: rewrite ONE day's slice (values doubled)
+    * under `partitionOverwriteMode=dynamic` — only partitions present
+    * in the incoming frame are replaced; every other day's files are
+    * untouched (spec-asserted by file listing).
+    */
+  private[graft] def backfillDay(
+      spark: SparkSession, sfDir: String, table: String, day: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      Tables.events(spark, sfDir)
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .filter(col("day") === day)
+        .withColumn("value", col("value") * 2)
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(table)
+    } finally spark.conf.set(key, saved)
+  }
+
+  /** Backfill under dynamic partition overwrite — the idempotent
+    * reprocessing primitive of a partitioned lake: a corrected
+    * pipeline run replaces exactly the partitions it recomputed
+    * (`INSERT OVERWRITE ... PARTITION` semantics), never the table.
+    * The audit aggregate proves the revised day carries the doubled
+    * values while every other day still matches the base corpus —
+    * that second half is the invariant static overwrite would destroy
+    * (mode("overwrite") without dynamic replaces the WHOLE table).
+    *
+    * Scale: partition overwrite is a metadata swap per partition —
+    * cost ∝ data of the recomputed days only; the repartition-on-
+    * partition-column write keeps file counts = partition counts
+    * instead of tasks × partitions. Re-running the backfill is
+    * byte-idempotent (spec-asserted), which is what makes scheduled
+    * reprocessing safe.
+    */
+  def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val (table, revisedDay) = backfillDirs(spark, sfDir)
+    spark.read.parquet(table)
+      .withColumn("day", col("day").cast("string"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .withColumn("revised", col("day") === revisedDay)
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- //
   // Data-quality expectations
   // ---------------------------------------------------------------- //
 
@@ -905,6 +985,7 @@ object Curation {
     "x_sample_weighted" -> weightedSample _,
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
+    "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
     "x_mix_epochs" -> mixEpochs _,
@@ -1012,6 +1093,15 @@ object Curation {
         |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders)
         |SELECT tbl, "check", n_rows, n_violations, n_violations = 0 AS pass
         |FROM checks ORDER BY tbl, "check"""".stripMargin,
+    "k10_partition_overwrite" ->
+      """WITH rd AS (
+        | SELECT strftime(min(date_trunc('day', ts)), '%Y-%m-%d') AS d FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | count(*) AS n,
+        | round(sum(CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') = (SELECT d FROM rd)
+        |   THEN value * 2 ELSE value END), 2) AS sum_value,
+        | strftime(date_trunc('day', ts), '%Y-%m-%d') = (SELECT d FROM rd) AS revised
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_mix_sources" ->
       s"""WITH ranked AS (
          | SELECT source, n_chars,

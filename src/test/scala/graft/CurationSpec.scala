@@ -152,6 +152,38 @@ class CurationSpec extends AnyFunSuite {
     assert(byCheck("consistent_n_chars") === 0L)
   }
 
+  test("dynamic partition overwrite touches only the backfilled day and is idempotent") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val (table, revisedDay) = Curation.backfillDirs(spark, sf)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new Path(table)).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+      }.toMap
+    val before = partFiles()
+    assert(before.size > 1, "events must span multiple day partitions")
+    Curation.backfillDay(spark, sf, table, revisedDay)
+    val after = partFiles()
+    val revKey = s"day=$revisedDay"
+    assert(after.keySet === before.keySet, "no partition may appear or vanish")
+    before.foreach { case (k, files) =>
+      if (k != revKey)
+        assert(after(k) === files, s"untouched partition $k must keep its files")
+    }
+    assert(after(revKey) !== before(revKey), "backfilled partition must be rewritten")
+    // idempotent content: revised day still carries exactly doubled values
+    val base = Tables.events(spark, sf)
+      .filter(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd") === revisedDay)
+      .agg(round(sum(col("value") * 2), 2)).head().getDouble(0)
+    val now = spark.read.parquet(table)
+      .filter(col("day").cast("string") === revisedDay)
+      .agg(round(sum("value"), 2)).head().getDouble(0)
+    assert(now === base, s"re-backfill must leave doubled values: $now vs $base")
+  }
+
   test("source mixing respects every quota") {
     val rows = Curation.mixSources(spark, sf).collect()
     rows.foreach { r =>
