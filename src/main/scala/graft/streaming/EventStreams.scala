@@ -909,9 +909,89 @@ object EventStreams {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — click-to-purchase
+    * conversion where UNCONVERTED clicks must still be emitted. The
+    * hard part of outer stream joins is that a null-padded row can
+    * only be produced once the watermark proves no match can arrive,
+    * i.e. rows are held in state until `c_ts + 30 min` passes BOTH
+    * sides' watermarks, and flushing needs a later batch: the staged
+    * source appends a far-future sentinel file (maxFilesPerTrigger=1
+    * → batch 2) that advances the watermark past every click, so all
+    * pending outer state drains deterministically. Without the
+    * sentinel the final clicks would sit in state forever — the same
+    * bounded-input subtlety the late-data query engineers away.
+    *
+    * Scale: state is bounded by (watermark delay + join interval) per
+    * key on both sides — eviction is exactly why the interval bounds
+    * and watermarks are mandatory for outer joins; an unbounded
+    * condition would OOM state at 100 TB/day. Output equals the batch
+    * left join (the oracle), which is the migration guarantee.
+    */
+  def streamStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = s"/root/repo/target/graft-work/stream/events_outer_$fp"
+    val stage = new Path(stageDir)
+    val fs = stage.getFileSystem(conf)
+    if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
+      fs.delete(stage, true)
+      fs.mkdirs(stage)
+      val tsT = rawTsType(spark, sfDir)
+      def stagePart(df: DataFrame, name: String): Unit = {
+        val tmp = s"$stageDir-tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        FileUtil.copy(fs, part, fs, new Path(s"$stageDir/$name.parquet"), false, conf)
+        fs.delete(new Path(tmp), true)
+      }
+      stagePart(spark.read.schema(rawSchema(tsT)).parquet(s"$sfDir/events.parquet"),
+        "0_events")
+      stagePart(syntheticEvent(spark, tsT, -1L, 4102444800L * 1000000000L, "__sentinel"),
+        "1_sentinel")
+      fs.create(new Path(s"$stageDir/_STAGED")).close()
+    }
+    val src = normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir))
+    // the sentinel rides BOTH sides so both watermarks advance
+    def side(tp: String, pre: String) = src
+      .filter(col("event_type") === tp || col("event_type") === "__sentinel")
+      .select(col("event_id").as(s"${pre}_id"), col("user_id").as(s"${pre}_user"),
+        col("ts").as(s"${pre}_ts"))
+      .withWatermark(s"${pre}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    val joined = clicks.join(purchases, expr(
+      "p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+      "left_outer")
+    dropStaleSinks(spark)
+    val name = s"graft_stream_sso_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .filter(col("c_user") >= 0)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(
+        countDistinct(col("c_id")).as("n_clicks"),
+        countDistinct(when(col("p_id").isNotNull, col("c_id"))).as("n_converted"),
+        count(col("p_id")).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_stream_ann" -> streamAnn _,
     "x_stream_stream_join" -> streamStreamJoin _,
+    "x_stream_stream_outer" -> streamStreamOuter _,
     "w3_asof_join" -> asofJoin _,
     "x_stream_join" -> streamStaticJoin _,
     "x_stream_window" -> streamWindow _,
@@ -980,6 +1060,20 @@ object EventStreams {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
         |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+    "x_stream_stream_outer" ->
+      """WITH c AS (
+        | SELECT event_id AS cid, user_id AS u, ts FROM events
+        | WHERE event_type = 'click'),
+        |p AS (
+        | SELECT event_id AS pid, user_id AS u, ts AS pts FROM events
+        | WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT c.u, c.cid, p.pid FROM c LEFT JOIN p
+        | ON p.u = c.u AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE)
+        |SELECT u AS user_id, count(DISTINCT cid)::BIGINT AS n_clicks,
+        | count(DISTINCT CASE WHEN pid IS NOT NULL THEN cid END)::BIGINT AS n_converted,
+        | count(pid)::BIGINT AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
     "x_stream_join" ->
       """WITH dim AS (
         | SELECT user_id,

@@ -641,4 +641,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getInt(0) === 64 && r.getInt(1) === 64,
       s"embedding dims must all be exactly 64, saw [${r.getInt(0)}, ${r.getInt(1)}]")
   }
+
+  test("stream-stream left outer join emits null-padded unconverted clicks and equals batch") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.EventStreams.streamStreamOuter(spark, sf)
+    val totals = out.agg(sum("n_clicks"), sum("n_converted")).head()
+    val allClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(totals.getLong(0) === allClicks,
+      "every click must appear exactly once — matched or null-padded")
+    assert(totals.getLong(1) < totals.getLong(0),
+      "unconverted clicks must exist, or the outer semantics are untested")
+    assert(totals.getLong(1) > 0, "some clicks must convert")
+  }
 }
