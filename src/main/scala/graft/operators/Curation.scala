@@ -841,6 +841,88 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Bloom-gated decontamination — the same contamination check
+    * rebuilt for the 100 TB corpus shape, where [[contamination]]'s
+    * inverted-index join is unaffordable because it shuffles EVERY
+    * corpus shingle to classify it. Here the corpus side never
+    * shuffles at all:
+    *
+    *  1. the eval/benchmark shingle-hash set is computed from the eval
+    *     docs only (1/[[EvalMod]] of the corpus; in production it is a
+    *     separate benchmark table thousands of times smaller than the
+    *     corpus) and folded into a ~1%-fpp Bloom filter
+    *     ([[graft.functions.BloomGate]] — fixed seeds, deterministic
+    *     bit array, build cost is one pass over the SMALL side);
+    *  2. the corpus shingles pass a codegen'd `mightContain` SCAN
+    *     predicate — true hits plus ≤ fpp false positives survive,
+    *     everything else (the overwhelming clean mass) dies map-side;
+    *  3. the tiny survivor stream does the EXACT semi-join against the
+    *     eval set (broadcast here; at benchmark-table scale a normal
+    *     shuffle of survivors only), which removes the false
+    *     positives — so the output is exactly [[contamination]]'s
+    *     answer minus the hot-shingle cap, and carries the same full
+    *     DuckDB oracle.
+    *
+    * The bloom can only prune, never alter: fpp trades survivor-join
+    * size against filter memory (1.2 MB per million keys at 1%), and
+    * correctness never depends on it. The spec asserts both the
+    * equivalence to the no-bloom computation and that the gate
+    * actually prunes.
+    */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationScanGated(spark, sfDir, useBloom = true)
+
+  /** The identical computation with the bloom gate removed — the spec
+    * asserts result equality (the gate must be invisible) and that the
+    * gate actually prunes the corpus stream.
+    */
+  private[graft] def contaminationNoBloomTwin(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationScanGated(spark, sfDir, useBloom = false)
+
+  /** Corpus-side shingle stream (doc_id, source, hs). */
+  private def contaminationShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("source"), h60("s").as("hs"))
+
+  /** (corpus shingle rows, bloom-surviving rows) — the prune factor. */
+  private[graft] def contaminationBloomPrune(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val ex = contaminationShingles(spark, sfDir)
+    val corpus = ex.filter(col("doc_id") % EvalMod =!= 0)
+    val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("hs").distinct()
+    val bloom = evalSh.stat.bloomFilter("hs", math.max(evalSh.count(), 64L), 0.01)
+    (corpus.count(),
+      corpus.filter(graft.functions.BloomGate.mightContainLong(bloom, col("hs"))).count())
+  }
+
+  private def contaminationScanGated(
+      spark: SparkSession, sfDir: String, useBloom: Boolean): DataFrame = {
+    val ex = contaminationShingles(spark, sfDir)
+    // The eval side is the SMALL table (doc_id % EvalMod pushes to the
+    // scan); recomputing it for the count, the bloom build and the
+    // verify join costs three pruned small scans — cheaper and simpler
+    // than a cache lifecycle, and in production it is a materialized
+    // benchmark table anyway.
+    val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("hs").distinct()
+    val corpus = ex.filter(col("doc_id") % EvalMod =!= 0)
+    val survivors =
+      if (!useBloom) corpus
+      else {
+        val bloom = evalSh.stat.bloomFilter("hs", math.max(evalSh.count(), 64L), 0.01)
+        corpus.filter(graft.functions.BloomGate.mightContainLong(bloom, col("hs")))
+      }
+    val shared = survivors
+      .join(broadcast(evalSh), Seq("hs"), "left_semi")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("shared"))
+    shared.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_overlapping"),
+        sum(when(col("shared") >= ContaminationMin, 1L).otherwise(0L)).as("n_contaminated"),
+        max("shared").as("max_shared"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- //
   // Embedding quantization
   // ---------------------------------------------------------------- //
@@ -998,6 +1080,7 @@ object Curation {
     "x_merge_upsert" -> mergeUpsert _,
     "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
+    "x_contamination_bloom" -> contaminationBloom _,
     "x_emb_quantize" -> quantizeEmbeddings _,
   )
 
@@ -1253,6 +1336,29 @@ object Curation {
          | SELECT e.doc_id, e.source, count(DISTINCT e.hs) AS shared
          | FROM ex e JOIN ev USING (hs)
          | WHERE e.doc_id % $EvalMod <> 0 AND e.hs NOT IN (SELECT hs FROM hot)
+         | GROUP BY e.doc_id, e.source)
+         |SELECT source, count(*) AS n_overlapping,
+         | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         | max(shared) AS max_shared
+         |FROM shared GROUP BY source ORDER BY source""".stripMargin,
+    // Same derivation as x_contamination minus the hot-shingle cap: the
+    // bloom is invisible to the result (prune-only; false positives are
+    // removed by the exact verify join), so the oracle needs no bloom.
+    "x_contamination_bloom" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |ex AS (
+         | SELECT doc_id, source, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, source, unnest(sh) AS s FROM t)),
+         |ev AS (SELECT DISTINCT hs FROM ex WHERE doc_id % $EvalMod = 0),
+         |shared AS (
+         | SELECT e.doc_id, e.source, count(DISTINCT e.hs) AS shared
+         | FROM ex e JOIN ev USING (hs)
+         | WHERE e.doc_id % $EvalMod <> 0
          | GROUP BY e.doc_id, e.source)
          |SELECT source, count(*) AS n_overlapping,
          | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,

@@ -515,9 +515,41 @@ object TextOps {
       .limit(30)
   }
 
+  /** Heavy hitters over word bigrams via mergeable frequent-items
+    * sketches ([[graft.functions.FreqSketch]]) — the bounded-memory
+    * twin of [[bpePairs]]' exact global group-by. One sketch per
+    * source (each scan task ships a ≤2048-counter map, map-side
+    * combined; the shuffle carries 20 serialized sketches, never
+    * pair rows), a counter-wise merge to one corpus sketch, then
+    * top-20 extraction on the single merged row.
+    *
+    * At 100 TB this is the statistic's only affordable shape when the
+    * pair space is huge: the exact group-by shuffles O(corpus tokens)
+    * rows, the sketch shuffles O(slices × maxMapSize) counters with a
+    * guaranteed error band. Gate corpora sit in the sketch's EXACT
+    * regime (~931 distinct bigrams < the 1536-counter purge
+    * threshold — see FreqSketch scaladoc), so the top-20 equals the
+    * exact counts and carries a full DuckDB oracle; the (est desc,
+    * token asc) tiebreak pins the rank-20 boundary.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.FreqSketch
+    val pairs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("pair"))
+    val perSource = pairs.groupBy("source").agg(FreqSketch.sketchAgg(col("pair")).as("sk"))
+    perSource.agg(FreqSketch.mergeAgg(col("sk")).as("sk"))
+      .select(explode(FreqSketch.topK(col("sk"), 20)).as("hh"))
+      .select(col("hh.token").as("token"), col("hh.est").as("est"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
   val registry: Map[String, Q] = Map(
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
+    "x_text_heavy_hitters" -> heavyHitters _,
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
@@ -582,6 +614,19 @@ object TextOps {
         |pairs AS (SELECT t[i] || ' ' || t[i + 1] AS pair FROM idx)
         |SELECT pair, count(*) AS cnt FROM pairs
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // Exact recompute of the sketch top-20: valid because the gate
+    // corpus keeps the frequent-items sketch in exact mode (see
+    // FreqSketch scaladoc) and the (est desc, token asc) tiebreak
+    // pins the rank-20 boundary on both sides.
+    "x_text_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |idx AS (
+        | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        | FROM tok WHERE len(t) >= 2),
+        |pairs AS (SELECT t[i] || ' ' || t[i + 1] AS token FROM idx)
+        |SELECT token, count(*) AS est FROM pairs
+        |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
     "x_quality_classifier" ->
       s"""WITH f AS (
          | SELECT source,

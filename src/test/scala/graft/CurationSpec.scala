@@ -241,6 +241,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom gate is invisible to the contamination result and actually prunes") {
+    val gated = Curation.contaminationBloom(spark, sf).collect().toSeq
+    val exact = Curation.contaminationNoBloomTwin(spark, sf).collect().toSeq
+    assert(gated === exact,
+      "bloom prefilter + exact verify join must equal the no-bloom answer")
+    val (corpus, survivors) = Curation.contaminationBloomPrune(spark, sf)
+    assert(corpus > 0)
+    assert(survivors < corpus / 2,
+      s"bloom must prune the clean corpus mass map-side ($survivors of $corpus survived)")
+  }
+
+  test("bloom membership test stays inside whole-stage codegen") {
+    val plan = Curation.contaminationBloom(spark, sf).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("bloom_might_contain_long"),
+      "gate expression must be present in the physical plan")
+    // the gate is a scan-side Filter, not a join: no extra join nodes
+    // beyond the one verify semi-join
+    val joins = collectPlans(plan).count(_.nodeName.toLowerCase.contains("join"))
+    assert(joins <= 1, s"bloom variant must add no join beyond the verify semi-join ($joins)")
+  }
+
   test("int8 quantization stays in range and reconstructs the max component") {
     val rows = Curation.quantizeEmbeddings(spark, sf).collect()
     assert(rows.length === 10)
