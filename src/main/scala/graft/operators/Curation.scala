@@ -744,6 +744,65 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Incremental aggregate maintenance
+  // ---------------------------------------------------------------- //
+
+  /** Materialized-view maintenance by PARTIAL-AGGREGATE MERGE: the
+    * historical days of `events` are reduced once to a tiny partials
+    * table — per (day, event_type): row count and exact integer value
+    * moment (`round(value·1e6)` micros, the [[outlierZscore]]
+    * discipline, so merges are associative integer adds with no float
+    * drift) — and the per-type totals are served by merging those
+    * stored partials with a freshly-aggregated DELTA slice (the
+    * newest day). History is never rescanned.
+    *
+    * This is the 100 TB shape for every dashboard-style rollup: the
+    * partials table is O(days × types) rows regardless of corpus
+    * size, the daily maintenance job reads ONE day (with a
+    * day-partitioned layout the delta filter becomes partition
+    * pruning — [[backfillDirs]] stages exactly that layout, and
+    * j4_dpp_join demonstrates the pruning), and any regrouping
+    * (week, type-only, all-time) is an algebraic fold of the
+    * partials. COUNT/SUM merge by addition; the same partials serve
+    * AVG; mergeable sketches (a12/a13/heavy hitters) extend the trick
+    * to DISTINCT and top-k, which plain partials cannot express.
+    *
+    * The merged result must be EXACTLY the direct whole-table
+    * group-by — integer moments make that bit-reproducible, so the
+    * query carries a full DuckDB oracle recomputing from scratch.
+    */
+  def incrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val dir = s"/root/repo/target/graft-work/incr_agg_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .withColumn("v", expr("cast(round(value * 1000000) as bigint)"))
+    // the split point is data-derived (newest day = the delta); the
+    // 1-row max is decorrelated as a broadcast scalar, never collected
+    val maxDay = ev.agg(max("day").as("max_day"))
+    def partials(slice: DataFrame): DataFrame =
+      slice.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("vsum"))
+    if (!fs.exists(new Path(s"$dir/_MATERIALIZED"))) {
+      fs.delete(new Path(dir), true)
+      partials(ev.crossJoin(broadcast(maxDay)).filter(col("day") < col("max_day")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/partials")
+      fs.create(new Path(s"$dir/_MATERIALIZED")).close()
+    }
+    val history = spark.read.parquet(s"$dir/partials")
+    val delta = partials(
+      ev.crossJoin(broadcast(maxDay)).filter(col("day") === col("max_day")))
+    history.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("cnt").cast("long").as("n_events"),
+        sum("vsum").cast("long").as("v_micros"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- //
   // Test-set contamination
   // ---------------------------------------------------------------- //
 
@@ -1082,6 +1141,7 @@ object Curation {
     "x_contamination" -> contamination _,
     "x_contamination_bloom" -> contaminationBloom _,
     "x_emb_quantize" -> quantizeEmbeddings _,
+    "x_incr_agg" -> incrAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1276,6 +1336,12 @@ object Curation {
         |SELECT tbl, n_before, n_removed, (n_before - n_removed)::BIGINT AS n_after,
         | payload_removed
         |FROM rows3 ORDER BY tbl""".stripMargin,
+    // direct whole-table recompute: the merged partials must equal it
+    // exactly (integer micros moments are associative adds)
+    "x_incr_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        | sum(round(value * 1000000)::BIGINT)::BIGINT AS v_micros
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_outlier_zscore" ->
       """WITH e AS (
         | SELECT event_type, event_id, round(value * 1000000)::HUGEINT AS v

@@ -241,6 +241,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental aggregate merge equals the direct whole-table group-by") {
+    import org.apache.spark.sql.functions._
+    val merged = Curation.incrAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("v"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === direct, "partial merge must be exactly the direct recompute")
+    // second call serves from the materialized partials (idempotent)
+    val again = Curation.incrAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === merged)
+  }
+
   test("bloom gate is invisible to the contamination result and actually prunes") {
     val gated = Curation.contaminationBloom(spark, sf).collect().toSeq
     val exact = Curation.contaminationNoBloomTwin(spark, sf).collect().toSeq
