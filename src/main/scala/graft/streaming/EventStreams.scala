@@ -988,7 +988,109 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Exactly-once UPSERT sink via `foreachBatch` — the lake-table
+    * maintenance loop a streaming ingest pipeline runs: each
+    * micro-batch is reduced to per-key partials (count + argmax-by
+    * (event-time, event_id) latest state) and MERGED with the prior
+    * snapshot into a NEW immutable version directory `v<batchId>`.
+    * That versioning is what makes the sink exactly-once on top of
+    * Spark's at-least-once `foreachBatch` contract: a batch replayed
+    * after a failure recomputes `v<b>` deterministically from
+    * `v<b-1>` + the same input batch (pure functions of both), so a
+    * re-run OVERWRITES an identical version instead of
+    * double-applying — the idempotent-writer pattern Delta/Iceberg
+    * MERGE sinks use, reduced to its Spark-native core.
+    *
+    * Scale: state per version is one row per key (bounded by the key
+    * space, not the stream length), the merge is a keyed shuffle of
+    * snapshot + batch partials only, and old versions are droppable
+    * after commit. The argmax rides a struct max ordered on
+    * (micros, event_id) — a total order, so "latest" is deterministic
+    * across retries and engines; counts/values are exact integers.
+    * The final snapshot must equal the batch recompute over the whole
+    * table (full DuckDB oracle): streaming-batch equivalence for a
+    * stateful sink, the same Dataflow property the window queries pin.
+    *
+    * Input is the events table staged as TWO half-files (event_id
+    * parity split) so every user's history genuinely spans
+    * micro-batches and the merge path is exercised, not bypassed.
+    */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = s"/root/repo/target/graft-work/stream/events_upsert_stage_$fp"
+    val outDir = s"/root/repo/target/graft-work/stream/events_upsert_$fp"
+    val fs = new Path(outDir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
+      fs.delete(new Path(stageDir), true)
+      fs.mkdirs(new Path(stageDir))
+      Seq(0, 1).foreach { half =>
+        val tmp = s"$stageDir-tmp-$half"
+        // stage from the RAW reader so ts keeps the file's layout and
+        // the stream schema stays uniform across staged files
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .filter(col("event_id") % 2 === half)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        FileUtil.copy(fs, part, fs, new Path(s"$stageDir/${half}_half.parquet"), false, conf)
+        fs.delete(new Path(tmp), true)
+      }
+      fs.create(new Path(s"$stageDir/_STAGED")).close()
+    }
+    if (!fs.exists(new Path(s"$outDir/_DONE"))) {
+      fs.delete(new Path(outDir), true)
+      val src = normTs(spark.readStream
+        .schema(rawSchema(rawTsType(spark, sfDir)))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
+      withStatePartitions(spark, 8) {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$outDir/chk")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            upsertApplyBatch(spark, outDir, batch, batchId)
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      fs.create(new Path(s"$outDir/_DONE")).close()
+    }
+    val last = fs.listStatus(new Path(outDir)).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).max
+    spark.read.parquet(s"$outDir/v$last")
+      .select(col("user_id"), col("cnt").as("n_events"),
+        col("m.etype").as("last_type"), col("m.v").as("last_v"))
+      .orderBy("user_id")
+  }
+
+  /** One MERGE step: snapshot v(b) = f(snapshot v(b-1), batch b).
+    * Deterministic and therefore idempotent under batch replay.
+    */
+  private[graft] def upsertApplyBatch(
+      spark: SparkSession, outDir: String, batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reduced = batch.groupBy("user_id").agg(
+      count(lit(1)).as("cnt"),
+      max(struct(
+        expr("unix_micros(ts)").as("ts_us"),
+        col("event_id").as("eid"),
+        col("event_type").as("etype"),
+        expr("cast(round(value * 1000000) as bigint)").as("v"))).as("m"))
+    val prevPath = s"$outDir/v${batchId - 1}"
+    val merged =
+      if (batchId == 0 || !fs.exists(new Path(prevPath))) reduced
+      else spark.read.parquet(prevPath).unionByName(reduced)
+        .groupBy("user_id")
+        .agg(sum("cnt").cast("long").as("cnt"), max("m").as("m"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$outDir/v$batchId")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_stream_upsert" -> streamUpsert _,
     "x_stream_ann" -> streamAnn _,
     "x_stream_stream_join" -> streamStreamJoin _,
     "x_stream_stream_outer" -> streamStreamOuter _,
@@ -1011,6 +1113,18 @@ object EventStreams {
     // the streaming retrieval path must reproduce the batch LSH answer
     // bit for bit, so it shares its oracle
     "x_stream_ann" -> graft.operators.Similarity.oracles("x_sim_topk_lsh"),
+    // batch recompute of the final upsert snapshot: per-user event
+    // count + argmax-latest state on the (micros, event_id) total order
+    "x_stream_upsert" ->
+      """WITH r AS (
+        | SELECT user_id, event_type, round(value * 1000000)::BIGINT AS v,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events),
+        |c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id)
+        |SELECT c.user_id, c.n_events, r.event_type AS last_type, r.v AS last_v
+        |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1
+        |ORDER BY c.user_id""".stripMargin,
     "w3_asof_join" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT event_type, ts_us,

@@ -306,6 +306,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("foreachBatch upsert equals the batch recompute and batch replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    val result = EventStreams.streamUpsert(spark, sf).collect().map(_.toString)
+    val ev = Tables.events(spark, sf)
+    val r = ev.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(expr("unix_micros(ts)").desc, col("event_id").desc)))
+    val batchAnswer = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .join(r.filter(col("rn") === 1).select(col("user_id"),
+        col("event_type").as("last_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("last_v")), Seq("user_id"))
+      .orderBy("user_id").collect().map(_.toString)
+    assert(result.nonEmpty)
+    assert(result.toSeq === batchAnswer.toSeq,
+      "final upsert snapshot must equal the whole-table batch answer")
+    // at-least-once replay: re-applying the final batch must rewrite an
+    // IDENTICAL snapshot (v1 = f(v0, batch1) is deterministic)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sf/events.parquet")
+    val outDir = s"/root/repo/target/graft-work/stream/events_upsert_$fp"
+    val before = spark.read.parquet(s"$outDir/v1").collect().map(_.toString).sorted.toSeq
+    EventStreams.upsertApplyBatch(spark, outDir,
+      ev.filter(col("event_id") % 2 === 1), 1L)
+    val after = spark.read.parquet(s"$outDir/v1").collect().map(_.toString).sorted.toSeq
+    assert(after === before, "batch replay must be idempotent")
+  }
+
   test("stateful streaming sessions equal the batch window-function answer") {
     val batch = EventStreams.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
