@@ -744,6 +744,60 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // SCD Type-2 dimension
+  // ---------------------------------------------------------------- //
+
+  /** Slowly-changing-dimension TYPE 2: each user's `view` events are
+    * treated as attribute revisions and materialized as VALIDITY
+    * INTERVALS — (user_id, state, valid_from, valid_to) where
+    * `valid_to` is the next revision's timestamp (open-ended for the
+    * current row) — then the `click` facts are enriched by an
+    * equi+range join: user matches AND valid_from ≤ ts < valid_to.
+    *
+    * This is the materialized alternative to the as-of WINDOW
+    * (w3_asof_join computes the same "state in effect" semantics by
+    * co-sorting facts and revisions in one pass). The window wins for
+    * a one-shot backfill; SCD2 wins at 100 TB when facts dwarf
+    * revisions and keep arriving: the dimension is built ONCE (one
+    * keyed shuffle of the revision stream, O(revisions) rows), and
+    * every subsequent fact batch joins against it without re-sorting
+    * history — bucket both sides on user_id and the join is
+    * shuffle-free. The interval build's per-key `lead` window
+    * partitions on user_id, so no single-partition window exists.
+    *
+    * Determinism: interval bounds are (micros, event_id)-ordered and
+    * the state value is exact integer micros; at most one interval
+    * can match a fact (intervals partition the timeline per user), so
+    * the enriched aggregate is exactly reproducible and fully
+    * DuckDB-oracled.
+    */
+  def scd2Dim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val dim = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("state"))
+      .withColumn("valid_from", col("ts_us"))
+      .withColumn("valid_to",
+        coalesce(lead("ts_us", 1).over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")), lit(Long.MaxValue)))
+      .drop("ts_us", "event_id")
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val enriched = facts.join(dim,
+      facts("user_id") === dim("user_id") &&
+        dim("valid_from") <= facts("ts_us") && facts("ts_us") < dim("valid_to"),
+      "left_outer")
+    enriched.groupBy(facts("user_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("state")).as("n_matched"),
+        sum(coalesce(col("state"), lit(0L))).as("state_sum"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- //
   // Incremental aggregate maintenance
   // ---------------------------------------------------------------- //
 
@@ -1142,6 +1196,7 @@ object Curation {
     "x_contamination_bloom" -> contaminationBloom _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
+    "x_scd2_dim" -> scd2Dim _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1336,6 +1391,25 @@ object Curation {
         |SELECT tbl, n_before, n_removed, (n_before - n_removed)::BIGINT AS n_after,
         | payload_removed
         |FROM rows3 ORDER BY tbl""".stripMargin,
+    // interval re-derivation with the same (micros, event_id) ordering;
+    // intervals partition each user's timeline so at most one matches
+    "x_scd2_dim" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  round(value * 1000000)::BIGINT AS v
+        | FROM events),
+        |dim AS (
+        | SELECT user_id, v AS state, ts_us AS valid_from,
+        |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |           9223372036854775807) AS valid_to
+        | FROM ev WHERE event_type = 'view'),
+        |f AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'click'),
+        |j AS (
+        | SELECT f.user_id, d.state FROM f LEFT JOIN dim d
+        | ON f.user_id = d.user_id AND d.valid_from <= f.ts_us AND f.ts_us < d.valid_to)
+        |SELECT user_id, count(*)::BIGINT AS n_clicks, count(state)::BIGINT AS n_matched,
+        | sum(coalesce(state, 0))::BIGINT AS state_sum
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     // direct whole-table recompute: the merged partials must equal it
     // exactly (integer micros moments are associative adds)
     "x_incr_agg" ->

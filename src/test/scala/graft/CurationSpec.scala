@@ -241,6 +241,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 interval enrichment equals the as-of window recompute, equi-join plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Curation.scd2Dim(spark, sf)
+    val nodes = collectPlans(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+      n.nodeName.contains("CartesianProduct")),
+      "interval join must keep its user_id equi-conjunct")
+    val rows = df.collect().map(_.toString)
+    assert(rows.nonEmpty)
+    // independent as-of recompute: last view state at each click via one
+    // co-sorted window pass (views sort before clicks at equal micros;
+    // among same-instant views the larger event_id wins, matching the
+    // empty-interval semantics of the SCD2 build)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("v", expr("cast(round(value * 1000000) as bigint)"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_type").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asOf = ev.withColumn("state",
+        last(when(col("event_type") === "view", col("v")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"), count("state").as("n_matched"),
+        sum(coalesce(col("state"), lit(0L))).as("state_sum"))
+      .orderBy("user_id").collect().map(_.toString)
+    assert(rows.toSeq === asOf.toSeq,
+      "materialized intervals and the as-of window must agree")
+  }
+
   test("incremental aggregate merge equals the direct whole-table group-by") {
     import org.apache.spark.sql.functions._
     val merged = Curation.incrAgg(spark, sf).collect()
