@@ -546,10 +546,57 @@ object TextOps {
       .orderBy(col("est").desc, col("token"))
   }
 
+  /** Mixture diagnostics: per-source unigram ENTROPY and KL divergence
+    * against the corpus distribution — the numbers a data-mixing run
+    * watches to see which sources are redundant (low KL: distribution
+    * ≈ corpus) vs distinctive (high KL), and how internally diverse
+    * each source is (entropy). Follows [[unigramSurprise]]'s float
+    * discipline: every `ln` is quantized to integer micro-nats at the
+    * per-token grain, so all sums/divisions downstream are exact
+    * integer arithmetic (order-insensitive, hash-oracle-able); KL is
+    * clamped at 0 before the integer division so truncation semantics
+    * agree cross-engine.
+    *
+    * Scale: two keyed aggregations over the token stream (map-side
+    * combined) produce the model frames — corpus distribution
+    * O(vocab), per-source O(sources × vocab) — and the scoring join
+    * broadcasts both model sides; the token stream itself is never
+    * joined row-to-row. Same shape as the LM scorers.
+    */
+  def mixKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    // corpus token total: one exact integer scalar — model-sized
+    // extraction, becomes a plan literal the oracle recomputes
+    val total = toks.count()
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cnt_c"))
+    val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
+    val srcTotals = perSrc.groupBy("source").agg(sum("cnt_s").cast("long").as("t_s"))
+    val terms = perSrc
+      .join(broadcast(corpus), "t")
+      .join(broadcast(srcTotals), "source")
+      .withColumn("ln_term_micro", expr(
+        s"""cast(round((ln(cast(cnt_s as double)) - ln(cast(t_s as double))
+           | - ln(cast(cnt_c as double)) + ln(cast($total as double))) * 1000000) as bigint)"""
+          .stripMargin))
+      .withColumn("ln_cnt_micro",
+        expr("cast(round(ln(cast(cnt_s as double)) * 1000000) as bigint)"))
+    terms.groupBy("source")
+      .agg(max("t_s").as("n_tokens"),
+        sum(expr("cnt_s * ln_cnt_micro")).as("s_ln"),
+        sum(expr("cnt_s * ln_term_micro")).as("s_kl"))
+      .select(col("source"), col("n_tokens"),
+        expr("cast(round(ln(cast(n_tokens as double)) * 1000000) as bigint) - (s_ln div n_tokens)")
+          .as("entropy_micro_nats"),
+        expr("greatest(s_kl, cast(0 as bigint)) div n_tokens").as("kl_micro_nats"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
     "x_text_heavy_hitters" -> heavyHitters _,
+    "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
@@ -692,6 +739,31 @@ object TextOps {
         | (((sum(n3) - sum(d3)) * 1000000) // sum(n3))::BIGINT AS dup_ppm,
         | sum(CASE WHEN (n3 - d3) * 5 > n3 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // same micro-nat quantization at the per-token grain; KL clamped
+    // at 0 before integer division so truncation agrees cross-engine
+    "x_mix_kl" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |corpus AS (SELECT t, count(*) AS cnt_c FROM toks GROUP BY t),
+        |per_src AS (SELECT source, t, count(*) AS cnt_s FROM toks GROUP BY source, t),
+        |src_tot AS (SELECT source, sum(cnt_s)::BIGINT AS t_s FROM per_src GROUP BY source),
+        |terms AS (
+        | SELECT p.source, p.cnt_s, s.t_s,
+        |  round((ln(p.cnt_s::DOUBLE) - ln(s.t_s::DOUBLE)
+        |       - ln(c.cnt_c::DOUBLE) + ln(total::DOUBLE)) * 1000000)::BIGINT AS ln_term_micro,
+        |  round(ln(p.cnt_s::DOUBLE) * 1000000)::BIGINT AS ln_cnt_micro
+        | FROM per_src p JOIN corpus c USING (t) JOIN src_tot s USING (source), tot),
+        |g AS (
+        | SELECT source, max(t_s) AS n_tokens,
+        |  sum(cnt_s * ln_cnt_micro) AS s_ln, sum(cnt_s * ln_term_micro) AS s_kl
+        | FROM terms GROUP BY source)
+        |SELECT source, n_tokens::BIGINT AS n_tokens,
+        | (round(ln(n_tokens::DOUBLE) * 1000000)::BIGINT - (s_ln // n_tokens))::BIGINT
+        |   AS entropy_micro_nats,
+        | (greatest(s_kl, 0) // n_tokens)::BIGINT AS kl_micro_nats
+        |FROM g ORDER BY source""".stripMargin,
     "x_text_unigram_lm" ->
       s"""WITH toks AS (
          | SELECT doc_id, source,

@@ -8,6 +8,21 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("mixture KL is nonnegative and entropy is bounded by ln(vocab)") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.mixKl(spark, sf).collect()
+    assert(rows.length === 20)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .distinct().count()
+    val hMax = math.round(math.log(vocab.toDouble) * 1e6)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"${r.getString(0)}: KL must be nonnegative")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= hMax + 1000,
+        s"${r.getString(0)}: entropy outside [0, ln(vocab)]")
+    }
+  }
+
   test("exact dedup counts all documents") {
     val r = Dedup.exactStats(spark, sf).collect()(0)
     assert(r.getLong(0) === 500)
