@@ -845,6 +845,57 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** W10 — MATCH_RECOGNIZE-style sequence detection: for every
+    * `purchase`, did a `view` precede it within 1h, itself preceded by
+    * a `signup` within 1h? Unlike [[e2EventFunnel]] (first-occurrence
+    * conversion rates over a user's whole history), this matches at
+    * EVERY event with per-hop time bounds — the row-pattern shape SQL
+    * engines express with MATCH_RECOGNIZE and Spark has no native
+    * operator for.
+    *
+    * Composition instead of a custom operator: ONE window pass per
+    * pattern depth. Pass 1 computes, at each event, the most recent
+    * prior `signup` time (`last(..., ignoreNulls)` over an
+    * unbounded-preceding-to--1 frame). Pass 2 computes the most
+    * recent prior `view` time AND — by propagating pass 1's column
+    * through the same frame — the signup time that was in effect AT
+    * that view. A purchase matches iff both hops exist and fit the
+    * bound. Depth-k patterns need k sequential windows over the same
+    * (user, time) sort; Spark executes them in a single sort+window
+    * stage chain with no extra shuffle after the first partition-by.
+    *
+    * Scale: state is O(1) per pattern hop per row — no self-joins, no
+    * per-user explode, and the one shuffle is the user_id window
+    * partition. Timestamps are integral micros, so spans and the
+    * match predicate are exact and order-independent.
+    */
+  def w10PatternFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), expr("unix_micros(ts)").as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pass1 = ev.withColumn("ls",
+      last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true).over(w))
+    val pass2 = pass1
+      .withColumn("lv",
+        last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("lv_ls",
+        last(when(col("event_type") === "view", col("ls")), ignoreNulls = true).over(w))
+    pass2.filter(col("event_type") === "purchase")
+      .withColumn("matched",
+        col("lv").isNotNull && col("lv_ls").isNotNull &&
+          col("ts_us") - col("lv") <= hourUs && col("lv") - col("lv_ls") <= hourUs)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("matched"), col("ts_us") - col("lv_ls")).otherwise(0L)).as("span_us_sum"))
+      .orderBy("day")
+  }
+
   /** F5 — higher-order array functions (§2.10): `filter`, `transform`,
     * `aggregate` and `zip_with` over the embedding arrays, all
     * codegen'd lambda expressions evaluated inside the scan stage (no
@@ -1444,6 +1495,7 @@ object Analytics {
     "a10_histogram" -> a10Histogram _,
     "a11_cube" -> a11Cube _,
     "w9_lead_lag" -> w9LeadLag _,
+    "w10_pattern_funnel" -> w10PatternFunnel _,
     "f6_string_agg" -> f6StringAgg _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
@@ -1869,6 +1921,35 @@ object Analytics {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // same two chained ignore-nulls windows; micros spans exact
+    "w10_pattern_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+        |w1 AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
+        | FROM ev),
+        |w2 AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+        |   OVER win AS lv,
+        |  last_value(CASE WHEN event_type = 'view' THEN ls END IGNORE NULLS)
+        |   OVER win AS lv_ls
+        | FROM w1
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  (lv IS NOT NULL AND lv_ls IS NOT NULL
+        |   AND ts_us - lv <= 3600000000 AND lv - lv_ls <= 3600000000) AS matched,
+        |  ts_us, lv_ls
+        | FROM w2 WHERE event_type = 'purchase')
+        |SELECT day, count(*) AS n_purchases,
+        | sum(CASE WHEN matched THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        | sum(CASE WHEN matched THEN ts_us - lv_ls ELSE 0 END)::BIGINT AS span_us_sum
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
     "w9_lead_lag" ->
       """WITH daily AS (
         | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

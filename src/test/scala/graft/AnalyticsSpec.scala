@@ -17,6 +17,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(9)).forall(_ > 0))
   }
 
+  test("w10 pattern funnel: join-free plan, bounds hold, subset of unbounded matches") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.w10PatternFunnel(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      "sequence detection must be window passes, not self-joins")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: matched > purchases")
+      // each matched funnel spans at most 2h end to end
+      assert(r.getLong(3) <= r.getLong(2) * 2L * 3600L * 1000000L,
+        s"${r.getString(0)}: span sum exceeds the per-hop bounds")
+    }
+    // time-bounded matches can never exceed the unbounded count of
+    // purchases with ANY prior view+signup chain
+    val totalMatched = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val anyChain = ev.filter(col("event_type") === "purchase").join(
+      ev.filter(col("event_type") === "signup").groupBy("user_id")
+        .agg(min(expr("unix_micros(ts)")).as("first_signup")), "user_id")
+      .filter(expr("unix_micros(ts)") > col("first_signup")).count()
+    assert(totalMatched <= anyChain)
+  }
+
   test("p3 recode maps all three statuses to labels") {
     val rows = Analytics.p3Recode(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("Fulfilled", "Open", "Pending"))
