@@ -744,6 +744,70 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Write-audit-publish
+  // ---------------------------------------------------------------- //
+
+  /** WRITE-AUDIT-PUBLISH: ingest batches land in a STAGING directory,
+    * an audit job recomputes the data-quality expectations over the
+    * staged files, and only a batch with ZERO violations is PUBLISHED
+    * — an atomic directory rename, so readers of the published root
+    * never observe a partially-written or unaudited batch. A failing
+    * batch stays quarantined in staging.
+    *
+    * This is the lakehouse ingestion gate ([[dqExpectations]] supplies
+    * the check style; Iceberg/Delta express the same pattern as staged
+    * snapshot + audit + commit-swap): at 100 TB the audit costs one
+    * aggregate pass over the NEW batch only — never the table — and
+    * publish is a metadata operation (rename), so the gate adds no
+    * data movement. Two synthetic batches exercise both paths: a
+    * clean slice (passes, published) and a slice with injected
+    * length-consistency corruption (fails, quarantined). The ledger
+    * and the published-table stats are recomputed from the actual
+    * directories, so the oracle independently proves only clean rows
+    * are reader-visible.
+    */
+  def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
+    val dir = s"/root/repo/target/graft-work/wap_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$dir/_DONE"))) {
+      fs.delete(new Path(dir), true)
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/stage/batch_clean")
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/stage/batch_corrupt")
+      fs.mkdirs(new Path(s"$dir/published"))
+      Seq("batch_clean", "batch_corrupt").foreach { b =>
+        val staged = spark.read.parquet(s"$dir/stage/$b")
+        val viol = staged.filter(
+          col("doc_id").isNull || col("n_chars") =!= length(col("text"))).count()
+        if (viol == 0L)
+          fs.rename(new Path(s"$dir/stage/$b"), new Path(s"$dir/published/$b"))
+      }
+      fs.create(new Path(s"$dir/_DONE")).close()
+    }
+    def stat(df: DataFrame, stage: String, published: Int): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("doc_id").isNull || col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)).as("n_violations"),
+          sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
+            .as("text_checksum"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("n_violations"),
+          lit(published.toLong).as("published"), col("text_checksum"))
+    val clean = stat(spark.read.parquet(s"$dir/published/batch_clean"), "batch_clean", 1)
+    val corrupt = stat(spark.read.parquet(s"$dir/stage/batch_corrupt"), "batch_corrupt", 0)
+    val table = stat(spark.read.parquet(s"$dir/published/*"), "published_table", 1)
+    clean.unionByName(corrupt).unionByName(table).orderBy("stage")
+  }
+
+  // ---------------------------------------------------------------- //
   // SCD Type-2 dimension
   // ---------------------------------------------------------------- //
 
@@ -1197,6 +1261,7 @@ object Curation {
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
+    "k11_wap_publish" -> wapPublish _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1391,6 +1456,34 @@ object Curation {
         |SELECT tbl, n_before, n_removed, (n_before - n_removed)::BIGINT AS n_after,
         | payload_removed
         |FROM rows3 ORDER BY tbl""".stripMargin,
+    // batches re-derived from the base table with the same slice and
+    // injected corruption; the published table must equal the clean
+    // batch exactly (audit gate proven by checksum identity)
+    "k11_wap_publish" ->
+      s"""WITH a AS (
+         | SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 <> 0),
+         |b AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 6 = 0 THEN text || '!' ELSE text END AS text, n_chars
+         | FROM documents WHERE doc_id % 3 = 0),
+         |s AS (
+         | SELECT 'batch_clean' AS stage, count(*) AS n_rows,
+         |  sum(CASE WHEN doc_id IS NULL OR n_chars <> len(text) THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+         |  1::BIGINT AS published,
+         |  sum(${h60Sql("text")} % 1000000000000)::BIGINT AS text_checksum
+         | FROM a
+         | UNION ALL
+         | SELECT 'batch_corrupt', count(*),
+         |  sum(CASE WHEN doc_id IS NULL OR n_chars <> len(text) THEN 1 ELSE 0 END)::BIGINT,
+         |  0::BIGINT, sum(${h60Sql("text")} % 1000000000000)::BIGINT
+         | FROM b
+         | UNION ALL
+         | SELECT 'published_table', count(*),
+         |  sum(CASE WHEN doc_id IS NULL OR n_chars <> len(text) THEN 1 ELSE 0 END)::BIGINT,
+         |  1::BIGINT, sum(${h60Sql("text")} % 1000000000000)::BIGINT
+         | FROM a)
+         |SELECT stage, n_rows, n_violations, published, text_checksum
+         |FROM s ORDER BY stage""".stripMargin,
     // interval re-derivation with the same (micros, event_id) ordering;
     // intervals partition each user's timeline so at most one matches
     "x_scd2_dim" ->

@@ -241,6 +241,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("write-audit-publish quarantines the failing batch and publishes atomically") {
+    import org.apache.hadoop.fs.Path
+    val rows = Curation.wapPublish(spark, sf).collect()
+    assert(rows.length === 3)
+    val byStage = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byStage("batch_clean")._2 === 0L, "clean batch must audit violation-free")
+    assert(byStage("batch_corrupt")._2 > 0L, "corrupt batch must carry violations")
+    assert(byStage("batch_corrupt")._3 === 0L, "corrupt batch must not be published")
+    assert(byStage("published_table") === byStage("batch_clean"),
+      "published table must be exactly the clean batch")
+    // directory-level proof: corrupt stays staged, clean was renamed out
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sf/documents.parquet")
+    val dir = s"/root/repo/target/graft-work/wap_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    assert(fs.exists(new Path(s"$dir/stage/batch_corrupt")))
+    assert(!fs.exists(new Path(s"$dir/stage/batch_clean")))
+    assert(fs.exists(new Path(s"$dir/published/batch_clean")))
+    assert(!fs.exists(new Path(s"$dir/published/batch_corrupt")))
+  }
+
   test("scd2 interval enrichment equals the as-of window recompute, equi-join plan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
