@@ -1452,6 +1452,39 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** A14 — EXACT grouped order statistics (discrete p25/p50/p75 of
+    * event value micros per type), the exact twin of
+    * [[a4DistributionSummary]]'s approx path: rank k_q = ceil(q·n) in
+    * (value, event_id) order, so the selected element is a real data
+    * value and deterministic under ties (equal values share v, and
+    * the event_id tiebreak never changes the selected v).
+    *
+    * Scale honesty: exact order statistics need a per-group sort —
+    * this is the audit/validation tool you run on a slice or a
+    * sampled stratum; the 100 TB serving path is the mergeable
+    * `approx_percentile` in a4 (bounded-error GK summaries, no sort).
+    * The plan is one window over the event_type partition + one
+    * conditional aggregate; ranks come from the same sort the window
+    * already performs, so no extra shuffle beyond the partition-by.
+    */
+  def a14ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked.groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max(when(col("rn") === expr("cast(ceil(n * 0.25) as bigint)"), col("v"))).as("p25_micros"),
+        max(when(col("rn") === expr("cast(ceil(n * 0.5) as bigint)"), col("v"))).as("p50_micros"),
+        max(when(col("rn") === expr("cast(ceil(n * 0.75) as bigint)"), col("v"))).as("p75_micros"))
+      .orderBy("event_type")
+  }
+
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
@@ -1496,6 +1529,7 @@ object Analytics {
     "a11_cube" -> a11Cube _,
     "w9_lead_lag" -> w9LeadLag _,
     "w10_pattern_funnel" -> w10PatternFunnel _,
+    "a14_exact_quantiles" -> a14ExactQuantiles _,
     "f6_string_agg" -> f6StringAgg _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
@@ -1921,6 +1955,20 @@ object Analytics {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // identical rank construction; ceil(q*n) in (v, event_id) order
+    "a14_exact_quantiles" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, round(value * 1000000)::BIGINT AS v FROM events),
+        |r AS (
+        | SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM e)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        | max(CASE WHEN rn = ceil(n * 0.25)::BIGINT THEN v END)::BIGINT AS p25_micros,
+        | max(CASE WHEN rn = ceil(n * 0.5)::BIGINT THEN v END)::BIGINT AS p50_micros,
+        | max(CASE WHEN rn = ceil(n * 0.75)::BIGINT THEN v END)::BIGINT AS p75_micros
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same two chained ignore-nulls windows; micros spans exact
     "w10_pattern_funnel" ->
       """WITH ev AS (

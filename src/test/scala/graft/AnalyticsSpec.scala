@@ -42,6 +42,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(totalMatched <= anyChain)
   }
 
+  test("a14 exact quantiles are monotone, are real data values, and bracket the median") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.a14ExactQuantiles(spark, sf).collect()
+    assert(rows.length === 5)
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), expr("cast(round(value * 1000000) as bigint)").as("v"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val (t, n, p25, p50, p75) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p25 <= p50 && p50 <= p75, s"$t: quantiles must be monotone")
+      val vs = values(t)
+      assert(n === vs.length)
+      // discrete quantiles select actual elements at rank ceil(q*n)
+      assert(p25 === vs(math.ceil(n * 0.25).toInt - 1))
+      assert(p50 === vs(math.ceil(n * 0.5).toInt - 1))
+      assert(p75 === vs(math.ceil(n * 0.75).toInt - 1))
+    }
+  }
+
   test("p3 recode maps all three statuses to labels") {
     val rows = Analytics.p3Recode(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("Fulfilled", "Open", "Pending"))
