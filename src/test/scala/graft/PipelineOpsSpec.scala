@@ -23,6 +23,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ codebooks are partition-insensitive; ADC equals the reconstruction dot") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val b1 = Similarity.trainPq(base.repartition(1))
+    val b7 = Similarity.trainPq(base.repartition(7))
+    assert(b1.keySet === b7.keySet)
+    b1.foreach { case (s, cs) =>
+      cs.zip(b7(s)).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"subspace $s codebooks differ across layouts") }
+    }
+    // non-circular ADC check: the integer ADC score must equal the dot
+    // of the query with the RECONSTRUCTED neighbor, within the m
+    // per-subspace rounding half-units
+    val rows = Similarity.pqTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = base.collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1).toArray).toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    rows.take(5).foreach { r =>
+      val (qid, nid, adc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (q, n) = (vecs(qid), vecs(nid))
+      // encode neighbor with the trained books (argmin, code tiebreak)
+      val books = b1
+      val recon = (0 until 8).flatMap { s =>
+        val sv = n.slice(s * 8, (s + 1) * 8)
+        val code = books(s).zipWithIndex.minBy { case (c, j) =>
+          (c.map(x => x * x).sum - 2 * dotd(sv, c), j) }._2
+        books(s)(code)
+      }.toArray
+      val expect = dotd(q, recon)
+      assert(math.abs(adc / 1e6 - expect) <= 8 * 0.5 / 1e6 + 1e-9,
+        s"q$qid n$nid: adc ${adc / 1e6} vs reconstruction dot $expect")
+    }
+  }
+
   test("exact dedup counts all documents") {
     val r = Dedup.exactStats(spark, sf).collect()(0)
     assert(r.getLong(0) === 500)
