@@ -54,6 +54,13 @@ object ThetaSketch {
   def estimate(c: Column): Column =
     GraftColumnBridge.column(ThetaEstimate(GraftColumnBridge.expression(c)))
 
+  /** Union-merge of SERIALIZED sketches — the rollup aggregate over
+    * stored per-slice sketches (usable as a running window aggregate:
+    * cumulative distinct-count without rescanning history).
+    */
+  def mergeAgg(c: Column): Column = GraftColumnBridge.column(
+    ThetaMergeAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
+
   def intersectEstimate(a: Column, b: Column): Column =
     GraftColumnBridge.column(ThetaIntersectEstimate(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -105,6 +112,50 @@ case class ThetaSketchAgg(
   override def withNewInputAggBufferOffset(offset: Int): ThetaSketchAgg =
     copy(inputAggBufferOffset = offset)
   override def prettyName: String = "theta_sketch_agg"
+}
+
+/** Merges a BINARY column of serialized theta sketches by union. */
+case class ThetaMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  override def createAggregationBuffer(): Union = ThetaSketch.emptyUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(ThetaSketch.wrap(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaSketch.emptyUnion()
+    u.union(ThetaSketch.wrap(bytes))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaMergeAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "theta_merge_agg"
 }
 
 /** Rounded cardinality estimate of a serialized theta sketch. */

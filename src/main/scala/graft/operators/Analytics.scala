@@ -1485,8 +1485,64 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** W11 — RUNNING cumulative distinct users per day via a windowed
+    * THETA-SKETCH UNION over the stored per-day sketches
+    * ([[graft.functions.ThetaSketch.mergeAgg]] as a window aggregate):
+    * day d's cumulative audience is the union of sketches 1..d — the
+    * corpus is sketched ONCE per day and every cumulative point is a
+    * register merge, never a rescan of history. This is the windowed
+    * form of a12's rollup, and the shape any "users to date" series
+    * takes at 100 TB (exact cumulative distinct would re-aggregate an
+    * ever-growing prefix per day).
+    *
+    * The window runs on the ~30-row post-aggregate daily frame
+    * (model-sized single-partition window, same argument as a13's
+    * lead). Sketches are exact below 2^[[graft.functions.ThetaSketch.LgNomEntries]]
+    * distinct users (gate scales: ≤1500 < 4096), so the series equals
+    * the true cumulative distinct and carries a full DuckDB oracle
+    * (first-appearance running sum — itself the exact-twin shape).
+    */
+  def w11CumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(ThetaSketch.sketchAgg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("day_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day"), col("day_users"),
+        ThetaSketch.estimate(ThetaSketch.mergeAgg(col("sk")).over(w)).as("cum_users"))
+      .orderBy("day")
+  }
+
+  /** A15 — Spark's built-in `approx_top_k` (DataSketches frequent
+    * items under the hood) over the same bigram stream as
+    * [[graft.operators.TextOps.heavyHitters]] — the built-in twin of
+    * the custom [[graft.functions.FreqSketch]] aggregate, proving the
+    * engine covers the native surface too. Same exact-regime argument
+    * (2048-slot map ≥ ~931 distinct bigrams), same oracle shape.
+    */
+  def a15ApproxTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("pair"))
+    // retrieve the full tracked set and impose the deterministic
+    // (est desc, token asc) tiebreak OUTSIDE the sketch — the built-in
+    // resolves rank-k ties in map order, which no oracle can mirror
+    pairs.agg(expr("approx_top_k(pair, 2048, 2048)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(20)
+  }
+
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
+    "w11_cumulative_users" -> w11CumulativeUsers _,
+    "a15_approx_topk" -> a15ApproxTopK _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q4_priority_exists" -> q4PriorityExists _,
@@ -1955,6 +2011,30 @@ object Analytics {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // exact-twin shape: cumulative distinct = running sum of
+    // first-appearance counts (theta sketches are exact below 2^12)
+    "w11_cumulative_users" ->
+      """WITH du AS (
+        | SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+        | FROM events),
+        |firsts AS (SELECT user_id, min(day) AS fday FROM du GROUP BY user_id),
+        |newu AS (SELECT fday AS day, count(*) AS nu FROM firsts GROUP BY fday),
+        |days AS (SELECT day, count(*) AS day_users FROM du GROUP BY day)
+        |SELECT d.day, d.day_users,
+        | sum(coalesce(n.nu, 0)) OVER (ORDER BY d.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM days d LEFT JOIN newu n USING (day)
+        |ORDER BY d.day""".stripMargin,
+    // exact pair counts (the built-in sketch sits in its exact regime)
+    "a15_approx_topk" ->
+      """WITH tok AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |idx AS (
+        | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        | FROM tok WHERE len(t) >= 2),
+        |pairs AS (SELECT t[i] || ' ' || t[i + 1] AS token FROM idx)
+        |SELECT token, count(*) AS est FROM pairs
+        |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
     // identical rank construction; ceil(q*n) in (v, event_id) order
     "a14_exact_quantiles" ->
       """WITH e AS (

@@ -38,6 +38,19 @@ class ThetaSketchSpec extends AnyFunSuite {
       s"sketch retained ${first.getLong(2)} vs exact $exactRetained")
   }
 
+  test("windowed sketch union yields the exact monotone cumulative-users series") {
+    val rows = Analytics.w11CumulativeUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "cumulative distinct must be nondecreasing")
+    val total = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(cums.last === total,
+      "final cumulative point must equal the exact whole-corpus distinct")
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2),
+      s"${r.getString(0)}: day_users must not exceed cumulative"))
+  }
+
   test("sketch aggregation is partition-insensitive (same compact state any layout)") {
     val ev = Tables.events(spark, sf).select("user_id")
     def est(parts: Int): Long =
