@@ -958,6 +958,22 @@ object Curation {
     * like the bucketed/z-ordered layouts.
     */
   def snapshotVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = snapshotDir(spark, sfDir)
+    def stats(version: String): DataFrame =
+      spark.read.parquet(s"$dir/$version")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("doc_id").as("id_sum"),
+          sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
+            .as("text_checksum"))
+        .select(lit(version).as("version"), col("n_rows"), col("id_sum"), col("text_checksum"))
+    stats("v1").unionByName(stats("v2")).orderBy("version")
+  }
+
+  /** Stages the two immutable snapshot directories (idempotent via the
+    * `_SNAPSHOTTED` sentinel); shared by the as-of read and the diff.
+    */
+  private[graft] def snapshotDir(spark: SparkSession, sfDir: String): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
@@ -980,15 +996,32 @@ object Curation {
         .write.mode("overwrite").parquet(s"$dir/v2")
       fs.create(new Path(s"$dir/_SNAPSHOTTED")).close()
     }
-    def stats(version: String): DataFrame =
-      spark.read.parquet(s"$dir/$version")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum("doc_id").as("id_sum"),
-          sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
-            .as("text_checksum"))
-        .select(lit(version).as("version"), col("n_rows"), col("id_sum"), col("text_checksum"))
-    stats("v1").unionByName(stats("v2")).orderBy("version")
+    dir
+  }
+
+  /** Snapshot DIFF — the CDC audit between two immutable table
+    * versions: one full-outer join on the key classifies every row as
+    * added / removed / changed / unchanged, reduced to per-status
+    * counts and key checksums. This is how a lakehouse answers "what
+    * did the last ingest actually do" without trusting the writer's
+    * own log; at rest both snapshot sides are bucketed by key, making
+    * the diff join shuffle-free. Statuses absent from the scenario
+    * (here: `removed` — v2 only updates and inserts) are absent rows,
+    * not zero rows, on both engines.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = snapshotDir(spark, sfDir)
+    val v1 = spark.read.parquet(s"$dir/v1").select(col("doc_id"), col("text").as("t1"))
+    val v2 = spark.read.parquet(s"$dir/v2").select(col("doc_id"), col("text").as("t2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("status")
   }
 
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1262,6 +1295,7 @@ object Curation {
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
     "k11_wap_publish" -> wapPublish _,
+    "x_snapshot_diff" -> snapshotDiff _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1646,5 +1680,27 @@ object Curation {
         |  sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)::BIGINT
         | FROM v2)
         |SELECT * FROM stats ORDER BY version""".stripMargin,
+    // same v1/v2 re-derivation as k9; full-outer key join classifies
+    // per-row status ('removed' is an absent group in this scenario)
+    "x_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |upd AS (SELECT doc_id, text || ' [rev2]' AS new_text
+        |        FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id,
+        |        'synthetic doc ' || doc_id::VARCHAR AS text
+        |        FROM documents WHERE doc_id % 13 = 0),
+        |v2 AS (
+        | SELECT b.doc_id, coalesce(u.new_text, b.text) AS text
+        | FROM v1 b LEFT JOIN upd u USING (doc_id)
+        | UNION ALL SELECT doc_id, text FROM ins),
+        |d AS (
+        | SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
   )
 }
