@@ -98,6 +98,22 @@ object Bench {
       val ts = (1 to 3).map(_ => sentinelOnce(spark)).sorted
       ts(ts.size / 2)
     }
+    // Across-runs floor history: this box shows minutes-long SUSTAINED
+    // slow host phases. If one spans the whole sweep, the baseline is
+    // slow too and within-run drift shows nothing — so also compare
+    // the baseline against the best ever recorded for this fixed
+    // workload; a baseline >2× the historical floor marks the entire
+    // run as executed in a slow phase.
+    val histPath = Paths.get("bench-results/bench_sentinel_history.csv")
+    Files.createDirectories(histPath.getParent)
+    if (!Files.exists(histPath))
+      Files.writeString(histPath, "epoch_ms,sentinel_baseline_s\n")
+    Files.writeString(histPath,
+      f"${System.currentTimeMillis()}%d,$sentinelBaseline%.4f\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val bestBaseline = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(Files.lines(histPath).iterator).asScala.drop(1)
+      .flatMap(_.split(",").lift(1)).map(_.toDouble).foldLeft(sentinelBaseline)(math.min)
     val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.zipWithIndex.map { case (n, i) =>
@@ -122,11 +138,13 @@ object Bench {
     val maxDrift =
       if (sentinelBaseline <= 0) 1.0
       else sentinelSeries.map(_._2 / sentinelBaseline).max
-    val contended = maxDrift > 2.0
+    val baselineVsBest =
+      if (bestBaseline <= 0) 1.0 else sentinelBaseline / bestBaseline
+    val contended = maxDrift > 2.0 || baselineVsBest > 2.0
     val sentinelJson = {
       val series = sentinelSeries
         .map { case (i, t) => s"""[$i,${f"$t%.3f"}]""" }.mkString("[", ",", "]")
-      s"""{"baseline":${f"$sentinelBaseline%.3f"},"series":$series,"max_drift":${f"$maxDrift%.2f"},"contended":$contended}"""
+      s"""{"baseline":${f"$sentinelBaseline%.3f"},"series":$series,"max_drift":${f"$maxDrift%.2f"},"baseline_vs_best_floor":${f"$baselineVsBest%.2f"},"contended":$contended}"""
     }
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
