@@ -717,9 +717,64 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVF-PQ — the canonical billion-scale ANN architecture (FAISS's
+    * default): the IVF coarse quantizer PRUNES (a query reads only its
+    * nprobe inverted lists, ~nprobe/K of the corpus) and PQ codes
+    * SCORE the surviving candidates via the broadcast ADC lookup
+    * table — so a query touches neither the full corpus nor any raw
+    * vector. Composition of the two trained models already in the
+    * registry (same memoized quantizer + codebooks, same oracles'
+    * retrain discipline); the refinement step real deployments add —
+    * PQ over RESIDUALS (v − coarse centroid) for tighter codes — is a
+    * codebook-training variant on the same plan shape, noted here and
+    * deliberately out of scope.
+    *
+    * Plan: candidates = encoded code rows ⋈ broadcast probe pairs on
+    * list_id (the prune), then ⋈ broadcast LUT on (query, s, code),
+    * summed per (query, vec) in exact integer micros — top-5 among
+    * the pruned candidates only, which is the accuracy/cost contract
+    * of IVF-PQ.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val books = trainedBooks(spark, sfDir, base.select("vec_id", "v"))
+    val assigned = assignTo(cents)(base)
+    val sub = assigned
+      .select(col("vec_id"), col("list_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("s"), col("v"))
+      .withColumn("sv", expr(s"slice(v, s * $PqSubDim + 1, $PqSubDim)"))
+      .drop("v")
+    val encoded = encodePq(books)(sub).select("vec_id", "list_id", "s", "code")
+    val probes = probeFrame(base, cents, IvfNProbe)
+      .select("query_id", "list_id").distinct()
+    val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => r.getAs[Number]("vec_id").longValue() -> r.getSeq[Double](1).toArray)
+    import spark.implicits._
+    val lut = qVecs.toSeq.flatMap { case (qid, qv) =>
+      (0 until PqM).flatMap { s =>
+        val qs = qv.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        books(s).zipWithIndex.map { case (c, j) =>
+          (qid, s, j, math.round(dotSeq(qs, c) * 1e6))
+        }
+      }
+    }.toDF("query_id", "s", "code", "pd")
+    val scored = encoded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd").as("adc_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_micro"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_emb_dim_stats" -> dimStats _,
     "x_emb_pq" -> pqTopK _,
+    "x_emb_ivfpq" -> ivfPqTopK _,
     "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
@@ -904,8 +959,71 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
   }
 
+  /** Combined IVF-PQ oracle: the IVF retrain CTEs (coarse centroids +
+    * final list assignment) plus a p-prefixed copy of the PQ retrain
+    * CTEs (the two pipelines share only the raw `e` scan), then probe
+    * → prune → LUT → ADC exactly as the Spark side.
+    */
+  private val ivfPqOracle: String = {
+    def passign(cents: String): String =
+      s"""SELECT vec_id, s, list_id FROM (
+         |  SELECT b.vec_id, b.s, c.j AS list_id,
+         |   row_number() OVER (PARTITION BY b.vec_id, b.s
+         |     ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(b.sv, c.cvec), c.j) AS rn
+         |  FROM psub b JOIN $cents c ON c.s = b.s) WHERE rn = 1""".stripMargin
+    val piters = (1 to PqIters).map { n =>
+      s"""pasg$n AS (${passign(s"pcents${n - 1}")}),
+         |pm$n AS (
+         | SELECT a.s, a.list_id, u.pos, sum(u.xi) AS sm, count(*) AS cnt
+         | FROM pasg$n a JOIN psubq u ON u.vec_id = a.vec_id AND u.s = a.s GROUP BY 1, 2, 3),
+         |pcl$n AS (SELECT s, list_id, list(sm / (cnt * $IvfQ.0) ORDER BY pos) AS cvec
+         | FROM pm$n GROUP BY s, list_id),
+         |pcents$n AS (
+         | SELECT c.s, c.j, coalesce(cl.cvec, c.cvec) AS cvec
+         | FROM pcents${n - 1} c LEFT JOIN pcl$n cl ON cl.s = c.s AND cl.list_id = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfTrainCtes,
+       |pseeds AS (
+       | SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, v
+       | FROM e QUALIFY j < $PqK),
+       |psub AS (
+       | SELECT vec_id, s, v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+       | FROM e, range(0, $PqM) r(s)),
+       |psubq AS (
+       | SELECT vec_id, s, pos, round(sv[pos] * $IvfQ)::BIGINT AS xi
+       | FROM psub, range(1, ${PqSubDim + 1}) rp(pos)),
+       |pcents0 AS (
+       | SELECT s, j, v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS cvec
+       | FROM pseeds, range(0, $PqM) r(s)),
+       |$piters,
+       |pasgF AS (${passign(s"pcents$PqIters")}),
+       |probes AS (
+       | SELECT q.vec_id AS query_id, c.j AS list_id
+       | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+       | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $IvfNProbe),
+       |lut AS (
+       | SELECT q.vec_id AS query_id, c.s, c.j,
+       |  round(list_dot_product(q.sv, c.cvec) * 1000000)::BIGINT AS pd
+       | FROM psub q JOIN pcents$PqIters c ON c.s = q.s WHERE q.vec_id < 5),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN asgF a ON a.list_id = p.list_id
+       | WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.pd)::BIGINT AS adc_micro
+       | FROM cand c JOIN pasgF pa ON pa.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.s = pa.s AND l.j = pa.list_id
+       | GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_micro FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc_micro DESC, neighbor_id) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x_emb_pq" -> pqOracle,
+    "x_emb_ivfpq" -> ivfPqOracle,
     "x_emb_dim_stats" ->
       """SELECT i::BIGINT AS dim, count(*) AS n,
         | round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS mean,

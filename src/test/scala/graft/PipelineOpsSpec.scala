@@ -60,6 +60,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ pruning changes candidates, never ADC scores") {
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pq = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ivfpq.size === 25 && pq.size === 25)
+    val common = ivfpq.keySet intersect pq.keySet
+    assert(common.nonEmpty, "the paths must overlap on some (query, neighbor) pairs")
+    common.foreach { k =>
+      assert(ivfpq(k) === pq(k),
+        s"$k: ADC score must be identical with and without IVF pruning")
+    }
+  }
+
   test("exact dedup counts all documents") {
     val r = Dedup.exactStats(spark, sf).collect()(0)
     assert(r.getLong(0) === 500)
