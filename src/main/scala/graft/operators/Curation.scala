@@ -111,6 +111,43 @@ object Curation {
       .orderBy("source")
   }
 
+  private val PrioritySampleK = 100
+  private val TwoPow48 = 281474976710656L
+
+  /** Fixed-size weighted sampling WITHOUT replacement via priority
+    * sampling (Duffield–Lund–Thorup): each doc draws a deterministic
+    * uniform u_i = (h_i+1)/2^48 from a 48-bit md5 hash of its id and
+    * gets priority q_i = w_i/u_i (w = n_chars); the global top-k by
+    * priority IS the sample. Complements [[weightedSample]] — Poisson
+    * PPS hits an *expected* budget, priority sampling an *exact* one
+    * (the "select exactly k docs, long docs preferred" primitive of
+    * corpus assembly; the k+1-th priority is the estimator threshold
+    * τ, published with every row so HT subset-sum estimates can be
+    * formed downstream).
+    *
+    * Determinism discipline: the priority is computed entirely in
+    * BIGINT — q_i = (w_i·2^48) div (h_i+1) (max w≈600 ⇒ ≤2^58, no
+    * overflow) — so ranking never touches a float and every engine,
+    * retry and partitioning derives the identical sample; ties break
+    * by doc_id.
+    *
+    * Scale: one scan computing a per-row hash, then a k-row
+    * TakeOrderedAndProject (per-partition top-k, k·partitions rows to
+    * the driver-side take — never a global sort of the corpus). At
+    * 100 TB this is the same plan with more partitions.
+    */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val prio = expr(
+      s"(n_chars * ${TwoPow48}L) div " +
+        s"(cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) + 1)")
+    Tables.documents(spark, sfDir)
+      .withColumn("priority", prio)
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(PrioritySampleK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Mixture / quota selection
   // ---------------------------------------------------------------- //
@@ -1275,6 +1312,7 @@ object Curation {
     "x_schema_evolution" -> schemaEvolution _,
     "x_sample_stratified" -> stratifiedSample _,
     "x_sample_weighted" -> weightedSample _,
+    "x_sample_priority" -> prioritySample _,
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
     "k10_partition_overwrite" -> partitionOverwrite _,
@@ -1333,6 +1371,16 @@ object Curation {
          | sum(CASE WHEN keep THEN ht END)::BIGINT AS ht_docs,
          | sum(CASE WHEN keep THEN ht * n_chars END)::BIGINT AS ht_chars
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    // integer-exact priority re-derivation: same 48-bit hash, same
+    // BIGINT floor-divisions, same (priority DESC, doc_id) top-k
+    "x_sample_priority" ->
+      s"""SELECT doc_id, source, n_chars, priority FROM (
+         | SELECT doc_id, source, n_chars,
+         |  ((n_chars * $TwoPow48) //
+         |   (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1))::BIGINT AS priority
+         | FROM documents
+         | ORDER BY priority DESC, doc_id ASC LIMIT $PrioritySampleK)
+         |ORDER BY doc_id""".stripMargin,
     "x_k_anonymity" ->
       s"""WITH base AS (
          | SELECT n_regionkey, c_nationkey, c_mktsegment, count(*) AS n

@@ -477,7 +477,11 @@ object Similarity {
     * hyperplanes make the whole graph oracle-checkable like the other
     * LSH paths.
     */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The rk≤3 LSH-candidate kNN edge set shared by [[knnGraph]] (which
+    * publishes it) and [[embPagerank]] (which iterates over it):
+    * (src, dst, sim, rk) with rk the per-src exact-cosine rank.
+    */
+  private def knnScored(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = bandedCorpus(spark, sfDir)
     val pairs = banded.as("a")
@@ -494,8 +498,94 @@ object Similarity {
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
+      .select("src", "dst", "sim", "rk")
+  }
+
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnScored(spark, sfDir)
       .select(col("src").as("vec_id"), col("dst").as("neighbor_id"), col("sim"), col("rk"))
       .orderBy("vec_id", "rk")
+
+  private val PrScale = 1000000000000L // PageRank mass in 1e-12 units
+  private val PrIters = 3
+
+  /** PageRank over the kNN graph — the graph-centrality signal
+    * curation pipelines use to find "hub" documents in an embedding
+    * neighborhood graph (and the canonical iterative-computation shape:
+    * join, re-aggregate, repeat). Damping 17/20, [[PrIters]] fixed
+    * iterations, dangling mass redistributed uniformly.
+    *
+    * Determinism discipline: ranks live in BIGINT units of 1e-12
+    * ([[PrScale]]) and every step is an integer floor-division —
+    * contrib = pr div outdeg, new = (3·S) div (20·N) + (17·(Σcontrib +
+    * dang div N)) div 20 — so per-iteration sums are order-independent
+    * exact integers and the DuckDB oracle (the same three unrolled
+    * iterations as CTEs) reproduces the ranks bit-for-bit; no float
+    * ever enters, so there is no rounding boundary to drift across
+    * engines or partitionings.
+    *
+    * Scale: each iteration is one equi-join of the rank frame against
+    * the edge list (both hash-partitioned on src — the shuffle is
+    * edge-sized, never vector-sized) plus a dst-keyed partial-agg sum;
+    * the dangling total is a 1-row aggregate broadcast back. Fixed
+    * iteration count keeps lineage bounded (at larger iteration
+    * budgets a localCheckpoint every ~10 rounds caps plan growth); N
+    * and the per-iteration scalars are the only driver-side values.
+    */
+  def embPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnScored(spark, sfDir).select("src", "dst")
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val nodes = corpus(spark, sfDir).select("vec_id")
+    val n = nodes.count() // scalar, model-sized: the graph's node count
+    var pr = nodes.withColumn("pr", lit(PrScale / n))
+    for (_ <- 1 to PrIters) {
+      val dang = pr.join(outdeg, pr("vec_id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
+      val contribs = pr.join(edges, pr("vec_id") === edges("src"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("pr div odeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      pr = nodes.join(contribs, nodes("vec_id") === contribs("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("vec_id"),
+          (lit(3 * PrScale / (20 * n)) +
+            expr(s"(17 * (coalesce(s, 0L) + dang div ${n}L)) div 20")).as("pr"))
+    }
+    pr.select(col("vec_id"), col("pr")).orderBy("vec_id")
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (vec_id < 10) the top-2 most-similar vectors carrying a DIFFERENT
+    * label — the "closest impostor" pairs a triplet-loss or contrastive
+    * dataloader needs. Candidates come from the same LSH band
+    * collisions as [[lshTopK]] (never all pairs); the label filter
+    * applies after the equi-join, and exact cosine ranks what remains.
+    *
+    * Scale: identical shape to the ANN query path — anchors broadcast,
+    * corpus side stays partitioned by (band, bval); labels ride along
+    * as one extra int per posting, so the negative filter adds no join.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val banded = bandedCorpus(spark, sfDir).join(lab, "vec_id")
+    val qb = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("band").as("qband"), col("bval").as("qbval"))
+    val cand = banded.join(broadcast(qb),
+        col("band") === col("qband") && col("bval") === col("qbval") &&
+          col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select("query_id", "vec_id").distinct()
+    val e = corpus(spark, sfDir)
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(e, "vec_id")
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("query_id"), col("vec_id").as("negative_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
   }
 
   /** Gram matrix of the embedding corpus via [[graft.functions.GramMatrix]]
@@ -778,6 +868,8 @@ object Similarity {
     "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
+    "x_emb_pagerank" -> embPagerank _,
+    "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
@@ -1061,6 +1153,64 @@ object Similarity {
          | SELECT *, row_number() OVER (PARTITION BY src
          |   ORDER BY sim DESC, dst ASC) AS rk FROM scored)
          |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // the same knn edge derivation, then PrIters unrolled integer
+    // PageRank iterations — every step BIGINT floor-division, so the
+    // ranks match the Spark loop bit-for-bit with no float boundary
+    "x_emb_pagerank" -> {
+      val iters = (0 until PrIters).map { i =>
+        s"""dang$i AS (
+           | SELECT coalesce(sum(p.pr), 0)::BIGINT AS dang
+           | FROM pr$i p LEFT JOIN odeg o ON p.vec_id = o.src WHERE o.src IS NULL),
+           |c$i AS (
+           | SELECT k.dst, sum(p.pr // o.odeg)::BIGINT AS s
+           | FROM pr$i p JOIN knn k ON p.vec_id = k.src
+           |  JOIN odeg o ON o.src = k.src GROUP BY k.dst),
+           |pr${i + 1} AS (
+           | SELECT p.vec_id,
+           |  ((${3 * PrScale} // (20 * (SELECT n FROM nn))) +
+           |   (17 * (coalesce(c.s, 0) + (SELECT dang FROM dang$i) // (SELECT n FROM nn))) // 20)::BIGINT AS pr
+           | FROM pr$i p LEFT JOIN c$i c ON p.vec_id = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshOracleCtes,
+         |gpairs AS (
+         | SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+         |kscored AS (
+         | SELECT p.src, p.dst,
+         |  round(list_cosine_similarity(es.v, ed.v), 4) AS sim
+         | FROM gpairs p JOIN e es ON es.vec_id = p.src JOIN e ed ON ed.vec_id = p.dst),
+         |knn AS (
+         | SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM kscored)
+         | WHERE rk <= 3),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |odeg AS (SELECT src, count(*) AS odeg FROM knn GROUP BY src),
+         |pr0 AS (SELECT e.vec_id, ($PrScale // (SELECT n FROM nn))::BIGINT AS pr FROM e),
+         |$iters
+         |SELECT vec_id, pr FROM pr$PrIters ORDER BY vec_id""".stripMargin
+    },
+    "x_sim_hard_negatives" ->
+      s"""WITH $lshOracleCtes,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |qb AS (
+         | SELECT b.vec_id AS query_id, l.label AS qlabel, band, bval
+         | FROM banded b JOIN lb l ON l.vec_id = b.vec_id WHERE b.vec_id < 10),
+         |cand AS (
+         | SELECT DISTINCT q.query_id, c.vec_id
+         | FROM banded c JOIN lb cl ON cl.vec_id = c.vec_id
+         |  JOIN qb q ON c.band = q.band AND c.bval = q.bval
+         |   AND c.vec_id <> q.query_id AND cl.label <> q.qlabel),
+         |scored AS (
+         | SELECT cand.query_id, cand.vec_id AS negative_id,
+         |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+         | FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e en ON en.vec_id = cand.vec_id)
+         |SELECT query_id, negative_id, sim, rk::INT AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, negative_id ASC) AS rk FROM scored)
+         |WHERE rk <= 2 ORDER BY query_id, rk""".stripMargin,
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,

@@ -135,27 +135,28 @@ object BenchRunners {
     // timed variant pays cold page cache + codegen compile and the
     // comparison measures run order, not pushdown
     spark.read.parquet(path).filter(s"k < ${numRows / 100}").foreach(_ => ())
-    val rows = Seq(true, false).map { on =>
-      spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
-      val df2 = spark.read.parquet(path).filter(s"k < ${numRows / 100}")
-      // execute the physical plan directly: Dataset actions run on a
-      // separate rddQueryExecution, so metrics would land elsewhere
-      val plan = df2.queryExecution.executedPlan
-      val (_, ms) = timeMs(plan.execute().count())
-      // rows emitted by the scan node = rows surviving row-group/page
-      // skipping — the deterministic evidence of pushdown (wall time on
-      // an MB-scale local file is noise)
-      val finalPlan = plan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val scanRows = finalPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.metrics("numOutputRows").value
-      }.sum
-      (on, numRows, scanRows, ms)
-    }
-    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    val saved = spark.conf.get("spark.sql.parquet.filterPushdown")
+    val rows =
+      try Seq(true, false).map { on =>
+        spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
+        val df2 = spark.read.parquet(path).filter(s"k < ${numRows / 100}")
+        // execute the physical plan directly: Dataset actions run on a
+        // separate rddQueryExecution, so metrics would land elsewhere
+        val plan = df2.queryExecution.executedPlan
+        val (_, ms) = timeMs(plan.execute().count())
+        // rows emitted by the scan node = rows surviving row-group/page
+        // skipping — the deterministic evidence of pushdown (wall time on
+        // an MB-scale local file is noise)
+        val finalPlan = plan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scanRows = finalPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+        (on, numRows, scanRows, ms)
+      } finally spark.conf.set("spark.sql.parquet.filterPushdown", saved)
     rows.toDF("pushdown_enabled", "num_rows", "scan_output_rows", "filtered_read_time_ms")
   }
 

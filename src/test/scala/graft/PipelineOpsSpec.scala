@@ -747,4 +747,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unconverted clicks must exist, or the outer semantics are untested")
     assert(totals.getLong(1) > 0, "some clicks must convert")
   }
+
+  test("integer PageRank over the kNN graph conserves mass and is non-degenerate") {
+    import org.apache.spark.sql.functions._
+    val pr = Similarity.embPagerank(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = pr.collect()
+    assert(rows.length === n, "one rank per corpus vector")
+    assert(rows.forall(_.getLong(1) > 0L), "every rank strictly positive")
+    val mass = rows.map(_.getLong(1)).sum
+    val scale = 1000000000000L
+    // floor divisions only ever LOSE mass; the loss is bounded by a few
+    // units per node per iteration, never more than ~0.1% of the total
+    assert(mass <= scale, s"mass must not exceed the initial total, got $mass")
+    assert(mass > scale - scale / 1000, s"mass leak too large: $mass vs $scale")
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.max > ranks.min,
+      "uniform ranks — the kNN graph degenerated (no edges reached the loop)")
+  }
+
+  test("priority sample: exact-size weighted-without-replacement draw, biased to long docs") {
+    import org.apache.spark.sql.functions._
+    val s1 = graft.operators.Curation.prioritySample(spark, sf).collect()
+    assert(s1.length === 100, "priority sampling hits the budget EXACTLY, not in expectation")
+    assert(s1.map(_.getLong(0)).distinct.length === 100, "without replacement")
+    assert(s1.forall(_.getLong(3) > 0L), "integer priorities strictly positive")
+    // weight = n_chars: the fixed-size PPS draw must skew long
+    val sampleMean = s1.map(_.getLong(2)).sum.toDouble / s1.length
+    val corpusMean = Tables.documents(spark, sf).agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"weighted sample must prefer long docs: sample $sampleMean%.1f vs corpus $corpusMean%.1f")
+    // determinism: a second evaluation derives the identical sample
+    val s2 = graft.operators.Curation.prioritySample(spark, sf).collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
+  }
+
+  test("hard negatives carry a different label than their anchor and rank by similarity") {
+    import org.apache.spark.sql.functions._
+    val neg = Similarity.hardNegatives(spark, sf)
+    val lab = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val joined = neg
+      .join(lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "qlabel"), "query_id")
+      .join(lab.withColumnRenamed("vec_id", "negative_id").withColumnRenamed("label", "nlabel"), "negative_id")
+      .collect()
+    assert(joined.nonEmpty, "LSH collisions must yield at least one cross-label candidate")
+    assert(joined.forall(r => r.getAs[Int]("qlabel") != r.getAs[Int]("nlabel")),
+      "every mined negative must disagree with its anchor's label")
+    val byQuery = neg.collect().groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length <= 2), "top-2 per anchor")
+    byQuery.values.foreach { rs =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sorted.reverse.toSeq === sims.toSeq, "rk must order by sim desc")
+    }
+  }
 }
