@@ -525,15 +525,41 @@ object Similarity {
     * engines or partitionings.
     *
     * Scale: each iteration is one equi-join of the rank frame against
-    * the edge list (both hash-partitioned on src — the shuffle is
+    * the disk-backed edge list ([[knnEdgesOnDisk]] — the shuffle is
     * edge-sized, never vector-sized) plus a dst-keyed partial-agg sum;
-    * the dangling total is a 1-row aggregate broadcast back. Fixed
-    * iteration count keeps lineage bounded (at larger iteration
-    * budgets a localCheckpoint every ~10 rounds caps plan growth); N
-    * and the per-iteration scalars are the only driver-side values.
+    * the dangling total is a 1-row aggregate broadcast back. The rank
+    * frame is localCheckpoint'ed each round: every iteration consumes
+    * the previous ranks TWICE (dangling + contributions), so an
+    * unbroken lineage doubles per round — exponential recompute by
+    * iteration 10 — while the checkpoint pins only an n-row two-column
+    * block and keeps cost linear in iterations. N and the
+    * per-iteration scalars are the only driver-side values.
     */
+  /** The kNN edge set materialized once to scratch parquet, keyed by
+    * the source fingerprint ([[graft.sources.LayoutCache]] discipline —
+    * same staleness story as [[bucketedLayoutPath]]). Iterating
+    * directly over the lazy [[knnScored]] frame re-derives the LSH
+    * self-join in EVERY iteration's lineage (3 iterations → a
+    * 1000-node plan recomputing the banded join ~6×); reading the
+    * edge list back gives each iteration a bounded plan over an
+    * edge-sized scan — exactly how a production graph pipeline stages
+    * its edge list before the iterate phase.
+    */
+  private def knnEdgesOnDisk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    val out = s"/root/repo/target/graft-work/ann/knn_edges_${new java.io.File(sfDir).getName}_$fp"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      knnScored(spark, sfDir).select("src", "dst")
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   def embPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = knnScored(spark, sfDir).select("src", "dst")
+    val edges = knnEdgesOnDisk(spark, sfDir)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     val nodes = corpus(spark, sfDir).select("vec_id")
     val n = nodes.count() // scalar, model-sized: the graph's node count
@@ -550,6 +576,7 @@ object Similarity {
         .select(col("vec_id"),
           (lit(3 * PrScale / (20 * n)) +
             expr(s"(17 * (coalesce(s, 0L) + dang div ${n}L)) div 20")).as("pr"))
+        .localCheckpoint()
     }
     pr.select(col("vec_id"), col("pr")).orderBy("vec_id")
   }
