@@ -303,7 +303,11 @@ object TextOps {
     * 64-bit before the join (8-byte keys) exactly as
     * [[graft.operators.Curation.contamination]] does.
     */
-  def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc average unigram surprise in integer micro-nats — the
+    * two-pass score shared by [[unigramSurprise]] (which rolls it up)
+    * and [[perplexityFilter]] (which thresholds it at a percentile).
+    */
+  private def surprisePerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
@@ -316,15 +320,54 @@ object TextOps {
       .withColumn("micro_nats",
         expr(s"cast(round((ln(cast($total as double)) - ln(cast(cnt as double))) * 1000000) as bigint)"))
       .select("t", "micro_nats")
-    val perDoc = toks.join(modelWithTotal, "t")
+    toks.join(modelWithTotal, "t")
       .groupBy("doc_id", "source")
       .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
-    perDoc.groupBy("source")
+  }
+
+  def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    surprisePerDoc(spark, sfDir).groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("avg_micro_nats").as("sum_avg_micro_nats"),
         sum(when(col("avg_micro_nats") > SurpriseMicroNats, 1L).otherwise(0L))
           .as("n_high_surprise"))
+      .orderBy("source")
+  }
+
+  /** Perplexity-percentile filtering (the CCNet shape): drop the ~10%
+    * of documents with the highest LM surprise, where the cut is the
+    * EXACT corpus p90 — the value at rank ceil(0.9·n) of
+    * (avg_micro_nats, doc_id) order — rather than a fixed constant
+    * ([[unigramSurprise]]'s gate). Docs tying the threshold value are
+    * kept, so the decision depends only on integer score comparisons
+    * and both engines derive the identical keep set.
+    *
+    * Scale: the ranked frame is per-DOC scalars (two longs a row), not
+    * corpus text; at bench scale the rank is a single-partition window
+    * (same honesty note as a14's exact quantiles), and at 100 TB the
+    * identical threshold comes from the distributed two-pass
+    * rank-at-cut construction (partition histograms → offset), or an
+    * approx_percentile when a ±ε budget is acceptable — the keep rule
+    * itself (score ≤ cut) stays a scan predicate either way.
+    */
+  def perplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = surprisePerDoc(spark, sfDir)
+    val ranked = perDoc.withColumn("rk",
+      row_number().over(Window.orderBy(col("avg_micro_nats"), col("doc_id"))))
+    val cutRank = perDoc.agg(count(lit(1)).as("n"))
+      .select(expr("(9 * n + 9) div 10").as("cut_rk"))
+    val thr = ranked.crossJoin(broadcast(cutRank))
+      .filter(col("rk") === col("cut_rk"))
+      .select(col("avg_micro_nats").as("thr"))
+    perDoc.crossJoin(broadcast(thr))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("avg_micro_nats") <= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("avg_micro_nats") <= col("thr"), col("doc_id"))).as("kept_id_sum"),
+        sum(when(col("avg_micro_nats") > col("thr"), col("doc_id"))).as("dropped_id_sum"))
       .orderBy("source")
   }
 
@@ -603,6 +646,7 @@ object TextOps {
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
     "x_text_unigram_lm" -> unigramSurprise _,
+    "x_perplexity_filter" -> perplexityFilter _,
     "x_pipeline_select" -> pipelineSelect _,
     "x_text_chunks" -> chunkDocs _,
     "x_text_tfidf" -> tfidfTopTerms _,
@@ -780,6 +824,33 @@ object TextOps {
          |SELECT source, count(*) AS n_docs,
          | sum(avg_micro_nats)::BIGINT AS sum_avg_micro_nats,
          | sum(CASE WHEN avg_micro_nats > $SurpriseMicroNats THEN 1 ELSE 0 END)::BIGINT AS n_high_surprise
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    // same per-doc scoring CTEs, then the exact rank-at-ceil(0.9n)
+    // threshold and the identical integer keep rule
+    "x_perplexity_filter" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, source,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         | FROM documents),
+         |model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |scored AS (
+         | SELECT t, round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+         | FROM model, tot),
+         |per_doc AS (
+         | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+         | FROM toks JOIN scored USING (t) GROUP BY doc_id, source),
+         |nn AS (SELECT count(*) AS n FROM per_doc),
+         |thr AS (
+         | SELECT avg_micro_nats AS thr FROM (
+         |  SELECT avg_micro_nats,
+         |   row_number() OVER (ORDER BY avg_micro_nats, doc_id) AS rk
+         |  FROM per_doc)
+         | WHERE rk = (SELECT (9 * n + 9) // 10 FROM nn))
+         |SELECT source, count(*) AS n_docs,
+         | sum(CASE WHEN avg_micro_nats <= (SELECT thr FROM thr) THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         | sum(CASE WHEN avg_micro_nats <= (SELECT thr FROM thr) THEN doc_id END)::BIGINT AS kept_id_sum,
+         | sum(CASE WHEN avg_micro_nats > (SELECT thr FROM thr) THEN doc_id END)::BIGINT AS dropped_id_sum
          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "x_pipeline_select" ->
       """WITH base AS (

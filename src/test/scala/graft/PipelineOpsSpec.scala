@@ -782,6 +782,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
   }
 
+  test("perplexity filter drops ~10% of docs at the exact p90 surprise cut") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.perplexityFilter(spark, sf).collect()
+    val nDocs = out.map(_.getLong(1)).sum
+    val nKept = out.map(_.getLong(2)).sum
+    val corpusN = Tables.documents(spark, sf).count()
+    assert(nDocs === corpusN, "every doc is classified")
+    // kept = docs at-or-below the value at rank ceil(0.9 n); ties at the
+    // threshold are kept, so kept >= ceil(0.9 n) and dropped <= 10%
+    val cut = (9 * corpusN + 9) / 10
+    assert(nKept >= cut, s"threshold ties must be kept: $nKept < $cut")
+    assert(nKept < corpusN, "some high-surprise docs must actually drop")
+  }
+
   test("hard negatives carry a different label than their anchor and rank by similarity") {
     import org.apache.spark.sql.functions._
     val neg = Similarity.hardNegatives(spark, sf)
