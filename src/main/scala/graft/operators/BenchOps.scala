@@ -147,6 +147,13 @@ object BenchOps {
   def m4PushdownRows(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.pushdownRows(spark, PushRows, s"$workRoot/pd")
 
+  /** S14 — aggregate pushdown over the same generated file: COUNT and
+    * the k/v extrema must come back from footer statistics
+    * (`PushedAggregation` BatchScan), plan-flag oracled to TRUE.
+    */
+  def s14AggPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.aggPushdown(spark, PushRows, s"$workRoot/pd")
+
   /** S6 — subset-schema read (scripts/schema_full_partial_benchmark.py:36-45):
     * the file is opened with an explicit 3-field schema, so the scan
     * decodes only those column chunks — same effect as projection
@@ -493,6 +500,7 @@ object BenchOps {
     "m3_rowgroup_layout" -> m3RowGroupLayout _,
     "m4_pushdown" -> m4Pushdown _,
     "m4_pushdown_rows" -> m4PushdownRows _,
+    "s14_agg_pushdown" -> s14AggPushdown _,
     "s6_subset_schema" -> s6SubsetSchema _,
     "k3_top20_view" -> k3TopView _,
     "s7_csv_roundtrip" -> s7CsvRoundtrip _,
@@ -583,6 +591,16 @@ object BenchOps {
     // deterministic twins of the timed benchmarks: DuckDB recomputes
     // every column independently from the SAME generated files (its own
     // parquet decoder, parquet_metadata(), read_blob byte lengths)
+    // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
+    // serving the aggregate from footer stats, the gate goes red
+    "s14_agg_pushdown" -> {
+      val p = s"$workRoot/pd/pushdown_bench_$PushRows"
+      s"""SELECT count(*)::BIGINT AS n_rows,
+         | min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+         | min(v) AS min_v, max(v) AS max_v,
+         | true AS agg_pushed
+         |FROM '$p/*.parquet'""".stripMargin
+    },
     "m4_pushdown_rows" -> {
       val p = s"$workRoot/pd/pushdown_bench_$PushRows"
       val thr = PushRows / 100

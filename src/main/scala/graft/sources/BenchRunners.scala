@@ -380,6 +380,46 @@ object BenchRunners {
     rows.toDF("pushdown_enabled", "num_rows", "matched_rows", "matched_k_sum")
   }
 
+  /** S14 — parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from
+    * footer statistics by the DSv2 scan (`PushedAggregation` in the
+    * plan), never decoding a data page — the 100 TB "how many rows,
+    * what's the key range" shape that should cost footer reads only.
+    * Requires the v2 parquet path (`useV1SourceList` minus parquet) +
+    * `spark.sql.parquet.aggregatePushdown`; both confs are restored to
+    * the caller's values. The emitted `agg_pushed` flag is derived
+    * from the executed plan, and the DuckDB oracle pins it to TRUE —
+    * so a silent regression to a full scan fails the correctness gate,
+    * not just a bench number.
+    */
+  def aggPushdown(spark: SparkSession, numRows: Long, workDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin}
+    val path = ensurePushdownFile(spark, numRows, workDir)
+    val savedV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val savedAgg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    val (row, pushed) =
+      try {
+        spark.conf.set("spark.sql.sources.useV1SourceList",
+          savedV1.split(",").map(_.trim).filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        val df = spark.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          fmin("k").as("min_k"), fmax("k").as("max_k"),
+          fmin("v").as("min_v"), fmax("v").as("max_v"))
+        val planStr = df.queryExecution.executedPlan.toString
+        (df.collect().head, planStr.contains("PushedAggregation: [COUNT"))
+      } finally {
+        spark.conf.set("spark.sql.sources.useV1SourceList", savedV1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", savedAgg)
+      }
+    // + 0.0 normalizes the zero sign: parquet writers store -0.0 as the
+    // double column min (spec-sanctioned, sorts before +0.0), so the
+    // pushed aggregate surfaces -0.0 where a data-page scan yields 0.0
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3) + 0.0, row.getDouble(4) + 0.0, pushed))
+      .toDF("n_rows", "min_k", "max_k", "min_v", "max_v", "agg_pushed")
+  }
+
   /** Deterministic half of [[dataReadBenchmark]]: layout facts (column/
     * row counts, projected-column counts) plus order-independent
     * content extrema of the generated wide files. Float SUMs are

@@ -220,4 +220,16 @@ class SourcesSpec extends AnyFunSuite {
       assert(r.getLong(4) >= 64 * n && r.getLong(4) < (64 + 1016) * n)
     }
   }
+
+  test("aggregate pushdown serves COUNT/MIN/MAX from footer stats and restores confs") {
+    val v1Before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val aggBefore = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    val r = graft.operators.BenchOps.s14AggPushdown(spark, TestSpark.sf).head()
+    assert(r.getBoolean(5), "the plan must show PushedAggregation — a full scan is a regression")
+    assert(r.getLong(0) === 1000000L && r.getLong(1) === 0L && r.getLong(2) === 999999L)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 999.0)
+    assert(!(1.0 / r.getDouble(3) < 0), "zero sign must be normalized (+0.0, not parquet's -0.0 min)")
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList") === v1Before, "v1-list restored")
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") === aggBefore, "agg conf restored")
+  }
 }
