@@ -768,6 +768,11 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("priority sample: exact-size weighted-without-replacement draw, biased to long docs") {
     import org.apache.spark.sql.functions._
+    // overflow invariant the BIGINT priority (w·2^48) relies on: w must
+    // stay below 2^15 or the product leaves the long range — assert it
+    // here so a corpus regen with huge docs fails loudly, not silently
+    val maxW = Tables.documents(spark, sf).agg(max("n_chars")).head().getLong(0)
+    assert(maxW < 32768L, s"n_chars $maxW would overflow the 2^48-scaled priority")
     val s1 = graft.operators.Curation.prioritySample(spark, sf).collect()
     assert(s1.length === 100, "priority sampling hits the budget EXACTLY, not in expectation")
     assert(s1.map(_.getLong(0)).distinct.length === 100, "without replacement")
