@@ -282,7 +282,7 @@ object TextOps {
           .otherwise(0L)).as("n_final"))
   }
 
-  private val SurpriseMicroNats = 4000000L // ≈ -ln p of a rare-ish token
+  private[graft] val SurpriseMicroNats = 4000000L // ≈ -ln p of a rare-ish token
 
   /** Unigram-LM surprise scoring — the cheap perplexity proxy of corpus
     * filtering, as the classic two-pass "train on the corpus, score the
@@ -307,23 +307,37 @@ object TextOps {
     * two-pass score shared by [[unigramSurprise]] (which rolls it up)
     * and [[perplexityFilter]] (which thresholds it at a percentile).
     */
-  private def surprisePerDoc(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+  /** The document corpus as one row per token occurrence — the shared
+    * front of the LM train/score passes.
+    */
+  private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+
+  /** The trained unigram model as a (token, micro_nats) frame — the
+    * static serving side shared by the batch scorers here and the
+    * STREAMING scorer ([[graft.streaming.EventStreams]]'s perplexity
+    * gate), exactly as the LSH plane literals are shared with the
+    * streaming ANN path.
+    */
+  private[graft] def unigramModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokenized(spark, sfDir)
     val model = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
     // corpus token total: one exact integer scalar — model-sized
     // extraction (like IVF centroids), becomes a plan literal that the
     // oracle recomputes identically as a subquery
     val total = toks.count()
-    val modelWithTotal = model
+    model
       .withColumn("micro_nats",
         expr(s"cast(round((ln(cast($total as double)) - ln(cast(cnt as double))) * 1000000) as bigint)"))
       .select("t", "micro_nats")
-    toks.join(modelWithTotal, "t")
+  }
+
+  private def surprisePerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    tokenized(spark, sfDir).join(unigramModel(spark, sfDir), "t")
       .groupBy("doc_id", "source")
       .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
-  }
 
   def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
     surprisePerDoc(spark, sfDir).groupBy("source")

@@ -871,6 +871,63 @@ object EventStreams {
     * form), so each batch prunes to colliding buckets. Nothing about
     * the stream accumulates: this is the stateless serving shape.
     */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Online perplexity gating: a STREAM of documents scored against the
+    * STATIC trained unigram model ([[graft.operators.TextOps.unigramModel]])
+    * — the model-serving half of corpus filtering run at ingest time,
+    * the text twin of [[streamAnn]]. Each micro-batch tokenizes its
+    * documents and equi-joins the (token, micro_nats) model
+    * (stream-static join: stateless, no watermark, no state store);
+    * the append sink collects scored token occurrences and the per-doc
+    * average + per-source rollup run over the sink table (the
+    * downstream batch half, exactly as streamAnn re-ranks post-sink —
+    * per-doc aggregation IN-stream would demand stateful aggregation
+    * with no event time). Output must equal the batch scorer
+    * bit-for-bit, so it shares `x_text_unigram_lm`'s oracle.
+    *
+    * Scale: per-batch cost is O(batch tokens); the model side is a
+    * broadcast-sized (vocabulary) frame reused across batches. Nothing
+    * accumulates in state — the stateless ingest-gating shape.
+    */
+  def streamPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val model = graft.operators.TextOps.unigramModel(spark, sfDir)
+    val scored = toks.join(model, "t")
+      .select("doc_id", "source", "micro_nats")
+    dropStaleSinks(spark)
+    val name = s"graft_stream_ppx_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = scored.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("avg_micro_nats").as("sum_avg_micro_nats"),
+        sum(when(col("avg_micro_nats") > graft.operators.TextOps.SurpriseMicroNats, 1L)
+          .otherwise(0L)).as("n_high_surprise"))
+      .orderBy("source")
+  }
+
   def streamAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.dot_product
     import org.apache.spark.sql.expressions.Window
@@ -1092,6 +1149,7 @@ object EventStreams {
   val registry: Map[String, Q] = Map(
     "x_stream_upsert" -> streamUpsert _,
     "x_stream_ann" -> streamAnn _,
+    "x_stream_perplexity" -> streamPerplexity _,
     "x_stream_stream_join" -> streamStreamJoin _,
     "x_stream_stream_outer" -> streamStreamOuter _,
     "w3_asof_join" -> asofJoin _,
@@ -1113,6 +1171,9 @@ object EventStreams {
     // the streaming retrieval path must reproduce the batch LSH answer
     // bit for bit, so it shares its oracle
     "x_stream_ann" -> graft.operators.Similarity.oracles("x_sim_topk_lsh"),
+    // the streaming LM scorer must reproduce the batch scorer bit for
+    // bit, so it shares its oracle
+    "x_stream_perplexity" -> graft.operators.TextOps.oracles("x_text_unigram_lm"),
     // batch recompute of the final upsert snapshot: per-user event
     // count + argmax-latest state on the (micros, event_id) total order
     "x_stream_upsert" ->

@@ -787,6 +787,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
   }
 
+  test("streaming perplexity gate equals the batch unigram scorer bit for bit") {
+    val streamed = EventStreams.streamPerplexity(spark, sf).collect().map(_.toString).toSeq
+    val batch = TextOps.unigramSurprise(spark, sf).collect().map(_.toString).toSeq
+    assert(streamed === batch,
+      "stream-static LM scoring must reproduce the batch scorer exactly")
+  }
+
   test("perplexity filter drops ~10% of docs at the exact p90 surprise cut") {
     import org.apache.spark.sql.functions._
     val out = TextOps.perplexityFilter(spark, sf).collect()
