@@ -148,6 +148,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val AnnealEpochs = 5
+  private val AnnealBudget = 1000L // docs per epoch
+
+  /** Annealed mixing schedule — the two-phase data curriculum
+    * (uniform early, quality/size-proportional late) that staged
+    * pre-training runs use: for epoch e of E, each source's target
+    * fraction interpolates linearly from the uniform weight to its
+    * char-mass share, and the per-epoch doc quota follows. Emitted as
+    * the (epoch, source) schedule table a dataloader consumes.
+    *
+    * Determinism discipline: weights live in integer ppm — w0 =
+    * 10^6 div n_sources, w1 = (10^6·chars) div total_chars, frac_e =
+    * (w0·(E-1-e) + w1·e) div (E-1), quota = (budget·frac) div 10^6 —
+    * every step a BIGINT floor-division, so the schedule is identical
+    * on any engine or partitioning (a float-lerp schedule can differ
+    * in the last ppm and shift a quota by a document).
+    *
+    * Scale: one per-source aggregate (20 rows) crossed with E epoch
+    * literals; the corpus is scanned once for char masses and never
+    * shuffled.
+    */
+  def annealMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(sum("n_chars").as("chars"))
+    val totals = perSrc.agg(
+      sum("chars").as("total_chars"), count(lit(1)).as("n_sources"))
+    val epochs = spark.range(AnnealEpochs).select(col("id").cast("int").as("epoch"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("w0_ppm", expr("1000000L div n_sources"))
+      .withColumn("w1_ppm", expr("(1000000L * chars) div total_chars"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("frac_ppm", expr(
+        s"(w0_ppm * (${AnnealEpochs - 1} - epoch) + w1_ppm * epoch) div ${AnnealEpochs - 1}"))
+      .withColumn("quota_docs", expr(s"(${AnnealBudget}L * frac_ppm) div 1000000"))
+      .select("epoch", "source", "frac_ppm", "quota_docs")
+      .orderBy("epoch", "source")
+  }
+
   // ---------------------------------------------------------------- //
   // Mixture / quota selection
   // ---------------------------------------------------------------- //
@@ -1318,6 +1356,7 @@ object Curation {
     "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
+    "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
     "x_split_train" -> splitTrain _,
     "x_policy_filter" -> policyFilter _,
@@ -1467,6 +1506,21 @@ object Curation {
         | count(*) AS amp_rows, sum(n_tokens)::BIGINT AS amp_tokens,
         | sum(doc_id * epoch)::BIGINT AS epoch_weighted_id_sum
         |FROM amp GROUP BY source ORDER BY source""".stripMargin,
+    // integer-ppm lerp of (uniform -> char-mass) weights across epochs
+    "x_mix_anneal" ->
+      s"""WITH per_src AS (
+         | SELECT source, sum(n_chars)::BIGINT AS chars FROM documents GROUP BY source),
+         |tot AS (SELECT sum(chars)::BIGINT AS total_chars, count(*) AS n_sources FROM per_src),
+         |w AS (
+         | SELECT source,
+         |  (1000000 // n_sources)::BIGINT AS w0_ppm,
+         |  ((1000000 * chars) // total_chars)::BIGINT AS w1_ppm
+         | FROM per_src, tot),
+         |e AS (SELECT unnest(generate_series(0, ${AnnealEpochs - 1}))::INT AS epoch)
+         |SELECT epoch, source,
+         | ((w0_ppm * (${AnnealEpochs - 1} - epoch) + w1_ppm * epoch) // ${AnnealEpochs - 1})::BIGINT AS frac_ppm,
+         | (($AnnealBudget * ((w0_ppm * (${AnnealEpochs - 1} - epoch) + w1_ppm * epoch) // ${AnnealEpochs - 1})) // 1000000)::BIGINT AS quota_docs
+         |FROM w, e ORDER BY epoch, source""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH rates AS (
          | SELECT source, count(*) AS c,

@@ -495,6 +495,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("anneal schedule lerps uniform -> char-share exactly at the endpoints") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.annealMix(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet === Set(0, 1, 2, 3, 4))
+    // epoch 0 is the uniform phase: every source gets 10^6 div n ppm
+    val n = byEpoch(0).length
+    assert(byEpoch(0).forall(_.getLong(2) === 1000000L / n))
+    // epoch E-1 is the char-share phase: fractions differ across sources
+    assert(byEpoch(4).map(_.getLong(2)).distinct.length > 1,
+      "final epoch must be proportional, not uniform")
+    // each epoch's fractions sum to 10^6 within the floor-division loss
+    byEpoch.values.foreach { rs =>
+      val s = rs.map(_.getLong(2)).sum
+      assert(s <= 1000000L && s > 1000000L - 2L * n, s"ppm sum $s out of range")
+    }
+    // quotas follow fractions: budget·frac div 1e6, never negative
+    assert(rows.forall(r => r.getLong(3) === 1000L * r.getLong(2) / 1000000L))
+  }
+
   test("merge upsert plans as a key-shuffled full-outer join, never BNLJ") {
     val plan = Curation.mergeUpsert(spark, sf).queryExecution.executedPlan
     val nodes = collectPlans(plan)
