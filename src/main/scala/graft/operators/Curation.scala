@@ -148,6 +148,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val DriftPpm = 100000L // flag days whose mean strays >10% from corpus
+
+  /** Daily profile-drift monitor — the data-quality-over-time shape an
+    * ingest pipeline alarms on: per-day event volume, distinct users,
+    * and integer-micro mean value, each day's mean compared against
+    * the whole-corpus mean with the deviation in ppm and a drift flag
+    * at [[DriftPpm]]. (The static twin of what a streaming monitor
+    * would emit per watermark-closed day.)
+    *
+    * Determinism discipline: values quantize to BIGINT micros before
+    * any mean (same construction as a14's quantiles), means are
+    * integer floor-divisions, and the flag is an integer ppm compare —
+    * no float path for an alarm threshold to waver across engines.
+    *
+    * Scale: one day-keyed aggregate (shuffle carries per-day partials)
+    * plus a 1-row global aggregate broadcast back; distinct users per
+    * day is the only expensive leg and swaps to a sketch under the
+    * scaleMode extension's policy when exactness is waived.
+    */
+  def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"),
+      expr("cast(round(value * 1000000) as bigint)").as("vm"))
+    val daily = ev.groupBy("day").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct("user_id").as("n_users"),
+      expr("sum(vm) div count(1)").as("mean_micros"))
+    val global = ev.agg(expr("sum(vm) div count(1)").as("global_micros"))
+    daily.crossJoin(broadcast(global))
+      .withColumn("dev_ppm",
+        expr("abs(mean_micros - global_micros) * 1000000 div greatest(abs(global_micros), 1)"))
+      .select(col("day"), col("n_events"), col("n_users"), col("mean_micros"),
+        col("dev_ppm"), (col("dev_ppm") > DriftPpm).as("drifted"))
+      .orderBy("day")
+  }
+
   private val AnnealEpochs = 5
   private val AnnealBudget = 1000L // docs per epoch
 
@@ -1353,6 +1390,7 @@ object Curation {
     "x_sample_priority" -> prioritySample _,
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
+    "x_dq_drift" -> dqDrift _,
     "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
@@ -1506,6 +1544,21 @@ object Curation {
         | count(*) AS amp_rows, sum(n_tokens)::BIGINT AS amp_tokens,
         | sum(doc_id * epoch)::BIGINT AS epoch_weighted_id_sum
         |FROM amp GROUP BY source ORDER BY source""".stripMargin,
+    // same micro-quantization + integer means + ppm compare per day
+    "x_dq_drift" ->
+      s"""WITH ev AS (
+         | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+         |  round(value * 1000000)::BIGINT AS vm
+         | FROM events),
+         |daily AS (
+         | SELECT day, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  sum(vm) // count(*) AS mean_micros
+         | FROM ev GROUP BY day),
+         |g AS (SELECT sum(vm) // count(*) AS global_micros FROM ev)
+         |SELECT day, n_events, n_users, mean_micros::BIGINT AS mean_micros,
+         | (abs(mean_micros - global_micros) * 1000000 // greatest(abs(global_micros), 1))::BIGINT AS dev_ppm,
+         | (abs(mean_micros - global_micros) * 1000000 // greatest(abs(global_micros), 1)) > $DriftPpm AS drifted
+         |FROM daily, g ORDER BY day""".stripMargin,
     // integer-ppm lerp of (uniform -> char-mass) weights across epochs
     "x_mix_anneal" ->
       s"""WITH per_src AS (
