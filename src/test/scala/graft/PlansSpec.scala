@@ -80,6 +80,39 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-mode rule swaps single-column count distinct for HLL++ within 1% error") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      val scaled = graft.operators.Curation.dqDrift(spark, sf)
+      val exprs = scaled.queryExecution.optimizedPlan.flatMap(_.expressions)
+      assert(exprs.exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus])),
+        "scaleMode=true must rewrite count(distinct user_id) → HLL++")
+      val approx = scaled.collect()
+      spark.conf.set("spark.graft.scaleMode", "false")
+      val exact = graft.operators.Curation.dqDrift(spark, sf).collect()
+      assert(!graft.operators.Curation.dqDrift(spark, sf)
+        .queryExecution.optimizedPlan.flatMap(_.expressions)
+        .exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus])),
+        "flag off must leave the exact distinct untouched")
+      // day keys, volumes, means and flags are sketch-independent;
+      // only n_users may deviate, and at most by ~3 sigma of the 1% SD
+      assert(approx.map(_.getString(0)).toSeq === exact.map(_.getString(0)).toSeq)
+      for ((a, e) <- approx.zip(exact)) {
+        assert(a.getLong(1) === e.getLong(1), "per-day volume must stay exact")
+        assert(a.getLong(3) === e.getLong(3), "integer mean must stay exact")
+        assert(a.getBoolean(5) === e.getBoolean(5), "drift flag must stay exact")
+        val (au, eu) = (a.getLong(2).toDouble, e.getLong(2).toDouble)
+        assert(math.abs(au - eu) <= math.max(3.0, 0.03 * eu),
+          s"HLL++ user count drifted beyond 3%: $au vs $eu")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+  }
+
   test("scale-mode rewrite preserves the result type for non-double percentile children") {
     spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
     try {
