@@ -787,6 +787,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
   }
 
+  test("skew profile recommends salt factors the salted join actually covers") {
+    val rows = graft.operators.Skew.skewProfile(spark, sf).collect()
+    assert(rows.length === 5, "one profile row per join key")
+    // 5 near-uniform keys at 32 partitions: every key needs salting
+    assert(rows.forall(_.getBoolean(4)), "each ~20% key must flag as skewed")
+    rows.foreach { r =>
+      assert(r.getLong(3) > 1L && r.getLong(3) <= 8L,
+        s"${r.getString(0)} recommends ${r.getLong(3)} salts — Salts=8 must cover it")
+    }
+    val ppm = rows.map(_.getLong(2)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - 10L, s"shares must sum to ~1e6 ppm, got $ppm")
+  }
+
   test("streaming perplexity gate equals the batch unigram scorer bit for bit") {
     val streamed = EventStreams.streamPerplexity(spark, sf).collect().map(_.toString).toSeq
     val batch = TextOps.unigramSurprise(spark, sf).collect().map(_.toString).toSeq
