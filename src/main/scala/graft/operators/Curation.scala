@@ -816,6 +816,39 @@ object Curation {
     d.unionByName(c).unionByName(e).orderBy("tbl")
   }
 
+  private val PseudoPepper = "graft-pepper-r7"
+
+  /** Deterministic pseudonymization — the GDPR-grade middle ground
+    * between [[kAnonymity]] (measure) and [[forgetIds]] (delete):
+    * subject ids are replaced by a 60-bit keyed hash h(pepper ‖ id),
+    * so the SAME subject maps to the SAME pseudonym in every table
+    * (referential integrity and joins survive) while the raw id never
+    * leaves the rewrite. The emitted audit proves the two properties a
+    * privacy review asks for: injectivity on this corpus (distinct
+    * pseudonyms == distinct ids per key — a 60-bit space makes a
+    * collision vanishingly unlikely, and this check would CATCH one)
+    * and linkage preservation (per-type event counts keyed by
+    * pseudonym equal those keyed by raw id).
+    *
+    * Scale: a pure narrow projection — the pepper is a plan literal,
+    * the hash per-row; only the per-type distinct rollup shuffles.
+    * Rotating the pepper re-keys the entire corpus in one pass (the
+    * unlinkability-epoch recipe).
+    */
+  def pseudonymize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"), col("user_id"),
+      expr(s"cast(conv(substr(md5(concat('$PseudoPepper', cast(user_id as string))), 1, 15), 16, 10) as bigint)")
+        .as("pseud"))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        countDistinct("pseud").as("n_pseudonyms"),
+        sum(expr("pseud % 1000000000000")).as("pseud_checksum"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- //
   // CDC merge / upsert
   // ---------------------------------------------------------------- //
@@ -1400,6 +1433,7 @@ object Curation {
     "x_policy_filter" -> policyFilter _,
     "x_outlier_zscore" -> outlierZscore _,
     "x_forget_ids" -> forgetIds _,
+    "x_pseudonymize" -> pseudonymize _,
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_merge_upsert" -> mergeUpsert _,
@@ -1645,6 +1679,18 @@ object Curation {
         |SELECT tbl, n_before, n_removed, (n_before - n_removed)::BIGINT AS n_after,
         | payload_removed
         |FROM rows3 ORDER BY tbl""".stripMargin,
+    // identical keyed hash (pepper as a literal), identical rollup —
+    // the checksum pins the exact pseudonym VALUES, not just counts
+    "x_pseudonymize" ->
+      s"""WITH ev AS (
+         | SELECT event_type, user_id,
+         |  ('0x' || substr(md5('$PseudoPepper' || user_id::VARCHAR), 1, 15))::BIGINT AS pseud
+         | FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         | count(DISTINCT user_id) AS n_users,
+         | count(DISTINCT pseud) AS n_pseudonyms,
+         | sum(pseud % 1000000000000)::BIGINT AS pseud_checksum
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     // batches re-derived from the base table with the same slice and
     // injected corruption; the published table must equal the clean
     // batch exactly (audit gate proven by checksum identity)
