@@ -558,11 +558,13 @@ object Similarity {
     spark.read.parquet(out)
   }
 
-  def embPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = knnEdgesOnDisk(spark, sfDir)
+  /** The iteration core over arbitrary (vec_id) nodes and (src, dst)
+    * edges — exposed so the property spec can drive it with random
+    * graphs against a plain-Scala integer reference.
+    */
+  private[graft] def pagerankFrames(
+      nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
-    val nodes = corpus(spark, sfDir).select("vec_id")
-    val n = nodes.count() // scalar, model-sized: the graph's node count
     var pr = nodes.withColumn("pr", lit(PrScale / n))
     for (_ <- 1 to PrIters) {
       val dang = pr.join(outdeg, pr("vec_id") === outdeg("src"), "left_anti")
@@ -578,7 +580,14 @@ object Similarity {
             expr(s"(17 * (coalesce(s, 0L) + dang div ${n}L)) div 20")).as("pr"))
         .localCheckpoint()
     }
-    pr.select(col("vec_id"), col("pr")).orderBy("vec_id")
+    pr.select(col("vec_id"), col("pr"))
+  }
+
+  def embPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnEdgesOnDisk(spark, sfDir)
+    val nodes = corpus(spark, sfDir).select("vec_id")
+    val n = nodes.count() // scalar, model-sized: the graph's node count
+    pagerankFrames(nodes, edges, n).orderBy("vec_id")
   }
 
   /** Hard-negative mining for contrastive training: for each anchor

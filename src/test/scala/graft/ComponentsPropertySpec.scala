@@ -91,4 +91,49 @@ class ComponentsPropertySpec extends AnyFunSuite {
       finally star.unpersist()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
   }
+
+  /** Plain-Scala twin of the integer PageRank update — Long `/` is
+    * truncation, identical to Spark's `div` on the non-negative ranks.
+    */
+  private def referencePagerank(
+      nodeIds: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val scale = 1000000000000L
+    val n = nodeIds.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodeIds.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodeIds.filterNot(out.contains).map(pr).sum
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += pr(s) / out(s)
+      pr = nodeIds.map(v =>
+        v -> (3 * scale / (20 * n) + 17 * (contrib(v) + dang / n) / 20)).toMap
+    }
+    pr
+  }
+
+  test("integer PageRank frames match the Scala reference on random directed graphs") {
+    import spark.implicits._
+    var seed = org.scalacheck.rng.Seed(7L)
+    // a handful of random graphs (each run is ~9 tiny Spark jobs), plus
+    // the adversarial shapes: a pure-dangling graph and a star
+    val fixed = List(
+      (0L to 5L).toList -> List.empty[(Long, Long)], // all dangling
+      (0L to 6L).toList -> (1L to 6L).map(i => (i, 0L)).toList) // star hub 0
+    val random = (1 to 5).map { _ =>
+      val edges = edgeListGen.apply(Gen.Parameters.default, seed).getOrElse(List((0L, 1L)))
+      seed = seed.next
+      val dir = edges.map { case (a, b) => if ((a + b) % 2 == 0) (a, b) else (b, a) }
+      val nodes = (edges.flatMap(e => Seq(e._1, e._2)) :+ 0L).distinct.sorted
+      (nodes, dir)
+    }
+    for ((nodeIds, dirEdges) <- fixed ++ random) {
+      val nodes = nodeIds.toDF("vec_id")
+      val edges = dirEdges.toDF("src", "dst")
+      val got = graft.operators.Similarity
+        .pagerankFrames(nodes, edges, nodeIds.size.toLong)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = referencePagerank(nodeIds, dirEdges, 3)
+      assert(got === want, s"pagerank disagrees on nodes=$nodeIds edges=$dirEdges")
+    }
+  }
 }
