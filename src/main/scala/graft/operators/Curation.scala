@@ -302,6 +302,68 @@ object Curation {
       .orderBy("packer", "pack_id")
   }
 
+  private val PackLens = Seq(64L, 128L, 512L)
+
+  /** Packing-efficiency sweep — the "choose your context length"
+    * accounting a training team runs before fixing L: for each
+    * candidate context length, pack the corpus with the SAME greedy
+    * hash-ordered packer as [[packSequences]] (tokens capped at L;
+    * the overflow column counts what truncation would drop) and
+    * report padding waste packed vs one-doc-per-context, in ppm of
+    * the padded token budget. Short contexts truncate long docs,
+    * long contexts waste padding on short ones — this table is the
+    * trade-off, computed exactly.
+    *
+    * The packer is concat-and-chunk ([[packSequences]]'s semantics:
+    * documents concatenate within a packer stream and may SPAN context
+    * boundaries), so packed waste exists only at each stream's tail —
+    * contexts per packer = ceil(stream tokens / L) — which is why the
+    * sweep needs only per-packer token totals, never a window pass.
+    *
+    * Determinism discipline: token counts, caps, ceil-divisions and
+    * both waste ratios are all BIGINT arithmetic — the sweep is
+    * bit-identical on any engine or partitioning.
+    *
+    * Scale: one per-packer aggregate over (doc, tokens) rows — never
+    * the text — per candidate L; at lake scale all Ls share one scan
+    * of a materialized token-count table.
+    */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        h60("cast(doc_id as string)").as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"))
+      .withColumn("packer", pmod(col("h"), lit(Packers.toLong)).cast("int"))
+    val perL = PackLens.map { l =>
+      base
+        .withColumn("cap", least(col("tokens"), lit(l)))
+        .groupBy("packer")
+        .agg(
+          count(lit(1)).as("p_docs"),
+          sum("tokens").as("p_tokens"),
+          sum("cap").as("p_capped"),
+          expr(s"(sum(cap) + ${l - 1}) div $l").as("p_packs"))
+        .groupBy()
+        .agg(
+          sum("p_docs").as("n_docs"),
+          sum("p_tokens").as("total_tokens"),
+          sum("p_capped").as("capped_tokens"),
+          sum(col("p_tokens") - col("p_capped")).as("overflow_tokens"),
+          sum("p_packs").as("n_packs"))
+        .select(
+          lit(l).as("context_len"),
+          col("n_docs"), col("total_tokens"), col("capped_tokens"),
+          col("overflow_tokens"), col("n_packs"),
+          (col("n_packs") * l - col("capped_tokens")).as("waste_tokens"),
+          expr(s"((n_packs * $l - capped_tokens) * 1000000) div (n_packs * $l)")
+            .as("waste_ppm"),
+          expr(s"((n_docs * $l - capped_tokens) * 1000000) div (n_docs * $l)")
+            .as("unpacked_waste_ppm"))
+    }
+    perL.reduce(_ unionByName _).orderBy("context_len")
+  }
+
   // ---------------------------------------------------------------- //
   // Temperature-scaled mixture sampling
   // ---------------------------------------------------------------- //
@@ -1436,6 +1498,7 @@ object Curation {
     "x_pseudonymize" -> pseudonymize _,
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
+    "x_pack_efficiency" -> packEfficiency _,
     "x_merge_upsert" -> mergeUpsert _,
     "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
@@ -1786,6 +1849,34 @@ object Curation {
          |SELECT packer, ((cum - tokens) // $PackBudget)::BIGINT AS pack_id,
          | count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens
          |FROM packed GROUP BY packer, pack_id ORDER BY packer, pack_id""".stripMargin,
+    // same concat-and-chunk accounting per candidate L: per-packer
+    // token totals, ceil-division contexts, integer waste ratios
+    "x_pack_efficiency" -> {
+      val perL = PackLens.map { l =>
+        s"""SELECT $l AS context_len, sum(p_docs)::BIGINT AS n_docs,
+           | sum(p_tokens)::BIGINT AS total_tokens,
+           | sum(p_capped)::BIGINT AS capped_tokens,
+           | sum(p_tokens - p_capped)::BIGINT AS overflow_tokens,
+           | sum(p_packs)::BIGINT AS n_packs,
+           | (sum(p_packs) * $l - sum(p_capped))::BIGINT AS waste_tokens,
+           | ((sum(p_packs) * $l - sum(p_capped)) * 1000000
+           |   // (sum(p_packs) * $l))::BIGINT AS waste_ppm,
+           | ((sum(p_docs) * $l - sum(p_capped)) * 1000000
+           |   // (sum(p_docs) * $l))::BIGINT AS unpacked_waste_ppm
+           |FROM (
+           | SELECT packer, count(*) AS p_docs, sum(tokens) AS p_tokens,
+           |  sum(least(tokens, $l)) AS p_capped,
+           |  (sum(least(tokens, $l)) + ${l - 1}) // $l AS p_packs
+           | FROM dealt GROUP BY packer)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         | SELECT doc_id, ${h60Sql("doc_id::VARCHAR")} AS h,
+         |  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tokens
+         | FROM documents),
+         |dealt AS (SELECT *, (h % $Packers)::INT AS packer FROM docs)
+         |$perL
+         |ORDER BY context_len""".stripMargin
+    },
     "x_contamination" ->
       s"""WITH t AS (
          | SELECT doc_id, source,

@@ -495,6 +495,21 @@ class CurationSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("packing-efficiency sweep: packing beats one-doc-per-context, caps account exactly") {
+    val rows = Curation.packEfficiency(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(64L, 128L, 512L))
+    rows.foreach { r =>
+      val (l, total, capped, overflow) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(capped + overflow === total, s"L=$l: cap accounting must conserve tokens")
+      assert(r.getLong(7) < r.getLong(8),
+        s"L=$l: packed waste must beat the one-doc-per-context baseline")
+      assert(r.getLong(6) >= 0L, "waste can never be negative once tokens are capped")
+    }
+    // the short context truncates (docs run up to ~100 tokens), the long one never
+    assert(rows.find(_.getLong(0) === 64L).get.getLong(4) > 0L, "L=64 must truncate")
+    assert(rows.find(_.getLong(0) === 512L).get.getLong(4) === 0L, "L=512 must not truncate")
+  }
+
   test("pseudonymization is injective and linkage-preserving on this corpus") {
     import org.apache.spark.sql.functions._
     val rows = Curation.pseudonymize(spark, sf).collect()
