@@ -223,6 +223,36 @@ object Curation {
       .orderBy("epoch", "source")
   }
 
+  private val GroupPriorityK = 10
+
+  /** Per-stratum weighted sampling — [[prioritySample]]'s priorities
+    * cut per SOURCE instead of globally: the top-[[GroupPriorityK]]
+    * docs by (w·2^48) div (h48+1) within each stratum, i.e. "k docs
+    * per domain, long docs preferred" — the weighted refinement of
+    * [[mixSources]]' unweighted rank-by-hash quotas. Completes the
+    * selection family: rate (stratified), quota (mix), global
+    * weighted (priority), per-stratum weighted (this).
+    *
+    * Scale: rank inside a stratum is a hash-partitioned window
+    * (partitionBy source — no global sort, no single partition);
+    * Spark's WindowGroupLimit pushes the rk≤k filter below the full
+    * rank so each partition keeps k rows early.
+    */
+  def groupPrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio = expr(
+      s"(n_chars * ${TwoPow48}L) div " +
+        s"(cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) + 1)")
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("priority", prio)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= GroupPriorityK)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("priority"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   // ---------------------------------------------------------------- //
   // Mixture / quota selection
   // ---------------------------------------------------------------- //
@@ -1483,6 +1513,7 @@ object Curation {
     "x_sample_stratified" -> stratifiedSample _,
     "x_sample_weighted" -> weightedSample _,
     "x_sample_priority" -> prioritySample _,
+    "x_sample_priority_grouped" -> groupPrioritySample _,
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
@@ -1555,6 +1586,17 @@ object Curation {
          | FROM documents
          | ORDER BY priority DESC, doc_id ASC LIMIT $PrioritySampleK)
          |ORDER BY doc_id""".stripMargin,
+    // same integer priorities, ranked within each source
+    "x_sample_priority_grouped" ->
+      s"""SELECT source, doc_id, n_chars, priority, rk::INT AS rk FROM (
+         | SELECT source, doc_id, n_chars,
+         |  ((n_chars * $TwoPow48) //
+         |   (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1))::BIGINT AS priority,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ((n_chars * $TwoPow48) //
+         |     (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)) DESC, doc_id ASC) AS rk
+         | FROM documents)
+         |WHERE rk <= $GroupPriorityK ORDER BY source, rk""".stripMargin,
     "x_k_anonymity" ->
       s"""WITH base AS (
          | SELECT n_regionkey, c_nationkey, c_mktsegment, count(*) AS n

@@ -495,6 +495,23 @@ class CurationSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("grouped priority sample takes exactly k weighted picks per source, rank pushed down") {
+    val df = Curation.groupPrioritySample(spark, sf)
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.size === 20 && bySrc.values.forall(_.length === 10),
+      "every source must contribute exactly k docs")
+    bySrc.values.foreach { rs =>
+      val prios = rs.sortBy(_.getInt(4)).map(_.getLong(3))
+      assert(prios.zip(prios.tail).forall { case (a, b) => a >= b },
+        "within a source, rank must follow priority desc")
+    }
+    // the rk<=k filter must reach the window as a group limit so each
+    // partition keeps k rows early instead of ranking everything
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected Spark's rank-limit pushdown in the physical plan")
+  }
+
   test("packing-efficiency sweep: packing beats one-doc-per-context, caps account exactly") {
     val rows = Curation.packEfficiency(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(64L, 128L, 512L))
