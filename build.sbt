@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked main's FINAL stdout line as
+// JSON. sbt's default LoggedOutput prefixes every child line with
+// "[info] " and then appends its own "[success] Total time..." banner —
+// both of which break a last-line JSON parse (BENCH_r5..r7 all recorded
+// `parsed: null`). StdoutOutput passes the child's stdout through raw,
+// and showSuccess drops the trailing banner, so the digest line printed
+// by graft.Bench is literally the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
