@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global order statistics — the shared kernel behind
+  * every "value at rank r of the whole corpus" cut in the engine
+  * ([[TextOps.perplexityFilter]]'s p90 surprise threshold, and the
+  * construction [[graft.plans.ScaleModeRewrite]] swaps in for global
+  * rank windows under `spark.graft.scaleMode`).
+  *
+  * A literal `row_number() OVER (ORDER BY score)` ranks the corpus in a
+  * SINGLE partition — the classic 100 TB scale-killer. This is the
+  * bucketed two-phase construction instead (the
+  * [[Curation.tokenBudgetSelect]] prefix-sum pattern applied to counts):
+  *
+  *  1. distinct-score counts roll up per RANGE BUCKET
+  *     (`score div bucketWidth` — a monotone coarsening, so bucket
+  *     order refines to score order); the exclusive running count over
+  *     the ~O(score range / width) bucket rows is the only
+  *     unpartitioned window — constant-size regardless of corpus scale;
+  *  2. exactly ONE bucket straddles the cut rank
+  *     (`offset < r <= offset + count`); only that bucket's
+  *     distinct-score rows — at most `bucketWidth` of them, corpus-
+  *     independent — take a bucket-partitioned running count, and the
+  *     smallest score whose cumulative count reaches the rank is the
+  *     answer.
+  *
+  * No global sort, no single-partition corpus shuffle, two tiny
+  * broadcasts. The single-window formulation is the DuckDB oracle's —
+  * the equivalence IS the correctness claim.
+  */
+object Ranks {
+
+  /** Exact value at 1-based ascending rank `cutRank` of integer column
+    * `scoreCol` in `scored` (i.e. the smallest score whose cumulative
+    * frequency reaches the rank — the value at that rank under ANY
+    * tie-break, since equal scores are indistinguishable by value).
+    *
+    * `cutRank` arrives as a 1-row (`cut_rk` BIGINT) frame so callers
+    * derive it from a count aggregate without a driver round-trip.
+    * Returns a 1-row frame with column `thr` (empty iff `scored` is).
+    */
+  def valueAtRank(
+      scored: DataFrame,
+      scoreCol: String,
+      cutRank: DataFrame,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // integer `div` floors toward -inf in Spark and DuckDB alike, so the
+    // bucketing stays monotone for negative scores too
+    val scores = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(s"s div $bucketWidth"))
+    val offsets = scores.groupBy("bucket").agg(sum("cnt").as("bcnt"))
+      .withColumn("offset",
+        coalesce(
+          sum("bcnt").over(Window.partitionBy(lit(0)).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val cutBucket = offsets.crossJoin(broadcast(cutRank))
+      .filter(col("offset") < col("cut_rk") &&
+        col("cut_rk") <= col("offset") + col("bcnt"))
+      .select("bucket", "offset", "cut_rk")
+    scores.join(broadcast(cutBucket), "bucket")
+      .withColumn("cum",
+        col("offset") + sum("cnt").over(
+          Window.partitionBy("bucket").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") >= col("cut_rk"))
+      .agg(min("s").as("thr"))
+      .filter(col("thr").isNotNull)
+  }
+}

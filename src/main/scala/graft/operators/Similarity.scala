@@ -509,32 +509,6 @@ object Similarity {
   private val PrScale = 1000000000000L // PageRank mass in 1e-12 units
   private val PrIters = 3
 
-  /** PageRank over the kNN graph — the graph-centrality signal
-    * curation pipelines use to find "hub" documents in an embedding
-    * neighborhood graph (and the canonical iterative-computation shape:
-    * join, re-aggregate, repeat). Damping 17/20, [[PrIters]] fixed
-    * iterations, dangling mass redistributed uniformly.
-    *
-    * Determinism discipline: ranks live in BIGINT units of 1e-12
-    * ([[PrScale]]) and every step is an integer floor-division —
-    * contrib = pr div outdeg, new = (3·S) div (20·N) + (17·(Σcontrib +
-    * dang div N)) div 20 — so per-iteration sums are order-independent
-    * exact integers and the DuckDB oracle (the same three unrolled
-    * iterations as CTEs) reproduces the ranks bit-for-bit; no float
-    * ever enters, so there is no rounding boundary to drift across
-    * engines or partitionings.
-    *
-    * Scale: each iteration is one equi-join of the rank frame against
-    * the disk-backed edge list ([[knnEdgesOnDisk]] — the shuffle is
-    * edge-sized, never vector-sized) plus a dst-keyed partial-agg sum;
-    * the dangling total is a 1-row aggregate broadcast back. The rank
-    * frame is localCheckpoint'ed each round: every iteration consumes
-    * the previous ranks TWICE (dangling + contributions), so an
-    * unbroken lineage doubles per round — exponential recompute by
-    * iteration 10 — while the checkpoint pins only an n-row two-column
-    * block and keeps cost linear in iterations. N and the
-    * per-iteration scalars are the only driver-side values.
-    */
   /** The kNN edge set materialized once to scratch parquet, keyed by
     * the source fingerprint ([[graft.sources.LayoutCache]] discipline —
     * same staleness story as [[bucketedLayoutPath]]). Iterating
@@ -583,6 +557,32 @@ object Similarity {
     pr.select(col("vec_id"), col("pr"))
   }
 
+  /** PageRank over the kNN graph — the graph-centrality signal
+    * curation pipelines use to find "hub" documents in an embedding
+    * neighborhood graph (and the canonical iterative-computation shape:
+    * join, re-aggregate, repeat). Damping 17/20, [[PrIters]] fixed
+    * iterations, dangling mass redistributed uniformly.
+    *
+    * Determinism discipline: ranks live in BIGINT units of 1e-12
+    * ([[PrScale]]) and every step is an integer floor-division —
+    * contrib = pr div outdeg, new = (3·S) div (20·N) + (17·(Σcontrib +
+    * dang div N)) div 20 — so per-iteration sums are order-independent
+    * exact integers and the DuckDB oracle (the same three unrolled
+    * iterations as CTEs) reproduces the ranks bit-for-bit; no float
+    * ever enters, so there is no rounding boundary to drift across
+    * engines or partitionings.
+    *
+    * Scale: each iteration is one equi-join of the rank frame against
+    * the disk-backed edge list ([[knnEdgesOnDisk]] — the shuffle is
+    * edge-sized, never vector-sized) plus a dst-keyed partial-agg sum;
+    * the dangling total is a 1-row aggregate broadcast back. The rank
+    * frame is localCheckpoint'ed each round: every iteration consumes
+    * the previous ranks TWICE (dangling + contributions), so an
+    * unbroken lineage doubles per round — exponential recompute by
+    * iteration 10 — while the checkpoint pins only an n-row two-column
+    * block and keeps cost linear in iterations. N and the
+    * per-iteration scalars are the only driver-side values.
+    */
   def embPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = knnEdgesOnDisk(spark, sfDir)
     val nodes = corpus(spark, sfDir).select("vec_id")

@@ -284,29 +284,6 @@ object TextOps {
 
   private[graft] val SurpriseMicroNats = 4000000L // ≈ -ln p of a rare-ish token
 
-  /** Unigram-LM surprise scoring — the cheap perplexity proxy of corpus
-    * filtering, as the classic two-pass "train on the corpus, score the
-    * corpus" shape: pass 1 aggregates the unigram counts (the model),
-    * pass 2 joins every token occurrence back to the model and averages
-    * per-token surprise `-ln p(t)` per document.
-    *
-    * Parity discipline: surprise is quantized to integer MICRO-NATS per
-    * token BEFORE summing (`round((ln(total) - ln(cnt))·1e6)`), so
-    * per-doc and per-source reductions are exact integer arithmetic in
-    * any order; the 1-ulp `ln` differences between engines vanish in
-    * the quantization (a flip would need ln to land within 5e-13 of a
-    * half-micro boundary).
-    *
-    * Scale: the model is a (token, count) aggregate — a few MB for a
-    * real vocabulary — joined back hash-partitioned; per-token work
-    * never shuffles document text. A production pass hashes tokens to
-    * 64-bit before the join (8-byte keys) exactly as
-    * [[graft.operators.Curation.contamination]] does.
-    */
-  /** Per-doc average unigram surprise in integer micro-nats — the
-    * two-pass score shared by [[unigramSurprise]] (which rolls it up)
-    * and [[perplexityFilter]] (which thresholds it at a percentile).
-    */
   /** The document corpus as one row per token occurrence — the shared
     * front of the LM train/score passes.
     */
@@ -334,11 +311,34 @@ object TextOps {
       .select("t", "micro_nats")
   }
 
+  /** Per-doc average unigram surprise in integer micro-nats — the
+    * two-pass score shared by [[unigramSurprise]] (which rolls it up)
+    * and [[perplexityFilter]] (which thresholds it at a percentile).
+    */
   private def surprisePerDoc(spark: SparkSession, sfDir: String): DataFrame =
     tokenized(spark, sfDir).join(unigramModel(spark, sfDir), "t")
       .groupBy("doc_id", "source")
       .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
 
+  /** Unigram-LM surprise scoring — the cheap perplexity proxy of corpus
+    * filtering, as the classic two-pass "train on the corpus, score the
+    * corpus" shape: pass 1 aggregates the unigram counts (the model),
+    * pass 2 joins every token occurrence back to the model and averages
+    * per-token surprise `-ln p(t)` per document.
+    *
+    * Parity discipline: surprise is quantized to integer MICRO-NATS per
+    * token BEFORE summing (`round((ln(total) - ln(cnt))·1e6)`), so
+    * per-doc and per-source reductions are exact integer arithmetic in
+    * any order; the 1-ulp `ln` differences between engines vanish in
+    * the quantization (a flip would need ln to land within 5e-13 of a
+    * half-micro boundary).
+    *
+    * Scale: the model is a (token, count) aggregate — a few MB for a
+    * real vocabulary — joined back hash-partitioned; per-token work
+    * never shuffles document text. A production pass hashes tokens to
+    * 64-bit before the join (8-byte keys) exactly as
+    * [[graft.operators.Curation.contamination]] does.
+    */
   def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
     surprisePerDoc(spark, sfDir).groupBy("source")
       .agg(
@@ -349,32 +349,42 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Quantization width of the [[Ranks.valueAtRank]] range buckets for
+    * the surprise cut: per-doc averages span a few million micro-nats,
+    * so 100k-wide buckets give ~O(100) bucket rows for the phase-1
+    * offset window and at most 100k distinct-score rows (corpus-
+    * independent) in the phase-2 straddling bucket.
+    */
+  private val SurpriseBucketWidth = 100000L
+
   /** Perplexity-percentile filtering (the CCNet shape): drop the ~10%
     * of documents with the highest LM surprise, where the cut is the
     * EXACT corpus p90 — the value at rank ceil(0.9·n) of
     * (avg_micro_nats, doc_id) order — rather than a fixed constant
     * ([[unigramSurprise]]'s gate). Docs tying the threshold value are
     * kept, so the decision depends only on integer score comparisons
-    * and both engines derive the identical keep set.
+    * and both engines derive the identical keep set. (The value at
+    * rank r of (score, doc_id) order is the smallest score whose
+    * cumulative frequency reaches r — the doc_id tie-break never
+    * changes the threshold VALUE, only which doc carries it.)
     *
-    * Scale: the ranked frame is per-DOC scalars (two longs a row), not
-    * corpus text; at bench scale the rank is a single-partition window
-    * (same honesty note as a14's exact quantiles), and at 100 TB the
-    * identical threshold comes from the distributed two-pass
-    * rank-at-cut construction (partition histograms → offset), or an
-    * approx_percentile when a ±ε budget is acceptable — the keep rule
-    * itself (score ≤ cut) stays a scan predicate either way.
+    * Scale: the threshold comes from [[Ranks.valueAtRank]]'s bucketed
+    * two-phase rank-at-cut — no single-partition corpus window
+    * anywhere in the plan (the DuckDB oracle runs the global-window
+    * formulation; the equivalence is the correctness claim). The
+    * per-doc score frame is localCheckpoint'ed first: three consumers
+    * (the count, the rank kernel, the final rollup) would otherwise
+    * each replay the tokenize→train→join lineage including
+    * [[unigramModel]]'s eager corpus count — the same
+    * multiple-consumer discipline as
+    * [[graft.operators.Similarity.pagerankFrames]], pinning only an
+    * n-doc two-long-column block.
     */
   def perplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = surprisePerDoc(spark, sfDir)
-    val ranked = perDoc.withColumn("rk",
-      row_number().over(Window.orderBy(col("avg_micro_nats"), col("doc_id"))))
+    val perDoc = surprisePerDoc(spark, sfDir).localCheckpoint()
     val cutRank = perDoc.agg(count(lit(1)).as("n"))
       .select(expr("(9 * n + 9) div 10").as("cut_rk"))
-    val thr = ranked.crossJoin(broadcast(cutRank))
-      .filter(col("rk") === col("cut_rk"))
-      .select(col("avg_micro_nats").as("thr"))
+    val thr = Ranks.valueAtRank(perDoc, "avg_micro_nats", cutRank, SurpriseBucketWidth)
     perDoc.crossJoin(broadcast(thr))
       .groupBy("source")
       .agg(

@@ -821,6 +821,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nKept < corpusN, "some high-surprise docs must actually drop")
   }
 
+  test("valueAtRank equals the single-window order statistic across widths and signs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random scores with duplicates and negatives
+    val scores = spark.range(0, 5000).select(
+      (expr("cast(conv(substr(md5(cast(id as string)), 1, 6), 16, 10) as bigint)")
+        % 4001L - 2000L).as("s"))
+    val n = scores.count()
+    val direct = scores
+      .withColumn("rk", row_number().over(Window.orderBy("s")))
+      .collect().sortBy(_.getInt(1)).map(_.getLong(0))
+    for (width <- Seq(1L, 7L, 100L, 1000000L); q <- Seq(1L, n / 2, (9 * n + 9) / 10, n)) {
+      val cut = spark.range(1).select(lit(q).as("cut_rk"))
+      val got = graft.operators.Ranks.valueAtRank(scores, "s", cut, width)
+        .collect()
+      assert(got.length === 1 && got.head.getLong(0) === direct((q - 1).toInt),
+        s"width=$width rank=$q: ${got.toSeq} vs ${direct((q - 1).toInt)}")
+    }
+    // out-of-range rank -> empty, never a null row
+    val none = graft.operators.Ranks.valueAtRank(
+      scores, "s", spark.range(1).select(lit(n + 1).as("cut_rk")), 100L)
+    assert(none.collect().isEmpty, "rank beyond n must yield an empty frame")
+  }
+
   test("hard negatives carry a different label than their anchor and rank by similarity") {
     import org.apache.spark.sql.functions._
     val neg = Similarity.hardNegatives(spark, sf)

@@ -9,6 +9,31 @@ class PlansSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  private def collectPlans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectPlans(a.executedPlan)
+    case other => other +: other.children.flatMap(collectPlans)
+  }
+
+  test("perplexity filter has no single-partition corpus-cardinality window") {
+    // the round-7 verdict's last scale-killer: the p90 surprise cut used
+    // a global row_number over the per-doc frame. The two-phase
+    // Ranks.valueAtRank construction may keep exactly ONE unpartitioned
+    // window — the offset scan over the ~O(score range / bucket width)
+    // BUCKET-count aggregate, never a per-doc frame
+    val plan = graft.operators.TextOps
+      .perplexityFilter(spark, sf).queryExecution.executedPlan
+    val windows = collectPlans(plan).filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty, "the rank construction must window somewhere")
+    windows.filter(_.outputPartitioning.numPartitions == 1).foreach { w =>
+      val firstAgg = collectPlans(w).drop(1)
+        .find(_.nodeName.contains("HashAggregate"))
+      assert(firstAgg.exists(_.toString.contains("bucket")),
+        s"single-partition window must run over the bucket aggregate, not docs:\n$w")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // At 100 TB the win of a selective dim filter is realized on the
     // FACT side by Spark's InjectRuntimeFilter: a bloom filter built
