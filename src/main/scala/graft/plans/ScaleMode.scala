@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Cast, Coalesce, CurrentRow, EqualTo, Expression, Literal, NamedExpression, Rank, RowFrame, RowNumber, SortOrder, SparkPartitionID, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Project, RepartitionByExpression, Window, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Catalyst extension surface (the preference-order (c) route from the
   * build guide): a `Rule[LogicalPlan]` injected via
@@ -14,9 +15,8 @@ import org.apache.spark.sql.types.DoubleType
   * algorithm must for 100 TB.
   *
   * The rule: under `spark.graft.scaleMode=true`, exact-but-unbounded
-  * aggregates are rewritten to their bounded-memory mergeable sketch
-  * twins with NO query change — the knob is a conf, the rewrite is a
-  * plan transform:
+  * constructs are rewritten to bounded/distributed twins with NO query
+  * change — the knob is a conf, the rewrite is a plan transform:
   *  - `percentile` (buffers every value per group) →
   *    `approx_percentile` with a 10k-bucket KLL-style sketch;
   *    semantics agree to ~1/accuracy quantile error. Exact quartile
@@ -26,12 +26,28 @@ import org.apache.spark.sql.types.DoubleType
   *    classic lake-scale OOM) → HyperLogLog++ at [[ScaleModeRewrite.DistinctSD]]
   *    relative error — the swap [[graft.operators.Curation.dqDrift]]'s
   *    distinct-users leg and every exact-distinct rollup lean on.
-  *    Multi-column distincts keep their exact form (HLL++ is unary).
+  *    Multi-column distincts keep their exact form (HLL++ is unary),
+  *    and an Aggregate carrying MORE THAN ONE distinct group is left
+  *    fully exact: `RewriteDistinctAggregates` expands those before
+  *    `experimental.extraOptimizations` run but after injected
+  *    optimizer rules do, so an unguarded swap would behave
+  *    differently between the two documented deployment routes
+  *    (HLL++ under `injectOptimizerRule`, exact under the extension
+  *    list). The guard makes both routes identical by construction.
+  *  - a GLOBAL rank window (`row_number()`/`rank()` OVER (ORDER BY …)
+  *    with no PARTITION BY — the single-partition corpus sort that
+  *    [[graft.operators.Ranks]] exists to avoid) → the distributed
+  *    range-partition construction: range-shuffle on the order keys,
+  *    capture the partition id, rank locally per partition, and add
+  *    the exclusive running count of preceding partitions (a window
+  *    over the #partitions-row count aggregate — constant-size). Same
+  *    ranks, no single-partition shuffle of the ranked frame.
   *
   * Deployment: `--conf spark.sql.extensions=graft.plans.ScaleModeExtensions`
   * at session build, or `spark.experimental.extraOptimizations ++=
-  * Seq(ScaleModeRewrite)` on a live session (the spec uses the latter —
-  * extensions cannot be added to an already-built session).
+  * Seq(ScaleModeRewrite)` on a live session (extensions cannot be
+  * added to an already-built session). The multi-distinct guard above
+  * keeps the two routes result-identical; the spec drives both.
   */
 class ScaleModeExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
@@ -51,15 +67,32 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.scaleMode", "false").toBoolean) plan
-    else plan.transformAllExpressions {
+    else plan.transform {
+      case agg: Aggregate => rewriteAggregate(agg)
+      case w: Window if isGlobalRankWindow(w) => rewriteGlobalRank(w)
+    }
+
+  /** Distinct "groups" exactly as `RewriteDistinctAggregates` sees them:
+    * distinct aggregates partitioned by their (canonicalized, non-
+    * foldable) argument set. >1 group triggers the Expand-based rewrite
+    * whose position relative to this rule differs between deployment
+    * routes — so those Aggregates are left exact.
+    */
+  private def rewriteAggregate(agg: Aggregate): Aggregate = {
+    val distinctGroups = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct =>
+        ae.aggregateFunction.children.filterNot(_.foldable).map(_.canonicalized).toSet
+    }).distinct.size
+    agg.transformExpressions {
       // COUNT(DISTINCT x): the unbounded per-group hash set becomes a
       // fixed-register HLL++ sketch; LongType either way, null-skipping
       // either way, so the analyzed schema and null semantics survive
-      case agg @ AggregateExpression(c: Count, _, true, _, _) if c.children.size == 1 =>
-        agg.copy(
+      case ae @ AggregateExpression(c: Count, _, true, _, _)
+          if c.children.size == 1 && distinctGroups <= 1 =>
+        ae.copy(
           aggregateFunction = HyperLogLogPlusPlus(c.children.head, DistinctSD),
           isDistinct = false)
-      case agg @ AggregateExpression(p: Percentile, _, _, _, _)
+      case ae @ AggregateExpression(p: Percentile, _, _, _, _)
           // frequency-weighted and descending percentiles have no
           // approx twin — leave those exact
           if p.frequencyExpression == Literal(1L) && !p.reverse =>
@@ -71,7 +104,97 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
         val child =
           if (p.child.dataType == DoubleType) p.child
           else Cast(p.child, DoubleType)
-        agg.copy(aggregateFunction = new ApproximatePercentile(
+        ae.copy(aggregateFunction = new ApproximatePercentile(
           child, p.percentageExpression, Literal(Accuracy)))
     }
+  }
+
+  private def isGlobalRankWindow(w: Window): Boolean =
+    w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+      w.orderSpec.forall(_.deterministic) &&
+      w.windowExpressions.nonEmpty &&
+      w.windowExpressions.forall {
+        case Alias(WindowExpression(_: RowNumber | _: Rank, _), _) => true
+        case _ => false
+      }
+
+  /** The distributed twin of `rank()/row_number() OVER (ORDER BY k)`:
+    *
+    * {{{
+    *   ranged  = RepartitionByExpression(orderSpec, child)   // range shuffle
+    *   pids    = Project(child.* , pid = spark_partition_id())
+    *   local   = Window(rank OVER (PARTITION BY pid ORDER BY k), pids)
+    *   counts  = Aggregate(pid, count(1), pids)
+    *   offsets = Window(sum(cnt) OVER (PARTITION BY 0 ORDER BY pid
+    *                                   ROWS UNBOUNDED PRECEDING TO -1), counts)
+    *   result  = Project(child.*, offset + local_rank AS <original attr>,
+    *                     local JOIN broadcast(offsets) ON pid)
+    * }}}
+    *
+    * Correctness leans on two range-partitioner properties: partition
+    * ids are ordered by key range, and EQUAL keys land in one partition
+    * (so `rank`'s peer groups never straddle a boundary). The `pids`
+    * subtree feeds both the local window and the counts aggregate —
+    * physically one exchange via `ReuseExchange`, so both consumers see
+    * the identical partition assignment (and the range boundaries are
+    * sampled once). `EnsureRequirements` re-clusters the window side by
+    * pid — a second DISTRIBUTED shuffle; the construction trades the
+    * single-partition global sort for two corpus-wide parallel
+    * shuffles plus one #partitions-row window.
+    */
+  private def rewriteGlobalRank(w: Window): LogicalPlan = {
+    val child = w.child
+    val ranged = RepartitionByExpression(w.orderSpec, child, None)
+    val pidAlias = Alias(Cast(SparkPartitionID(), LongType), "__graft_pid")()
+    val pids = Project(child.output :+ pidAlias, ranged)
+    val pid = pidAlias.toAttribute
+
+    val localFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val localSpec = WindowSpecDefinition(Seq(pid), w.orderSpec, localFrame)
+    val localAliases = w.windowExpressions.map {
+      case Alias(WindowExpression(f, _), name) =>
+        Alias(WindowExpression(f, localSpec), s"__graft_local_$name")()
+      case other =>
+        throw new IllegalStateException(s"unexpected window expression: $other")
+    }
+    val local = Window(localAliases, Seq(pid), w.orderSpec, pids)
+
+    val cntAlias = Alias(
+      AggregateExpression(Count(Seq(Literal(1))), org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false),
+      "__graft_cnt")()
+    val counts = Aggregate(Seq(pid), Seq(pid, cntAlias), pids)
+    val offsetFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1))
+    val offsetSpec = WindowSpecDefinition(
+      Seq(Literal(0)), Seq(SortOrder(pid, org.apache.spark.sql.catalyst.expressions.Ascending)), offsetFrame)
+    val offsetAlias = Alias(
+      WindowExpression(
+        AggregateExpression(Sum(cntAlias.toAttribute),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false),
+        offsetSpec),
+      "__graft_offset")()
+    // rename the aggregate's pid attribute on the build side so the join
+    // condition references two distinct exprIds
+    val pidRight = Alias(pid, "__graft_pid_r")()
+    val offsets = Project(
+      Seq(pidRight, offsetAlias.toAttribute),
+      Window(Seq(offsetAlias), Seq(Literal(0)),
+        Seq(SortOrder(pid, org.apache.spark.sql.catalyst.expressions.Ascending)), counts))
+
+    val joined = Join(local, offsets, Inner,
+      Some(EqualTo(pid, pidRight.toAttribute)),
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+    // original window-output attributes keep their exprIds: downstream
+    // operators reference them
+    val rankCols: Seq[NamedExpression] =
+      w.windowExpressions.zip(localAliases).map { case (orig, localAlias) =>
+        val global = Cast(
+          Add(
+            Coalesce(Seq(offsetAlias.toAttribute, Literal(0L))),
+            Cast(localAlias.toAttribute, LongType)),
+          IntegerType)
+        Alias(global, orig.name)(exprId = orig.exprId)
+      }
+    Project(child.output ++ rankCols, joined)
+  }
 }

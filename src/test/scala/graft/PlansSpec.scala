@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Analytics
 import graft.plans.ScaleModeRewrite
-import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus, Percentile}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PlansSpec extends AnyFunSuite {
@@ -131,6 +131,88 @@ class PlansSpec extends AnyFunSuite {
         val (au, eu) = (a.getLong(2).toDouble, e.getLong(2).toDouble)
         assert(math.abs(au - eu) <= math.max(3.0, 0.03 * eu),
           s"HLL++ user count drifted beyond 3%: $au vs $eu")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+  }
+
+  test("scale-mode routes agree: multi-distinct aggregates stay exact under both") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    def twoDistinct(s: SparkSession) = s.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(countDistinct("lang").as("langs"), countDistinct("doc_id").as("docs"))
+      .orderBy("source")
+    def oneDistinct(s: SparkSession) = s.read.parquet(s"$sf/documents.parquet")
+      .agg(countDistinct("doc_id").as("docs"))
+    val exact2 = twoDistinct(spark).collect().toSeq
+    // route A: extraOptimizations — runs AFTER RewriteDistinctAggregates
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      assert(twoDistinct(spark).collect().toSeq === exact2,
+        "route A: >1 distinct group must stay exact")
+      assert(oneDistinct(spark).queryExecution.optimizedPlan
+        .flatMap(_.expressions)
+        .exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus])),
+        "route A: single distinct group must still take the HLL++ swap")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+    // route B: ScaleModeExtensions (injectOptimizerRule — runs BEFORE
+    // RewriteDistinctAggregates; without the >1-distinct-group guard
+    // this route would swap what route A leaves exact)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.ScaleModeExtensions)
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.scaleMode", "true")
+      assert(twoDistinct(s2).collect().toSeq === exact2,
+        "route B: >1 distinct group must stay exact")
+      assert(oneDistinct(s2).queryExecution.optimizedPlan
+        .flatMap(_.expressions)
+        .exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus])),
+        "route B: single distinct group must still take the HLL++ swap")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("scale-mode rewrites a global rank window to the range-partitioned construction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    // row_number under a TOTAL order, rank under a tying order — both
+    // shapes the rewrite must reproduce exactly
+    def rowNumbered = docs.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    def ranked = docs.withColumn("rk",
+      rank().over(Window.orderBy(col("n_chars"))))
+    val exactRn = rowNumbered.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val exactRk = ranked.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      for ((q, exact, label) <- Seq(
+          (rowNumbered, exactRn, "row_number"), (ranked, exactRk, "rank"))) {
+        val optimized = q.queryExecution.optimizedPlan
+        val globalWindows = optimized.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globalWindows.isEmpty,
+          s"$label: no unpartitioned window may survive scaleMode:\n$optimized")
+        assert(optimized.toString.contains("__graft_pid"),
+          s"$label: expected the range-partitioned construction:\n$optimized")
+        val got = q.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+        assert(got === exact, s"$label: distributed ranks must be identical")
       }
     } finally {
       spark.experimental.extraOptimizations = Nil
