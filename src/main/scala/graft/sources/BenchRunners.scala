@@ -406,8 +406,31 @@ object BenchRunners {
           count(lit(1)).as("n_rows"),
           fmin("k").as("min_k"), fmax("k").as("max_k"),
           fmin("v").as("min_v"), fmax("v").as("max_v"))
-        val planStr = df.queryExecution.executedPlan.toString
-        (df.collect().head, planStr.contains("PushedAggregation: [COUNT"))
+        val row = df.collect().head
+        // inspect the executed scan's pushedAggregate directly — a plan-
+        // STRING match ('PushedAggregation: [COUNT') breaks on plan-format
+        // changes and maxMetadataStringLength truncation, and the oracle
+        // pins this flag to TRUE, so a cosmetic change would read as a
+        // correctness regression
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          // materialized AQE stages are LEAVES wrapping their subtree
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: scans(q.plan)
+          case other => other +: other.children.flatMap(scans)
+        }
+        val pushed = scans(df.queryExecution.executedPlan).exists {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.pushedAggregate.exists(_.aggregateExpressions.nonEmpty)
+              case _ => false
+            }
+          case _ => false
+        }
+        (row, pushed)
       } finally {
         spark.conf.set("spark.sql.sources.useV1SourceList", savedV1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", savedAgg)

@@ -35,6 +35,8 @@ class CurationSpec extends AnyFunSuite {
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: collectPlans(q.plan)
     case other => other +: other.children.flatMap(collectPlans)
   }
 

@@ -13,6 +13,9 @@ class PlansSpec extends AnyFunSuite {
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
       collectPlans(a.executedPlan)
+    // materialized AQE stages are leaves wrapping their subtree
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: collectPlans(q.plan)
     case other => other +: other.children.flatMap(collectPlans)
   }
 
