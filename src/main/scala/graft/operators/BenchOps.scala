@@ -78,7 +78,10 @@ object BenchOps {
   private val CompCols = 10
   private val CompRows = 10000L
   private val PushRows = 1000000L
-  private val GridCols = Seq(10)
+  // {10,100}: the per-round gated sweep exercises a non-trivial
+  // rowgroup×page grid at two widths (round-7 verdict task 7); the
+  // reference's full 128-config grid still runs under scale="full"
+  private val GridCols = Seq(10, 100)
   private val GridRows = 10000
   private val GridRg = Seq(1000, 10000)
   private val GridPs = Seq(8 * 1024, 1024 * 1024)
