@@ -850,10 +850,9 @@ object Similarity {
     * table — so a query touches neither the full corpus nor any raw
     * vector. Composition of the two trained models already in the
     * registry (same memoized quantizer + codebooks, same oracles'
-    * retrain discipline); the refinement step real deployments add —
-    * PQ over RESIDUALS (v − coarse centroid) for tighter codes — is a
-    * codebook-training variant on the same plan shape, noted here and
-    * deliberately out of scope.
+    * retrain discipline); the refinement real deployments add — PQ
+    * over RESIDUALS (v − coarse centroid) for tighter codes — is
+    * [[ivfPqResidualTopK]].
     *
     * Plan: candidates = encoded code rows ⋈ broadcast probe pairs on
     * list_id (the prune), then ⋈ broadcast LUT on (query, s, code),
@@ -897,8 +896,94 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Residual PQ codebooks: trained over (v − coarse centroid) rather
+    * than raw vectors — memoized beside the raw-vector books under a
+    * `:resid`-suffixed key (the residual frame is a deterministic
+    * function of the same input file: same fingerprint staleness).
+    */
+  private[graft] def trainedResidBooks(spark: SparkSession, sfDir: String,
+      residBase: DataFrame): Map[Int, Seq[Array[Double]]] = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    pqCache.computeIfAbsent(s"$sfDir|$fp:resid", _ => trainPq(residBase))
+  }
+
+  /** RESIDUAL IVF-PQ — the actual billion-scale FAISS-style
+    * architecture ([[ivfPqTopK]]'s refinement): PQ codebooks are
+    * trained over RESIDUALS `r = v − c(list)` instead of raw vectors.
+    * Residuals concentrate around the origin once the coarse quantizer
+    * has soaked up the between-list variance, so the same 4-bit budget
+    * spends its codes on much smaller displacements — tighter
+    * reconstructions, better recall at identical storage.
+    *
+    * Inner-product decomposition keeps the serving LUT model-sized:
+    * `q·v = q·c(list) + q·r`, so a query needs only the SAME 640-entry
+    * `q_s · rbook_s[j]` table as plain PQ plus a 5×[[IvfK]] per-list
+    * offset table `round(q·c·1e6)` — both broadcast; the per-list term
+    * never multiplies the LUT (an L2 metric would need nprobe×
+    * per-list tables, the classical IVF-PQ memory trade).
+    *
+    * Determinism: the residual subtraction is exact IEEE arithmetic on
+    * centroids both engines derive from exact integer sums, and every
+    * score is `off_micro + Σ pd_micro` — integer adds in any order —
+    * so the DuckDB oracle retrains coarse quantizer AND residual
+    * codebooks from the raw table and hash-matches the top-5.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — probe-prune on list_id,
+    * broadcast LUT/offsets, raw vectors appear nowhere after encode;
+    * the only addition is one broadcast 80-row offset join.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val centTable = array(cents.map(centroidCol): _*)
+    val resid = assignTo(cents)(base)
+      .withColumn("rv",
+        zip_with(col("v"), element_at(centTable, col("list_id") + 1),
+          (x, y) => x - y))
+      .select(col("vec_id"), col("list_id"), col("rv").as("v"))
+    val rbooks = trainedResidBooks(spark, sfDir, resid.select("vec_id", "v"))
+    val sub = resid
+      .select(col("vec_id"), col("list_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("s"), col("v"))
+      .withColumn("sv", expr(s"slice(v, s * $PqSubDim + 1, $PqSubDim)"))
+      .drop("v")
+    val encoded = encodePq(rbooks)(sub).select("vec_id", "list_id", "s", "code")
+    val probes = probeFrame(base, cents, IvfNProbe)
+      .select("query_id", "list_id").distinct()
+    val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => r.getAs[Number]("vec_id").longValue() -> r.getSeq[Double](1).toArray)
+    import spark.implicits._
+    val lut = qVecs.toSeq.flatMap { case (qid, qv) =>
+      (0 until PqM).flatMap { s =>
+        val qs = qv.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        rbooks(s).zipWithIndex.map { case (c, j) =>
+          (qid, s, j, math.round(dotSeq(qs, c) * 1e6))
+        }
+      }
+    }.toDF("query_id", "s", "code", "pd")
+    val offsets = qVecs.toSeq.flatMap { case (qid, qv) =>
+      cents.zipWithIndex.map { case (c, j) =>
+        (qid, j, math.round(dotSeq(qv, c) * 1e6))
+      }
+    }.toDF("query_id", "list_id", "off")
+    val scored = encoded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "vec_id", "list_id")
+      .agg(sum("pd").as("r_micro"))
+      .join(broadcast(offsets), Seq("query_id", "list_id"))
+      .withColumn("adc_micro", col("off") + col("r_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_micro"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_emb_dim_stats" -> dimStats _,
+    "x_emb_ivfpq_residual" -> ivfPqResidualTopK _,
     "x_emb_pq" -> pqTopK _,
     "x_emb_ivfpq" -> ivfPqTopK _,
     "x_emb_project" -> randomProjection _,
@@ -1149,9 +1234,88 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: the IVF retrain CTEs, then an r-prefixed
+    * PQ retrain over the RESIDUAL frame `rv = v − cvec(list)` (exact
+    * IEEE subtraction of centroids both engines derive from exact
+    * integer sums), then probe → prune → raw-query LUT + per-list
+    * `q·c` offsets → integer ADC — mirroring [[ivfPqResidualTopK]]
+    * term for term.
+    */
+  private val ivfPqResidualOracle: String = {
+    def rassign(cents: String): String =
+      s"""SELECT vec_id, s, list_id FROM (
+         |  SELECT b.vec_id, b.s, c.j AS list_id,
+         |   row_number() OVER (PARTITION BY b.vec_id, b.s
+         |     ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(b.sv, c.cvec), c.j) AS rn
+         |  FROM rsub b JOIN $cents c ON c.s = b.s) WHERE rn = 1""".stripMargin
+    val riters = (1 to PqIters).map { n =>
+      s"""rasg$n AS (${rassign(s"rcents${n - 1}")}),
+         |rm$n AS (
+         | SELECT a.s, a.list_id, u.pos, sum(u.xi) AS sm, count(*) AS cnt
+         | FROM rasg$n a JOIN rsubq u ON u.vec_id = a.vec_id AND u.s = a.s GROUP BY 1, 2, 3),
+         |rcl$n AS (SELECT s, list_id, list(sm / (cnt * $IvfQ.0) ORDER BY pos) AS cvec
+         | FROM rm$n GROUP BY s, list_id),
+         |rcents$n AS (
+         | SELECT c.s, c.j, coalesce(cl.cvec, c.cvec) AS cvec
+         | FROM rcents${n - 1} c LEFT JOIN rcl$n cl ON cl.s = c.s AND cl.list_id = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfTrainCtes,
+       |resid AS (
+       | SELECT a.vec_id, a.list_id,
+       |  list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cvec[i]) AS rv
+       | FROM asgF a JOIN e ON e.vec_id = a.vec_id
+       |  JOIN cents$IvfIters c ON c.j = a.list_id),
+       |rseeds AS (
+       | SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, rv AS v
+       | FROM resid QUALIFY j < $PqK),
+       |rsub AS (
+       | SELECT vec_id, s, rv[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+       | FROM resid, range(0, $PqM) r(s)),
+       |rsubq AS (
+       | SELECT vec_id, s, pos, round(sv[pos] * $IvfQ)::BIGINT AS xi
+       | FROM rsub, range(1, ${PqSubDim + 1}) rp(pos)),
+       |rcents0 AS (
+       | SELECT s, j, v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS cvec
+       | FROM rseeds, range(0, $PqM) r(s)),
+       |$riters,
+       |rasgF AS (${rassign(s"rcents$PqIters")}),
+       |probes AS (
+       | SELECT q.vec_id AS query_id, c.j AS list_id
+       | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+       | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $IvfNProbe),
+       |qsub AS (
+       | SELECT vec_id, s, v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+       | FROM e, range(0, $PqM) r(s) WHERE vec_id < 5),
+       |lut AS (
+       | SELECT q.vec_id AS query_id, c.s, c.j,
+       |  round(list_dot_product(q.sv, c.cvec) * 1000000)::BIGINT AS pd
+       | FROM qsub q JOIN rcents$PqIters c ON c.s = q.s),
+       |offs AS (
+       | SELECT q.vec_id AS query_id, c.j AS list_id,
+       |  round(list_dot_product(q.v, c.cvec) * 1000000)::BIGINT AS off
+       | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id, a.list_id
+       | FROM probes p JOIN asgF a ON a.list_id = p.list_id
+       | WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  (o.off + sum(l.pd))::BIGINT AS adc_micro
+       | FROM cand c JOIN rasgF ra ON ra.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.s = ra.s AND l.j = ra.list_id
+       |  JOIN offs o ON o.query_id = c.query_id AND o.list_id = c.list_id
+       | GROUP BY c.query_id, c.vec_id, o.off)
+       |SELECT query_id, neighbor_id, adc_micro FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc_micro DESC, neighbor_id) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x_emb_pq" -> pqOracle,
     "x_emb_ivfpq" -> ivfPqOracle,
+    "x_emb_ivfpq_residual" -> ivfPqResidualOracle,
     "x_emb_dim_stats" ->
       """SELECT i::BIGINT AS dim, count(*) AS n,
         | round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS mean,

@@ -821,6 +821,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nKept < corpusN, "some high-surprise docs must actually drop")
   }
 
+  test("residual IVF-PQ recall >= plain IVF-PQ against exact inner-product top-5") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1).toArray)
+      .toMap
+    // exact top-5 by the same micro-quantized inner product and id
+    // tiebreak the ADC scores approximate
+    def exactTop5(q: Long): Set[Long] = {
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (math.round(v.zip(qv).map { case (a, b) => a * b }.sum * 1e6), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
+    }
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+        .count { case (q, n) => exactTop5(q)(n) }
+    val plain = hits(Similarity.ivfPqTopK(spark, sf))
+    val residual = hits(Similarity.ivfPqResidualTopK(spark, sf))
+    assert(residual >= plain,
+      s"residual codes must not lose recall: $residual < $plain (of 25)")
+    assert(residual > 0, "residual IVF-PQ must find at least one true neighbor")
+  }
+
   test("valueAtRank equals the single-window order statistic across widths and signs") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
