@@ -1098,20 +1098,7 @@ object EventStreams {
     }
     if (!fs.exists(new Path(s"$outDir/_DONE"))) {
       fs.delete(new Path(outDir), true)
-      val src = normTs(spark.readStream
-        .schema(rawSchema(rawTsType(spark, sfDir)))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stageDir))
-      withStatePartitions(spark, 8) {
-        val q = src.writeStream
-          .option("checkpointLocation", s"$outDir/chk")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            upsertApplyBatch(spark, outDir, batch, batchId)
-          }
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
+      upsertRun(spark, sfDir, outDir, _ => ())
       fs.create(new Path(s"$outDir/_DONE")).close()
     }
     val last = fs.listStatus(new Path(outDir)).map(_.getPath.getName)
@@ -1121,6 +1108,38 @@ object EventStreams {
       .select(col("user_id"), col("cnt").as("n_events"),
         col("m.etype").as("last_type"), col("m.v").as("last_v"))
       .orderBy("user_id")
+  }
+
+  /** The [[streamUpsert]] write pipeline against an arbitrary snapshot
+    * directory (expects the staged half-files to exist — run
+    * [[streamUpsert]] once first). `afterApply` fires AFTER the sink
+    * write for a batch but BEFORE Spark commits that batch to the
+    * checkpoint — throwing from it is exactly the crash window the
+    * exactly-once claim must survive, which the failure-injection spec
+    * exercises by crashing batch 0 and restarting from the same
+    * checkpoint.
+    */
+  private[graft] def upsertRun(
+      spark: SparkSession, sfDir: String, outDir: String,
+      afterApply: Long => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val stageDir = s"/root/repo/target/graft-work/stream/events_upsert_stage_$fp"
+    val src = normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir))
+    withStatePartitions(spark, 8) {
+      val q = src.writeStream
+        .option("checkpointLocation", s"$outDir/chk")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertApplyBatch(spark, outDir, batch, batchId)
+          afterApply(batchId)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
   }
 
   /** One MERGE step: snapshot v(b) = f(snapshot v(b-1), batch b).

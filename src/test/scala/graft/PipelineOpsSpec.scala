@@ -339,27 +339,82 @@ class PipelineOpsSpec extends AnyFunSuite {
       "watermark-evicted append output must equal the batch/complete answer")
   }
 
-  test("append-mode stream under the RocksDB state store matches the default store") {
+  test("the whole stateful streaming family under RocksDB matches the default store") {
     // The 100 TB streaming posture: HDFS-backed state holds everything
     // on the JVM heap, while RocksDB spills state to local disk — the
     // store a large deployment actually runs. The provider is fixed at
     // the first batch of each fresh checkpoint, so flipping the conf
     // around one invocation pins the whole query to RocksDB; output
-    // must be byte-identical to the default-store answer.
+    // must be byte-identical to the default-store answer for EVERY
+    // stateful query shape: windowed agg w/ watermark eviction,
+    // mapGroupsWithState sessions, transformWithState sessions,
+    // timer-driven emission, stream-stream inner and outer joins, and
+    // watermarked dedup.
+    val family: Seq[(String, () => Array[String])] = Seq(
+      "window_append" -> (() => EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)),
+      "sessions" -> (() => EventStreams.statefulSessions(spark, sf).collect().map(_.toString)),
+      "sessions_tws" -> (() => EventStreams.statefulSessionsTws(spark, sf).collect().map(_.toString)),
+      "session_timers" -> (() => EventStreams.streamSessionTimers(spark, sf).collect().map(_.toString)),
+      "stream_stream_join" -> (() => EventStreams.streamStreamJoin(spark, sf).collect().map(_.toString)),
+      "stream_stream_outer" -> (() => EventStreams.streamStreamOuter(spark, sf).collect().map(_.toString)),
+      "dedup" -> (() => EventStreams.streamDedup(spark, sf).collect().map(_.toString)))
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val rocks =
-      try EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    val default = EventStreams.streamWindowAppend(spark, sf).collect().map(_.toString)
-    assert(rocks.nonEmpty)
-    assert(rocks.toSeq === default.toSeq,
-      "state-store backend must not change streaming results")
+    for ((name, run) <- family) {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks =
+        try run()
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      val default = run()
+      assert(rocks.nonEmpty, s"$name: RocksDB run returned no rows")
+      assert(rocks.toSeq === default.toSeq,
+        s"$name: state-store backend must not change streaming results")
+    }
+  }
+
+  test("upsert sink survives a crash between sink write and checkpoint commit") {
+    import org.apache.hadoop.fs.Path
+    // reference run (also stages the half-files the hook reads)
+    val reference = EventStreams.streamUpsert(spark, sf).collect().map(_.toString).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outDir = "/root/repo/target/graft-work/stream/events_upsert_crash"
+    val fs = new Path(outDir).getFileSystem(conf)
+    fs.delete(new Path(outDir), true)
+    // crash AFTER the v0 sink write but BEFORE Spark commits batch 0 —
+    // the exact window where at-least-once would double-apply a
+    // non-idempotent sink
+    val thrown = intercept[Throwable] {
+      EventStreams.upsertRun(spark, sf, outDir, { id =>
+        if (id == 0) throw new RuntimeException("injected crash")
+      })
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(thrown).exists(c =>
+      Option(c.getMessage).exists(_.contains("injected crash"))),
+      s"unexpected failure: $thrown")
+    assert(fs.exists(new Path(s"$outDir/v0")),
+      "the crash must land after the sink write — v0 exists uncommitted")
+    // restart from the same checkpoint: batch 0 REPLAYS (its offsets
+    // were logged, never committed), overwrites an identical v0, then
+    // batch 1 completes the stream
+    EventStreams.upsertRun(spark, sf, outDir, _ => ())
+    val last = fs.listStatus(new Path(outDir)).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).max
+    assert(last === 1L, s"both staged halves must have applied, got v$last")
+    val recovered = spark.read.parquet(s"$outDir/v$last")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("cnt").as("n_events"),
+        org.apache.spark.sql.functions.col("m.etype").as("last_type"),
+        org.apache.spark.sql.functions.col("m.v").as("last_v"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(recovered === reference,
+      "crash + checkpoint restart must produce the identical final snapshot")
   }
 
   test("streaming dedup collapses a doubled stream back to the batch aggregate") {
@@ -785,6 +840,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     // determinism: a second evaluation derives the identical sample
     val s2 = graft.operators.Curation.prioritySample(spark, sf).collect()
     assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
+  }
+
+  test("AQE skew-join split and the manual salt recipe agree on a forced-skew join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // forced-skew fixture: one key carries ~97% of 400k fact rows
+    val fact = spark.range(0, 400000).select(
+      when(col("id") % 100 < 97, lit("hot"))
+        .otherwise(concat(lit("k"), (col("id") % 100).cast("string"))).as("k"),
+      (col("id") % 1000).as("v"))
+    val dim = Seq(("hot", 2L), ("k97", 3L), ("k98", 5L), ("k99", 7L)).toDF("k", "w")
+    // integer measure: sums are exact under ANY partial-sum order, so
+    // the three physical strategies must agree bit-for-bit
+    def rollup(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy("k").agg(sum(col("v") * col("w")).as("wv"), count(lit(1)).as("n"))
+      .orderBy("k")
+    val plain = rollup(fact.join(dim, "k")).collect().toSeq
+
+    // manual salt (the j3 recipe): hot keys spread over 8 shuffle keys
+    val salts = 8
+    val salted = rollup(
+      fact.withColumn("salt", pmod(col("v"), lit(salts)).cast("int"))
+        .join(dim.withColumn("salt",
+          explode(array((0 until salts).map(lit): _*))), Seq("k", "salt")))
+      .collect().toSeq
+    assert(salted === plain, "salting must only change the shuffle, never the result")
+
+    // AQE skew-join: force the sort-merge path and lake-scale thresholds
+    // down to fixture size so the runtime split engages
+    // forceOptimizeSkewedJoin: the groupBy(k) above the join reuses the
+    // join's hash partitioning, so the planner would veto the split
+    // (it inserts an extra exchange before the final aggregate); the
+    // low byte thresholds match the fixture's heavily-compressed
+    // repeated-key shuffle blocks
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val aqe = rollup(fact.join(dim, "k"))
+      assert(aqe.collect().toSeq === plain,
+        "AQE skew split must only change the shuffle, never the result")
+      val finalPlan = aqe.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected the runtime skew-split join in:\n$finalPlan")
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
   }
 
   test("skew profile recommends salt factors the salted join actually covers") {
