@@ -1485,6 +1485,35 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** A16 — EXACT GLOBAL quantiles (p25/p50/p75 of event value micros
+    * over the whole corpus, no partition key) via
+    * [[Ranks.valuesAtRanks]] — the query-level proof of the two-phase
+    * order-statistic kernel that [[a14ExactQuantiles]]'s scaladoc
+    * promises for the unpartitioned case: one distinct-score aggregate
+    * answers all three ranks, no single-partition corpus window
+    * anywhere (the DuckDB oracle runs the global row_number
+    * formulation — the equivalence is the correctness claim).
+    *
+    * Rank arithmetic is integer ceil (`(n+3) div 4` etc.), so the cut
+    * ranks are exact BIGINTs on both engines at any corpus size; the
+    * value at a rank is the smallest score whose cumulative frequency
+    * reaches it, identical under any tie-break.
+    */
+  def a16GlobalQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("cast(round(value * 1000000) as bigint)").as("v"))
+    val cuts = ev.agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("p25").as("qlabel"), expr("(n + 3) div 4").as("cut_rk")),
+        struct(lit("p50").as("qlabel"), expr("(n + 1) div 2").as("cut_rk")),
+        struct(lit("p75").as("qlabel"), expr("(3 * n + 3) div 4").as("cut_rk")))).as("c"))
+      .select(col("c.qlabel").as("qlabel"), col("c.cut_rk").as("cut_rk"))
+    Ranks.valuesAtRanks(ev, "v", cuts, 100000L)
+      .join(broadcast(cuts), "qlabel")
+      .select(col("qlabel"), col("cut_rk"), col("thr").as("value_micros"))
+      .orderBy("qlabel")
+  }
+
   /** W11 — RUNNING cumulative distinct users per day via a windowed
     * THETA-SKETCH UNION over the stored per-day sketches
     * ([[graft.functions.ThetaSketch.mergeAgg]] as a window aggregate):
@@ -1586,6 +1615,7 @@ object Analytics {
     "w9_lead_lag" -> w9LeadLag _,
     "w10_pattern_funnel" -> w10PatternFunnel _,
     "a14_exact_quantiles" -> a14ExactQuantiles _,
+    "a16_global_quantiles" -> a16GlobalQuantiles _,
     "f6_string_agg" -> f6StringAgg _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
@@ -2049,6 +2079,18 @@ object Analytics {
         | max(CASE WHEN rn = ceil(n * 0.5)::BIGINT THEN v END)::BIGINT AS p50_micros,
         | max(CASE WHEN rn = ceil(n * 0.75)::BIGINT THEN v END)::BIGINT AS p75_micros
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // global single-window rank formulation; integer-ceil cut ranks
+    "a16_global_quantiles" ->
+      """WITH ev AS (SELECT round(value * 1000000)::BIGINT AS v FROM events),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM ev),
+        |cuts AS (
+        | SELECT 'p25' AS qlabel, (n + 3) // 4 AS cut_rk FROM nn
+        | UNION ALL SELECT 'p50', (n + 1) // 2 FROM nn
+        | UNION ALL SELECT 'p75', (3 * n + 3) // 4 FROM nn),
+        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ev)
+        |SELECT c.qlabel, c.cut_rk::BIGINT AS cut_rk, r.v AS value_micros
+        |FROM cuts c JOIN ranked r ON r.rn = c.cut_rk
+        |ORDER BY qlabel""".stripMargin,
     // same two chained ignore-nulls windows; micros spans exact
     "w10_pattern_funnel" ->
       """WITH ev AS (

@@ -46,6 +46,24 @@ object Ranks {
       scored: DataFrame,
       scoreCol: String,
       cutRank: DataFrame,
+      bucketWidth: Long): DataFrame =
+    valuesAtRanks(scored, scoreCol,
+      cutRank.withColumn("qlabel", lit("_")), bucketWidth)
+      .select(col("thr"))
+
+  /** Batched form: one pass answers SEVERAL ranks at once (the
+    * quantile-vector shape — p25/p50/p75 from a single distinct-score
+    * aggregate). `cutRanks` carries (`qlabel` STRING, `cut_rk` BIGINT)
+    * rows; returns one (`qlabel`, `thr`) row per rank that lands
+    * within the population. Each rank straddles exactly one bucket, so
+    * the phase-2 window is per-LABEL over at most `bucketWidth`
+    * distinct-score rows — corpus-independent however many ranks ride
+    * along.
+    */
+  def valuesAtRanks(
+      scored: DataFrame,
+      scoreCol: String,
+      cutRanks: DataFrame,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     // integer `div` floors toward -inf in Spark and DuckDB alike, so the
@@ -60,17 +78,17 @@ object Ranks {
           sum("bcnt").over(Window.partitionBy(lit(0)).orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-    val cutBucket = offsets.crossJoin(broadcast(cutRank))
+    val cutBuckets = offsets.crossJoin(broadcast(cutRanks))
       .filter(col("offset") < col("cut_rk") &&
         col("cut_rk") <= col("offset") + col("bcnt"))
-      .select("bucket", "offset", "cut_rk")
-    scores.join(broadcast(cutBucket), "bucket")
+      .select("qlabel", "bucket", "offset", "cut_rk")
+    scores.join(broadcast(cutBuckets), "bucket")
       .withColumn("cum",
         col("offset") + sum("cnt").over(
-          Window.partitionBy("bucket").orderBy("s")
+          Window.partitionBy("qlabel").orderBy("s")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum") >= col("cut_rk"))
+      .groupBy("qlabel")
       .agg(min("s").as("thr"))
-      .filter(col("thr").isNotNull)
   }
 }

@@ -979,6 +979,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val none = graft.operators.Ranks.valueAtRank(
       scores, "s", spark.range(1).select(lit(n + 1).as("cut_rk")), 100L)
     assert(none.collect().isEmpty, "rank beyond n must yield an empty frame")
+    // batched form: one pass, several ranks (the a16 quantile shape)
+    import spark.implicits._
+    val ranks = Seq(("q1", 1L), ("mid", n / 2), ("p90", (9 * n + 9) / 10), ("max", n))
+    val batched = graft.operators.Ranks
+      .valuesAtRanks(scores, "s", ranks.toDF("qlabel", "cut_rk"), 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((label, q) <- ranks)
+      assert(batched(label) === direct((q - 1).toInt),
+        s"batched $label (rank $q) disagrees with the sorted order")
   }
 
   test("hard negatives carry a different label than their anchor and rank by similarity") {
