@@ -181,6 +181,22 @@ class PlansSpec extends AnyFunSuite {
         .flatMap(_.expressions)
         .exists(_.exists(_.isInstanceOf[HyperLogLogPlusPlus])),
         "route B: single distinct group must still take the HLL++ swap")
+      // the global-rank rewrite must behave identically under the
+      // injected-rule route (it fires mid-optimization there)
+      // def, not val: a Dataset caches its QueryExecution, so each
+      // conf flip needs a freshly planned frame
+      def rankedB = s2.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars"), col("doc_id"))))
+      assert(rankedB.queryExecution.optimizedPlan.toString.contains("__graft_pid"),
+        "route B: global rank window must take the range-partitioned construction")
+      s2.conf.set("spark.graft.scaleMode", "false")
+      val exactRanks = rankedB.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+      s2.conf.set("spark.graft.scaleMode", "true")
+      assert(rankedB.collect().map(r => (r.getLong(0), r.getInt(2))).toSet === exactRanks,
+        "route B: distributed ranks must equal the global window's")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
