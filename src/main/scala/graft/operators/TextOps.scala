@@ -395,6 +395,70 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val DsirBuckets = 4096L
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its tokens are under a
+    * TARGET-domain bag-of-hashed-ngrams model than under the raw-corpus
+    * model, and keep the documents the target model prefers. The
+    * hashed feature space ([[DsirBuckets]] md5 buckets) is what makes
+    * the method corpus-scale: both "models" are one fixed-size count
+    * vector regardless of vocabulary.
+    *
+    * Target domain here: sources ≡ 0 (mod 5) — a plan-literal stand-in
+    * for "the domain we want more of" (a real run points this at a
+    * curated corpus). Per-bucket importance weights are add-one-
+    * smoothed log-ratios quantized to integer micro-nats (the
+    * [[unigramModel]] discipline, so cross-engine ulp differences
+    * vanish); per-doc scores are the SUMMED token weights — no
+    * integer division anywhere (Spark `div` truncates while DuckDB
+    * `//` floors, which diverges on negatives). Selection keeps the
+    * TOP QUARTILE by score (DSIR selects top-K, never a fixed zero
+    * cut — the average log-likelihood-ratio is ≤ 0 for typical docs of
+    * BOTH domains by Jensen, so an absolute threshold degenerates):
+    * the exact cut comes from [[Ranks.valueAtRank]] at rank
+    * ceil(0.75·n) — the distributed two-phase construction, negative
+    * scores included — and docs tying the threshold are kept.
+    *
+    * Scale: two passes over token occurrences — one to count buckets
+    * (map-side combined into ≤[[DsirBuckets]] rows), one to score with
+    * the broadcast weight table; document text never shuffles, and the
+    * keep rule is a per-doc predicate.
+    */
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokenized(spark, sfDir)
+      .withColumn("b",
+        expr(s"cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $DsirBuckets"))
+    val isTarget = expr("cast(substr(source, 4) as int) % 5 = 0")
+    val counts = toks.groupBy("b").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val model = counts.crossJoin(broadcast(tot))
+      .withColumn("w_micro", expr(
+        s"""cast(round((ln(cast(ct + 1 as double)) - ln(cast(tt + $DsirBuckets as double))
+           | - ln(cast(cr + 1 as double)) + ln(cast(tr + $DsirBuckets as double)))
+           | * 1000000) as bigint)""".stripMargin))
+      .select("b", "w_micro")
+    val perDoc = toks.join(broadcast(model), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum("w_micro").as("sum_w_micro"))
+      .localCheckpoint()
+    val cutRank = perDoc.agg(count(lit(1)).as("n"))
+      .select(expr("(3 * n + 3) div 4").as("cut_rk"))
+    val thr = Ranks.valueAtRank(perDoc, "sum_w_micro", cutRank, 100000L)
+    perDoc.crossJoin(broadcast(thr))
+      .withColumn("selected", col("sum_w_micro") >= col("thr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("doc_id"))).as("selected_id_sum"),
+        sum("sum_w_micro").as("w_micro_total"))
+      .orderBy("source")
+  }
+
   // classifier head: integer micro-unit weights over exact-ppm features
   private val ClfWeights = (3L, 2L, 1L) // uniq-ratio, stopword-rate, length
   private val ClfThreshold = 300000L // micro-units; ~38% of this corpus passes
@@ -670,6 +734,7 @@ object TextOps {
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
     "x_text_unigram_lm" -> unigramSurprise _,
+    "x_dsir_resample" -> dsirResample _,
     "x_perplexity_filter" -> perplexityFilter _,
     "x_pipeline_select" -> pipelineSelect _,
     "x_text_chunks" -> chunkDocs _,
@@ -681,6 +746,38 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same hashed-bucket log-ratio model; selection on the SUM's sign
+    "x_dsir_resample" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b FROM tok),
+        |counts AS (
+        | SELECT b,
+        |  sum(CASE WHEN substr(source, 4)::INT % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |  count(*)::BIGINT AS cr
+        | FROM tb GROUP BY b),
+        |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM counts),
+        |model AS (
+        | SELECT b, round((ln((ct + 1)::DOUBLE) - ln((tt + 4096)::DOUBLE)
+        |   - ln((cr + 1)::DOUBLE) + ln((tr + 4096)::DOUBLE)) * 1000000)::BIGINT AS w_micro
+        | FROM counts, tot),
+        |perdoc AS (
+        | SELECT tb.doc_id, tb.source, sum(m.w_micro)::BIGINT AS sum_w_micro
+        | FROM tb JOIN model m ON m.b = tb.b GROUP BY 1, 2),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM perdoc),
+        |thr AS (
+        | SELECT sum_w_micro AS thr FROM (
+        |  SELECT sum_w_micro, row_number() OVER (ORDER BY sum_w_micro) AS rn
+        |  FROM perdoc), nn
+        | WHERE rn = (3 * n + 3) // 4)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN sum_w_micro >= thr THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+        | sum(CASE WHEN sum_w_micro >= thr THEN doc_id END)::BIGINT AS selected_id_sum,
+        | sum(sum_w_micro)::BIGINT AS w_micro_total
+        |FROM perdoc, thr GROUP BY source ORDER BY source""".stripMargin,
     "x_text_bigram_lm" ->
       """WITH tok AS (
         | SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -930,6 +930,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nKept < corpusN, "some high-surprise docs must actually drop")
   }
 
+  test("DSIR resampling classifies every doc and prefers the target domain") {
+    val rows = TextOps.dsirResample(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count(),
+      "every document must be scored")
+    val (target, rest) = rows.partition(_.getString(0).drop(3).toInt % 5 == 0)
+    def rate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    assert(rate(target) > rate(rest),
+      s"target-domain selection rate ${rate(target)} must exceed ${rate(rest)}")
+    assert(rows.exists(_.getLong(2) > 0) && rest.map(_.getLong(2)).sum >= 0,
+      "selection must be a real subset, not all-or-nothing")
+  }
+
   test("residual IVF-PQ recall >= plain IVF-PQ against exact inner-product top-5") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.embeddings(spark, sf)
