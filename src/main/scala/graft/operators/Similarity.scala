@@ -981,9 +981,47 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  private val ClusterQuota = 8
+
+  /** Cluster-balanced (diversity) sampling: exactly [[ClusterQuota]]
+    * documents per k-means cluster of the embedding space, chosen in
+    * md5(vec_id) order — the prototypical-diversity draw curation
+    * pipelines use so a dominant mode can't crowd the sample (uniform
+    * hash sampling keeps the corpus's mode imbalance; cluster quotas
+    * flatten it). The cluster assignment is the SAME memoized
+    * deterministic quantizer as [[ivfTopK]]/[[semanticDedup]], so the
+    * strata are learned structure, not metadata — the embedding-space
+    * sibling of `x_sample_priority`'s per-stratum draw.
+    *
+    * Scale: assignment is the codegen'd argmin projection; the
+    * per-cluster top-K is the rank-limited window shape
+    * (WindowGroupLimit pushes `rk ≤ K` when the picked set is
+    * materialized alone — here the rollup also counts members, so the
+    * window keeps the full frame of (id, cluster) SCALARS, never
+    * vectors). md5 order makes the draw retry-stable and
+    * engine-reproducible.
+    */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val assigned = assignTo(cents)(base).select("vec_id", "list_id")
+    val w = Window.partitionBy("list_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .withColumn("picked", col("rk") <= ClusterQuota)
+      .groupBy("list_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("picked"), 1L).otherwise(0L)).as("n_picked"),
+        sum(when(col("picked"), col("vec_id"))).as("picked_id_sum"))
+      .orderBy("list_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "x_emb_dim_stats" -> dimStats _,
     "x_emb_ivfpq_residual" -> ivfPqResidualTopK _,
+    "x_sample_cluster_balanced" -> clusterBalancedSample _,
     "x_emb_pq" -> pqTopK _,
     "x_emb_ivfpq" -> ivfPqTopK _,
     "x_emb_project" -> randomProjection _,
@@ -1316,6 +1354,18 @@ object Similarity {
     "x_emb_pq" -> pqOracle,
     "x_emb_ivfpq" -> ivfPqOracle,
     "x_emb_ivfpq_residual" -> ivfPqResidualOracle,
+    // same quantizer retrain; per-cluster md5-order row_number quota
+    "x_sample_cluster_balanced" ->
+      s"""WITH $ivfTrainCtes,
+         |ranked AS (
+         | SELECT a.list_id, a.vec_id,
+         |  row_number() OVER (PARTITION BY a.list_id
+         |    ORDER BY md5(a.vec_id::VARCHAR), a.vec_id) AS rk
+         | FROM asgF a)
+         |SELECT list_id, count(*) AS n_members,
+         | sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END)::BIGINT AS n_picked,
+         | sum(CASE WHEN rk <= 8 THEN vec_id END)::BIGINT AS picked_id_sum
+         |FROM ranked GROUP BY list_id ORDER BY list_id""".stripMargin,
     "x_emb_dim_stats" ->
       """SELECT i::BIGINT AS dim, count(*) AS n,
         | round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS mean,

@@ -930,6 +930,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nKept < corpusN, "some high-surprise docs must actually drop")
   }
 
+  test("cluster-balanced sample takes exactly the quota from every big-enough cluster") {
+    val rows = Similarity.clusterBalancedSample(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16, "at most IvfK clusters")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sf).count(), "every vector is assigned")
+    rows.foreach { r =>
+      val expected = math.min(r.getLong(1), 8L)
+      assert(r.getLong(2) === expected,
+        s"cluster ${r.getInt(0)}: picked ${r.getLong(2)}, expected $expected")
+    }
+  }
+
   test("DSIR resampling classifies every doc and prefers the target domain") {
     val rows = TextOps.dsirResample(spark, sf).collect()
     assert(rows.length === 20)
