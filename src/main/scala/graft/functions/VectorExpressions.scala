@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the similarity hot path.
   *
@@ -189,6 +189,72 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Indices of the `n` smallest values of an array<double>, ties
+    * broken by lower index — IVF probe selection (`nprobe` nearest
+    * centroids under the |c|² − 2·v·c surrogate) as one codegen'd
+    * expression. Replaces the CodegenFallback pair
+    * `array_sort(array(struct(d, j)))` + `transform(p -> p.j)` that
+    * kept four ANN queries out of whole-stage codegen. O(K·n)
+    * selection, no allocation beyond the n-slot result. ±0.0 compare
+    * EQUAL here (index tiebreak) — matching SQL/DuckDB semantics,
+    * where `Double.compare`-based array_sort ordered −0.0 first.
+    */
+  def argminN(a: ArrayData, n: Int): ArrayData = {
+    val k = a.numElements()
+    val m = math.min(n, k)
+    val used = new Array[Boolean](k)
+    val out = new Array[Int](m)
+    var slot = 0
+    while (slot < m) {
+      var best = -1
+      var bestD = 0.0
+      var i = 0
+      while (i < k) {
+        if (!used(i)) {
+          val d = a.getDouble(i)
+          if (best < 0 || d < bestD) { best = i; bestD = d }
+        }
+        i += 1
+      }
+      used(best) = true
+      out(slot) = best
+      slot += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Element-wise a(i) − b(i) over two array<double> columns — the
+    * residual computation `v − centroid(list)` fused into codegen
+    * (`zip_with`'s merge lambda is CodegenFallback). Identical IEEE
+    * subtraction in index order, so oracle parity is untouched.
+    */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorExpressions.vecSub(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorExpressions.vecSub($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class ArgminN(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VectorExpressions.argminN(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorExpressions.argminN($c, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Column API. Inputs must already be array<double> (cast upstream —
     * keeping the cast visible in the plan preserves oracle parity with
     * the DOUBLE[] cast on the DuckDB side).
@@ -205,4 +271,8 @@ object VectorExpressions {
     GraftColumnBridge.column(SumLongs(GraftColumnBridge.expression(q), useAbs = false))
   def abs_sum_longs(q: Column): Column =
     GraftColumnBridge.column(SumLongs(GraftColumnBridge.expression(q), useAbs = true))
+  def argmin_n(a: Column, n: Int): Column =
+    GraftColumnBridge.column(ArgminN(GraftColumnBridge.expression(a), n))
+  def vec_sub(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecSub(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

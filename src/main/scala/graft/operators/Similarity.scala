@@ -251,17 +251,17 @@ object Similarity {
     * structs). Shared by the in-memory and bucketed-storage IVF paths.
     */
   private def probeFrame(base: DataFrame, cents: Seq[Array[Double]], nprobe: Int): DataFrame = {
-    val probeScored = cents.zipWithIndex.map { case (cent, j) =>
+    // one fused codegen'd expression selects the nprobe smallest
+    // (distance, list-id) — the array_sort(struct)+transform lambda
+    // pair it replaces was the last CodegenFallback in the ANN family
+    val dists = array(cents.zipWithIndex.map { case (cent, _) =>
       val c2 = cent.map(x => x * x).sum
-      struct(
-        (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
-          .dot_product(col("v"), centroidCol(cent))).as("d"),
-        lit(j).as("j"))
-    }
+      lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+        .dot_product(col("v"), centroidCol(cent))
+    }: _*)
     base.filter(col("vec_id") < 5)
-      .withColumn("probes", slice(array_sort(array(probeScored: _*)), 1, nprobe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(expr("transform(probes, p -> p.j)")).as("list_id"))
+        explode(graft.functions.VectorExpressions.argmin_n(dists, nprobe)).as("list_id"))
   }
 
   /** Exact-cosine top-5 re-rank of (assigned ⋈ probes) — the shared
@@ -939,9 +939,8 @@ object Similarity {
     val cents = trainedCentroids(spark, sfDir, base)
     val centTable = array(cents.map(centroidCol): _*)
     val resid = assignTo(cents)(base)
-      .withColumn("rv",
-        zip_with(col("v"), element_at(centTable, col("list_id") + 1),
-          (x, y) => x - y))
+      .withColumn("rv", graft.functions.VectorExpressions.vec_sub(
+        col("v"), element_at(centTable, col("list_id") + 1)))
       .select(col("vec_id"), col("list_id"), col("rv").as("v"))
     val rbooks = trainedResidBooks(spark, sfDir, resid.select("vec_id", "v"))
     val sub = resid

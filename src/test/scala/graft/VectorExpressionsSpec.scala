@@ -99,4 +99,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows.length === 5)
     assert(rows.forall(_.getSeq[String](0).length === 2))
   }
+
+  test("argmin_n equals the array_sort(struct) selection and stays codegen'd") {
+    import graft.functions.VectorExpressions.argmin_n
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random distance arrays with duplicates
+    val df = spark.range(0, 500).selectExpr(
+      """transform(sequence(0, 15), j ->
+        | cast(conv(substr(md5(concat(cast(id as string), '_', cast(j as string))), 1, 6), 16, 10)
+        |   as double) % 97) AS d""".stripMargin)
+    val both = df
+      .withColumn("hof", expr(
+        "slice(transform(array_sort(transform(sequence(0, 15), j -> struct(d[j] as dist, j as idx))), p -> cast(p.idx as int)), 1, 4)"))
+      .withColumn("fused", argmin_n(col("d"), 4))
+    assert(both.filter(col("hof") =!= col("fused")).count() === 0,
+      "fused selection must match the sort-based lambda form")
+    // and it must compile under codegen with fallback disabled
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val rows = s2.range(3)
+      .selectExpr("array(cast(id as double), 0.5d, -1.5d, 0.5d) AS d")
+      .select(argmin_n(col("d"), 2).as("ix")).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getSeq[Int](0).length === 2))
+  }
 }
