@@ -395,6 +395,58 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** SymSpell-style typo-pair mining: every vocabulary pair at edit
+    * distance EXACTLY 1, found via DELETION-NEIGHBORHOOD blocking —
+    * each token emits itself plus its single-character deletions, and
+    * only tokens sharing a variant ever meet (an equi-join), so the
+    * O(V²) levenshtein cross-join never exists. Two tokens sharing a
+    * deletion variant are within distance 2; the exact
+    * `levenshtein = 1` filter then runs on candidate pairs only. The
+    * cleaning signal: a rare token one edit from a frequent one is a
+    * likely typo (the counts ride along for that call).
+    *
+    * Scale: variants are vocab-bounded (V × avg-token-length rows of
+    * short strings), the block join is a hash equi-join on the variant
+    * string, and the final top-50 is a TakeOrderedAndProject with a
+    * total (count-sum desc, t1, t2) order — deterministic under any
+    * partitioning. Both engines' `levenshtein` are character-exact.
+    *
+    * Fixture honesty: the synthetic corpus draws from a ~31-word
+    * generator vocabulary with NO natural near-collisions, so the
+    * query first noises a deterministic 10% doc slice (md5(doc_id)
+    * selects the docs AND the deleted character position) and must
+    * mine back exactly those injected typo→original pairs — both
+    * engines compute the identical injection, making the demo
+    * self-validating instead of vacuously empty.
+    */
+  def typoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val noised = tokenized(spark, sfDir)
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("t",
+        when(col("h") % 10 === 0 && length(col("t")) >= 4,
+          expr("""concat(substr(t, 1, cast(h % (length(t) - 2) as int) + 1),
+                 |       substr(t, cast(h % (length(t) - 2) as int) + 3))""".stripMargin))
+          .otherwise(col("t")))
+    val vocab = noised
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("t")).between(3, 20))
+    val variants = vocab
+      .select(col("t"), col("cnt"), explode(expr("sequence(0, length(t))")).as("i"))
+      .select(col("t"), col("cnt"),
+        when(col("i") === 0, col("t"))
+          .otherwise(expr("concat(substr(t, 1, i - 1), substr(t, i + 1))")).as("v"))
+      .distinct()
+    val pairs = variants.as("a").join(variants.as("b"), Seq("v"))
+      .filter(col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"),
+        col("a.cnt").as("cnt1"), col("b.cnt").as("cnt2"))
+      .distinct()
+      .filter(expr("levenshtein(t1, t2) = 1"))
+    pairs.orderBy((col("cnt1") + col("cnt2")).desc, col("t1"), col("t2"))
+      .limit(50)
+  }
+
   private val DsirBuckets = 4096L
 
   /** DSIR-style importance resampling (Xie et al., "Data Selection for
@@ -735,6 +787,7 @@ object TextOps {
     "x_text_repetition" -> repetition _,
     "x_text_unigram_lm" -> unigramSurprise _,
     "x_dsir_resample" -> dsirResample _,
+    "x_text_typo_pairs" -> typoPairs _,
     "x_perplexity_filter" -> perplexityFilter _,
     "x_pipeline_select" -> pipelineSelect _,
     "x_text_chunks" -> chunkDocs _,
@@ -746,6 +799,33 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same deletion-neighborhood blocking + exact levenshtein filter
+    "x_text_typo_pairs" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |tok AS (
+        | SELECT CASE WHEN h % 10 = 0 AND len(t) >= 4
+        |   THEN substr(t, 1, (h % (len(t) - 2))::INT + 1)
+        |     || substr(t, (h % (len(t) - 2))::INT + 3)
+        |   ELSE t END AS t
+        | FROM (SELECT t, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |       FROM tok0)),
+        |vocab AS (
+        | SELECT t, count(*) AS cnt FROM tok
+        | WHERE len(t) BETWEEN 3 AND 20 GROUP BY t),
+        |variants AS (
+        | SELECT DISTINCT t, cnt,
+        |  CASE WHEN i = 0 THEN t
+        |       ELSE substr(t, 1, i - 1) || substr(t, i + 1) END AS v
+        | FROM (SELECT t, cnt, unnest(range(0, len(t) + 1)) AS i FROM vocab)),
+        |pairs AS (
+        | SELECT DISTINCT a.t AS t1, b.t AS t2,
+        |  a.cnt::BIGINT AS cnt1, b.cnt::BIGINT AS cnt2
+        | FROM variants a JOIN variants b ON a.v = b.v AND a.t < b.t)
+        |SELECT t1, t2, cnt1, cnt2 FROM pairs
+        |WHERE levenshtein(t1, t2) = 1
+        |ORDER BY cnt1 + cnt2 DESC, t1, t2 LIMIT 50""".stripMargin,
     // same hashed-bucket log-ratio model; selection on the SUM's sign
     "x_dsir_resample" ->
       """WITH tok AS (

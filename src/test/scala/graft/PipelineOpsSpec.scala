@@ -930,6 +930,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nKept < corpusN, "some high-surprise docs must actually drop")
   }
 
+  test("typo mining recovers injected deletion typos at edit distance exactly 1") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = TextOps.typoPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "the injected 10% noise slice must yield minable pairs")
+    rows.foreach { r =>
+      assert(lev(r.getString(0), r.getString(1)) === 1,
+        s"${r.getString(0)} / ${r.getString(1)} not at edit distance 1")
+    }
+    // at least one recovered pair must be a deletion typo of a more
+    // frequent original (the injection shape)
+    assert(rows.exists { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      val (c1, c2) = (r.getLong(2), r.getLong(3))
+      (t1.length != t2.length) && (if (t1.length < t2.length) c1 < c2 else c2 < c1)
+    }, "no rare-deletion-of-frequent-original pair recovered")
+  }
+
   test("cluster-balanced sample takes exactly the quota from every big-enough cluster") {
     val rows = Similarity.clusterBalancedSample(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 16, "at most IvfK clusters")
