@@ -297,6 +297,65 @@ object BenchOps {
       .orderBy("o_orderstatus")
   }
 
+  private[graft] val BloomRows = 200000L
+
+  /** K9 — parquet BLOOM FILTER knob (the K-family axis the reference's
+    * sweep lacks): the writer attaches a split-block bloom filter to
+    * the high-cardinality key column only
+    * (`parquet.bloom.filter.enabled#k`), so point-lookup row groups can
+    * be skipped on membership before ANY data page decodes — the
+    * dictionary/stats complement for needle-in-100 TB lookups where
+    * min/max ranges are too wide to prune. Keys are the EVEN integers,
+    * making hit/miss probes deterministic.
+    *
+    * The bloom_on_* flags are derived from the written footer
+    * (ColumnChunkMetaData.bloomFilterOffset) and the oracle PINS them —
+    * the same derived-flag gate as s14's agg_pushed: silently losing
+    * the bloom writes fails correctness, not just a bench number. The
+    * spec additionally loads the filter and proves the present key is
+    * found and absent keys reject at ~FPP.
+    */
+  def k9BloomKnob(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val path = s"$workRoot/bloom/bloom_knob_$BloomRows"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$path/_SUCCESS")))
+      spark.range(BloomRows)
+        .selectExpr("id * 2 AS k", "cast(id % 1000 as double) AS v")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", BloomRows.toString)
+        .parquet(path)
+    val (bloomK, bloomV) = bloomFlags(spark, path)
+    val base = spark.read.parquet(path)
+    val hit = base.filter(col("k") === 123456L)
+      .agg(count(lit(1)).as("c"), coalesce(sum("k"), lit(0L)).as("s")).head()
+    val miss = base.filter(col("k") === 123457L).count()
+    Seq((base.count(), bloomK, bloomV, hit.getLong(0), miss, hit.getLong(1)))
+      .toDF("n_rows", "bloom_on_k", "bloom_on_v", "hit_rows", "miss_rows", "hit_k_sum")
+  }
+
+  /** (bloom on k?, bloom on v?) read from the written file's footer. */
+  private[graft] def bloomFlags(spark: SparkSession, path: String): (Boolean, Boolean) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val part = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+    try {
+      val m = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      (m("k"), m("v"))
+    } finally reader.close()
+  }
+
   /** Compacted-output file count, exposed for the spec. */
   private[graft] def compactedFileCount(spark: SparkSession): Int = {
     import org.apache.hadoop.fs.Path
@@ -513,6 +572,7 @@ object BenchOps {
     "s11_orc_roundtrip" -> s11OrcRoundtrip _,
     "s13_json_roundtrip" -> s13JsonRoundtrip _,
     "k8_compaction" -> k8Compaction _,
+    "k9_bloom_knob" -> k9BloomKnob _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -594,6 +654,16 @@ object BenchOps {
     // deterministic twins of the timed benchmarks: DuckDB recomputes
     // every column independently from the SAME generated files (its own
     // parquet decoder, parquet_metadata(), read_blob byte lengths)
+    // bloom flags pinned like s14's agg_pushed: losing the bloom write
+    // on k (or growing one on v) fails the correctness gate
+    "k9_bloom_knob" -> {
+      val p = s"$workRoot/bloom/bloom_knob_$BloomRows"
+      s"""SELECT (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS n_rows,
+         | TRUE AS bloom_on_k, FALSE AS bloom_on_v,
+         | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_rows,
+         | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123457)::BIGINT AS miss_rows,
+         | (SELECT coalesce(sum(k), 0) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_k_sum""".stripMargin
+    },
     // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
     // serving the aggregate from footer stats, the gate goes red
     "s14_agg_pushdown" -> {

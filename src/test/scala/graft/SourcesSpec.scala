@@ -232,4 +232,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.sources.useV1SourceList") === v1Before, "v1-list restored")
     assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") === aggBefore, "agg conf restored")
   }
+
+  test("bloom-filter knob writes a working bloom on k only, and probes behave") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val r = graft.operators.BenchOps.k9BloomKnob(spark, TestSpark.sf).head()
+    assert(r.getBoolean(1), "k must carry a bloom filter")
+    assert(!r.getBoolean(2), "v must not carry a bloom filter")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 0L && r.getLong(5) === 123456L)
+    // load the filter itself: present keys can NEVER be rejected, and
+    // absent keys must reject at ~FPP (deterministic file -> stable)
+    val dir = "/root/repo/target/graft-work/bloom/bloom_knob_200000"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new Path(dir).getFileSystem(conf).listStatus(new Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val colK = block.getColumns.asScala.find(_.getPath.toDotString == "k").get
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(colK)
+      assert(bloom != null, "bloom filter bytes must be readable")
+      val presentFound = (0 until 100)
+        .count(i => bloom.findHash(bloom.hash(i.toLong * 2)))
+      val absentFound = (0 until 100)
+        .count(i => bloom.findHash(bloom.hash(i.toLong * 2 + 1)))
+      assert(presentFound === 100, "a bloom filter has no false negatives")
+      assert(absentFound <= 5, s"absent keys must reject at ~1% FPP, found $absentFound/100")
+    } finally reader.close()
+  }
 }
