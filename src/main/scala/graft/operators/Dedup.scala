@@ -257,9 +257,10 @@ object Dedup {
     * twice: the convergence check and the next round), and the
     * PREVIOUS round's cache is released as soon as the new round is
     * materialized; the edge set is released before returning. The
-    * final result (one row per cluster — tiny by construction) is
-    * collected to a local DataFrame so NO cache outlives the call.
-    * PipelineOpsSpec asserts the storage release.
+    * final result is WRITTEN to the fingerprint-keyed on-disk model
+    * ([[clusterModelDir]]) — a distributed sink, because at lake scale
+    * the cluster table is corpus-fraction-sized — so NO cache outlives
+    * the call. PipelineOpsSpec asserts the storage release.
     *
     * Each round is ONE Spark job: the previous label rides along as
     * `old_label` through the union+min aggregation, so the cache-
@@ -278,7 +279,51 @@ object Dedup {
     dbg(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
 
+  /** Fingerprint-keyed on-disk location of the cluster model — the
+    * dedup analog of the ingest base index ([[ensureBaseIndex]]). At
+    * lake scale near-dup cluster MEMBERSHIP is a corpus-fraction-sized
+    * DATA artifact (web-scale corpora run 30–50% near-dups), not a K×d
+    * model, so it is materialized to parquet once per (input
+    * fingerprint, hash family) and every apply pass JOINS it — never
+    * collected to the driver, never broadcast from a driver array.
+    * Two layouts are written: `members/` — (doc_id, keep_id) pairs,
+    * the join-shaped table [[dedupApply]] consumes — and `clusters/`,
+    * the display schema the build query returns. Regenerated input
+    * changes the fingerprint and rebuilds.
+    */
+  private[graft] def clusterModelDir(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
+    s"/root/repo/target/graft-work/dedup/clusters_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
+  }
+
+  /** Build-if-absent gate for the cluster model: `clusters/` is written
+    * last, so its _SUCCESS marks the whole artifact. The BUILD cost
+    * stays on the build query (`x_dedup_clusters` always rebuilds);
+    * apply-side consumers go through this gate, exactly as a
+    * production pipeline materializes clusters once per corpus version
+    * and applies them on every downstream pass.
+    */
+  private[graft] def ensureClusterModel(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val dir = clusterModelDir(spark, sfDir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/clusters/_SUCCESS"))) buildClusterModel(spark, sfDir, dir)
+    dir
+  }
+
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // The build query is also the artifact writer: it (re)materializes
+    // the on-disk cluster model and returns a scan of it, so the frame
+    // handed back is ALWAYS file-backed — downstream joins see a
+    // parquet relation whether the build ran the driver fast path or
+    // the distributed loop.
+    val dir = clusterModelDir(spark, sfDir)
+    buildClusterModel(spark, sfDir, dir)
+    spark.read.parquet(s"$dir/clusters").orderBy("keep_id")
+  }
+
+  private def buildClusterModel(spark: SparkSession, sfDir: String, dir: String): Unit = {
     // Cache the ONE-DIRECTIONAL edge set and materialize it before
     // deriving the bidirectional view: a union of two projections of an
     // UNCACHED frame executes the whole shingle→band→verify lineage
@@ -310,8 +355,18 @@ object Dedup {
       val cap = math.min(localMax, (Int.MaxValue - 1).toLong).toInt
       val collected = timed("edge collect")(
         edgePlan.limit(cap + 1).collect())
-      if (collected.length <= cap)
-        return timed("localUnionFind")(localClusters(spark, collected))
+      if (collected.length <= cap) {
+        // model-sized graph: union-find on the driver, then persist the
+        // same two layouts the distributed path writes so every
+        // consumer joins the artifact regardless of which path built it
+        val local = timed("localUnionFind")(localClusters(spark, collected))
+        local.select(
+            explode(split(col("members"), "\\|").cast("array<bigint>")).as("doc_id"),
+            col("keep_id"))
+          .write.mode("overwrite").parquet(s"$dir/members")
+        local.write.mode("overwrite").parquet(s"$dir/clusters")
+        return
+      }
     }
     val edges = edgePlan.cache()
     timed("edge materialize")(edges.count())
@@ -340,7 +395,14 @@ object Dedup {
         if (algo == "starcontract")
           timed("starContractLabels")(starContractLabels(bidir))
         else timed("fixpointLabels")(fixpointLabels(bidir))
-      val result = labels
+      // Both layouts are WRITTEN, never collected: on the distributed
+      // path the cluster table is corpus-fraction-sized at lake scale,
+      // so materialization must be a distributed sink (the writes also
+      // force the label cache, which is then released).
+      timed("memberWrite")(
+        labels.select(col("doc_id"), col("label").as("keep_id"))
+          .write.mode("overwrite").parquet(s"$dir/members"))
+      timed("clusterWrite")(labels
         .groupBy("label")
         .agg(sort_array(collect_list(col("doc_id"))).as("members"))
         .select(
@@ -348,11 +410,8 @@ object Dedup {
           size(col("members")).as("cluster_size"),
           concat_ws("|", col("members").cast("array<string>")).as("members"))
         .orderBy("keep_id")
-      // one row per cluster — collect locally so no cache outlives the
-      // call (this is model-sized output extraction, not a data collect)
-      val localRows = timed("clusterCollect")(result.collect())
+        .write.mode("overwrite").parquet(s"$dir/clusters"))
       labels.unpersist()
-      spark.createDataFrame(java.util.Arrays.asList(localRows: _*), result.schema)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -837,43 +896,28 @@ object Dedup {
     * Jaccard ≥ 0.8 clusters, applied to the exact-dedup survivors).
     *
     * Scale: the exact pass is the [[exactKeep]] hash-groupBy; the
-    * near-dup member list is cluster output — model-sized by
-    * construction (one row per clustered doc), so its join back to the
-    * corpus broadcasts. The corpus itself is touched by exactly one
-    * scan + one md5-keyed shuffle.
+    * near-dup member list is the materialized on-disk cluster model
+    * ([[ensureClusterModel]]) joined back to the corpus as a parquet
+    * relation — corpus-fraction-sized at lake scale, so never a
+    * driver-array broadcast. The corpus itself is touched by exactly
+    * one scan + one md5-keyed shuffle.
     */
-  /** Cluster-model registry: near-dup cluster membership is a
-    * deterministic, model-sized artifact of the input file (one row
-    * per cluster), so — like [[Similarity]]'s trained quantizer — it
-    * is memoized per (path, fingerprint). The BUILD cost stays on the
-    * build query (`x_dedup_clusters`, never memoized); APPLY queries
-    * consume the materialized model, exactly as a production pipeline
-    * materializes clusters once and applies them on every downstream
-    * pass. Regenerated data changes the fingerprint and rebuilds.
-    */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
-
-  private def clusterModel(spark: SparkSession, sfDir: String): Array[org.apache.spark.sql.Row] = {
-    val fp = graft.sources.LayoutCache.fingerprint(
-      spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    clusterCache.computeIfAbsent(s"$sfDir|$fp|${hashFamily(spark)}",
-      _ => nearDupClusters(spark, sfDir).collect())
-  }
-
   def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val ex = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
     val keepers = ex.groupBy("fp").agg(min("doc_id").as("keeper"))
-    // non-representative members of near-dup clusters, read off the
-    // materialized cluster model (driver-sized) and broadcast back
-    val removedIds = clusterModel(spark, sfDir).flatMap { r =>
-      r.getString(2).split('|').map(_.toLong).filter(_ != r.getLong(0)) }
-    val nearMembers = removedIds.toSeq.toDF("doc_id")
-      .withColumn("near_member", lit(true))
+    // Non-representative near-dup members arrive as a JOIN against the
+    // materialized on-disk cluster model ([[ensureClusterModel]]) —
+    // never a driver array: at lake scale membership is
+    // corpus-fraction-sized, and a file-backed relation lets AQE
+    // broadcast it exactly when its measured size is small (no hint —
+    // the planner sees real file statistics).
+    val modelDir = ensureClusterModel(spark, sfDir)
+    val nearMembers = spark.read.parquet(s"$modelDir/members")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("near_member"))
     ex.join(keepers, "fp")
-      .join(broadcast(nearMembers), Seq("doc_id"), "left")
+      .join(nearMembers, Seq("doc_id"), "left")
       .select(col("source"),
         (col("doc_id") =!= col("keeper")).as("removed_exact"),
         coalesce(col("near_member"), lit(false)).as("nm"))

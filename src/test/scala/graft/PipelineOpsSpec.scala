@@ -141,6 +141,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"starcontract leaked ${leaked.size} cached RDDs")
   }
 
+  test("dedupApply joins the materialized cluster model, not a driver array") {
+    // Force the DISTRIBUTED fixpoint build (the auto fast path would be
+    // allowed to union-find on the driver) so the artifact being joined
+    // is the distributed loop's parquet write, then assert the APPLY
+    // plan consumes it as a file-backed relation: zero LocalRelation
+    // nodes anywhere in the optimized plan (a driver array of cluster
+    // members would surface as one) and a scan over the model's
+    // members/ layout. This is the 100 TB contract — cluster membership
+    // is corpus-fraction-sized data, so apply must join, never
+    // broadcast a collected array.
+    spark.conf.set("spark.graft.ccAlgorithm", "fixpoint")
+    try Dedup.nearDupClusters(spark, sf).collect()
+    finally spark.conf.unset("spark.graft.ccAlgorithm")
+    val df = Dedup.dedupApply(spark, sf)
+    val local = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(local.isEmpty,
+      s"apply plan must not contain a driver-built LocalRelation; found ${local.size}")
+    val scanPaths = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scanPaths.exists(_.contains("/members")),
+      s"apply plan must scan the materialized cluster-model members/ layout; scans: $scanPaths")
+    assert(df.collect().nonEmpty)
+  }
+
   test("simhash candidates have small hamming distance at the top") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
