@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * [[Curation.tokenBudgetSelect]] prefix-sum pattern applied to counts):
   *
   *  1. distinct-score counts roll up per RANGE BUCKET
-  *     (`score div bucketWidth` — a monotone coarsening, so bucket
-  *     order refines to score order); the exclusive running count over
-  *     the ~O(score range / width) bucket rows is the only
+  *     (`score div bucketWidth` — truncation toward zero, still a
+  *     monotone coarsening, so bucket order refines to score order;
+  *     note bucket 0 spans (-width, width), i.e. up to 2·width−1
+  *     distinct scores when scores go negative); the exclusive running
+  *     count over the ~O(score range / width) bucket rows is the only
   *     unpartitioned window — constant-size regardless of corpus scale;
   *  2. exactly ONE bucket straddles the cut rank
   *     (`offset < r <= offset + count`); only that bucket's
-  *     distinct-score rows — at most `bucketWidth` of them, corpus-
+  *     distinct-score rows — at most `2·bucketWidth − 1` of them
+  *     (the zero-straddling bucket's width; every other bucket holds
+  *     at most `bucketWidth`), corpus-
   *     independent — take a bucket-partitioned running count, and the
   *     smallest score whose cumulative count reaches the rank is the
   *     answer.
@@ -56,9 +60,9 @@ object Ranks {
     * aggregate). `cutRanks` carries (`qlabel` STRING, `cut_rk` BIGINT)
     * rows; returns one (`qlabel`, `thr`) row per rank that lands
     * within the population. Each rank straddles exactly one bucket, so
-    * the phase-2 window is per-LABEL over at most `bucketWidth`
-    * distinct-score rows — corpus-independent however many ranks ride
-    * along.
+    * the phase-2 window is per-LABEL over at most `2·bucketWidth − 1`
+    * distinct-score rows (the zero-straddling bucket's span) —
+    * corpus-independent however many ranks ride along.
     */
   def valuesAtRanks(
       scored: DataFrame,
@@ -66,8 +70,13 @@ object Ranks {
       cutRanks: DataFrame,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    // integer `div` floors toward -inf in Spark and DuckDB alike, so the
-    // bucketing stays monotone for negative scores too
+    // Spark's `div` (IntegralDivide) TRUNCATES toward zero, which is
+    // still a monotone non-decreasing coarsening of score order, so the
+    // construction stays correct for negative scores; the one wrinkle
+    // is that bucket 0 spans (-width, width) — up to 2·width−1 distinct
+    // scores — which only affects the phase-2 window's constant bound,
+    // not correctness. (DuckDB `//` floors; irrelevant here because the
+    // bucketing is internal — oracles never reproduce it.)
     val scores = scored
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("cnt"))

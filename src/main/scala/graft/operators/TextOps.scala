@@ -826,14 +826,16 @@ object TextOps {
         |SELECT t1, t2, cnt1, cnt2 FROM pairs
         |WHERE levenshtein(t1, t2) = 1
         |ORDER BY cnt1 + cnt2 DESC, t1, t2 LIMIT 50""".stripMargin,
-    // same hashed-bucket log-ratio model; selection on the SUM's sign
+    // same hashed-bucket log-ratio model; selection at the exact p75
+    // rank cut (rn = (3n+3)//4), ties kept — NOT a sign threshold,
+    // which the dsirResample scaladoc argues degenerates
     "x_dsir_resample" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         | SELECT doc_id, source,
-        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
         | FROM documents),
         |tb AS (SELECT doc_id, source,
-        |  ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b FROM tok),
+        |  ('0x' || substr(md5(t), 1, 15))::BIGINT % $DsirBuckets AS b FROM tok),
         |counts AS (
         | SELECT b,
         |  sum(CASE WHEN substr(source, 4)::INT % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS ct,
@@ -841,8 +843,8 @@ object TextOps {
         | FROM tb GROUP BY b),
         |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM counts),
         |model AS (
-        | SELECT b, round((ln((ct + 1)::DOUBLE) - ln((tt + 4096)::DOUBLE)
-        |   - ln((cr + 1)::DOUBLE) + ln((tr + 4096)::DOUBLE)) * 1000000)::BIGINT AS w_micro
+        | SELECT b, round((ln((ct + 1)::DOUBLE) - ln((tt + $DsirBuckets)::DOUBLE)
+        |   - ln((cr + 1)::DOUBLE) + ln((tr + $DsirBuckets)::DOUBLE)) * 1000000)::BIGINT AS w_micro
         | FROM counts, tot),
         |perdoc AS (
         | SELECT tb.doc_id, tb.source, sum(m.w_micro)::BIGINT AS sum_w_micro

@@ -79,8 +79,14 @@ def main():
           f"{', CONTENDED' if new_cont else ''})")
     total_o = sum(old[q] for q in common)
     total_n = sum(new[q] for q in common)
-    print(f"common {len(common)} queries: {total_o:.1f}s -> {total_n:.1f}s "
-          f"({total_n / total_o:.2f}x)" if common else "no common queries")
+    if common and total_o > 0:
+        print(f"common {len(common)} queries: {total_o:.1f}s -> {total_n:.1f}s "
+              f"({total_n / total_o:.2f}x)")
+    elif common:
+        print(f"common {len(common)} queries: {total_o:.1f}s -> {total_n:.1f}s "
+              "(old total is 0 — ratio undefined)")
+    else:
+        print("no common queries")
     for name in sorted(set(new) - set(old)):
         print(f"  new-only: {name} {new[name]:.2f}s")
     for name in sorted(set(old) - set(new)):
