@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, Cast, Coalesce, CurrentRow, EqualTo, Expression, Literal, NamedExpression, Rank, RowFrame, RowNumber, SortOrder, SparkPartitionID, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, Cast, Coalesce, CumeDist, CurrentRow, Divide, EqualTo, Expression, GreaterThan, If, Literal, NamedExpression, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SparkPartitionID, SpecifiedWindowFrame, Subtract, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Percentile, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Project, RepartitionByExpression, Window, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -34,14 +34,23 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    differently between the two documented deployment routes
   *    (HLL++ under `injectOptimizerRule`, exact under the extension
   *    list). The guard makes both routes identical by construction.
-  *  - a GLOBAL rank window (`row_number()`/`rank()` OVER (ORDER BY …)
-  *    with no PARTITION BY — the single-partition corpus sort that
+  *  - a GLOBAL rank-family window (`row_number()`/`rank()`/
+  *    `percent_rank()`/`cume_dist()` OVER (ORDER BY …) with no
+  *    PARTITION BY — the single-partition corpus sort that
   *    [[graft.operators.Ranks]] exists to avoid) → the distributed
   *    range-partition construction: range-shuffle on the order keys,
   *    capture the partition id, rank locally per partition, and add
   *    the exclusive running count of preceding partitions (a window
-  *    over the #partitions-row count aggregate — constant-size). Same
-  *    ranks, no single-partition shuffle of the ranked frame.
+  *    over the #partitions-row count aggregate — constant-size). The
+  *    ratio forms divide the same integers the native functions
+  *    divide ((rank−1)/(N−1), peer-cum/N), so the doubles are
+  *    bit-identical. Same results, no single-partition shuffle of the
+  *    ranked frame. The construction's offset join re-reads the
+  *    ranged exchange, so it is only applied when
+  *    `spark.sql.exchange.reuse` is on (its default) — with reuse
+  *    disabled the two exchange instances could sample different
+  *    range boundaries and silently mis-rank, so the rule leaves the
+  *    original (correct, merely unscaled) window in place.
   *
   * Deployment: `--conf spark.sql.extensions=graft.plans.ScaleModeExtensions`
   * at session build, or `spark.experimental.extraOptimizations ++=
@@ -69,7 +78,13 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString("spark.graft.scaleMode", "false").toBoolean) plan
     else plan.transform {
       case agg: Aggregate => rewriteAggregate(agg)
-      case w: Window if isGlobalRankWindow(w) => rewriteGlobalRank(w)
+      // The rank construction's correctness REQUIRES the ranged
+      // exchange to be physically shared between the local-rank side
+      // and the offset side (range boundary sampling is seeded per
+      // shuffle instance) — ReuseExchange is what guarantees that, so
+      // with it disabled the rewrite must not fire.
+      case w: Window if isGlobalRankWindow(w) && conf.exchangeReuseEnabled =>
+        rewriteGlobalRank(w)
     }
 
   /** Distinct "groups" exactly as `RewriteDistinctAggregates` sees them:
@@ -114,33 +129,52 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
       w.orderSpec.forall(_.deterministic) &&
       w.windowExpressions.nonEmpty &&
       w.windowExpressions.forall {
-        case Alias(WindowExpression(_: RowNumber | _: Rank, _), _) => true
+        case Alias(WindowExpression(
+          _: RowNumber | _: Rank | _: PercentRank | _: CumeDist, _), _) => true
         case _ => false
       }
 
-  /** The distributed twin of `rank()/row_number() OVER (ORDER BY k)`:
+  /** The distributed twin of `row_number()/rank()/percent_rank()/
+    * cume_dist() OVER (ORDER BY k)`:
     *
     * {{{
     *   ranged  = RepartitionByExpression(orderSpec, child)   // range shuffle
     *   pids    = Project(child.* , pid = spark_partition_id())
-    *   local   = Window(rank OVER (PARTITION BY pid ORDER BY k), pids)
-    *   counts  = Aggregate(pid, count(1), pids)
+    *   local   = Window(rn = row_number() OVER (PARTITION BY pid ORDER BY k)
+    *                    [, rank/peer-count per requested function], pids)
+    *   counts  = Aggregate(pid, max(rn) AS cnt, local)       // from the
+    *                                     // window OUTPUT — a linear chain
     *   offsets = Window(sum(cnt) OVER (PARTITION BY 0 ORDER BY pid
-    *                                   ROWS UNBOUNDED PRECEDING TO -1), counts)
-    *   result  = Project(child.*, offset + local_rank AS <original attr>,
+    *                                   ROWS UNBOUNDED PRECEDING TO -1),
+    *                    sum(cnt) OVER (… UNBOUNDED BOTH) AS total, counts)
+    *   result  = Project(child.*, offset + local AS <original attr>
+    *                     [ratio forms divide by total/total−1],
     *                     local JOIN broadcast(offsets) ON pid)
     * }}}
     *
     * Correctness leans on two range-partitioner properties: partition
     * ids are ordered by key range, and EQUAL keys land in one partition
-    * (so `rank`'s peer groups never straddle a boundary). The `pids`
-    * subtree feeds both the local window and the counts aggregate —
-    * physically one exchange via `ReuseExchange`, so both consumers see
-    * the identical partition assignment (and the range boundaries are
-    * sampled once). `EnsureRequirements` re-clusters the window side by
-    * pid — a second DISTRIBUTED shuffle; the construction trades the
+    * (so `rank`'s peer groups never straddle a boundary). Per-partition
+    * counts are derived as `max(row_number)` FROM THE LOCAL WINDOW'S
+    * OUTPUT, not from a second aggregate over the exchange, so the
+    * ranged exchange has exactly one direct consumer and the only
+    * shared subtree is the post-window frame — `ReuseExchange` then
+    * collapses the offset side's copy onto the one physical shuffle
+    * (boundary sampling is per shuffle instance, which is why
+    * [[apply]] refuses to rewrite when reuse is disabled).
+    * `EnsureRequirements` re-clusters the window side by pid — a
+    * second DISTRIBUTED shuffle; the construction trades the
     * single-partition global sort for two corpus-wide parallel
     * shuffles plus one #partitions-row window.
+    *
+    * The ratio functions reproduce the native integer→double
+    * divisions exactly: `percent_rank = (rank−1)/(N−1)` (0 when N=1)
+    * and `cume_dist = peer-cum/N`, with `N = sum(cnt)` over the full
+    * #partitions frame and peer-cum a RANGE-framed count per pid (peers
+    * never straddle partitions), so the doubles are bit-identical to
+    * the single-partition plan's. `ntile` is NOT handled: its bucket
+    * arithmetic depends on n in a shape that would need a different
+    * join payload — it stays on the native window.
     */
   private def rewriteGlobalRank(w: Window): LogicalPlan = {
     val child = w.child
@@ -151,48 +185,84 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
 
     val localFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val localSpec = WindowSpecDefinition(Seq(pid), w.orderSpec, localFrame)
-    val localAliases = w.windowExpressions.map {
-      case Alias(WindowExpression(f, _), name) =>
-        Alias(WindowExpression(f, localSpec), s"__graft_local_$name")()
+    // peer-inclusive frame for cume_dist's numerator: RANGE …
+    // CURRENT ROW counts every peer of the current order key
+    val peerFrame = SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+    val peerSpec = WindowSpecDefinition(Seq(pid), w.orderSpec, peerFrame)
+
+    // always emitted: the per-pid row_number whose per-pid max IS the
+    // partition row count (tie-order-independent)
+    val rnAlias = Alias(WindowExpression(RowNumber(), localSpec), "__graft_rn")()
+    // per requested function, its local per-pid ingredient (None =
+    // rides on rnAlias)
+    val localAliases: Seq[Option[Alias]] = w.windowExpressions.map {
+      case Alias(WindowExpression(_: RowNumber, _), _) => None
+      case Alias(WindowExpression(f: Rank, _), name) =>
+        Some(Alias(WindowExpression(f, localSpec), s"__graft_local_$name")())
+      case Alias(WindowExpression(pr: PercentRank, _), name) =>
+        Some(Alias(WindowExpression(Rank(pr.children), localSpec),
+          s"__graft_local_$name")())
+      case Alias(WindowExpression(_: CumeDist, _), name) =>
+        Some(Alias(WindowExpression(
+          AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+          peerSpec), s"__graft_local_$name")())
       case other =>
         throw new IllegalStateException(s"unexpected window expression: $other")
     }
-    val local = Window(localAliases, Seq(pid), w.orderSpec, pids)
+    val local = Window(rnAlias +: localAliases.flatten,
+      Seq(pid), w.orderSpec, pids)
 
     val cntAlias = Alias(
-      AggregateExpression(Count(Seq(Literal(1))), org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false),
+      Cast(AggregateExpression(Max(rnAlias.toAttribute), Complete,
+        isDistinct = false), LongType),
       "__graft_cnt")()
-    val counts = Aggregate(Seq(pid), Seq(pid, cntAlias), pids)
+    val counts = Aggregate(Seq(pid), Seq(pid, cntAlias), local)
+    val orderByPid = Seq(SortOrder(pid, Ascending))
     val offsetFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1))
-    val offsetSpec = WindowSpecDefinition(
-      Seq(Literal(0)), Seq(SortOrder(pid, org.apache.spark.sql.catalyst.expressions.Ascending)), offsetFrame)
+    val totalFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
     val offsetAlias = Alias(
       WindowExpression(
-        AggregateExpression(Sum(cntAlias.toAttribute),
-          org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false),
-        offsetSpec),
+        AggregateExpression(Sum(cntAlias.toAttribute), Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(Literal(0)), orderByPid, offsetFrame)),
       "__graft_offset")()
+    val totalAlias = Alias(
+      WindowExpression(
+        AggregateExpression(Sum(cntAlias.toAttribute), Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(Literal(0)), orderByPid, totalFrame)),
+      "__graft_total")()
     // rename the aggregate's pid attribute on the build side so the join
     // condition references two distinct exprIds
     val pidRight = Alias(pid, "__graft_pid_r")()
     val offsets = Project(
-      Seq(pidRight, offsetAlias.toAttribute),
-      Window(Seq(offsetAlias), Seq(Literal(0)),
-        Seq(SortOrder(pid, org.apache.spark.sql.catalyst.expressions.Ascending)), counts))
+      Seq(pidRight, offsetAlias.toAttribute, totalAlias.toAttribute),
+      Window(Seq(offsetAlias, totalAlias), Seq(Literal(0)), orderByPid, counts))
 
     val joined = Join(local, offsets, Inner,
       Some(EqualTo(pid, pidRight.toAttribute)),
       JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
+    val offset0 = Coalesce(Seq(offsetAlias.toAttribute, Literal(0L)))
+    val total = totalAlias.toAttribute
     // original window-output attributes keep their exprIds: downstream
     // operators reference them
     val rankCols: Seq[NamedExpression] =
-      w.windowExpressions.zip(localAliases).map { case (orig, localAlias) =>
-        val global = Cast(
-          Add(
-            Coalesce(Seq(offsetAlias.toAttribute, Literal(0L))),
-            Cast(localAlias.toAttribute, LongType)),
-          IntegerType)
+      w.windowExpressions.zip(localAliases).map { case (orig, localOpt) =>
+        val localAttr = localOpt.getOrElse(rnAlias).toAttribute
+        val globalLong = Add(offset0, Cast(localAttr, LongType))
+        val global: Expression = orig match {
+          case Alias(WindowExpression(_: RowNumber | _: Rank, _), _) =>
+            Cast(globalLong, IntegerType)
+          case Alias(WindowExpression(_: PercentRank, _), _) =>
+            If(GreaterThan(total, Literal(1L)),
+              Divide(
+                Cast(Subtract(globalLong, Literal(1L)), DoubleType),
+                Cast(Subtract(total, Literal(1L)), DoubleType)),
+              Literal(0.0))
+          case Alias(WindowExpression(_: CumeDist, _), _) =>
+            Divide(Cast(globalLong, DoubleType), Cast(total, DoubleType))
+          case other =>
+            throw new IllegalStateException(s"unexpected window expression: $other")
+        }
         Alias(global, orig.name)(exprId = orig.exprId)
       }
     Project(child.output ++ rankCols, joined)

@@ -239,6 +239,75 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-mode rewrites global percent_rank and cume_dist bit-identically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // a tying order (n_chars repeats) exercises the peer semantics both
+    // ratio functions lean on: percent_rank's (rank-1)/(N-1) and
+    // cume_dist's peer-inclusive numerator
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def pctRanked = docs.withColumn("pr",
+      percent_rank().over(Window.orderBy(col("n_chars"))))
+    def cumeDisted = docs.withColumn("cd",
+      cume_dist().over(Window.orderBy(col("n_chars"))))
+    // native single-partition results first — the doubles must match
+    // BIT-identically because the rewrite divides the same integers
+    val exactPr = pctRanked.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val exactCd = cumeDisted.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      for ((q, exact, label) <- Seq(
+          (pctRanked, exactPr, "percent_rank"), (cumeDisted, exactCd, "cume_dist"))) {
+        val optimized = q.queryExecution.optimizedPlan
+        val globalWindows = optimized.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globalWindows.isEmpty,
+          s"$label: no unpartitioned window may survive scaleMode:\n$optimized")
+        assert(optimized.toString.contains("__graft_pid"),
+          s"$label: expected the range-partitioned construction:\n$optimized")
+        assert(q.schema.fields(2).dataType ===
+          org.apache.spark.sql.types.DoubleType, s"$label: result type")
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+        assert(got === exact, s"$label: distributed ratios must be bit-identical")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+  }
+
+  test("scale-mode leaves global rank windows alone when exchange reuse is off") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // boundary sampling is seeded per shuffle instance, so without
+    // ReuseExchange the construction's two exchange copies could rank
+    // against different boundaries — the rule must refuse to rewrite
+    // (the native window is correct, merely single-partition)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def ranked = docs.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      spark.conf.set("spark.graft.scaleMode", "true")
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val optimized = ranked.queryExecution.optimizedPlan
+      assert(!optimized.toString.contains("__graft_pid"),
+        s"rewrite must not fire with exchange reuse disabled:\n$optimized")
+      spark.conf.set("spark.sql.exchange.reuse", "true")
+      assert(ranked.queryExecution.optimizedPlan.toString.contains("__graft_pid"),
+        "rewrite must fire again once reuse is back on")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+      spark.conf.set("spark.sql.exchange.reuse", "true")
+    }
+  }
+
   test("scale-mode rewrite preserves the result type for non-double percentile children") {
     spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
     try {
