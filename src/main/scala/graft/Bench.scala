@@ -20,6 +20,23 @@ import java.nio.file.{Files, Paths}
   * its error in an `errors` map (never silently reported as a healthy
   * near-zero time), and the full JSON line is also written to
   * target/bench.json so the driver's stdout tail window can't clip it.
+  *
+  * Noise correction (round-9): when the sweep's sentinel drift exceeds
+  * 1.5, queries that were timed inside a noisy segment AND moved >1.5×
+  * against the committed quiet reference (BENCH_LOCAL.json) are
+  * automatically RE-MEDIANED at the end of the sweep; if the box is
+  * still noisy during the re-run, the re-run median is normalized by
+  * the concurrently measured sentinel ratio. The reported `queries`
+  * map carries the corrected values (so tools/bench_diff.py consumes
+  * them directly) and each correction is itemized under `remedianed`.
+  * Round-8's driver sweep ran at drift 1.81 and produced a dozen
+  * phantom 1.2–1.5× "regressions" that cost a full quiet-box
+  * cross-check — this closes that loop in-sweep.
+  *
+  * The tail-safe digest line is driver-capped (~2000 chars of stdout
+  * tail), so it cannot carry all queries; the FULL per-query map is
+  * always written to bench-results/BENCH_FULL.json (committed per
+  * round) and the digest's `full_map` key documents that path.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -141,17 +158,82 @@ object Bench {
     val baselineVsBest =
       if (bestBaseline <= 0) 1.0 else sentinelBaseline / bestBaseline
     val contended = maxDrift > 2.0 || baselineVsBest > 2.0
+
+    // ---- in-sweep noise correction ----
+    // Sentinel checkpoints bracket every query; a query's segment drift
+    // is the worse of the two bracketing ratios (conservative).
+    val checkpoints = ((0, 1.0) +: sentinelSeries.toSeq.map { case (i, t) =>
+      (i, if (sentinelBaseline > 0) t / sentinelBaseline else 1.0)
+    }).sortBy(_._1)
+    def segDrift(idx: Int): Double = {
+      val before = checkpoints.takeWhile(_._1 <= idx).lastOption.map(_._2).getOrElse(1.0)
+      val after = checkpoints.find(_._1 > idx).map(_._2).getOrElse(before)
+      math.max(before, after)
+    }
+    // Quiet reference medians: the committed BENCH_LOCAL.json. Only
+    // queries that BOTH sat in a noisy segment AND moved >1.5× against
+    // the reference get re-medianed — bounding the re-run set to the
+    // genuinely suspicious movers, not the whole sweep.
+    val reference: Map[String, Double] = {
+      val p = Paths.get("BENCH_LOCAL.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val s = Files.readString(p)
+        val qStart = s.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val qEnd = s.indexOf("}", qStart)
+          "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+            .findAllMatchIn(s.substring(qStart + 11, qEnd))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
+    val reMedianNote = scala.collection.mutable.LinkedHashMap[String, String]()
+    val corrected: Seq[(String, Double)] =
+      if (maxDrift <= 1.5) results
+      else results.zipWithIndex.map { case ((n, v), idx) =>
+        val drift = segDrift(idx)
+        val suspicious = v >= 0 && !runOnce(n) && drift > 1.5 &&
+          reference.get(n).exists(r => r > 0.05 && (v / r > 1.5 || r / v > 1.5))
+        if (!suspicious) n -> v
+        else {
+          // measure how noisy the box is RIGHT NOW, then re-median; a
+          // still-noisy re-run is normalized by that concurrent ratio
+          val concurrent =
+            if (sentinelBaseline > 0) sentinelMin2(spark) / sentinelBaseline else 1.0
+          val times = (1 to repeats).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              materialize(SparkEntry.queries(n)(spark, sfDir))
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          }
+          if (times.isEmpty) n -> v
+          else {
+            val med = times.sorted.apply(times.size / 2)
+            val fin = if (concurrent > 1.5) med / concurrent else med
+            reMedianNote(n) =
+              f"""{"orig":$v%.3f,"seg_drift":$drift%.2f,"re_drift":$concurrent%.2f,"final":$fin%.3f}"""
+            n -> fin
+          }
+        }
+      }
+    val finalResults = corrected
     val sentinelJson = {
       val series = sentinelSeries
         .map { case (i, t) => s"""[$i,${f"$t%.3f"}]""" }.mkString("[", ",", "]")
       s"""{"baseline":${f"$sentinelBaseline%.3f"},"series":$series,"max_drift":${f"$maxDrift%.2f"},"baseline_vs_best_floor":${f"$baselineVsBest%.2f"},"contended":$contended}"""
     }
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = finalResults.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repeats":$repeats,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    val remedJson = reMedianNote.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remedianed":$remedJson,"repeats":$repeats,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    Files.createDirectories(Paths.get("bench-results"))
+    Files.writeString(Paths.get("bench-results/BENCH_FULL.json"), line + "\n")
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the
     // full-precision line above (~2.8 KB at 89 queries) overflows that
@@ -163,8 +245,8 @@ object Bench {
     // BENCH_LOCAL.json).
     val budget = 1700
     val fmt = (v: Double) => if (v < 0) "-1" else f"$v%.3f"
-    val bySlowest = results.sortBy { case (_, v) => -v }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"errors":$errJson,"queries":{"""
+    val bySlowest = finalResults.sortBy { case (_, v) => -v }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"remedianed_n":${reMedianNote.size},"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
     val entries = bySlowest.map { case (k, v) => jq(k) + ":" + fmt(v) }
     var kept = entries.length
     def digest(n: Int): String = {

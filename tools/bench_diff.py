@@ -47,7 +47,10 @@ def load(path):
     queries = {k: float(v) for k, v in doc["queries"].items() if float(v) >= 0}
     sentinel = doc.get("sentinel", {})
     contended = bool(doc.get("contended", sentinel.get("contended", False)))
-    return queries, contended
+    remedianed = doc.get("remedianed", {})
+    if not remedianed and isinstance(doc.get("remedianed_n"), int):
+        remedianed = {"_count_only": doc["remedianed_n"]}
+    return queries, contended, remedianed
 
 
 def main():
@@ -60,8 +63,8 @@ def main():
                          "(sub-200ms timings are scheduler noise)")
     args = ap.parse_args()
 
-    old, old_cont = load(args.old)
-    new, new_cont = load(args.new)
+    old, old_cont, old_remed = load(args.old)
+    new, new_cont, new_remed = load(args.new)
     common = sorted(set(old) & set(new))
     movers = []
     for name in common:
@@ -91,6 +94,10 @@ def main():
         print(f"  new-only: {name} {new[name]:.2f}s")
     for name in sorted(set(old) - set(new)):
         print(f"  dropped:  {name} (was {old[name]:.2f}s)")
+    # queries whose new-side median was auto-corrected in-sweep: their
+    # values are already noise-corrected, so movers on them are real
+    for name, note in sorted(new_remed.items()):
+        print(f"  remedianed (new side, noise-corrected in-sweep): {name} {note}")
     if not movers:
         print(f"no movers beyond {args.threshold}x (min {args.min_sec}s)")
         return 0
