@@ -315,9 +315,12 @@ object BenchOps {
     * spec additionally loads the filter and proves the present key is
     * found and absent keys reject at ~FPP.
     */
-  def k9BloomKnob(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build-if-absent writer for the k9 bloom file: all-EVEN keys with a
+    * split-block bloom filter on `k` only (shared by the knob query and
+    * the read-side pruning evidence below).
+    */
+  private def ensureBloomFile(spark: SparkSession): String = {
     import org.apache.hadoop.fs.Path
-    import spark.implicits._
     val path = s"$workRoot/bloom/bloom_knob_$BloomRows"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
@@ -329,6 +332,12 @@ object BenchOps {
         .option("parquet.bloom.filter.enabled#k", "true")
         .option("parquet.bloom.filter.expected.ndv#k", BloomRows.toString)
         .parquet(path)
+    path
+  }
+
+  def k9BloomKnob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureBloomFile(spark)
     val (bloomK, bloomV) = bloomFlags(spark, path)
     val base = spark.read.parquet(path)
     val hit = base.filter(col("k") === 123456L)
@@ -336,6 +345,86 @@ object BenchOps {
     val miss = base.filter(col("k") === 123457L).count()
     Seq((base.count(), bloomK, bloomV, hit.getLong(0), miss, hit.getLong(1)))
       .toDF("n_rows", "bloom_on_k", "bloom_on_v", "hit_rows", "miss_rows", "hit_k_sum")
+  }
+
+  /** One point-lookup probe over the bloom file: returns (result rows,
+    * scan-emitted rows, ms). The scan metric (`numOutputRows` of the
+    * file scan, summed across AQE stages via [[graft.Explain.walkPlans]])
+    * is the pruning evidence: a row group rejected by the bloom filter
+    * emits ZERO rows before any data page decodes. Dictionary filtering
+    * is disabled on every probe so a dictionary-miss rejection can't
+    * masquerade as bloom pruning; min/max stats and the column index
+    * can never prune an ODD key inside the all-EVEN file's ranges.
+    */
+  private def bloomProbe(
+      spark: SparkSession, path: String, key: Long, bloomOn: Boolean): (Long, Long, Double) = {
+    val df = spark.read
+      .option("parquet.filter.bloom.enabled", bloomOn.toString)
+      .option("parquet.filter.dictionary.enabled", "false")
+      .parquet(path)
+      .filter(col("k") === key)
+    val plan = df.queryExecution.executedPlan
+    val t0 = System.nanoTime()
+    val resultRows = plan.execute().count()
+    val ms = (System.nanoTime() - t0) / 1e6
+    val scanRows = graft.Explain.walkPlans(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+    (resultRows, scanRows, ms)
+  }
+
+  /** K9 read side — bloom-filter PRUNING measured, the stats-effect
+    * evidence loop of the reference's metadata benchmark
+    * (src/metadata_benchmark.cc:44-79) applied to the bloom axis: a
+    * point lookup for an ODD key over the all-EVEN-keys file sits
+    * inside every row group's [min,max], so stats and column-index
+    * skipping are structurally powerless — any scan-row drop between
+    * bloom-off and bloom-on is attributable to the bloom filter alone.
+    * Probes hit (present) and miss (absent) keys under both read
+    * settings with wall-clock; rows-only, twinned by
+    * [[k9BloomPruneRows]] below which pins the pruning flag and
+    * result-identity under the DuckDB oracle.
+    */
+  def k9BloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureBloomFile(spark)
+    bloomProbe(spark, path, 2L, bloomOn = true) // warm: page cache + codegen
+    val rows = for {
+      bloomOn <- Seq(true, false)
+      (probe, key) <- Seq(("hit", 123456L), ("miss", 123457L))
+    } yield {
+      val (res, scan, ms) = bloomProbe(spark, path, key, bloomOn)
+      (bloomOn, probe, res, scan, math.round(ms * 1000.0) / 1000.0)
+    }
+    rows.toDF("bloom_read_enabled", "probe", "result_rows", "scan_output_rows", "read_time_ms")
+  }
+
+  /** K9 read-side deterministic twin: pruning must never change
+    * RESULTS (hit/miss counts and sums identical under both read
+    * settings — the m4_pushdown_rows discipline), and the `bloom_pruned`
+    * flag — scan emitted 0 rows on the bloom-on miss probe but >0 on
+    * the bloom-off one — is pinned TRUE by the oracle exactly like
+    * s14's agg_pushed: silently losing read-side bloom pruning fails
+    * correctness, not just a bench number.
+    */
+  def k9BloomPruneRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureBloomFile(spark)
+    val hitSum = (on: Boolean) => spark.read
+      .option("parquet.filter.bloom.enabled", on.toString)
+      .option("parquet.filter.dictionary.enabled", "false")
+      .parquet(path).filter(col("k") === 123456L)
+      .agg(count(lit(1)).as("c"), coalesce(sum("k"), lit(0L)).as("s")).head()
+    val (hOn, hOff) = (hitSum(true), hitSum(false))
+    val (missOnRes, missOnScan, _) = bloomProbe(spark, path, 123457L, bloomOn = true)
+    val (missOffRes, missOffScan, _) = bloomProbe(spark, path, 123457L, bloomOn = false)
+    Seq((
+      hOn.getLong(0), hOn.getLong(1), missOnRes,
+      hOn.getLong(0) == hOff.getLong(0) && hOn.getLong(1) == hOff.getLong(1) &&
+        missOnRes == missOffRes,
+      missOnScan == 0L && missOffScan > 0L))
+      .toDF("hit_rows", "hit_k_sum", "miss_rows", "results_identical", "bloom_pruned")
   }
 
   /** (bloom on k?, bloom on v?) read from the written file's footer. */
@@ -573,6 +662,8 @@ object BenchOps {
     "s13_json_roundtrip" -> s13JsonRoundtrip _,
     "k8_compaction" -> k8Compaction _,
     "k9_bloom_knob" -> k9BloomKnob _,
+    "k9_bloom_prune" -> k9BloomPrune _,
+    "k9_bloom_prune_rows" -> k9BloomPruneRows _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -663,6 +754,17 @@ object BenchOps {
          | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_rows,
          | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123457)::BIGINT AS miss_rows,
          | (SELECT coalesce(sum(k), 0) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_k_sum""".stripMargin
+    },
+    // read-side bloom evidence: result identity comes from DuckDB's
+    // independent scan of the same file; the pruning flag is PINNED
+    // TRUE (the s14 agg_pushed discipline) — if Spark's parquet reader
+    // ever stops consulting the bloom filter, the gate goes red
+    "k9_bloom_prune_rows" -> {
+      val p = s"$workRoot/bloom/bloom_knob_$BloomRows"
+      s"""SELECT (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_rows,
+         | (SELECT coalesce(sum(k), 0) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_k_sum,
+         | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123457)::BIGINT AS miss_rows,
+         | TRUE AS results_identical, TRUE AS bloom_pruned""".stripMargin
     },
     // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
     // serving the aggregate from footer stats, the gate goes red
