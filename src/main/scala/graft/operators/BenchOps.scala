@@ -86,6 +86,23 @@ object BenchOps {
   private val GridRg = Seq(1000, 10000)
   private val GridPs = Seq(8 * 1024, 1024 * 1024)
 
+  // 1000-col per-round width probe (round-9 verdict task 6): the
+  // reference's subject at a width the gated grids don't reach
+  private val WideProbeCols = 1000
+  private val WideProbeRows = 1000L
+
+  /** M6 — per-round wide-schema probe: footer decode + 10-col subset
+    * read at 1000 columns (rows-only; twinned by [[m6WideLayout]]).
+    */
+  def m6WideProbe(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.wideFooterProbe(spark, WideProbeCols, WideProbeRows, s"$workRoot/wide")
+
+  /** M6 deterministic twin — the 1000-col file's layout + exact column
+    * extrema, oracle-checked by DuckDB over the same file.
+    */
+  def m6WideLayout(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.wideLayout(spark, WideProbeCols, WideProbeRows, s"$workRoot/wide")
+
   /** S1–S3 timed reads (data_read_benchmark shape). */
   def s3ReadBench(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.dataReadBenchmark(spark, ReadCols, ReadRows, s"$workRoot/read")
@@ -664,6 +681,8 @@ object BenchOps {
     "k9_bloom_knob" -> k9BloomKnob _,
     "k9_bloom_prune" -> k9BloomPrune _,
     "k9_bloom_prune_rows" -> k9BloomPruneRows _,
+    "m6_wide_probe" -> m6WideProbe _,
+    "m6_wide_layout" -> m6WideLayout _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -765,6 +784,19 @@ object BenchOps {
          | (SELECT coalesce(sum(k), 0) FROM '$p/*.parquet' WHERE k = 123456)::BIGINT AS hit_k_sum,
          | (SELECT count(*) FROM '$p/*.parquet' WHERE k = 123457)::BIGINT AS miss_rows,
          | TRUE AS results_identical, TRUE AS bloom_pruned""".stripMargin
+    },
+    // 1000-col width-probe twin: footer layout + first/last column
+    // extrema from DuckDB's independent decoder
+    "m6_wide_layout" -> {
+      val p = s"$workRoot/wide/wide_probe_${WideProbeCols}cols"
+      s"""SELECT
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::INT AS num_columns,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS num_rows,
+         | (SELECT max(row_group_id) + 1 FROM parquet_metadata('$p/*.parquet'))::INT AS n_row_groups,
+         | (SELECT min(col_0) FROM '$p/*.parquet') AS min_col0,
+         | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0,
+         | (SELECT min(col_${WideProbeCols - 1}) FROM '$p/*.parquet') AS min_last,
+         | (SELECT max(col_${WideProbeCols - 1}) FROM '$p/*.parquet') AS max_last""".stripMargin
     },
     // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
     // serving the aggregate from footer stats, the gate goes red

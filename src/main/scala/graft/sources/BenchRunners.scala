@@ -449,6 +449,64 @@ object BenchRunners {
     * excluded on purpose — partial-sum combine order makes them
     * run-dependent — while min/max are exact under any order.
     */
+  /** Per-round wide-schema probe: footer decode + subset read at `nc`
+    * columns. Wide-footer behavior is the reference's core subject
+    * (src/metadata_benchmark.cc:233 sweeps widths to 10,000) but the
+    * gated grids stop at 100 cols, so width regressions between rounds
+    * were only visible in one-off BASELINE_QUALITATIVE runs. The wide
+    * file is generated ONCE ([[wideFileMatches]] gate); each round then
+    * pays a median-of-5 footer decode (~ms at 1000 cols) plus one
+    * 10-column subset read over the small file — cheap by construction,
+    * with a BENCH_MEDIANS note recording the cost.
+    */
+  def wideFooterProbe(
+      spark: SparkSession, nc: Int, numRows: Long, workDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$workDir/wide_probe_${nc}cols"
+    if (!wideFileMatches(spark, path, nc, numRows))
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+        ParquetKnobs.WriteConfig(codec = "snappy"))
+    val (thriftUs, schemaUs, nColsRead) = footerTimesUs(spark, path)
+    val df = spark.read.parquet(path)
+    val subset = (0 until nc by math.max(1, nc / 10)).map(i => s"col_$i")
+    materialize(df.select(subset.map(df(_)): _*)) // warm page cache + codegen
+    val (_, subsetMs) = timeMs(materialize(df.select(subset.map(df(_)): _*)))
+    Seq((nc, numRows, nColsRead,
+      math.round(thriftUs * 1000.0) / 1000.0,
+      math.round(schemaUs * 1000.0) / 1000.0,
+      subset.size, math.round(subsetMs * 1000.0) / 1000.0))
+      .toDF("num_columns", "num_rows", "n_cols_footer", "thrift_decode_us",
+        "schema_build_us", "n_subset_cols", "subset_read_ms")
+  }
+
+  /** Deterministic twin of [[wideFooterProbe]]: the 1000-col file's
+    * layout (column count from the footer, rows, row groups) plus exact
+    * extrema of the first and last columns, all recomputed by DuckDB's
+    * independent decoder — proving the probe times a real, intact
+    * 1000-column file.
+    */
+  def wideLayout(
+      spark: SparkSession, nc: Int, numRows: Long, workDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin}
+    import spark.implicits._
+    val path = s"$workDir/wide_probe_${nc}cols"
+    if (!wideFileMatches(spark, path, nc, numRows))
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+        ParquetKnobs.WriteConfig(codec = "snappy"))
+    val conf = new Configuration()
+    val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val nGroups =
+      try reader.getFooter.getBlocks.size
+      finally reader.close()
+    val last = s"col_${nc - 1}"
+    val r = spark.read.parquet(path)
+      .agg(count(lit(1)), fmin("col_0"), fmax("col_0"), fmin(last), fmax(last)).first()
+    Seq((nc, r.getLong(0), nGroups, r.getFloat(1), r.getFloat(2), r.getFloat(3), r.getFloat(4)))
+      .toDF("num_columns", "num_rows", "n_row_groups",
+        "min_col0", "max_col0", "min_last", "max_last")
+  }
+
   def readBenchCounts(
       spark: SparkSession,
       numColsList: Seq[Int],
