@@ -297,7 +297,7 @@ object Similarity {
   private[graft] def ivfLayoutPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    s"/root/repo/target/graft-work/ann/ivf_${new java.io.File(sfDir).getName}_$fp"
+    s"/root/repo/target/graft-work/ann/ivf_mf_${new java.io.File(sfDir).getName}_$fp"
   }
 
   def ivfBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -307,8 +307,16 @@ object Similarity {
     val out = ivfLayoutPath(spark, sfDir)
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      // LAKE-SHAPED fixture: hash-spread each inverted list across
+      // LayoutFiles writer tasks so every list_id directory holds
+      // MULTIPLE parquet files — at 100 TB a list is written by many
+      // executors over many ingest batches, never one file, and the
+      // pruning evidence (PipelineOpsSpec's numFiles metric vs on-disk
+      // file count) must hold under that layout, not a 1-file-per-dir
+      // toy
       assignTo(cents)(base)
         .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+        .repartition(LayoutFiles, col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(out)
     ivfRerank(spark.read.parquet(out), probeFrame(base, cents, IvfNProbe))
   }
@@ -412,8 +420,15 @@ object Similarity {
   private[graft] def bucketedLayoutPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    s"/root/repo/target/graft-work/ann/banded_${new java.io.File(sfDir).getName}_$fp"
+    s"/root/repo/target/graft-work/ann/banded_mf_${new java.io.File(sfDir).getName}_$fp"
   }
+
+  /** Writer tasks per bucketed-layout write: each bucket directory ends
+    * up with up to this many parquet files (hash-spread on vec_id), the
+    * realistic many-files-per-partition lake layout — so the partition-
+    * pruning evidence counts FILES skipped, not just directories.
+    */
+  private[graft] val LayoutFiles = 8
 
   def lshBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -421,12 +436,27 @@ object Similarity {
     val out = bucketedLayoutPath(spark, sfDir)
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/_SUCCESS")))
+      // many-files-per-bucket lake fixture — see ivfBucketedTopK's note
       bandedCorpus(spark, sfDir)
+        .repartition(LayoutFiles, col("vec_id"))
         .write.mode("overwrite").partitionBy("band", "bval").parquet(out)
     val corpusOnDisk = spark.read.parquet(out)
     val qb = bandedCorpus(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("band").as("qband"), col("bval").as("qbval"))
-    val candIds = corpusOnDisk.join(broadcast(qb),
+    // The probe-bucket set is O(query batch × bands) — corpus-
+    // independent (20 pairs here) — so it is computed driver-side and
+    // pushed as a STATIC (band, bval) partition predicate. Serving
+    // must not lean on DPP's cost heuristics, which (measured, see
+    // PipelineOpsSpec) decline to prune this shape and would read
+    // every bucket file; with the literal predicate the scan lists
+    // only the probed directories. The vec_id inequality stays on the
+    // join.
+    val probePairs = bandedCorpus(spark, sfDir).filter(col("vec_id") < 5)
+      .select("band", "bval").distinct().collect()
+    val probePred = probePairs
+      .map(r => col("band") === lit(r.get(0)) && col("bval") === lit(r.get(1)))
+      .reduce(_ || _)
+    val candIds = corpusOnDisk.filter(probePred).join(broadcast(qb),
         col("band") === col("qband") && col("bval") === col("qbval") &&
           col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()

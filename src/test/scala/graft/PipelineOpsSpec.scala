@@ -297,17 +297,62 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"simhash must join once (banded self-join), found ${simJoins.length}")
   }
 
-  test("bucketed-layout LSH equals in-memory LSH and prunes bucket partitions") {
+  /** Recursive parquet-file census of a bucketed layout: (total files,
+    * bucket directories). The many-files-per-partition fixture
+    * (Similarity.LayoutFiles writer tasks per bucket) is only a real
+    * lake shape if total substantially exceeds the directory count.
+    */
+  private def layoutCensus(dir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var files = 0
+    val dirs = scala.collection.mutable.Set[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1
+        dirs += f.getPath.getParent.toString
+      }
+    }
+    (files, dirs.size)
+  }
+
+  /** Files the executed plan's scan over `pathFragment` actually read
+    * (the driver-side `numFiles` metric, which under dynamic partition
+    * pruning reflects the post-pruning listing).
+    */
+  private def filesRead(df: org.apache.spark.sql.DataFrame, pathFragment: String): Long =
+    Explain.walkPlans(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(pathFragment)) =>
+        s.metrics("numFiles").value
+    }.sum
+
+  test("bucketed-layout LSH equals in-memory LSH and prunes bucket FILES") {
     val bucketed = Similarity.lshBucketedTopK(spark, sf)
     val viaLayout = bucketed.collect().map(_.toString).toSeq
     val viaMemory = Similarity.lshTopK(spark, sf).collect().map(_.toString).toSeq
     assert(viaLayout === viaMemory, "storage-layout LSH must return identical neighbors")
     val plan = bucketed.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull"),
-      "the bucket join must prune partitions at the scan")
+    // the probe set is pushed as STATIC partition literals (not DPP,
+    // whose benefit heuristic declines this shape)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*band[^\\]]*\\].*"),
+      s"the probe predicate must reach PartitionFilters:\n$plan")
+    // file-count evidence over the many-files-per-bucket fixture: the
+    // layout must really be multi-file, and the scan must have READ
+    // strictly fewer files than exist on disk
+    val (total, dirs) = layoutCensus(Similarity.bucketedLayoutPath(spark, sf))
+    assert(total >= 2 * dirs,
+      s"lake fixture must hold many files per bucket dir: $total files over $dirs dirs")
+    val read = filesRead(bucketed, "ann/banded_mf_")
+    assert(read > 0, "scan metric must be populated")
+    assert(read < total,
+      s"bucket join must prune files: read $read of $total")
   }
 
-  test("bucketed-layout IVF equals in-memory IVF and prunes list partitions") {
+  test("bucketed-layout IVF equals in-memory IVF and prunes list FILES") {
     val bucketed = Similarity.ivfBucketedTopK(spark, sf)
     val viaLayout = bucketed.collect().map(_.toString).toSeq
     val viaMemory = Similarity.ivfTopK(spark, sf).collect().map(_.toString).toSeq
@@ -315,6 +360,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull"),
       "the probe join must prune inverted-list partitions at the scan")
+    val (total, dirs) = layoutCensus(Similarity.ivfLayoutPath(spark, sf))
+    assert(total >= 2 * dirs,
+      s"lake fixture must hold many files per list dir: $total files over $dirs dirs")
+    val read = filesRead(bucketed, "ann/ivf_mf_")
+    assert(read > 0, "scan metric must be populated")
+    assert(read < total,
+      s"probe join must prune inverted-list files: read $read of $total")
   }
 
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
