@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, Cast, Coalesce, CumeDist, CurrentRow, Divide, EqualTo, Expression, GreaterThan, If, Literal, NamedExpression, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SparkPartitionID, SpecifiedWindowFrame, Subtract, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, Cast, Coalesce, CumeDist, CurrentRow, Divide, EqualTo, Expression, GreaterThan, If, IntegralDivide, LessThanOrEqual, Literal, Multiply, NamedExpression, NTile, PercentRank, RangeFrame, Rank, Remainder, RowFrame, RowNumber, SortOrder, SparkPartitionID, SpecifiedWindowFrame, Subtract, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Percentile, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Project, RepartitionByExpression, Window, BROADCAST}
@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    (HLL++ under `injectOptimizerRule`, exact under the extension
   *    list). The guard makes both routes identical by construction.
   *  - a GLOBAL rank-family window (`row_number()`/`rank()`/
-  *    `percent_rank()`/`cume_dist()` OVER (ORDER BY …) with no
+  *    `percent_rank()`/`cume_dist()`/`ntile(b)` OVER (ORDER BY …) with no
   *    PARTITION BY — the single-partition corpus sort that
   *    [[graft.operators.Ranks]] exists to avoid) → the distributed
   *    range-partition construction: range-shuffle on the order keys,
@@ -131,6 +131,7 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
       w.windowExpressions.forall {
         case Alias(WindowExpression(
           _: RowNumber | _: Rank | _: PercentRank | _: CumeDist, _), _) => true
+        case Alias(WindowExpression(nt: NTile, _), _) => nt.buckets.foldable
         case _ => false
       }
 
@@ -172,9 +173,13 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
     * and `cume_dist = peer-cum/N`, with `N = sum(cnt)` over the full
     * #partitions frame and peer-cum a RANGE-framed count per pid (peers
     * never straddle partitions), so the doubles are bit-identical to
-    * the single-partition plan's. `ntile` is NOT handled: its bucket
-    * arithmetic depends on n in a shape that would need a different
-    * join payload — it stays on the native window.
+    * the single-partition plan's. `ntile(b)` derives from the same
+    * payload with pure integer arithmetic (bit-exact, no doubles):
+    * with n = total, size1 = n div b + 1, padded = (n mod b)·size1,
+    * Spark assigns row rn the bucket `(rn−1) div size1 + 1` when
+    * rn ≤ padded, else `(n mod b) + (rn−1−padded) div (n div b) + 1`
+    * — the first n mod b buckets carry the extra row, exactly the
+    * native incremental assignment in closed form.
     */
   private def rewriteGlobalRank(w: Window): LogicalPlan = {
     val child = w.child
@@ -196,7 +201,7 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
     // per requested function, its local per-pid ingredient (None =
     // rides on rnAlias)
     val localAliases: Seq[Option[Alias]] = w.windowExpressions.map {
-      case Alias(WindowExpression(_: RowNumber, _), _) => None
+      case Alias(WindowExpression(_: RowNumber | _: NTile, _), _) => None
       case Alias(WindowExpression(f: Rank, _), name) =>
         Some(Alias(WindowExpression(f, localSpec), s"__graft_local_$name")())
       case Alias(WindowExpression(pr: PercentRank, _), name) =>
@@ -260,6 +265,21 @@ object ScaleModeRewrite extends Rule[LogicalPlan] {
               Literal(0.0))
           case Alias(WindowExpression(_: CumeDist, _), _) =>
             Divide(Cast(globalLong, DoubleType), Cast(total, DoubleType))
+          case Alias(WindowExpression(nt: NTile, _), _) =>
+            // closed form of the native incremental assignment — all
+            // integer ops, so bit-exact (see the scaladoc derivation)
+            val b = Cast(nt.buckets, LongType)
+            val bucketSize = IntegralDivide(total, b)
+            val rem = Remainder(total, b)
+            val size1 = Add(bucketSize, Literal(1L))
+            val padded = Multiply(rem, size1)
+            val rnm1 = Subtract(globalLong, Literal(1L))
+            Cast(
+              If(LessThanOrEqual(globalLong, padded),
+                Add(IntegralDivide(rnm1, size1), Literal(1L)),
+                Add(Add(rem, IntegralDivide(Subtract(rnm1, padded), bucketSize)),
+                  Literal(1L))),
+              IntegerType)
           case other =>
             throw new IllegalStateException(s"unexpected window expression: $other")
         }

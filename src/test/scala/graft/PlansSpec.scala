@@ -280,6 +280,33 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-mode rewrites global ntile bit-identically across bucket remainders") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    // bucket counts chosen so n % b is 0, small, and large — the three
+    // remainder regimes of the closed-form assignment (first n%b
+    // buckets carry one extra row)
+    for (b <- Seq(4, 7, 500)) {
+      def tiled = docs.withColumn("nt",
+        ntile(b).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      val exact = tiled.collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+      try {
+        spark.conf.set("spark.graft.scaleMode", "true")
+        val optimized = tiled.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("__graft_pid"),
+          s"ntile($b): expected the range-partitioned construction:\n$optimized")
+        val got = tiled.collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+        assert(got === exact, s"ntile($b): distributed buckets must be identical")
+      } finally {
+        spark.experimental.extraOptimizations = Nil
+        spark.conf.set("spark.graft.scaleMode", "false")
+      }
+    }
+  }
+
   test("scale-mode leaves global rank windows alone when exchange reuse is off") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
