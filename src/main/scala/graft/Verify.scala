@@ -13,8 +13,14 @@ object Verify {
     // (unset on the driver → full sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SORTED execution order (not Map iteration order): adding a query
+    // must never reshuffle who runs before whom — the round-9 sf0.01
+    // sweep caught m3_rowgroup_grid's timed rewrite landing AFTER
+    // m3_rowgroup_layout's byte dump purely because the HashMap order
+    // moved. Benchmark writers now also use scratch dirs, but the
+    // sweep itself stays order-deterministic like Bench's.
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name)) }
+      only.forall(_.contains(name)) }.toSeq.sortBy(_._1)
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -266,7 +266,10 @@ object BenchRunners {
       ps <- pageSizes
       stats <- Seq(1, 0)
     } yield {
-      val path = s"$workDir/rg_bench_${nc}c_${rg}r_${ps}p_$stats"
+      // TIMED writes land in their own scratch dirs, never the gated
+      // files rowGroupLayout's byte oracle reads (see the
+      // compressionBenchmark note: rewrites are not bit-reproducible)
+      val path = s"$workDir/rg_timed_${nc}c_${rg}r_${ps}p_$stats"
       // single output file (the reference's layout): with the default 32
       // generator partitions every part file would hold ONE sub-block-
       // size row group and the row-group-size axis would not vary at all
@@ -327,7 +330,12 @@ object BenchRunners {
       // so the result covers the reference's full codec list either way
       if (ParquetKnobs.codecAvailable(codec)) {
         val df = WideTableGen.wide(spark, nc, numRows)
-        val path = s"$workDir/comp_bench_${nc}c_$codec"
+        // TIMED writes land in their own scratch dirs, never the
+        // _SUCCESS-gated files codecRoundtrip's byte oracle reads:
+        // parquet-mr sizes row groups from a memory ESTIMATE, so
+        // rewriting identical data is not bit-reproducible (observed
+        // +-1 byte), and an oracle-read file must be write-once
+        val path = s"$workDir/comp_timed_${nc}c_$codec"
         val (_, encodeMs) = timeMs(ParquetKnobs.write(df, path, ParquetKnobs.WriteConfig(codec = codec)))
         val (_, decodeMs) = timeMs(materialize(spark.read.parquet(path)))
         val sizeMb = dirBytes(spark, path) / 1024.0 / 1024.0
