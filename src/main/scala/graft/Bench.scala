@@ -23,15 +23,21 @@ import java.nio.file.{Files, Paths}
   *
   * Noise correction (round-9): when the sweep's sentinel drift exceeds
   * 1.5, queries that were timed inside a noisy segment AND moved >1.5×
-  * against the committed quiet reference (BENCH_LOCAL.json) are
-  * automatically RE-MEDIANED at the end of the sweep; if the box is
-  * still noisy during the re-run, the re-run median is normalized by
-  * the concurrently measured sentinel ratio. The reported `queries`
-  * map carries the corrected values (so tools/bench_diff.py consumes
-  * them directly) and each correction is itemized under `remedianed`.
-  * Round-8's driver sweep ran at drift 1.81 and produced a dozen
-  * phantom 1.2–1.5× "regressions" that cost a full quiet-box
-  * cross-check — this closes that loop in-sweep.
+  * against a committed quiet reference are automatically RE-MEDIANED at
+  * the end of the sweep; if the box is still noisy during the re-run,
+  * the re-run median is normalized by the concurrently measured
+  * sentinel ratio. The reference is matched BY SCALE (BENCH_LOCAL.json
+  * for sf0.001 local loops, bench-results/BENCH_LOCAL_sf0.1.json for
+  * the driver's sf0.1 runs — cross-scale ratios are meaningless); with
+  * no same-scale reference, noisy-segment queries alone are suspects,
+  * capped at [[BenchNoise.ReMedianCap]] so a fully contended box can't
+  * double the sweep. The reported `queries` map carries the corrected
+  * values (so tools/bench_diff.py consumes them directly) and each
+  * correction is itemized under `remedianed`. Round-8's driver sweep
+  * ran at drift 1.81 and produced a dozen phantom 1.2–1.5×
+  * "regressions" that cost a full quiet-box cross-check — this closes
+  * that loop in-sweep. Decision logic is pure and unit-pinned
+  * (BenchNoiseSpec).
   *
   * The tail-safe digest line is driver-capped (~2000 chars of stdout
   * tail), so it cannot carry all queries; the FULL per-query map is
@@ -160,42 +166,32 @@ object Bench {
     val contended = maxDrift > 2.0 || baselineVsBest > 2.0
 
     // ---- in-sweep noise correction ----
-    // Sentinel checkpoints bracket every query; a query's segment drift
-    // is the worse of the two bracketing ratios (conservative).
-    val checkpoints = ((0, 1.0) +: sentinelSeries.toSeq.map { case (i, t) =>
-      (i, if (sentinelBaseline > 0) t / sentinelBaseline else 1.0)
-    }).sortBy(_._1)
-    def segDrift(idx: Int): Double = {
-      val before = checkpoints.takeWhile(_._1 <= idx).lastOption.map(_._2).getOrElse(1.0)
-      val after = checkpoints.find(_._1 > idx).map(_._2).getOrElse(before)
-      math.max(before, after)
-    }
-    // Quiet reference medians: the committed BENCH_LOCAL.json. Only
-    // queries that BOTH sat in a noisy segment AND moved >1.5× against
-    // the reference get re-medianed — bounding the re-run set to the
-    // genuinely suspicious movers, not the whole sweep.
+    // Quiet reference medians, matched BY SCALE: the driver benches at
+    // sf0.1 while local sweeps record sf0.001 — ratios across scales
+    // are meaningless, so a candidate reference is only used when its
+    // recorded sf basename equals this run's.
     val reference: Map[String, Double] = {
-      val p = Paths.get("BENCH_LOCAL.json")
-      if (!Files.exists(p)) Map.empty
-      else {
-        val s = Files.readString(p)
-        val qStart = s.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
-        else {
-          val qEnd = s.indexOf("}", qStart)
-          "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
-            .findAllMatchIn(s.substring(qStart + 11, qEnd))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      }
+      val sfBase = new java.io.File(sfDir).getName
+      Seq("BENCH_LOCAL.json", s"bench-results/BENCH_LOCAL_$sfBase.json")
+        .map(Paths.get(_)).filter(Files.exists(_))
+        .map(p => BenchNoise.parseReference(Files.readString(p)))
+        .collectFirst { case (qs, sf) if new java.io.File(sf).getName == sfBase => qs }
+        .getOrElse(Map.empty)
     }
+    val checkpoints = BenchNoise.checkpointRatios(sentinelSeries.toSeq, sentinelBaseline)
     val reMedianNote = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Suspects: timed in a noisy segment AND (moved >1.5× against a
+    // same-scale reference — the bounded, preferred rule — or, with no
+    // usable reference, noisy-segment alone, CAPPED so a fully
+    // contended box can't double the sweep re-running everything).
+    var suspectBudget = BenchNoise.ReMedianCap
     val corrected: Seq[(String, Double)] =
       if (maxDrift <= 1.5) results
       else results.zipWithIndex.map { case ((n, v), idx) =>
-        val drift = segDrift(idx)
-        val suspicious = v >= 0 && !runOnce(n) && drift > 1.5 &&
-          reference.get(n).exists(r => r > 0.05 && (v / r > 1.5 || r / v > 1.5))
+        val drift = BenchNoise.segDrift(checkpoints, idx)
+        val suspicious = v >= 0 && !runOnce(n) &&
+          BenchNoise.suspicious(v, drift, reference.get(n), reference.nonEmpty) &&
+          { val ok = suspectBudget > 0; if (ok) suspectBudget -= 1; ok }
         if (!suspicious) n -> v
         else {
           // measure how noisy the box is RIGHT NOW, then re-median; a
@@ -219,6 +215,9 @@ object Bench {
           }
         }
       }
+    if (suspectBudget == 0)
+      System.err.println(s"[bench] re-median cap (${BenchNoise.ReMedianCap}) hit — " +
+        "remaining noisy-segment queries keep their original medians")
     val finalResults = corrected
     val sentinelJson = {
       val series = sentinelSeries
@@ -258,4 +257,69 @@ object Bench {
     println(digest(kept))
     spark.stop()
   }
+}
+
+/** Pure helpers for Bench's in-sweep noise correction, factored out so
+  * the logic that decides what gets re-medianed on the DRIVER's box is
+  * unit-tested (BenchNoiseSpec) instead of only exercised when a sweep
+  * happens to run contended.
+  */
+private[graft] object BenchNoise {
+
+  /** Hard ceiling on in-sweep re-medians: with a same-scale reference
+    * the mover rule bounds the set naturally, but with drift-only
+    * suspicion a fully contended box would otherwise re-run the whole
+    * registry and double the sweep.
+    */
+  val ReMedianCap = 40
+
+  /** (query→median, sf) parsed from a bench JSON line (the artifact's
+    * own minimal schema — no JSON library in the unmanaged classpath).
+    */
+  def parseReference(s: String): (Map[String, Double], String) = {
+    val qStart = s.indexOf("\"queries\":{")
+    val qs =
+      if (qStart < 0) Map.empty[String, Double]
+      else {
+        val qEnd = s.indexOf("}", qStart)
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+          .findAllMatchIn(s.substring(qStart + 11, qEnd))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    (qs, sf)
+  }
+
+  /** Sentinel series → sorted (query index, drift ratio) checkpoints,
+    * with the baseline itself as the (0, 1.0) anchor.
+    */
+  def checkpointRatios(
+      series: Seq[(Int, Double)], baseline: Double): Seq[(Int, Double)] =
+    ((0, 1.0) +: series.map { case (i, t) =>
+      (i, if (baseline > 0) t / baseline else 1.0)
+    }).sortBy(_._1)
+
+  /** A query's segment drift: the WORSE of the two checkpoints
+    * bracketing its index (conservative — sustained contention shows on
+    * both sides, a spike on one is enough to distrust the timing).
+    */
+  def segDrift(checkpoints: Seq[(Int, Double)], idx: Int): Double = {
+    val before = checkpoints.takeWhile(_._1 <= idx).lastOption.map(_._2).getOrElse(1.0)
+    val after = checkpoints.find(_._1 > idx).map(_._2).getOrElse(before)
+    math.max(before, after)
+  }
+
+  /** The suspicion rule. With a same-scale reference: noisy segment AND
+    * >1.5× movement either way vs that reference (sub-50 ms reference
+    * rows are scheduler noise, never suspects). Without one (sf
+    * mismatch or first run): noisy segment alone — the caller caps the
+    * count.
+    */
+  def suspicious(
+      v: Double, drift: Double, ref: Option[Double], haveReference: Boolean): Boolean =
+    drift > 1.5 && {
+      if (haveReference)
+        ref.exists(r => r > 0.05 && (v / r > 1.5 || r / v > 1.5))
+      else true
+    }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the in-sweep noise-correction decisions. These run
+  * on the DRIVER's contended box where we can't reproduce conditions
+  * interactively, so every branch of the pure logic is pinned here: the
+  * reference parse (including sf extraction), the scale-match guard,
+  * segment-drift bracketing, and the suspicion rule with and without a
+  * usable reference.
+  */
+class BenchNoiseSpec extends AnyFunSuite {
+
+  private val sample =
+    """{"metric":"total","value":83.5,"unit":"sec","queries":{"q1_agg":0.5,"x_slow":2.25,"neg":-1.0},""" +
+      """"errors":{},"repeats":3,"sf":"/root/testdata/sf0.001"}"""
+
+  test("parseReference extracts the query medians and the recorded sf") {
+    val (qs, sf) = BenchNoise.parseReference(sample)
+    assert(qs === Map("q1_agg" -> 0.5, "x_slow" -> 2.25, "neg" -> -1.0))
+    assert(sf === "/root/testdata/sf0.001")
+  }
+
+  test("parseReference is total on malformed input") {
+    assert(BenchNoise.parseReference("") === (Map.empty, ""))
+    assert(BenchNoise.parseReference("""{"metric":"total"}""") === (Map.empty, ""))
+  }
+
+  test("checkpointRatios anchors at (0, 1.0) and normalizes by baseline") {
+    val cps = BenchNoise.checkpointRatios(Seq((10, 0.4), (20, 0.2)), 0.2)
+    assert(cps === Seq((0, 1.0), (10, 2.0), (20, 1.0)))
+    // zero/negative baseline degrades to ratio 1.0 (never divides)
+    assert(BenchNoise.checkpointRatios(Seq((10, 0.4)), 0.0) === Seq((0, 1.0), (10, 1.0)))
+  }
+
+  test("segDrift takes the worse of the two bracketing checkpoints") {
+    val cps = Seq((0, 1.0), (10, 2.0), (20, 1.1))
+    assert(BenchNoise.segDrift(cps, 5) === 2.0)   // before=1.0, after=2.0
+    assert(BenchNoise.segDrift(cps, 10) === 2.0)  // exactly at a checkpoint
+    assert(BenchNoise.segDrift(cps, 15) === 2.0)  // before=2.0, after=1.1
+    assert(BenchNoise.segDrift(cps, 25) === 1.1)  // past the last: before only
+  }
+
+  test("suspicion needs BOTH a noisy segment and a >1.5x move vs a same-scale reference") {
+    // quiet segment: never suspicious however far the move
+    assert(!BenchNoise.suspicious(10.0, 1.2, Some(1.0), haveReference = true))
+    // noisy segment + big move: suspicious (either direction)
+    assert(BenchNoise.suspicious(2.0, 1.8, Some(1.0), haveReference = true))
+    assert(BenchNoise.suspicious(0.5, 1.8, Some(1.0), haveReference = true))
+    // noisy segment but the value held steady: not suspicious
+    assert(!BenchNoise.suspicious(1.1, 1.8, Some(1.0), haveReference = true))
+    // sub-50ms reference rows are scheduler noise, never suspects
+    assert(!BenchNoise.suspicious(0.2, 1.8, Some(0.01), haveReference = true))
+    // reference exists but lacks this query: not suspicious (a new
+    // query has nothing to be compared against)
+    assert(!BenchNoise.suspicious(2.0, 1.8, None, haveReference = true))
+  }
+
+  test("without a same-scale reference, drift alone marks suspects (caller caps)") {
+    assert(BenchNoise.suspicious(2.0, 1.8, None, haveReference = false))
+    assert(!BenchNoise.suspicious(2.0, 1.2, None, haveReference = false))
+    assert(BenchNoise.ReMedianCap > 0)
+  }
+}
