@@ -1568,9 +1568,45 @@ object Analytics {
       .limit(20)
   }
 
+  /** W12 — the [[graft.plans.ScaleModeRewrite]] global-rank
+    * construction AS A GATED QUERY, not just a spec: the analyzed plan
+    * of a global row_number + percent_rank window is rewritten EAGERLY
+    * (the scaleMode conf is scoped to the transform call, so nothing
+    * leaks into the sweep's other queries — an installed session-wide
+    * rule would silently swap a14's exact percentile for the sketch)
+    * and the REWRITTEN plan is what executes under the DuckDB oracle.
+    * The require makes a silently-declined rewrite fail the correctness
+    * gate loudly instead of hiding behind the native window's identical
+    * results. Total order (tie-broken by doc_id) keeps row_number
+    * deterministic; percent_rank divides the same integers natively and
+    * rewritten, so round(·,6) matches bit-for-bit.
+    */
+  def w12RankDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val windowed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rk"),
+        percent_rank().over(w).as("pr_raw"))
+      .withColumn("pr", round(col("pr_raw"), 6)).drop("pr_raw")
+      .orderBy("doc_id")
+    val prev = spark.conf.getOption("spark.graft.scaleMode")
+    spark.conf.set("spark.graft.scaleMode", "true")
+    val rewritten =
+      try graft.plans.ScaleModeRewrite(windowed.queryExecution.analyzed)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.scaleMode", v)
+        case None => spark.conf.unset("spark.graft.scaleMode")
+      }
+    require(rewritten.toString.contains("__graft_pid"),
+      "ScaleModeRewrite must fire on the global rank window (exchange reuse off?)")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
+  }
+
   val registry: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "w11_cumulative_users" -> w11CumulativeUsers _,
+    "w12_rank_distributed" -> w12RankDistributed _,
     "a15_approx_topk" -> a15ApproxTopK _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
     "q3_shipping_priority" -> q3ShippingPriority _,
@@ -2055,6 +2091,13 @@ object Analytics {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
         |FROM days d LEFT JOIN newu n USING (day)
         |ORDER BY d.day""".stripMargin,
+    // the distributed construction must reproduce the single-partition
+    // window's semantics exactly — same oracle a native window would get
+    "w12_rank_distributed" ->
+      """SELECT doc_id, n_chars,
+        | row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        | round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact pair counts (the built-in sketch sits in its exact regime)
     "a15_approx_topk" ->
       """WITH tok AS (
