@@ -1587,7 +1587,11 @@ object Analytics {
     val windowed = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"),
         row_number().over(w).as("rk"),
-        percent_rank().over(w).as("pr_raw"))
+        percent_rank().over(w).as("pr_raw"),
+        // 7 does not divide the corpus at any sf — the remainder
+        // regime (first n mod b buckets carry an extra row) is what
+        // the closed-form assignment must reproduce
+        ntile(7).over(w).as("nt"))
       .withColumn("pr", round(col("pr_raw"), 6)).drop("pr_raw")
       .orderBy("doc_id")
     val prev = spark.conf.getOption("spark.graft.scaleMode")
@@ -2096,6 +2100,7 @@ object Analytics {
     "w12_rank_distributed" ->
       """SELECT doc_id, n_chars,
         | row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        | ntile(7) OVER (ORDER BY n_chars, doc_id) AS nt,
         | round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pr
         |FROM documents ORDER BY doc_id""".stripMargin,
     // exact pair counts (the built-in sketch sits in its exact regime)
