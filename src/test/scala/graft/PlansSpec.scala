@@ -307,6 +307,48 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("global-rank rewrite equals the native window on randomized tying data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // seeded trials over skewed duplicate keys (including negatives and
+    // heavy ties): the tie-deterministic functions compare under a
+    // TYING order, the row_number-based ones under a total order —
+    // exact equality including every double bit
+    val rnd = new scala.util.Random(20260814L)
+    spark.experimental.extraOptimizations = Seq(ScaleModeRewrite)
+    try {
+      for (trial <- 1 to 5) {
+        val n = 200 + rnd.nextInt(1500)
+        val card = 1 + rnd.nextInt(25)
+        val data = (0 until n).map(i => (i.toLong, rnd.nextInt(2 * card) - card))
+        val df = spark.createDataFrame(data).toDF("id", "k")
+        val tying = Window.orderBy(col("k"))
+        val total = Window.orderBy(col("k"), col("id"))
+        val b = 1 + rnd.nextInt(n + 5)
+        def q = df.select(col("id"),
+          rank().over(tying).as("rk"),
+          percent_rank().over(tying).as("pr"),
+          cume_dist().over(tying).as("cd"),
+          row_number().over(total).as("rn"),
+          ntile(b).over(total).as("nt"))
+        spark.conf.set("spark.graft.scaleMode", "false")
+        val exact = q.collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))).toMap
+        spark.conf.set("spark.graft.scaleMode", "true")
+        val plan = q.queryExecution.optimizedPlan
+        assert(plan.toString.contains("__graft_pid"),
+          s"trial $trial (n=$n, card=$card, b=$b): rewrite must fire:\n$plan")
+        val got = q.collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))).toMap
+        assert(got === exact,
+          s"trial $trial (n=$n, card=$card, b=$b): rewrite changed results")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.graft.scaleMode", "false")
+    }
+  }
+
   test("scale-mode leaves global rank windows alone when exchange reuse is off") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
