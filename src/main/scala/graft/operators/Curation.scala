@@ -1261,6 +1261,83 @@ object Curation {
       .orderBy("status")
   }
 
+  /** VACUUM — the lake-maintenance retention pass over the immutable
+    * snapshot store (the op Delta/Iceberg run nightly): every file
+    * under the store that is NOT part of a committed snapshot is an
+    * orphan — failed-write leftovers, abandoned staging dirs — and
+    * gets deleted, with the audit a production vacuum logs.
+    *
+    * Scale shape: orphan DISCOVERY is a distributed metadata scan —
+    * the `binaryFile` source selecting only (path, length) lists and
+    * filters across executors without decoding a byte of content; at
+    * 100 TB a snapshot store holds millions of files and a driver
+    * listing loop is the classic vacuum bottleneck. The DELETE fans
+    * out over the orphan list with `foreachPartition` (each executor
+    * deletes its own slice). Committed data is identified by path
+    * prefix (`v1/`, `v2/`) — never by age — so vacuum can never eat a
+    * committed file; the audit re-reads both snapshots to PROVE it.
+    *
+    * Determinism under repeats: the orphans (an abandoned staging dir
+    * and two in-progress temp files, fixed contents) are re-staged at
+    * every invocation, so each run discovers and deletes exactly the
+    * same bytes — Verify's dump and every bench repeat see identical
+    * results, and the DuckDB oracle pins the audit constants plus the
+    * untouched snapshot contents.
+    */
+  /** The deterministic orphan fixture lakeVacuum re-stages every
+    * invocation: an abandoned WAP-style staging dir + two bare
+    * in-progress files (names NOT underscore-prefixed — hidden files
+    * are invisible to file indexes and need no vacuuming). Contents are
+    * constants so the oracle pins the byte audit.
+    */
+  private val VacuumOrphans = Seq(
+    "staging_tmp/part-00000-orphan.parquet" -> "orphaned staged bytes",
+    "ingest_tmp_1.parquet.inprogress" -> "half-written ingest file",
+    "ingest_tmp_2.parquet.inprogress" -> "another failed writer")
+  private val VacuumOrphanBytes: Long =
+    VacuumOrphans.map(_._2.getBytes("UTF-8").length.toLong).sum
+
+  def lakeVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = snapshotDir(spark, sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    VacuumOrphans.foreach { case (rel, content) =>
+      val out = fs.create(new Path(s"$dir/$rel"), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    val expectedBytes = VacuumOrphanBytes
+    // distributed discovery: list (path, length) only — no content read
+    val listed = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select(col("path"), col("length"))
+    val orphanFiles = listed
+      .filter(!col("path").contains("/v1/") && !col("path").contains("/v2/"))
+    val audit = orphanFiles
+      .agg(count(lit(1)).as("orphans_deleted"),
+        coalesce(sum("length"), lit(0L)).as("orphan_bytes")).first()
+    // distributed delete: each partition removes its own slice
+    orphanFiles.select("path").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pfs = new Path(dir).getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        rows.foreach(r => pfs.delete(
+          new Path(java.net.URI.create(r.getString(0))), false))
+    }
+    // prove committed data survived — re-read both snapshots
+    val v1 = spark.read.parquet(s"$dir/v1")
+      .agg(count(lit(1)).as("v1_rows"), sum("doc_id").as("v1_id_sum")).first()
+    val v2 = spark.read.parquet(s"$dir/v2")
+      .agg(count(lit(1)).as("v2_rows"), sum("doc_id").as("v2_id_sum")).first()
+    require(audit.getLong(1) == expectedBytes,
+      s"vacuum audit bytes ${audit.getLong(1)} != staged $expectedBytes")
+    import spark.implicits._
+    Seq((audit.getLong(0), audit.getLong(1),
+      v1.getLong(0), v1.getLong(1), v2.getLong(0), v2.getLong(1)))
+      .toDF("orphans_deleted", "orphan_bytes",
+        "v1_rows", "v1_id_sum", "v2_rows", "v2_id_sum")
+  }
+
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = Dedup.shingled(spark, sfDir)
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
@@ -1539,6 +1616,7 @@ object Curation {
     "x_scd2_dim" -> scd2Dim _,
     "k11_wap_publish" -> wapPublish _,
     "x_snapshot_diff" -> snapshotDiff _,
+    "x_lake_vacuum" -> lakeVacuum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2036,5 +2114,19 @@ object Curation {
         | FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT status, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // the audit constants come from the fixed orphan fixture; v1/v2 are
+    // re-derived from documents exactly as the snapshot oracles above —
+    // proving vacuum deleted ONLY the orphans and every committed row
+    // survived
+    "x_lake_vacuum" ->
+      s"""WITH ins AS (
+        | SELECT doc_id + 10000000 AS doc_id FROM documents WHERE doc_id % 13 = 0)
+        |SELECT ${VacuumOrphans.size}::BIGINT AS orphans_deleted,
+        | ${VacuumOrphanBytes}::BIGINT AS orphan_bytes,
+        | (SELECT count(*) FROM documents)::BIGINT AS v1_rows,
+        | (SELECT sum(doc_id) FROM documents)::BIGINT AS v1_id_sum,
+        | ((SELECT count(*) FROM documents) + (SELECT count(*) FROM ins))::BIGINT AS v2_rows,
+        | ((SELECT sum(doc_id) FROM documents)
+        |   + (SELECT coalesce(sum(doc_id), 0) FROM ins))::BIGINT AS v2_id_sum""".stripMargin,
   )
 }

@@ -577,4 +577,31 @@ class CurationSpec extends AnyFunSuite {
       n.nodeName.contains("ShuffledHashJoin") || n.nodeName.contains("BroadcastHashJoin")),
       s"expected an equi-join node in:\n$plan")
   }
+
+  test("lake vacuum is deterministic under repeats and spares committed files") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Curation
+    // two back-to-back invocations (the bench-repeat shape): each
+    // re-stages the same orphans, discovers and deletes exactly them,
+    // and reports an identical audit; the committed snapshot part
+    // files survive untouched across both passes
+    val dir = Curation.snapshotDir(spark, TestSpark.sf)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committedParts: Seq[String] =
+      Seq("v1", "v2").flatMap { v =>
+        fs.listStatus(new Path(s"$dir/$v")).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted.toSeq
+      }
+    val r1 = Curation.lakeVacuum(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    val partsAfter1 = committedParts
+    val r2 = Curation.lakeVacuum(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
+    assert(r1 === r2, "vacuum audit must be identical across repeats")
+    assert(r1.head(0) === 3L, s"expected 3 orphans deleted: ${r1.head}")
+    assert(committedParts === partsAfter1,
+      "vacuum must never touch committed snapshot files")
+    // and the orphans really are gone until re-staged
+    assert(!fs.exists(new Path(s"$dir/staging_tmp")) ||
+      fs.listStatus(new Path(s"$dir/staging_tmp")).isEmpty)
+  }
+
 }
