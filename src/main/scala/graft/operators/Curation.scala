@@ -1284,6 +1284,49 @@ object Curation {
     * results, and the DuckDB oracle pins the audit constants plus the
     * untouched snapshot contents.
     */
+  /** POSITIONAL DELETE (deletion vectors) — the modern lakehouse
+    * row-level delete: instead of rewriting data files (the
+    * x_forget_ids audit covers the rewrite shape), the delete writes a
+    * tiny SIDECAR of (file, row position) pairs and every read applies
+    * it as an anti-join. Delta's deletion vectors / Iceberg positional
+    * delete files in Spark-native form, built on the parquet reader's
+    * hidden `_metadata.file_path` / `_metadata.row_index` columns:
+    * position resolution costs one scan, the sidecar is O(deleted
+    * rows), and the base table is NEVER rewritten — RTBF latency
+    * decoupled from corpus-rewrite cost, which is the entire point at
+    * 100 TB. Reads pay one (file, pos) join (AQE broadcasts the DV
+    * while it is small); compaction later folds DVs into rewritten
+    * files (k8's job).
+    *
+    * Determinism: positions come from the immutable v1 snapshot
+    * (_SNAPSHOTTED-gated layout); the result exposes only row-level
+    * aggregates of survivors and deletions, never file paths, so the
+    * DuckDB oracle re-derives it from `documents` alone. One scan +
+    * one join + one aggregate — no crossJoin, no collect.
+    */
+  def positionalDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = snapshotDir(spark, sfDir)
+    val dvDir = s"$dir/dv_v1"
+    def baseWithPos = spark.read.parquet(s"$dir/v1")
+      .select(col("doc_id"), col("text"),
+        col("_metadata.file_path").as("f"), col("_metadata.row_index").as("pos"))
+    val fs = new Path(dvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dvDir/_SUCCESS")))
+      baseWithPos.filter(col("doc_id") % 11 === 0)
+        .select(col("f"), col("pos"))
+        .write.mode("overwrite").parquet(dvDir)
+    val dv = spark.read.parquet(dvDir).withColumn("del", lit(true))
+    baseWithPos.join(dv, Seq("f", "pos"), "left")
+      .agg(
+        sum(when(col("del").isNull, 1).otherwise(0)).as("n_rows"),
+        sum(when(col("del").isNull, col("doc_id"))).as("id_sum"),
+        sum(when(col("del").isNull,
+          expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000")))
+          .as("text_checksum"),
+        sum(when(col("del").isNotNull, 1).otherwise(0)).as("n_deleted"))
+  }
+
   /** The deterministic orphan fixture lakeVacuum re-stages every
     * invocation: an abandoned WAP-style staging dir + two bare
     * in-progress files (names NOT underscore-prefixed — hidden files
@@ -1617,6 +1660,7 @@ object Curation {
     "k11_wap_publish" -> wapPublish _,
     "x_snapshot_diff" -> snapshotDiff _,
     "x_lake_vacuum" -> lakeVacuum _,
+    "x_positional_delete" -> positionalDelete _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2128,5 +2172,16 @@ object Curation {
         | ((SELECT count(*) FROM documents) + (SELECT count(*) FROM ins))::BIGINT AS v2_rows,
         | ((SELECT sum(doc_id) FROM documents)
         |   + (SELECT coalesce(sum(doc_id), 0) FROM ins))::BIGINT AS v2_id_sum""".stripMargin,
+    // v1 IS documents, so the survivor/deletion audit re-derives from
+    // the raw table; the % 11 forget rule mirrors the DV builder
+    "x_positional_delete" ->
+      """SELECT
+        | sum(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_rows,
+        | sum(CASE WHEN doc_id % 11 <> 0 THEN doc_id END)::BIGINT AS id_sum,
+        | sum(CASE WHEN doc_id % 11 <> 0
+        |   THEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000 END)::BIGINT
+        |   AS text_checksum,
+        | sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+        |FROM documents""".stripMargin,
   )
 }
