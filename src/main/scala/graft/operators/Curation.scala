@@ -1312,7 +1312,12 @@ object Curation {
       .select(col("doc_id"), col("text"),
         col("_metadata.file_path").as("f"), col("_metadata.row_index").as("pos"))
     val fs = new Path(dvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(s"$dvDir/_SUCCESS")))
+    // gate on the data files, not just _SUCCESS: a sentinel without
+    // data (e.g. after an external cleanup deleted the part files)
+    // must trigger a rebuild, not an unreadable empty-dir scan
+    val dvIntact = fs.exists(new Path(s"$dvDir/_SUCCESS")) &&
+      fs.listStatus(new Path(dvDir)).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!dvIntact)
       baseWithPos.filter(col("doc_id") % 11 === 0)
         .select(col("f"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
@@ -1354,8 +1359,13 @@ object Curation {
     val listed = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
       .select(col("path"), col("length"))
+    // Committed state = snapshot data files AND deletion-vector
+    // sidecars: DVs are table state a lakehouse log references
+    // (x_positional_delete's dv_v1/), not write debris — the full-suite
+    // run caught vacuum eating the DV when both ops share the store.
     val orphanFiles = listed
-      .filter(!col("path").contains("/v1/") && !col("path").contains("/v2/"))
+      .filter(!col("path").contains("/v1/") && !col("path").contains("/v2/") &&
+        !col("path").contains("/dv_"))
     val audit = orphanFiles
       .agg(count(lit(1)).as("orphans_deleted"),
         coalesce(sum("length"), lit(0L)).as("orphan_bytes")).first()
