@@ -1332,6 +1332,88 @@ object Curation {
         sum(when(col("del").isNotNull, 1).otherwise(0)).as("n_deleted"))
   }
 
+  /** MERGE-ON-READ — the read path of a lakehouse upsert that defers
+    * ALL rewriting. The copy-on-write v2 snapshot ([[snapshotDir]])
+    * materializes updated rows into fresh data files; this query
+    * reconstructs the SAME logical table from three immutable layers
+    * instead — the untouched v1 base, a deletion-vector sidecar
+    * marking the base rows a later update superseded, and an
+    * append-only delta holding the updated and inserted rows. No base
+    * byte is rewritten, so an upsert costs O(changed rows), not
+    * O(table) — the Iceberg-v2 / Delta-DV read shape, and what reads
+    * land on BETWEEN compactions, which at 100 TB is almost always
+    * (x_compaction is the pass that later folds DV + delta back into
+    * data files).
+    *
+    * The query audits BOTH read paths with the same (n_rows, id_sum,
+    * text_checksum) triple: the DuckDB oracle derives both rows from
+    * the documents-table v2 formulation, so any drift between the
+    * layered reconstruction and the materialized snapshot fails the
+    * hash gate; the engine additionally require()s row equality so
+    * drift is loud even without the oracle.
+    *
+    * Scale: the DV join broadcasts while the sidecar is small (AQE)
+    * and degrades to a (file, pos)-keyed shuffle join as deletes grow;
+    * the delta union is scan-level concatenation — no layer is ever
+    * collected.
+    */
+  def mergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = snapshotDir(spark, sfDir)
+    val mor = mergeOnReadFrame(spark, sfDir)
+    def stats(df: DataFrame, name: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum("doc_id").as("id_sum"),
+        sum(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) % 1000000000000"))
+          .as("text_checksum"))
+        .select(lit(name).as("read_path"),
+          col("n_rows"), col("id_sum"), col("text_checksum"))
+    val audited = stats(spark.read.parquet(s"$dir/v2"), "cow_v2")
+      .unionByName(stats(mor, "mor_v2")).orderBy("read_path").collect()
+    require(audited.length == 2 &&
+      audited(0).toSeq.tail == audited(1).toSeq.tail,
+      s"merge-on-read drifted from the materialized snapshot: ${audited.toSeq}")
+    import spark.implicits._
+    audited.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("read_path", "n_rows", "id_sum", "text_checksum")
+  }
+
+  /** Stages the DV + delta layers (idempotent, data-file-gated like
+    * dv_v1) and returns the layered reconstruction as a (doc_id, text)
+    * frame — shared by [[mergeOnRead]] and its row-identity spec.
+    */
+  private[graft] def mergeOnReadFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = snapshotDir(spark, sfDir)
+    val dvDir = s"$dir/dv_mor"
+    val deltaDir = s"$dir/delta_mor"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def intact(d: String): Boolean =
+      fs.exists(new Path(s"$d/_SUCCESS")) &&
+        fs.listStatus(new Path(d)).exists(_.getPath.getName.endsWith(".parquet"))
+    def baseWithPos = spark.read.parquet(s"$dir/v1")
+      .select(col("doc_id"), col("text"),
+        col("_metadata.file_path").as("f"), col("_metadata.row_index").as("pos"))
+    if (!intact(dvDir))
+      baseWithPos.filter(col("doc_id") % 7 === 0)
+        .select(col("f"), col("pos"))
+        .write.mode("overwrite").parquet(dvDir)
+    if (!intact(deltaDir)) {
+      val docs = Tables.documents(spark, sfDir)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("synthetic doc "), col("doc_id").cast("string")).as("text"))
+      updates.unionByName(inserts).write.mode("overwrite").parquet(deltaDir)
+    }
+    val dv = spark.read.parquet(dvDir).withColumn("del", lit(true))
+    baseWithPos.join(dv, Seq("f", "pos"), "left")
+      .filter(col("del").isNull).select(col("doc_id"), col("text"))
+      .unionByName(spark.read.parquet(deltaDir))
+  }
+
   /** The deterministic orphan fixture lakeVacuum re-stages every
     * invocation: an abandoned WAP-style staging dir + two bare
     * in-progress files (names NOT underscore-prefixed — hidden files
@@ -1359,13 +1441,15 @@ object Curation {
     val listed = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
       .select(col("path"), col("length"))
-    // Committed state = snapshot data files AND deletion-vector
-    // sidecars: DVs are table state a lakehouse log references
-    // (x_positional_delete's dv_v1/), not write debris — the full-suite
-    // run caught vacuum eating the DV when both ops share the store.
+    // Committed state = snapshot data files, deletion-vector sidecars
+    // AND append-only merge-on-read deltas: DVs and deltas are table
+    // state a lakehouse log references (x_positional_delete's dv_v1/,
+    // x_merge_on_read's dv_mor/ + delta_mor/), not write debris — the
+    // full-suite run caught vacuum eating the DV when both ops share
+    // the store.
     val orphanFiles = listed
       .filter(!col("path").contains("/v1/") && !col("path").contains("/v2/") &&
-        !col("path").contains("/dv_"))
+        !col("path").contains("/dv_") && !col("path").contains("/delta_"))
     val audit = orphanFiles
       .agg(count(lit(1)).as("orphans_deleted"),
         coalesce(sum("length"), lit(0L)).as("orphan_bytes")).first()
@@ -1671,6 +1755,7 @@ object Curation {
     "x_snapshot_diff" -> snapshotDiff _,
     "x_lake_vacuum" -> lakeVacuum _,
     "x_positional_delete" -> positionalDelete _,
+    "x_merge_on_read" -> mergeOnRead _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2193,5 +2278,25 @@ object Curation {
         |   AS text_checksum,
         | sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted
         |FROM documents""".stripMargin,
+    // both read paths must equal the SAME v2 derivation (the
+    // x_snapshot_diff CTEs): cow_v2 is the materialized snapshot,
+    // mor_v2 the base+DV+delta reconstruction — one shared content
+    // audit, two rows
+    "x_merge_on_read" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |upd AS (SELECT doc_id, text || ' [rev2]' AS new_text
+        |        FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT doc_id + 10000000 AS doc_id,
+        |        'synthetic doc ' || doc_id::VARCHAR AS text
+        |        FROM documents WHERE doc_id % 13 = 0),
+        |v2 AS (
+        | SELECT b.doc_id, coalesce(u.new_text, b.text) AS text
+        | FROM v1 b LEFT JOIN upd u USING (doc_id)
+        | UNION ALL SELECT doc_id, text FROM ins),
+        |paths(read_path) AS (VALUES ('cow_v2'), ('mor_v2'))
+        |SELECT p.read_path, count(*) AS n_rows, sum(doc_id)::BIGINT AS id_sum,
+        | sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)::BIGINT AS text_checksum
+        |FROM paths p CROSS JOIN v2
+        |GROUP BY p.read_path ORDER BY p.read_path""".stripMargin,
   )
 }

@@ -604,4 +604,31 @@ class CurationSpec extends AnyFunSuite {
       fs.listStatus(new Path(s"$dir/staging_tmp")).isEmpty)
   }
 
+  test("merge-on-read reconstructs the copy-on-write snapshot row-for-row, without rewriting the base") {
+    import org.apache.hadoop.fs.Path
+    val dir = Curation.snapshotDir(spark, TestSpark.sf)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseParts: Seq[(String, Long, Long)] =
+      fs.listStatus(new Path(s"$dir/v1")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1)
+    val partsBefore = baseParts
+    val mor = Curation.mergeOnReadFrame(spark, TestSpark.sf)
+    val v2 = spark.read.parquet(s"$dir/v2")
+    // full row identity, both directions — stronger than the audit triple
+    assert(mor.exceptAll(v2).isEmpty, "MOR rows missing from the COW snapshot")
+    assert(v2.exceptAll(mor).isEmpty, "COW rows missing from the MOR reconstruction")
+    // the upsert cost O(changed rows): base v1 data files are untouched
+    assert(baseParts === partsBefore,
+      "merge-on-read must never rewrite a base data file")
+    // and the layers really are layered: DV covers exactly the updated
+    // rows, the delta exactly the updates + inserts
+    val nUpd = spark.read.parquet(s"$dir/v1")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    val nIns = spark.read.parquet(s"$dir/v2").count() - spark.read.parquet(s"$dir/v1").count()
+    assert(spark.read.parquet(s"$dir/dv_mor").count() === nUpd)
+    assert(spark.read.parquet(s"$dir/delta_mor").count() === nUpd + nIns)
+  }
+
 }
