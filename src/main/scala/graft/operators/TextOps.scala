@@ -35,7 +35,7 @@ object TextOps {
     * [[Dedup.shingled]]: input file count must never cap parallelism
     * ahead of CPU-bound row work.
     */
-  private def padded(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def padded(spark: SparkSession, sfDir: String): DataFrame =
     Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
 
@@ -698,6 +698,74 @@ object TextOps {
       .limit(30)
   }
 
+  private val BpeVocabCap = 256 // word-frequency rows the trainer keeps
+  private val BpeMerges = 8     // unrolled merge rounds (oracle mirrors)
+
+  /** BPE tokenizer TRAINING — the iterated-merge loop [[bpePairs]] is
+    * one round of, run to [[BpeMerges]] rounds over the word-frequency
+    * table. This is the real trainer shape: BPE never re-scans the
+    * corpus per merge — the corpus-scale work is ONE distributed
+    * word-count aggregation (plus a deterministic (cnt desc, word)
+    * top-[[BpeVocabCap]] cap, letters-only 2..12-char words so the
+    * symbol alphabet is closed under '|' delimiting), and every merge
+    * round then runs against that bounded frequency table. At 100 TB
+    * the word table is ~10^8 rows where the corpus is 10^11 docs; each
+    * round is a small distributed pair-count aggregate of which ONLY
+    * the argmax row is collected (model-sized, like the PQ codebook
+    * extraction).
+    *
+    * Token state is a delimited string — word "ab" starts as `|a||b|`,
+    * every boundary carrying two pipes, the word edges one. A merge of
+    * (l, r) is then the plain substring replacement `|l||r|` →
+    * `|lr|`: each match consumes one pipe of each outer boundary and
+    * the replacement restores it, so consecutive pair occurrences stay
+    * matchable and left-to-right replace-all reproduces the BPE greedy
+    * scan EXACTLY (the single-pipe form fails on runs: in `a a a a a`
+    * it merges positions 1–2 then 4–5, not 1–2 and 3–4). `replace` has
+    * identical greedy left-to-right semantics in Spark and DuckDB —
+    * the file-header parity discipline — so the oracle re-trains the
+    * full 8 rounds bit-identically.
+    *
+    * Output is the merge TABLE (the trained tokenizer artifact): one
+    * row per round with the chosen pair and its weighted count.
+    * Per-round argmax tiebreak is (count desc, pair asc); counts are
+    * exact integer sums, so the sequence is deterministic under any
+    * partitioning.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab0 = padded(spark, sfDir)
+      .select(explode(split(trim(col("padded")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(BpeVocabCap)
+      .withColumn("r", regexp_replace(col("word"), "(.)", "$1||"))
+      .select(concat(lit("|"), expr("substring(r, 1, length(r) - 1)")).as("s"),
+        col("cnt"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var v = vocab0
+    for (step <- 1 to BpeMerges) {
+      val top = v
+        .select(col("cnt"), split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1).collect()
+      require(top.nonEmpty, s"BPE round $step found no pairs — vocab exhausted")
+      val pair = top(0).getString(0)
+      val pc = top(0).getLong(1)
+      val Array(l, r) = pair.split(" ", 2)
+      merges += ((step, l, r, l + r, pc))
+      // symbols are [a-z]+ concatenations — safe inside SQL quotes
+      v = v.withColumn("s", expr(s"replace(s, '|$l||$r|', '|$l$r|')"))
+    }
+    vocab0.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("step")
+  }
+
   /** Heavy hitters over word bigrams via mergeable frequent-items
     * sketches ([[graft.functions.FreqSketch]]) — the bounded-memory
     * twin of [[bpePairs]]' exact global group-by. One sketch per
@@ -778,6 +846,7 @@ object TextOps {
   val registry: Map[String, Q] = Map(
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
+    "x_bpe_train" -> bpeTrain _,
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
@@ -798,7 +867,55 @@ object TextOps {
     "x_text_fingerprint" -> fingerprint _,
   )
 
+  /** The DuckDB re-training of [[bpeTrain]]: the same base vocabulary
+    * CTE, then [[BpeMerges]] generated iteration blocks — pair count,
+    * deterministic argmax, delimiter-aware replace — exactly the
+    * unrolled-iteration oracle discipline of x_emb_pagerank. DuckDB
+    * `replace` shares Spark's greedy left-to-right replace-all
+    * semantics, so the vocab states stay bit-identical round by round.
+    */
+  private def bpeTrainOracle: String = {
+    val base =
+      """WITH w0 AS (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        | FROM documents),
+        |wf AS MATERIALIZED (
+        | SELECT word, count(*)::BIGINT AS cnt FROM w0
+        | WHERE regexp_full_match(word, '[a-z]+') AND len(word) BETWEEN 2 AND 12
+        | GROUP BY word ORDER BY cnt DESC, word LIMIT """.stripMargin + BpeVocabCap +
+        """),
+          |v1 AS MATERIALIZED (
+          | SELECT '|' || substr(r, 1, len(r) - 1) AS s, cnt
+          | FROM (SELECT regexp_replace(word, '(.)', '\1||', 'g') AS r, cnt FROM wf))""".stripMargin
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""tk$k AS (
+         | SELECT cnt, string_split(substr(s, 2, len(s) - 2), '||') AS toks FROM v$k),
+         |ik$k AS (
+         | SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM tk$k WHERE len(toks) >= 2),
+         |pk$k AS (
+         | SELECT toks[i] || ' ' || toks[i + 1] AS pair, sum(cnt)::BIGINT AS pc
+         | FROM ik$k GROUP BY pair),
+         |mk$k AS MATERIALIZED (SELECT pair, pc FROM pk$k ORDER BY pc DESC, pair LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (
+         | SELECT replace(s,
+         |   '|' || split_part((SELECT pair FROM mk$k), ' ', 1) ||
+         |   '||' || split_part((SELECT pair FROM mk$k), ' ', 2) || '|',
+         |   '|' || replace((SELECT pair FROM mk$k), ' ', '') || '|') AS s, cnt
+         | FROM v$k)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to BpeMerges)
+      .map(k => s"SELECT $k AS step, pair, pc FROM mk$k")
+      .mkString(" UNION ALL ")
+    s"""$base,
+       |$rounds
+       |SELECT step, split_part(pair, ' ', 1) AS left_sym,
+       | split_part(pair, ' ', 2) AS right_sym,
+       | replace(pair, ' ', '') AS merged, pc AS pair_count
+       |FROM ($finals) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x_bpe_train" -> bpeTrainOracle,
     // same deletion-neighborhood blocking + exact levenshtein filter
     "x_text_typo_pairs" ->
       """WITH tok0 AS (

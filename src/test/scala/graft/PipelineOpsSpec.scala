@@ -759,6 +759,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       "every pair is exactly two whitespace tokens")
   }
 
+  test("bpe training emits a composable merge table with non-increasing counts") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.bpeTrain(spark, sf).collect()
+    assert(rows.length === 8, "one row per merge round")
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 8), "rounds numbered in order")
+    rows.foreach { r =>
+      assert(r.getString(3) === r.getString(1) + r.getString(2),
+        "merged symbol is the pair concatenation")
+      assert(r.getLong(4) > 0, "a chosen merge has positive weighted count")
+    }
+    // a merge removes pair mass and created pairs are sub-occurrences of
+    // pre-merge pairs, so the chosen counts can never increase
+    val counts = rows.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"pair counts must be non-increasing: ${counts.toSeq}")
+    // round 1 must pick the true argmax adjacent-character pair of the
+    // capped word-frequency table — re-derived independently here
+    val vocab = TextOps.padded(spark, sf)
+      .select(explode(split(trim(col("padded")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(256)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    vocab.foreach { case (w, c) =>
+      w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+      }
+    }
+    val (bestPair, bestCnt) = pairCounts.toSeq
+      .map { case ((l, r), c) => (s"$l $r", c) }
+      .minBy { case (p, c) => (-c, p) }
+    assert(rows(0).getString(1) + " " + rows(0).getString(2) === bestPair)
+    assert(rows(0).getLong(4) === bestCnt)
+  }
+
   test("epoch amplification multiplies rows by the per-source epoch factor exactly") {
     val rows = graft.operators.Curation.mixEpochs(spark, sf).collect()
     assert(rows.nonEmpty)
