@@ -766,6 +766,45 @@ object TextOps {
       .orderBy("step")
   }
 
+  /** BPE tokenizer APPLY — re-tokenize the corpus with the trained
+    * merge table, the serving half of the [[bpeTrain]] pipeline. The
+    * 8 learned merges are collected (model-sized, like a broadcast
+    * codebook) and compiled into a chain of 8 literal delimiter-aware
+    * `replace` calls — a pure per-row codegen'd string projection, so
+    * the corpus pass is embarrassingly parallel with ONE tiny
+    * per-source aggregate at the end. Token counting never splits the
+    * string: tokens = (pipes − 2) / 2 + 1 off the delimited form.
+    *
+    * Output is the compression accounting a tokenizer rollout needs:
+    * per source, word/char/token totals and the per-mille character
+    * saving (integer ppm, floor-division — positive operands so Spark
+    * `div` and DuckDB `//` agree). The oracle re-derives the ENTIRE
+    * pipeline — training chain and application fold — so a drift in
+    * either half fails the gate.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeTrain(spark, sfDir).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val folded = merges.foldLeft("s") { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    padded(spark, sfDir)
+      .select(col("source"), explode(split(trim(col("padded")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 12))
+      .withColumn("r", regexp_replace(col("word"), "(.)", "$1||"))
+      .withColumn("s", concat(lit("|"), expr("substring(r, 1, length(r) - 1)")))
+      .withColumn("t", expr(folded))
+      .select(col("source"), length(col("word")).cast("long").as("n_chars"),
+        expr("cast((length(t) - length(replace(t, '|', '')) - 2) div 2 + 1 as bigint)")
+          .as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("n_chars").as("n_chars"),
+        sum("n_toks").as("n_bpe_tokens"))
+      .withColumn("saved_ppm",
+        expr("(n_chars - n_bpe_tokens) * 1000000 div n_chars"))
+      .orderBy("source")
+  }
+
   /** Heavy hitters over word bigrams via mergeable frequent-items
     * sketches ([[graft.functions.FreqSketch]]) — the bounded-memory
     * twin of [[bpePairs]]' exact global group-by. One sketch per
@@ -847,6 +886,7 @@ object TextOps {
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
     "x_bpe_train" -> bpeTrain _,
+    "x_bpe_apply" -> bpeApply _,
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
@@ -875,6 +915,22 @@ object TextOps {
     * semantics, so the vocab states stay bit-identical round by round.
     */
   private def bpeTrainOracle: String = {
+    val finals = (1 to BpeMerges)
+      .map(k => s"SELECT $k AS step, pair, pc FROM mk$k")
+      .mkString(" UNION ALL ")
+    s"""$bpeTrainCtes
+       |SELECT step, split_part(pair, ' ', 1) AS left_sym,
+       | split_part(pair, ' ', 2) AS right_sym,
+       | replace(pair, ' ', '') AS merged, pc AS pair_count
+       |FROM ($finals) ORDER BY step""".stripMargin
+  }
+
+  /** The shared trainer CTE chain (base vocabulary + [[BpeMerges]]
+    * unrolled rounds) — the apply oracle re-derives the merge table
+    * through the SAME chain, so train and apply stay in lock-step by
+    * construction.
+    */
+  private def bpeTrainCtes: String = {
     val base =
       """WITH w0 AS (
         | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
@@ -903,19 +959,46 @@ object TextOps {
          |   '|' || replace((SELECT pair FROM mk$k), ' ', '') || '|') AS s, cnt
          | FROM v$k)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to BpeMerges)
-      .map(k => s"SELECT $k AS step, pair, pc FROM mk$k")
-      .mkString(" UNION ALL ")
-    s"""$base,
-       |$rounds
-       |SELECT step, split_part(pair, ' ', 1) AS left_sym,
-       | split_part(pair, ' ', 2) AS right_sym,
-       | replace(pair, ' ', '') AS merged, pc AS pair_count
-       |FROM ($finals) ORDER BY step""".stripMargin
+    s"$base,\n$rounds"
+  }
+
+  /** DuckDB oracle for [[bpeApply]]: the trainer chain yields mk1..mk8,
+    * then the corpus words fold through the same 8 delimiter-aware
+    * replaces (nested scalar-subquery literals) and the per-source
+    * token accounting reduces it — entirely self-contained re-training
+    * plus re-tokenization.
+    */
+  private def bpeApplyOracle: String = {
+    val folded = (1 to BpeMerges).foldLeft("s") { (acc, k) =>
+      s"""replace($acc,
+         |   '|' || split_part((SELECT pair FROM mk$k), ' ', 1) ||
+         |   '||' || split_part((SELECT pair FROM mk$k), ' ', 2) || '|',
+         |   '|' || replace((SELECT pair FROM mk$k), ' ', '') || '|')""".stripMargin
+    }
+    s"""$bpeTrainCtes,
+       |wa AS (
+       | SELECT source, word FROM (
+       |  SELECT source,
+       |   unnest(regexp_split_to_array(lower(trim(text)), ${"'\\s+'"})) AS word
+       |  FROM documents)
+       | WHERE regexp_full_match(word, '[a-z]+') AND len(word) BETWEEN 2 AND 12),
+       |delim AS (
+       | SELECT source, word, '|' || substr(r, 1, len(r) - 1) AS s FROM (
+       |  SELECT source, word,
+       |   regexp_replace(word, '(.)', ${"'\\1||'"}, 'g') AS r FROM wa)),
+       |ap AS (
+       | SELECT source, len(word)::BIGINT AS n_chars,
+       |  ((len(t) - len(replace(t, '|', '')) - 2) // 2 + 1)::BIGINT AS n_toks
+       | FROM (SELECT source, word, $folded AS t FROM delim))
+       |SELECT source, count(*) AS n_words, sum(n_chars)::BIGINT AS n_chars,
+       | sum(n_toks)::BIGINT AS n_bpe_tokens,
+       | ((sum(n_chars) - sum(n_toks)) * 1000000 // sum(n_chars))::BIGINT AS saved_ppm
+       |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "x_bpe_train" -> bpeTrainOracle,
+    "x_bpe_apply" -> bpeApplyOracle,
     // same deletion-neighborhood blocking + exact levenshtein filter
     "x_text_typo_pairs" ->
       """WITH tok0 AS (

@@ -796,6 +796,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(0).getLong(4) === bestCnt)
   }
 
+  test("bpe apply compresses every source and never tokenizes below one token per word") {
+    val rows = TextOps.bpeApply(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      val (words, chars, toks, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(toks < chars, s"${r.getString(0)}: 8 merges must compress below char tokens")
+      assert(toks >= words, s"${r.getString(0)}: a word cannot shrink below one token")
+      assert(ppm === (chars - toks) * 1000000L / chars, "ppm accounting must be exact")
+    }
+  }
+
   test("epoch amplification multiplies rows by the per-source epoch factor exactly") {
     val rows = graft.operators.Curation.mixEpochs(spark, sf).collect()
     assert(rows.nonEmpty)
