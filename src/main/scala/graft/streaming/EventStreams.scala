@@ -802,6 +802,54 @@ object EventStreams {
       .orderBy("bucket", "tier")
   }
 
+  /** Streaming CDC ingest audit — the arriving v2 snapshot is consumed
+    * as a FILE STREAM (each committed data file a micro-batch, exactly
+    * how a lakehouse change feed lands), classified against the static
+    * v1 base with a stream-static left-outer join, and reduced to the
+    * per-status counts + key checksums of [[graft.operators.Curation
+    * .snapshotDiff]] — whose oracle this query REUSES verbatim:
+    * streaming ingest classification must equal the batch diff.
+    *
+    * An upsert FEED carries added/changed/unchanged; removals cannot
+    * appear on the stream side of a stream-static join and ride
+    * deletion vectors instead (x_positional_delete) — in this store
+    * v2 removes nothing, so the batch diff agrees row-for-row.
+    *
+    * Scale: the static side is the base table — Spark re-plans it per
+    * micro-batch, so at 100 TB the static side would be the
+    * fingerprint-keyed postings/bucketed layout (the incremental-dedup
+    * shape, Dedup.ensureBaseIndex), not a cold full scan; the
+    * classification itself is a key equi-join + a 3-group aggregate,
+    * complete-mode state of 3 rows.
+    */
+  def streamCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.operators.Curation.snapshotDir(spark, sfDir)
+    val v1 = spark.read.parquet(s"$dir/v1")
+      .select(col("doc_id"), col("text").as("t1"))
+    val v2Schema = spark.read.parquet(s"$dir/v2").schema
+    val feed = spark.readStream.schema(v2Schema).parquet(s"$dir/v2")
+      .select(col("doc_id"), col("text").as("t2"))
+    val classified = feed.join(v1, Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t1") =!= col("t2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_cdc_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = classified.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy("status")
+  }
+
   /** Stream-STREAM interval join — view→click attribution: every click
     * joined to the views of the same user in the preceding 30 minutes,
     * both sides unbounded streams. This is the stateful-join shape
@@ -1173,6 +1221,7 @@ object EventStreams {
     "x_stream_stream_outer" -> streamStreamOuter _,
     "w3_asof_join" -> asofJoin _,
     "x_stream_join" -> streamStaticJoin _,
+    "x_stream_cdc" -> streamCdc _,
     "x_stream_window" -> streamWindow _,
     "x_stream_window_sliding" -> streamWindowSliding _,
     "x_stream_window_append" -> streamWindowAppend _,
@@ -1193,6 +1242,8 @@ object EventStreams {
     // the streaming LM scorer must reproduce the batch scorer bit for
     // bit, so it shares its oracle
     "x_stream_perplexity" -> graft.operators.TextOps.oracles("x_text_unigram_lm"),
+    // streaming ingest classification must equal the batch snapshot diff
+    "x_stream_cdc" -> graft.operators.Curation.oracles("x_snapshot_diff"),
     // batch recompute of the final upsert snapshot: per-user event
     // count + argmax-latest state on the (micros, event_id) total order
     "x_stream_upsert" ->

@@ -759,6 +759,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       "every pair is exactly two whitespace tokens")
   }
 
+  test("streaming CDC ingest classification equals the batch snapshot diff") {
+    val streamed = EventStreams.streamCdc(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.snapshotDiff(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "the file-stream classification must agree with the batch diff row-for-row")
+    assert(streamed.map(_.head).map(String.valueOf(_)).sorted ===
+      Seq("added", "changed", "unchanged"),
+      "an upsert feed carries exactly these statuses; removals ride DVs")
+  }
+
   test("bpe training emits a composable merge table with non-increasing counts") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.bpeTrain(spark, sf).collect()
