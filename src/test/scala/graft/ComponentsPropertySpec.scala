@@ -65,6 +65,56 @@ class ComponentsPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** The claim TextOps.bpeTrain/bpeApply rest on: with two pipes per
+    * interior boundary and one at the edges, literal left-to-right
+    * replace-all of `|l||r|` → `|lr|` equals the greedy BPE merge scan
+    * on ANY token sequence — runs, overlaps, merged-symbol collisions
+    * included. Exercised over random multi-step merge chains against a
+    * direct list-walking reference (java.lang.String.replace shares
+    * Spark's and DuckDB's literal replace-all semantics).
+    */
+  test("delimited replace-all merging equals greedy BPE merging on random runs") {
+    def encode(toks: List[String]): String = toks.mkString("|", "||", "|")
+    def decode(s: String): List[String] =
+      if (s.length <= 2) Nil
+      else s.substring(1, s.length - 1).split("\\|\\|", -1).toList
+    def greedy(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    // alphabet chosen so merged symbols collide with raw ones (ab vs
+    // a·b) and runs of identical symbols are common
+    val symGen = Gen.oneOf("a", "b", "ab", "ba", "aa")
+    val caseGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, symGen)
+      k <- Gen.choose(1, 4)
+      pairs <- Gen.listOfN(k, for {
+        l <- symGen; r <- symGen
+      } yield (l, r))
+    } yield (toks, pairs)
+    var seed = org.scalacheck.rng.Seed(4242L)
+    for (_ <- 1 to 500) {
+      val (toks0, pairs) = caseGen.apply(Gen.Parameters.default, seed)
+        .getOrElse((List("a", "a", "a"), List(("a", "a"))))
+      seed = seed.next
+      var toks = toks0
+      var s = encode(toks0)
+      pairs.foreach { case (l, r) =>
+        toks = greedy(toks, l, r)
+        s = s.replace(s"|$l||$r|", s"|${l + r}|")
+        assert(decode(s) === toks,
+          s"delimited merge diverged: toks0=$toks0 pairs=$pairs at ($l,$r)")
+      }
+    }
+  }
+
   test("distributed loops agree with union-find on an adversarial graph") {
     import spark.implicits._
     // a 30-node path (worst case for diameter-bound propagation) plus
