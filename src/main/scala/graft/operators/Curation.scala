@@ -1414,6 +1414,84 @@ object Curation {
       .unionByName(spark.read.parquet(deltaDir))
   }
 
+  /** PARTITION EVOLUTION — the lake migrated its events layout
+    * mid-history: days before the cut live in the OLD generation (one
+    * flat unpartitioned directory, no day column), days from the cut
+    * onward in the NEW one (hive-partitioned by day). Real lakes do
+    * exactly this without rewriting history, so every read spans both
+    * layouts forever. The query reads a 3-day window straddling the
+    * cut as ONE union and must (a) return the same per-day totals the
+    * raw table yields and (b) prune: the day predicate is a
+    * PartitionFilter on the new generation (2 of ~15 day dirs listed),
+    * while the OLD generation — which cannot partition-prune — gets
+    * the equivalent ts-range predicate pushed to parquet row-group
+    * stats. Per-day generation counts prove both layouts actually
+    * served rows across the boundary.
+    *
+    * Determinism: the cut is the median distinct day, the window its
+    * two neighbors — all derived from the data, collected as THREE day
+    * strings (literal partition predicates must be static to prune at
+    * planning time; this is the k×d-codebook-sized collect the ANN
+    * family documents). Layouts are staged once behind a fingerprint
+    * sentinel.
+    */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val (gen1Dir, gen2Dir) = partitionEvolutionDirs(spark, sfDir)
+    val days = Tables.events(spark, sfDir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct().orderBy("day").collect().map(_.getString(0))
+    require(days.length >= 3, "partition evolution needs >= 3 distinct days")
+    val mid = days.length / 2
+    val (lo, cut, hi) = (days(mid - 1), days(mid), days(mid + 1))
+    val g1 = spark.read.parquet(gen1Dir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .withColumn("gen", lit(1))
+    val g2 = spark.read.parquet(gen2Dir).withColumn("gen", lit(2))
+      .select(g1.columns.map(col).toIndexedSeq: _*)
+    g1.unionByName(g2)
+      // day bound prunes gen2 partitions; the equivalent ts bound is
+      // what the flat gen1 scan can push to row-group statistics
+      .filter(col("day").between(lo, hi) &&
+        col("ts") >= to_timestamp(lit(lo)) &&
+        col("ts") < date_add(to_timestamp(lit(hi)), 1))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+        sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when(col("gen") === 2, 1L).otherwise(0L)).as("n_gen2"))
+      .orderBy("day")
+  }
+
+  /** Stages the two event-layout generations (idempotent via the
+    * `_PARTEVO` sentinel): days below the median distinct day as one
+    * flat directory WITHOUT the day column, the rest hive-partitioned
+    * by day.
+    */
+  private[graft] def partitionEvolutionDirs(
+      spark: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
+    val dir = s"/root/repo/target/graft-work/partevo_$fp"
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$dir/_PARTEVO"))) {
+      fs.delete(new Path(dir), true)
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      val ds = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getString(0))
+      val cut = ds(ds.length / 2)
+      ev.filter(col("day") < cut).drop("day")
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      ev.filter(col("day") >= cut)
+        .repartition(4, col("day"), col("user_id"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/gen2")
+      fs.create(new Path(s"$dir/_PARTEVO")).close()
+    }
+    (s"$dir/gen1", s"$dir/gen2")
+  }
+
   /** The deterministic orphan fixture lakeVacuum re-stages every
     * invocation: an abandoned WAP-style staging dir + two bare
     * in-progress files (names NOT underscore-prefixed — hidden files
@@ -1756,6 +1834,7 @@ object Curation {
     "x_lake_vacuum" -> lakeVacuum _,
     "x_positional_delete" -> positionalDelete _,
     "x_merge_on_read" -> mergeOnRead _,
+    "x_partition_evolution" -> partitionEvolution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2278,6 +2357,24 @@ object Curation {
         |   AS text_checksum,
         | sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted
         |FROM documents""".stripMargin,
+    // the layered two-generation read must equal the raw table: per-day
+    // totals over the 3-day window around the median distinct day, with
+    // generation attribution re-derived from the same cut rule
+    "x_partition_evolution" ->
+      """WITH ev AS (
+        | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  round(value * 100)::BIGINT AS cents FROM events),
+        |dd AS (
+        | SELECT day, row_number() OVER (ORDER BY day) - 1 AS r
+        | FROM (SELECT DISTINCT day FROM ev)),
+        |n AS (SELECT count(*) AS d FROM dd),
+        |cut AS (SELECT day FROM dd, n WHERE r = d // 2),
+        |sel AS (SELECT day FROM dd, n WHERE r BETWEEN d // 2 - 1 AND d // 2 + 1)
+        |SELECT e.day, count(*) AS n_events, sum(e.cents)::BIGINT AS cents,
+        | sum(CASE WHEN e.day < (SELECT day FROM cut) THEN 1 ELSE 0 END)::BIGINT AS n_gen1,
+        | sum(CASE WHEN e.day >= (SELECT day FROM cut) THEN 1 ELSE 0 END)::BIGINT AS n_gen2
+        |FROM ev e JOIN sel s ON s.day = e.day
+        |GROUP BY e.day ORDER BY e.day""".stripMargin,
     // both read paths must equal the SAME v2 derivation (the
     // x_snapshot_diff CTEs): cow_v2 is the materialized snapshot,
     // mor_v2 the base+DV+delta reconstruction — one shared content

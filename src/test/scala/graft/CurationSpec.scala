@@ -604,6 +604,42 @@ class CurationSpec extends AnyFunSuite {
       fs.listStatus(new Path(s"$dir/staging_tmp")).isEmpty)
   }
 
+  test("partition evolution prunes the new generation and pushes ts bounds to the old") {
+    import org.apache.hadoop.fs.Path
+    val (gen1Dir, gen2Dir) = Curation.partitionEvolutionDirs(spark, TestSpark.sf)
+    val df = Curation.partitionEvolution(spark, TestSpark.sf)
+    df.collect() // execute so scan metrics populate
+    def census(dir: String): Int = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    def scanOf(frag: String): org.apache.spark.sql.execution.FileSourceScanExec =
+      Explain.walkPlans(df.queryExecution.executedPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(frag)) => s
+      }.getOrElse(fail(s"no scan over $frag in the plan"))
+    // new generation: the day window must land in PartitionFilters and
+    // list strictly fewer day dirs than exist
+    val g2scan = scanOf("gen2")
+    assert(g2scan.partitionFilters.nonEmpty,
+      "the day window must prune the hive-partitioned generation")
+    val gen2Total = census(gen2Dir)
+    val gen2Read = g2scan.metrics("numFiles").value
+    assert(gen2Read > 0 && gen2Read < gen2Total,
+      s"gen2 must prune files: read $gen2Read of $gen2Total")
+    // old generation: no partitions to prune — the ts bounds must reach
+    // the parquet scan as data filters instead
+    val g1scan = scanOf("gen1")
+    assert(g1scan.dataFilters.exists(_.toString.contains("ts")),
+      s"ts range must be a data filter on the flat generation: ${g1scan.dataFilters}")
+    assert(census(gen1Dir) > 0 && gen2Total >= 10,
+      "fixture sanity: both generations staged, gen2 has many day dirs")
+  }
+
   test("merge-on-read reconstructs the copy-on-write snapshot row-for-row, without rewriting the base") {
     import org.apache.hadoop.fs.Path
     val dir = Curation.snapshotDir(spark, TestSpark.sf)
