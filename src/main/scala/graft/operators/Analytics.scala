@@ -1078,6 +1078,60 @@ object Analytics {
     * ([[graft.sources.LayoutCache]]) and reused across calls, so the
     * query measures the pruned join, not the write.
     */
+  /** Runtime bloom-filter join pruning (§4) — the shuffle-join twin of
+    * j4's DPP evidence: when the big side CANNOT partition-prune (no
+    * partition columns) and the small side is too large or the planner
+    * declines to broadcast, Catalyst's InjectRuntimeFilter builds a
+    * bloom filter from the SELECTIVE creation side (urgent orders) at
+    * runtime and applies `bloom_filter_might_contain` as a scan-side
+    * pre-filter on the application side — lineitem rows for
+    * non-urgent orders die before the shuffle instead of after the
+    * join. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~20% that can match.
+    *
+    * The broadcast threshold is disabled inside the scope to force the
+    * shuffle-join shape the rule targets (broadcast joins don't need a
+    * runtime filter), and the application-side size threshold is
+    * lowered because the heuristic's 10 GB default is tuned for real
+    * clusters, not verify-scale fixtures. The `runtime_bloom` flag is
+    * read STRUCTURALLY from the executed plan (a
+    * BloomFilterMightContain expression, never a plan-string match —
+    * the s14 discipline) and pinned TRUE by the oracle, so losing the
+    * injection fails the correctness gate, not just a perf number.
+    */
+  def j7RuntimeBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val df = Tables.lineitem(spark, sfDir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag")
+      val rows = df.collect()
+      val hasBloom = graft.Explain.walkPlans(df.queryExecution.executedPlan)
+        .exists(_.expressions.exists(_.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+          .isDefined))
+      import spark.implicits._
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), hasBloom))
+        .toDF("l_returnflag", "n", "qty", "runtime_bloom")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   def j4DppJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fp = graft.sources.LayoutCache.fingerprint(
@@ -1673,6 +1727,7 @@ object Analytics {
     "w4_range_join" -> w4RangeJoin _,
     "w5_running_total" -> w5RunningTotal _,
     "j4_dpp_join" -> j4DppJoin _,
+    "j7_runtime_bloom" -> j7RuntimeBloom _,
     "j5_anti_join" -> j5AntiJoin _,
     "j6_semi_join" -> j6SemiJoin _,
     "w6_ntile" -> w6Ntile _,
@@ -2266,6 +2321,14 @@ object Analytics {
         | ON o_orderstatus = d.status
         |WHERE d.label = 'done'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // join result re-derived plainly; runtime_bloom pinned TRUE so a
+    // lost InjectRuntimeFilter injection fails the gate
+    "j7_runtime_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | sum(l_quantity::BIGINT)::BIGINT AS qty, TRUE AS runtime_bloom
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a9_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

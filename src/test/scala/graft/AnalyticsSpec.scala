@@ -354,4 +354,31 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$scope: estimate $e too far from exact $x")
     }
   }
+
+  test("runtime bloom join filter is injected when enabled and invisible to results") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val spark = TestSpark.spark
+    val withBloom = graft.operators.Analytics.j7RuntimeBloom(spark, TestSpark.sf).collect()
+    assert(withBloom.forall(_.getBoolean(3)),
+      "InjectRuntimeFilter must fire under the scoped confs")
+    // the same join with the rule hard-disabled: data columns identical —
+    // a runtime filter may only prune, never alter
+    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val saved = spark.conf.get(key)
+    val plain =
+      try {
+        spark.conf.set(key, "false")
+        graft.Tables.lineitem(spark, TestSpark.sf)
+          .join(
+            graft.Tables.orders(spark, TestSpark.sf)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy("l_returnflag").collect()
+      } finally spark.conf.set(key, saved)
+    assert(withBloom.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
