@@ -262,4 +262,26 @@ class SourcesSpec extends AnyFunSuite {
       assert(absentFound <= 5, s"absent keys must reject at ~1% FPP, found $absentFound/100")
     } finally reader.close()
   }
+
+  test("CBO join reorder moves the selective dimension ahead of the fact-fact join") {
+    import graft.operators.Bucketing
+    Bucketing.ensureCboTables(spark, sf)
+    def scoped(cbo: Boolean): Seq[String] = {
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> spark.conf.get(k))
+      try {
+        keys.foreach(spark.conf.set(_, cbo.toString))
+        Bucketing.leafOrder(spark)
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    val off = scoped(cbo = false)
+    val on = scoped(cbo = true)
+    // heuristic-only optimization keeps the written order: lineitem first
+    assert(off.head === "graft_cbo_lineitem",
+      s"without CBO the written fact-first order must survive: $off")
+    assert(on !== off, s"CBO must rewrite the join tree: on=$on off=$off")
+    // the costed order starts from the dimension side, not fact ⋈ fact
+    assert(on.head !== "graft_cbo_lineitem",
+      s"CBO must not keep the fact table as the leftmost leaf: $on")
+  }
 }
