@@ -640,6 +640,25 @@ class CurationSpec extends AnyFunSuite {
       "fixture sanity: both generations staged, gen2 has many day dirs")
   }
 
+  test("merge-on-read re-stages a layer whose data files an external cleanup deleted") {
+    import org.apache.hadoop.fs.Path
+    val dir = Curation.snapshotDir(spark, TestSpark.sf)
+    Curation.mergeOnReadFrame(spark, TestSpark.sf).count() // ensure staged
+    val deltaDir = new Path(s"$dir/delta_mor")
+    val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the positional-delete hardening scenario: data files gone, the
+    // _SUCCESS sentinel left behind — the intact() gate must rebuild,
+    // not scan an empty dir
+    fs.listStatus(deltaDir).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    assert(fs.exists(new Path(s"$dir/delta_mor/_SUCCESS")),
+      "fixture: sentinel must survive the simulated cleanup")
+    val mor = Curation.mergeOnReadFrame(spark, TestSpark.sf)
+    val v2 = spark.read.parquet(s"$dir/v2")
+    assert(mor.exceptAll(v2).isEmpty && v2.exceptAll(mor).isEmpty,
+      "rebuilt layers must reconstruct the snapshot exactly")
+  }
+
   test("merge-on-read reconstructs the copy-on-write snapshot row-for-row, without rewriting the base") {
     import org.apache.hadoop.fs.Path
     val dir = Curation.snapshotDir(spark, TestSpark.sf)
