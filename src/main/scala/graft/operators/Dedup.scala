@@ -808,6 +808,88 @@ object Dedup {
       .orderBy("source")
   }
 
+  // Order-independent per-source content fingerprint: sum of 60-bit
+  // md5-prefix integers reduced mod 1e12. 500–5000 docs × <1e12 stays
+  // far below int64; a verification artifact only (production apply
+  // WRITES the rewritten corpus — the fingerprint exists so the DuckDB
+  // oracle can certify every cleaned doc byte-for-byte without the
+  // result carrying one row per document).
+  private val ContentMod = 1000000000000L
+
+  /** Duplicated-span REMOVAL — the *apply* step of exact-substring
+    * dedup ([[substringDedup]] is the marking pass; this one rewrites
+    * the corpus). Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022) cut every duplicated span out
+    * of the training text; the distributed fixed-gram variant removes
+    * every token position covered by a word-8-gram that occurs in ≥ 2
+    * distinct documents, then reassembles each document from its
+    * surviving tokens in order.
+    *
+    * Plan shape: the same inverted-index spine as the marking pass
+    * (positions → 60-bit gram hash → one hash-keyed shuffle for
+    * document frequency), then coverage = explode of the 8 positions
+    * under each duplicated occurrence, DISTINCT'd on (doc, pos), and
+    * the rewrite is a left-anti join of the posexploded token stream
+    * against the covered set — every join/aggregate keys on (doc, pos)
+    * or doc_id, so work stays O(corpus tokens) end to end; nothing is
+    * ever corpus × corpus. Per-doc reassembly sorts ≤ one document's
+    * tokens inside an aggregate buffer (documents are bounded; the
+    * buffer is per-doc, not per-partition). Exact duplicate documents
+    * lose EVERY position (all grams have df ≥ 2) and come out empty —
+    * the remove-all policy; keep-one-copy is [[exactKeep]] composed
+    * upstream.
+    *
+    * Parity: gram text, hash prefix, and the cleaned-text join are
+    * recomputed by the DuckDB oracle from the raw table; `content_sum`
+    * folds md5(cleaned_text) per doc into an order-independent integer
+    * sum, so the gate certifies the REASSEMBLED TEXT of every
+    * document, not just counts.
+    */
+  def spanRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val stats = docs.select(col("doc_id"), col("source"),
+      size(col("toks")).cast("bigint").as("n_toks"))
+    // positions: (doc, 0-based gram start, 60-bit md5-prefix hash) —
+    // short docs (< 8 tokens) contain no gram and pass through whole
+    val positions = docs.filter(size(col("toks")) >= SubstringGram)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), SubstringGram)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"),
+        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("hg"))
+    // document frequency per gram hash; rows are distinct per (hg, doc)
+    // after the first collapse, so plain count = distinct-doc count
+    val dupHg = positions.repartition(col("hg"))
+      .groupBy("hg", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("hg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("hg")
+    // coverage: the 8 token positions under each duplicated occurrence.
+    // The hg equi-join is co-located with the df aggregate's
+    // partitioning; no broadcast hint — AQE picks one while dupHg fits.
+    val covered = positions.join(dupHg, "hg")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${SubstringGram - 1})")).as("p"))
+      .distinct()
+    val tokens = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "w")))
+    val keptAgg = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, w))), s -> s.w), ' ')").as("cleaned"))
+    // left join back onto the full census: fully-covered docs have no
+    // kept rows at all and must still appear (as the empty string)
+    val perDoc = stats.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("doc_hash"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_kept") < col("n_toks"), 1L).otherwise(0L)).as("docs_rewritten"),
+      sum("n_toks").as("tokens_total"),
+      sum("n_kept").as("tokens_kept"),
+      sum(expr(s"cast(conv(substr(doc_hash, 1, 15), 16, 10) as bigint) % $ContentMod"))
+        .as("content_sum"))
+      .orderBy("source")
+  }
+
   private val GridBlocks = 8 // grid granularity for the exact all-pairs
   // theta join: each of the G(G+1)/2 cells compares (n/G)² vectors, so G
   // is the per-task-memory knob — at lake scale pick G ≈ n·rowBytes/task
@@ -1027,6 +1109,7 @@ object Dedup {
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
     "x_dedup_substring" -> substringDedup _,
+    "x_dedup_span_rewrite" -> spanRewrite _,
   )
 
   /** Shared DuckDB CTEs recomputing the minhash pipeline from the raw
@@ -1238,6 +1321,47 @@ object Dedup {
          | sum(n_grams)::BIGINT AS grams_total, sum(n_dup)::BIGINT AS grams_dup,
          | sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_dup,
          | max((1000000 * n_dup) // n_grams) AS max_dup_ppm
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    // Recomputes the full rewrite from the raw table: same gram text,
+    // same 60-bit hash prefix, same coverage union, and string_agg
+    // (ORDER BY position) reassembly — content_sum certifies every
+    // cleaned document's text. Position indexes come from a constant
+    // unnest(range(0,128)) cross join (max doc length is ~100 tokens;
+    // DuckDB's range() table function rejects lateral args).
+    "x_dedup_span_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |pos AS (
+         | SELECT doc_id, i,
+         |  ('0x' || substr(md5(array_to_string(toks[i+1:i+$SubstringGram], ' ')), 1, 15))::BIGINT AS hg
+         | FROM t, (SELECT unnest(range(0, 128)) AS i) r
+         | WHERE i <= len(toks) - $SubstringGram),
+         |dup AS (
+         | SELECT hg FROM (SELECT hg, count(DISTINCT doc_id) AS df FROM pos GROUP BY hg)
+         | WHERE df >= 2),
+         |cov AS (
+         | SELECT DISTINCT doc_id, i + j AS p
+         | FROM pos, (SELECT unnest(range(0, $SubstringGram)) AS j) r2
+         | WHERE hg IN (SELECT hg FROM dup)),
+         |tok AS (
+         | SELECT doc_id, p, toks[p+1] AS w
+         | FROM t, (SELECT unnest(range(0, 128)) AS p) r WHERE p < len(toks)),
+         |kept AS (
+         | SELECT k.doc_id, count(*)::BIGINT AS n_kept,
+         |  string_agg(k.w, ' ' ORDER BY k.p) AS cleaned
+         | FROM tok k
+         | WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.p = k.p)
+         | GROUP BY k.doc_id),
+         |perdoc AS (
+         | SELECT t.doc_id, t.source, len(t.toks)::BIGINT AS n_toks,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  md5(coalesce(k.cleaned, '')) AS doc_hash
+         | FROM t LEFT JOIN kept k USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN n_kept < n_toks THEN 1 ELSE 0 END)::BIGINT AS docs_rewritten,
+         | sum(n_toks)::BIGINT AS tokens_total,
+         | sum(n_kept)::BIGINT AS tokens_kept,
+         | sum(('0x' || substr(doc_hash, 1, 15))::BIGINT % $ContentMod)::BIGINT AS content_sum
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -739,6 +739,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("span rewrite equals a brute-force single-node recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val G = 8
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").toSeq))
+    val occ = docs.flatMap { case (id, _, ts) =>
+      if (ts.length >= G) (0 to ts.length - G).map(i => (ts.slice(i, i + G).mkString(" "), id, i))
+      else Seq.empty }
+    val dup = occ.groupBy(_._1).collect {
+      case (g, os) if os.map(_._2).distinct.size >= 2 => g }.toSet
+    val covered: Map[Long, Set[Int]] = occ.filter(o => dup(o._1))
+      .flatMap { case (_, id, i) => (i until i + G).map(p => (id, p)) }
+      .groupBy(_._1).map { case (id, ps) => (id, ps.map(_._2).toSet) }
+    val perDoc = docs.map { case (id, src, ts) =>
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect { case (w, p) if !cov(p) => w }
+      (src, ts.length.toLong, kept.length.toLong, md5hex(kept.mkString(" ")))
+    }
+    // the remove-all policy must fully erase at least one exact twin
+    assert(perDoc.exists(_._3 == 0L), "corpus plants exact twins; one must come out empty")
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.length.toLong,
+        ds.count(d => d._3 < d._2).toLong,
+        ds.map(_._2).sum, ds.map(_._3).sum,
+        ds.map(d => BigInt(d._4.take(15), 16).toLong % 1000000000000L).sum))
+    }
+    val rows = Dedup.spanRewrite(spark, sf).collect()
+    assert(rows.length === expected.size, "one row per source")
+    rows.foreach { r =>
+      val (nDocs, rewritten, total, keptT, contentSum) = expected(r.getString(0))
+      assert(r.getLong(1) === nDocs)
+      assert(r.getLong(2) === rewritten)
+      assert(r.getLong(3) === total)
+      assert(r.getLong(4) === keptT)
+      assert(r.getLong(5) === contentSum,
+        s"${r.getString(0)}: reassembled-content fingerprint must match brute force")
+    }
+  }
+
   test("pii scrub redacts denylisted words and accounts for every character") {
     val rows = TextOps.piiScrub(spark, sf).collect()
     assert(rows.nonEmpty)
