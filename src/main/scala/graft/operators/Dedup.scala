@@ -1096,7 +1096,49 @@ object Dedup {
       .orderBy("status")
   }
 
+  /** Cross-source content-overlap matrix — the corpus-mixing
+    * diagnostic: for every pair of sources sharing at least one
+    * word-8-gram span, how many distinct span fingerprints they share
+    * and what fraction of the smaller side's span vocabulary that is.
+    * Run before mixing weights are chosen ([[Curation]]'s mix family),
+    * because two "independent" sources that are 30 % the same content
+    * silently double that content's effective epoch count. Span
+    * granularity (not whole-document) is deliberate: real leakage
+    * between corpora is copied PASSAGES inside otherwise-distinct
+    * documents — exactly what this testdata plants (whole-doc twins
+    * here never cross sources; spans do).
+    *
+    * Scale: distinct (source, span-hash) first — repeats WITHIN a
+    * source collapse before any join — then a self-equi-join keyed on
+    * the 8-byte hash. Join fan-out per hash is (#sources holding it)²,
+    * bounded by the source count, never by corpus size; output is at
+    * most sources². Raw text never shuffles.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= SubstringGram)
+      .select(col("source"), explode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), SubstringGram)).as("g"))
+      .select(col("source"),
+        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("hg"))
+      .distinct()
+    val counts = f.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = f.join(f.select(col("source").as("source_b"), col("hg")), "hg")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+    pairs
+      .join(counts.select(col("source").as("source_a"), col("n").as("spans_a")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n").as("spans_b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("spans_a"), col("spans_b"), col("shared_spans"),
+        expr("(1000000 * shared_spans) div least(spans_a, spans_b)").as("overlap_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_source_overlap" -> sourceOverlap _,
     "x_dedup_apply" -> dedupApply _,
     "x_dedup_incremental" -> incrementalDedup _,
     "x_dedup_embedding" -> embeddingCosine _,
@@ -1200,6 +1242,26 @@ object Dedup {
        |labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_source_overlap" ->
+      s"""WITH t AS (SELECT source,
+        |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |f AS (
+        | SELECT DISTINCT source,
+        |  ('0x' || substr(md5(array_to_string(toks[i+1:i+$SubstringGram], ' ')), 1, 15))::BIGINT AS hg
+        | FROM t, (SELECT unnest(range(0, 128)) AS i) r
+        | WHERE i <= len(toks) - $SubstringGram),
+        |c AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |      FROM f a JOIN f b ON a.hg = b.hg AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b,
+        | ca.n::BIGINT AS spans_a, cb.n::BIGINT AS spans_b,
+        | p.shared::BIGINT AS shared_spans,
+        | ((1000000 * p.shared) // least(ca.n, cb.n))::BIGINT AS overlap_ppm
+        |FROM p
+        |JOIN c ca ON ca.source = p.source_a
+        |JOIN c cb ON cb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "x_dedup_apply" ->
       s"""WITH RECURSIVE $minhashOracleCtes,
          |$clusterLabelCtes,

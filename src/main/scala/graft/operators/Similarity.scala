@@ -69,6 +69,49 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  private val PreFilterLabel = 3 // the attribute predicate of the
+  // filtered-search query; any selective scan predicate works the same
+
+  /** Attribute-filtered vector search (pre-filtering): top-10 cosine
+    * neighbors for query vectors vec_id < 5 among candidates with
+    * `label = 3` ONLY. This is the filtered-ANN primitive every vector
+    * store exposes (metadata WHERE + top-k), and the two strategies
+    * differ asymptotically: POST-filtering ranks the whole corpus and
+    * then drops non-matching neighbors — it under-fills k whenever the
+    * predicate is selective; PRE-filtering applies the predicate
+    * before any distance math, so k is always filled from the eligible
+    * set and the scan itself shrinks.
+    *
+    * Scale: the label predicate is a plain scan filter — it reaches
+    * the parquet reader as a pushed data filter (spec-asserted), so at
+    * lake scale it prunes row groups via chunk statistics (and whole
+    * partitions if the corpus is partitioned by the attribute) BEFORE
+    * any vector is materialized. Queries broadcast; the eligible
+    * corpus never shuffles. Composes with the IVF/LSH bucket paths
+    * unchanged (filter first, then probe) because bucket assignment is
+    * stateless over the filtered frame.
+    */
+  def prefilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(spark, sfDir)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", norm("qv"))
+    val eligible = Tables.fanOut(spark,
+        base.filter(col("label") === PreFilterLabel), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm("v"))
+    val scored = eligible.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"), col("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Deterministic random hyperplanes as plan literals. Because they
     * are plain literals (not fitted state), the SAME values can be
     * inlined into generated DuckDB SQL — which is what turns the LSH
@@ -1060,6 +1103,7 @@ object Similarity {
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
+    "x_sim_topk_prefiltered" -> prefilteredTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
@@ -1579,6 +1623,17 @@ object Similarity {
         | round(sum(mx), 4) AS sum_mean,
         | round(sqrt(sum(mx * mx)), 4) AS norm_mean
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "x_sim_topk_prefiltered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (
+        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+        |  round(list_cosine_similarity(q.v, n.v), 4) AS sim
+        | FROM e q JOIN e n ON n.vec_id <> q.vec_id AND n.label = $PreFilterLabel
+        | WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, label, sim FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM pairs)
+        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
     "x_sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pairs AS (

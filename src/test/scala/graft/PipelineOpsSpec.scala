@@ -739,6 +739,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefiltered ANN pushes the attribute predicate to the scan and always fills k") {
+    val df = Similarity.prefilteredTopK(spark, sf)
+    val rows = df.collect()
+    // the predicate must hold on every neighbor, and k must be filled
+    assert(rows.forall(_.getInt(2) === 3), "every neighbor satisfies label = 3")
+    rows.groupBy(_.getLong(0)).foreach { case (q, ns) =>
+      assert(ns.length === 10, s"query $q: pre-filtering fills k from the eligible set")
+    }
+    // pre-filtering evidence: label lands on the parquet scan as a
+    // pushed data filter, so row groups prune via chunk stats at scale
+    val scans = Explain.walkPlans(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("embeddings")) => s
+    }
+    assert(scans.exists(_.dataFilters.exists(_.toString.contains("label"))),
+      s"label predicate must reach an embeddings scan as a data filter")
+    // the post-filtering strategy under-fills k on this predicate: the
+    // unfiltered top-10 rarely contains 10 label-3 neighbors
+    import org.apache.spark.sql.functions.col
+    val lab = Tables.embeddings(spark, sf).select(col("vec_id").as("neighbor_id"), col("label"))
+    val postCounts = Similarity.bruteForceTopK(spark, sf)
+      .join(lab, "neighbor_id").filter(col("label") === 3)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(postCounts.isEmpty || postCounts.exists(_ < 10L),
+      "post-filtering the unfiltered top-10 must under-fill k for some query")
+  }
+
+  test("source overlap matrix matches a brute-force span-set intersection") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val G = 8
+    val spans: Map[String, Set[Long]] = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+      .groupBy(_._1)
+      .map { case (src, ds) =>
+        src -> ds.flatMap { case (_, ts) =>
+          if (ts.length >= G)
+            (0 to ts.length - G).map(i => BigInt(md5hex(ts.slice(i, i + G).mkString(" ")).take(15), 16).toLong)
+          else Seq.empty
+        }.toSet
+      }
+    val expected = (for {
+      a <- spans.keys; b <- spans.keys if a < b
+      shared = (spans(a) & spans(b)).size if shared > 0
+    } yield (a, b) -> ((spans(a).size.toLong, spans(b).size.toLong, shared.toLong))).toMap
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata plants cross-source duplicated spans")
+    assert(rows.length === expected.size, "one row per overlapping source pair")
+    rows.foreach { r =>
+      val (na, nb, shared) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === na)
+      assert(r.getLong(3) === nb)
+      assert(r.getLong(4) === shared)
+      assert(r.getLong(5) === 1000000L * shared / math.min(na, nb))
+    }
+  }
+
   test("span rewrite equals a brute-force single-node recomputation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
