@@ -364,6 +364,59 @@ object Similarity {
     ivfRerank(spark.read.parquet(out), probeFrame(base, cents, IvfNProbe))
   }
 
+  /** Incremental IVF index maintenance — the ANN analog of the dedup
+    * base-postings index ([[Dedup]]'s `ensureBaseIndex` discipline):
+    * the quantizer is trained ONCE on the base corpus and FROZEN; each
+    * ingest batch (here the 20 % `vec_id % 5 = 4` slice, the same
+    * batch convention as `x_dedup_incremental`) is assigned with the
+    * frozen centroids and appended as its own list_id-partitioned
+    * layer — the base layer is never rewritten, never re-read at
+    * ingest, and never retrained per batch. Queries probe the UNION of
+    * layers; both layers prune inverted-list directories at the scan.
+    *
+    * Retraining cadence at 100 TB is an offline decision (drift
+    * monitoring, e.g. `x_dq_drift`), not an ingest-path step: a per
+    * batch retrain would reassign the whole corpus — O(corpus) work
+    * per ingest — and invalidate every written layer. The frozen-model
+    * + layered-layout shape keeps ingest O(batch).
+    *
+    * Oracle: DuckDB retrains the quantizer on the BASE subset only
+    * (bit-identical integer-mean Lloyd steps), assigns the full
+    * corpus, probes, re-ranks — so the gate certifies both the frozen
+    * -model discipline and the union read.
+    */
+  private[graft] def ivfIncrPath(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    s"/root/repo/target/graft-work/ann/ivf_incr_${new java.io.File(sfDir).getName}_$fp"
+  }
+
+  def ivfIncrementalTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = corpus(spark, sfDir)
+    val isNew = pmod(col("vec_id"), lit(5)) === 4
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    val cents = quantizerCache.computeIfAbsent(s"$sfDir|$fp|incr-base",
+      _ => trainQuantizer(base.filter(!isNew)))
+    val out = ivfIncrPath(spark, sfDir)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/base/_SUCCESS")))
+      assignTo(cents)(base.filter(!isNew))
+        .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+        .repartition(LayoutFiles, col("vec_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/base")
+    // the ingest step: ONLY the new batch is scanned and assigned
+    if (!fs.exists(new Path(s"$out/delta/_SUCCESS")))
+      assignTo(cents)(base.filter(isNew))
+        .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+        .repartition(LayoutFiles, col("vec_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/delta")
+    val index = spark.read.parquet(s"$out/base")
+      .unionByName(spark.read.parquet(s"$out/delta"))
+    ivfRerank(index, probeFrame(base, cents, IvfNProbe))
+  }
+
   /** Recall@5 of the two approximate ANN paths (LSH, IVF) against the
     * exact brute-force top-5 — the accuracy/cost dial every ANN
     * deployment tunes (bands/bits for LSH, K/nprobe for IVF). Emitted
@@ -1108,6 +1161,7 @@ object Similarity {
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
     "x_sim_topk_ivf_bucketed" -> ivfBucketedTopK _,
+    "x_sim_index_incremental" -> ivfIncrementalTopK _,
     "x_sim_recall" -> simRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
@@ -1203,6 +1257,57 @@ object Similarity {
        |uq AS (SELECT vec_id, pos, round(x * $IvfQ)::BIGINT AS xi FROM u),
        |$iterCtes,
        |asgF AS (${assign(s"cents$IvfIters")})""".stripMargin
+  }
+
+  /** [[ivfTrainCtes]] with training restricted to the BASE subset
+    * (`vec_id % 5 <> 4`) while final assignment covers the full
+    * corpus — the frozen-quantizer incremental-index discipline of
+    * [[ivfIncrementalTopK]], retrained bit-identically by DuckDB.
+    */
+  private val ivfIncrOracle: String = {
+    def assign(cents: String, src: String): String =
+      s"""SELECT vec_id, list_id FROM (
+         |  SELECT $src.vec_id, c.j AS list_id,
+         |   row_number() OVER (PARTITION BY $src.vec_id
+         |     ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product($src.v, c.cvec), c.j) AS rn
+         |  FROM $src CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    val iterCtes = (1 to IvfIters).map { n =>
+      s"""asg$n AS (${assign(s"cents${n - 1}", "tr")}),
+         |m$n AS (
+         | SELECT a.list_id, u.pos, sum(u.xi) AS s, count(*) AS cnt
+         | FROM asg$n a JOIN uq u ON u.vec_id = a.vec_id GROUP BY 1, 2),
+         |cl$n AS (SELECT list_id, list(s / (cnt * $IvfQ.0) ORDER BY pos) AS cvec
+         | FROM m$n GROUP BY list_id),
+         |cents$n AS (
+         | SELECT c.j, coalesce(cl.cvec, c.cvec) AS cvec
+         | FROM cents${n - 1} c LEFT JOIN cl$n cl ON cl.list_id = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
+       |cents0 AS (
+       | SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, v AS cvec
+       | FROM tr QUALIFY j < $IvfK),
+       |u AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM tr),
+       |uq AS (SELECT vec_id, pos, round(x * $IvfQ)::BIGINT AS xi FROM u),
+       |$iterCtes,
+       |asgF AS (${assign(s"cents$IvfIters", "e")}),
+       |probes AS (
+       | SELECT q.vec_id AS query_id, c.j AS list_id
+       | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+       | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $IvfNProbe),
+       |candi AS (
+       | SELECT p.query_id, a.vec_id
+       | FROM probes p JOIN asgF a ON a.list_id = p.list_id
+       | WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       | SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+       | FROM candi c JOIN e eq ON eq.vec_id = c.query_id JOIN e en ON en.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, sim FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)
+       |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   private val ivfOracle: String =
@@ -1540,6 +1645,7 @@ object Similarity {
     // the bucketed layout changes WHERE list rows are read, not what
     // they contain — identical results, same retrain oracle
     "x_sim_topk_ivf_bucketed" -> ivfOracle,
+    "x_sim_index_incremental" -> ivfIncrOracle,
     // Recall@5 oracle: one statement re-deriving BOTH candidate paths
     // (bandCtes for LSH, the full quantizer retrain for IVF — they
     // share the single `e` CTE from ivfTrainCtes) plus the exact

@@ -369,6 +369,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"probe join must prune inverted-list files: read $read of $total")
   }
 
+  test("incremental IVF index layers by batch, never rewrites base, and prunes both layers") {
+    import org.apache.hadoop.fs.Path
+    val first = Similarity.ivfIncrementalTopK(spark, sf)
+    val r1 = first.collect().map(_.toString).toSeq
+    val root = Similarity.ivfIncrPath(spark, sf)
+    // layer contents respect the ingest-batch split exactly
+    val baseIds = spark.read.parquet(s"$root/base").select("vec_id").collect().map(_.getLong(0))
+    val deltaIds = spark.read.parquet(s"$root/delta").select("vec_id").collect().map(_.getLong(0))
+    assert(baseIds.forall(_ % 5 != 4), "base layer holds only base-batch vectors")
+    assert(deltaIds.nonEmpty && deltaIds.forall(_ % 5 == 4), "delta layer holds only the ingest batch")
+    val corpusN = Tables.embeddings(spark, sf).count()
+    assert(baseIds.length + deltaIds.length === corpusN, "layers partition the corpus")
+    // a second run re-reads the layers: no layer file is rewritten
+    def mtimes(): Map[String, Long] = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val m = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) { val f = it.next(); m(f.getPath.toString) = f.getModificationTime }
+      m.toMap
+    }
+    val before = mtimes()
+    val second = Similarity.ivfIncrementalTopK(spark, sf)
+    assert(second.collect().map(_.toString).toSeq === r1, "re-run is deterministic")
+    assert(mtimes() === before, "serving never rewrites index layers")
+    // probe pruning holds on the layered layout too: strictly fewer
+    // files read than exist across both layers
+    val (total, dirs) = layoutCensus(root)
+    assert(total >= 2 * dirs || total >= 16,
+      s"fixture sanity: layered multi-file layout ($total files, $dirs dirs)")
+    val read = filesRead(first, "ann/ivf_incr_")
+    assert(read > 0, "scan metric must be populated")
+    assert(read < total, s"probe join must prune layered files: read $read of $total")
+  }
+
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
