@@ -391,30 +391,98 @@ object Similarity {
     s"/root/repo/target/graft-work/ann/ivf_incr_${new java.io.File(sfDir).getName}_$fp"
   }
 
-  def ivfIncrementalTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 20 % ingest-batch convention shared with `x_dedup_incremental`. */
+  private def incrIsNew: Column = pmod(col("vec_id"), lit(5)) === 4
+
+  /** Stages the frozen quantizer + the base index layer (once per
+    * corpus fingerprint) and returns (index root, centroids). Shared
+    * by the batch ingest ([[ivfIncrementalTopK]]) and the streaming
+    * ingest ([[streamIndexIngest]]).
+    */
+  private def ensureIncrBase(spark: SparkSession, sfDir: String): (String, Seq[Array[Double]]) = {
     import org.apache.hadoop.fs.Path
-    val base = corpus(spark, sfDir)
-    val isNew = pmod(col("vec_id"), lit(5)) === 4
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
     val cents = quantizerCache.computeIfAbsent(s"$sfDir|$fp|incr-base",
-      _ => trainQuantizer(base.filter(!isNew)))
+      _ => trainQuantizer(corpus(spark, sfDir).filter(!incrIsNew)))
     val out = ivfIncrPath(spark, sfDir)
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/base/_SUCCESS")))
-      assignTo(cents)(base.filter(!isNew))
+      assignTo(cents)(corpus(spark, sfDir).filter(!incrIsNew))
         .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
         .repartition(LayoutFiles, col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/base")
+    (out, cents)
+  }
+
+  def ivfIncrementalTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = corpus(spark, sfDir)
+    val (out, cents) = ensureIncrBase(spark, sfDir)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ingest step: ONLY the new batch is scanned and assigned
     if (!fs.exists(new Path(s"$out/delta/_SUCCESS")))
-      assignTo(cents)(base.filter(isNew))
+      assignTo(cents)(base.filter(incrIsNew))
         .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
         .repartition(LayoutFiles, col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/delta")
     val index = spark.read.parquet(s"$out/base")
       .unionByName(spark.read.parquet(s"$out/delta"))
     ivfRerank(index, probeFrame(base, cents, IvfNProbe))
+  }
+
+  /** STREAMING index ingest — the online form of
+    * [[ivfIncrementalTopK]]: the ingest batch arrives as a FILE STREAM
+    * (each committed file a micro-batch, the lakehouse change-feed
+    * shape of `x_stream_cdc`), and `foreachBatch` assigns each
+    * micro-batch with the SAME frozen base-trained quantizer, then
+    * appends it to a streamed list_id-partitioned layer. Serving then
+    * probes base ∪ streamed layer.
+    *
+    * The query result must be IDENTICAL to the batch ingest — same
+    * frozen model, same rows, different arrival path — so it reuses
+    * `x_sim_index_incremental`'s retrain oracle verbatim (the
+    * stream==batch pattern of `x_stream_cdc`).
+    *
+    * Scale: per micro-batch work is assignment of that batch (K fused
+    * dot products per row) + an append of batch-sized files; no base
+    * re-read, no state store (assignment is stateless), checkpointed
+    * file-source progress makes the ingest resumable.
+    */
+  def streamIndexIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (out, cents) = ensureIncrBase(spark, sfDir)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(s"$out/stream_delta/_INGEST_COMPLETE")
+    if (!fs.exists(done)) {
+      // the arrival directory: the ingest batch lands as MANY committed
+      // files (a file stream source reads directories, and one file per
+      // micro-batch is the change-feed arrival pattern being modeled)
+      if (!fs.exists(new Path(s"$out/feed/_SUCCESS")))
+        corpus(spark, sfDir).filter(incrIsNew)
+          .repartition(LayoutFiles, col("vec_id"))
+          .write.mode("overwrite").parquet(s"$out/feed")
+      val feedSchema = spark.read.parquet(s"$out/feed").schema
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$out/feed")
+      val q = feed.writeStream
+        .option("checkpointLocation", s"$out/stream_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          assignTo(cents)(batch.toDF())
+            .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+            .write.mode("append").partitionBy("list_id").parquet(s"$out/stream_delta")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      fs.create(done).close()
+    }
+    val index = spark.read.parquet(s"$out/base")
+      .unionByName(spark.read.parquet(s"$out/stream_delta")
+        .select("list_id", "vec_id", "v", "nrm"))
+    ivfRerank(index, probeFrame(corpus(spark, sfDir), cents, IvfNProbe))
   }
 
   /** Recall@5 of the two approximate ANN paths (LSH, IVF) against the
@@ -1162,6 +1230,7 @@ object Similarity {
     "x_sim_topk_ivf" -> ivfTopK _,
     "x_sim_topk_ivf_bucketed" -> ivfBucketedTopK _,
     "x_sim_index_incremental" -> ivfIncrementalTopK _,
+    "x_stream_index_ingest" -> streamIndexIngest _,
     "x_sim_recall" -> simRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
@@ -1646,6 +1715,8 @@ object Similarity {
     // they contain — identical results, same retrain oracle
     "x_sim_topk_ivf_bucketed" -> ivfOracle,
     "x_sim_index_incremental" -> ivfIncrOracle,
+    // stream==batch: the streaming ingest must land the identical index
+    "x_stream_index_ingest" -> ivfIncrOracle,
     // Recall@5 oracle: one statement re-deriving BOTH candidate paths
     // (bandCtes for LSH, the full quantizer retrain for IVF — they
     // share the single `e` CTE from ivfTrainCtes) plus the exact

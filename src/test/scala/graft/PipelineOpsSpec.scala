@@ -404,6 +404,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(read < total, s"probe join must prune layered files: read $read of $total")
   }
 
+  test("streaming index ingest equals the batch ingest and arrives over many micro-batches") {
+    import org.apache.hadoop.fs.Path
+    val streamed = Similarity.streamIndexIngest(spark, sf).collect().map(_.toString).toSeq
+    val batch = Similarity.ivfIncrementalTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(streamed === batch,
+      "frozen-model streaming ingest must serve identical neighbors to the batch ingest")
+    val root = Similarity.ivfIncrPath(spark, sf)
+    val ids = spark.read.parquet(s"$root/stream_delta")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % 5 == 4), "streamed layer holds only the ingest batch")
+    // the feed really arrived file-by-file: one checkpointed offset per
+    // micro-batch, and the feed directory carries many files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offsets = fs.listStatus(new Path(s"$root/stream_ckpt/offsets"))
+      .count(!_.getPath.getName.startsWith("."))
+    assert(offsets >= Similarity.LayoutFiles,
+      s"maxFilesPerTrigger=1 must yield one micro-batch per feed file, saw $offsets")
+  }
+
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
