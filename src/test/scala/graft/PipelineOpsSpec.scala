@@ -852,15 +852,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("span rewrite equals a brute-force single-node recomputation") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala twin of [[Dedup.spanRewrite]]: (doc_id, source, text)
+    * rows → per-source (n_docs, docs_rewritten, tokens_total,
+    * tokens_kept, content_sum).
+    */
+  private def spanRewriteExpected(rows: Seq[(Long, String, String)])
+      : Map[String, (Long, Long, Long, Long, Long)] = {
     val G = 8
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "source", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1),
-        r.getString(2).trim.toLowerCase.split("\\s+").toSeq))
+    val docs = rows.map { case (id, src, text) =>
+      (id, src, text.trim.toLowerCase.split("\\s+").toSeq) }
     val occ = docs.flatMap { case (id, _, ts) =>
       if (ts.length >= G) (0 to ts.length - G).map(i => (ts.slice(i, i + G).mkString(" "), id, i))
       else Seq.empty }
@@ -874,24 +878,72 @@ class PipelineOpsSpec extends AnyFunSuite {
       val kept = ts.zipWithIndex.collect { case (w, p) if !cov(p) => w }
       (src, ts.length.toLong, kept.length.toLong, md5hex(kept.mkString(" ")))
     }
-    // the remove-all policy must fully erase at least one exact twin
-    assert(perDoc.exists(_._3 == 0L), "corpus plants exact twins; one must come out empty")
-    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+    perDoc.groupBy(_._1).map { case (src, ds) =>
       src -> ((ds.length.toLong,
         ds.count(d => d._3 < d._2).toLong,
         ds.map(_._2).sum, ds.map(_._3).sum,
         ds.map(d => BigInt(d._4.take(15), 16).toLong % 1000000000000L).sum))
     }
-    val rows = Dedup.spanRewrite(spark, sf).collect()
-    assert(rows.length === expected.size, "one row per source")
-    rows.foreach { r =>
+  }
+
+  private def assertSpanRewriteMatches(
+      got: Array[org.apache.spark.sql.Row],
+      expected: Map[String, (Long, Long, Long, Long, Long)], ctx: String): Unit = {
+    assert(got.length === expected.size, s"$ctx: one row per source")
+    got.foreach { r =>
       val (nDocs, rewritten, total, keptT, contentSum) = expected(r.getString(0))
-      assert(r.getLong(1) === nDocs)
-      assert(r.getLong(2) === rewritten)
-      assert(r.getLong(3) === total)
-      assert(r.getLong(4) === keptT)
+      assert(r.getLong(1) === nDocs, ctx)
+      assert(r.getLong(2) === rewritten, ctx)
+      assert(r.getLong(3) === total, ctx)
+      assert(r.getLong(4) === keptT, ctx)
       assert(r.getLong(5) === contentSum,
-        s"${r.getString(0)}: reassembled-content fingerprint must match brute force")
+        s"$ctx ${r.getString(0)}: reassembled-content fingerprint must match brute force")
+    }
+  }
+
+  test("span rewrite equals a brute-force single-node recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val expected = spanRewriteExpected(docs)
+    // the remove-all policy must fully erase at least one exact twin
+    assert(expected.values.exists(e => e._2 > 0), "corpus plants duplicated spans")
+    assertSpanRewriteMatches(Dedup.spanRewrite(spark, sf).collect(), expected, "sf0.001")
+  }
+
+  test("span rewrite matches brute force on randomized corpora with planted spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (round <- 1 to 5) {
+      val nDocs = 30 + rnd.nextInt(40)
+      val base = Array.tabulate(nDocs) { _ =>
+        val len = 5 + rnd.nextInt(36)
+        Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant copied spans: ~1/3 of docs receive an 8-12-token window
+      // spliced in from another doc (the cross-doc duplication case),
+      // and one exact twin (the full-erasure edge)
+      for (_ <- 0 until nDocs / 3) {
+        val from = rnd.nextInt(nDocs); val to = rnd.nextInt(nDocs)
+        val src = base(from)
+        if (from != to && src.length >= 12) {
+          val w = 8 + rnd.nextInt(5)
+          val st = rnd.nextInt(src.length - w + 1)
+          val ins = rnd.nextInt(base(to).length + 1)
+          base(to) = base(to).take(ins) ++ src.slice(st, st + w) ++ base(to).drop(ins)
+        }
+      }
+      base(nDocs - 1) = base(0)
+      val rows = base.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "), "en", s"src_${i % 4}", ts.mkString(" ").length.toLong)
+      }.toSeq
+      val dir = s"target/graft-work/proptest/span_$round"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val expected = spanRewriteExpected(rows.map(r => (r._1, r._4, r._2)))
+      assertSpanRewriteMatches(Dedup.spanRewrite(spark, dir).collect(), expected, s"round $round")
     }
   }
 
