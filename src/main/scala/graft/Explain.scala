@@ -210,6 +210,8 @@ object Explain {
           "path composes the same pre-filter with the bucketed variants")),
       "x_sim_recall" -> Map("bnlj" ->
         "recall gate re-runs the brute-force baseline as ground truth (5 broadcast query vectors); the measured approximate paths are bucketed"),
+      "x_graph_triangles" -> Map("bnlj" ->
+        "crossJoins of three 1-row count aggregates (degree stats, edge count, triangle count) into the single summary row — constant-size builds"),
       "x_stream_ann" -> Map("large-local-relation" -> memorySink),
       "x_stream_perplexity" -> Map("large-local-relation" -> memorySink),
       "x_stream_window_sliding" -> Map("large-local-relation" -> memorySink),

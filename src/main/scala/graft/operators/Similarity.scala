@@ -485,6 +485,62 @@ object Similarity {
     ivfRerank(index, probeFrame(corpus(spark, sfDir), cents, IvfNProbe))
   }
 
+  /** Triangle count + global clustering coefficient over the kNN
+    * graph — the graph-structure diagnostic after [[knnGraph]] (edges)
+    * and [[embPagerank]] (centrality): a high clustering coefficient
+    * says the embedding neighborhoods are locally consistent (tight
+    * label clusters); near-zero says the kNN edges are LSH noise.
+    *
+    * Algorithm: degree-ordered triangle counting (the MapReduce form
+    * of compact-forward; Suri & Vassilvitskii, "Counting Triangles and
+    * the Curse of the Last Reducer", WWW 2011). Every undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher,
+    * wedges are generated only at each triangle's LOWEST-rank apex,
+    * and a wedge closes iff its (ranked) third edge exists. The
+    * orientation is the scale property: per-vertex out-degree is
+    * bounded by O(√E) on any graph (arboricity), so the wedge join
+    * never explodes on hubs — the "last reducer" a naive
+    * neighbor-intersection hits. All joins are equi-joins on vertex
+    * ids; wedge count Σ deg·(deg−1)/2 comes from the degree frame, no
+    * wedge materialization beyond the oriented join.
+    *
+    * Integer parity: counts and the ppm coefficient are exact BIGINT
+    * arithmetic; the DuckDB oracle re-derives the identical kNN edges
+    * (deterministic hyperplane literals) and the identical orientation.
+    */
+  def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = knnEdgesOnDisk(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val orient = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+    // wedges at the apex: unordered out-neighbor pairs, ordered by rank
+    val e1 = orient.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val e2 = orient.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u").as("apex"), col("x"), col("y"))
+    // close: orient is unique per (u, w), so the inner join cannot fan out
+    val closing = orient.select(col("u").as("x"), col("w").as("y"))
+    val nTri = wedges.join(closing, Seq("x", "y")).agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    // three 1-row aggregates attach as scalar crossJoins (model-sized)
+    degStats.crossJoin(nEdges).crossJoin(nTri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(3000000 * n_triangles) div n_wedges").as("global_cc_ppm"))
+  }
+
   /** Recall@5 of the two approximate ANN paths (LSH, IVF) against the
     * exact brute-force top-5 — the accuracy/cost dial every ANN
     * deployment tunes (bands/bits for LSH, K/nprobe for IVF). Emitted
@@ -1220,6 +1276,7 @@ object Similarity {
     "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
     "x_emb_knn_graph" -> knnGraph _,
+    "x_graph_triangles" -> knnTriangles _,
     "x_emb_pagerank" -> embPagerank _,
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
@@ -1650,6 +1707,46 @@ object Similarity {
          | SELECT *, row_number() OVER (PARTITION BY src
          |   ORDER BY sim DESC, dst ASC) AS rk FROM scored)
          |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // the same knn edge derivation, undirected + degree-ordered: every
+    // count is exact BIGINT arithmetic, so the orientation, wedge set
+    // and closures match the Spark frames exactly
+    "x_graph_triangles" ->
+      s"""WITH $lshOracleCtes,
+         |gpairs AS (
+         | SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+         |kscored AS (
+         | SELECT p.src, p.dst,
+         |  round(list_cosine_similarity(es.v, ed.v), 4) AS sim
+         | FROM gpairs p JOIN e es ON es.vec_id = p.src JOIN e ed ON ed.vec_id = p.dst),
+         |knn AS (
+         | SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM kscored)
+         | WHERE rk <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+         |orient AS (
+         | SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |   THEN u.a ELSE u.b END AS u,
+         |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |   THEN u.b ELSE u.a END AS w,
+         |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |   THEN db.deg ELSE da.deg END AS dw
+         | FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+         |wedge AS (
+         | SELECT e1.w AS x, e2.w AS y FROM orient e1 JOIN orient e2
+         |  ON e1.u = e2.u AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+         |tri AS (
+         | SELECT count(*) AS t FROM wedge j JOIN orient o ON o.u = j.x AND o.w = j.y)
+         |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_vertices,
+         | (SELECT count(*) FROM und)::BIGINT AS n_edges,
+         | (SELECT sum(deg * (deg - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+         | (SELECT t FROM tri)::BIGINT AS n_triangles,
+         | ((3000000 * (SELECT t FROM tri)) //
+         |  (SELECT sum(deg * (deg - 1) // 2) FROM deg))::BIGINT AS global_cc_ppm""".stripMargin,
     // the same knn edge derivation, then PrIters unrolled integer
     // PageRank iterations — every step BIGINT floor-division, so the
     // ranks match the Spark loop bit-for-bit with no float boundary

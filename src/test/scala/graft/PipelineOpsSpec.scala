@@ -423,6 +423,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"maxFilesPerTrigger=1 must yield one micro-batch per feed file, saw $offsets")
   }
 
+  test("triangle count matches a brute-force adjacency-set recomputation") {
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val verts = adj.keys.toSeq
+    val nWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    // each triangle is seen once per edge (its third vertex is the
+    // endpoints' common neighbor), so the per-edge sum counts it 3×
+    val nTri = edges.map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum / 3
+    val rows = Similarity.knnTriangles(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === verts.size.toLong, "n_vertices")
+    assert(r.getLong(1) === edges.length.toLong, "n_edges")
+    assert(r.getLong(2) === nWedges, "n_wedges")
+    assert(r.getLong(3) === nTri, "n_triangles")
+    assert(r.getLong(4) === 3000000L * nTri / nWedges, "global_cc_ppm")
+    assert(nTri > 0, "label-clustered embeddings must close some triangles")
+  }
+
   test("IVF top-k probes a corpus fraction yet recalls much of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
