@@ -896,6 +896,79 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Top principal component by integer power iteration over the Gram
+    * matrix — the classic embedding-collapse diagnostic: the top
+    * eigenvalue's share of the trace says how much of the corpus
+    * variance lives in ONE direction (≈1e6 ppm ⇒ the embeddings have
+    * collapsed; ≈1/d ⇒ isotropic), and the per-label projection onto
+    * that direction shows whether the dominant axis is a label axis.
+    *
+    * Two-phase split, the [[embGram]]/[[trainQuantizer]] discipline:
+    * the DISTRIBUTED pass is one Gram aggregation (a d×d buffer,
+    * map-side combined — the only shuffle payload) + one narrow
+    * projection pass; the DRIVER works only on the d×d MODEL (3 power
+    * iterations + a Rayleigh quotient — O(d²) on 64×64, the same class
+    * as k-means centroid updates). Corpus rows never leave executors.
+    *
+    * Determinism: the Gram model is quantized to integer 1e-4 units at
+    * extraction; iterations are integer matvecs with a sign-split
+    * truncating rescale (never a bare integer division of a negative —
+    * Spark `div` truncates where DuckDB `//` floors); the Rayleigh
+    * quotient is exact BigInt (its numerator exceeds int64; DuckDB's
+    * HUGEINT sums match). From the quantized model on, both engines
+    * run the identical integer recurrence, so the eigen direction —
+    * sign included — cannot drift.
+    *
+    * [[PcIters]] = 24 because this near-isotropic corpus has a tiny
+    * spectral gap (λ2/λ1 ≈ 0.93 at sf0.001): the Rayleigh quotient
+    * converges like (λ2/λ1)^2k, and 24 rounds land within ~2 % of the
+    * converged eigenvalue (spec-asserted at 5 %). The oracle's
+    * iteration CTEs are MATERIALIZED — DuckDB re-inlines scalar
+    * subqueries in non-materialized chains EXPONENTIALLY (the BPE
+    * oracle lesson).
+    */
+  private val PcIters = 24
+
+  def topPrincipalComponent(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GramMatrix
+    val d = GramMatrix.Dim
+    val q = 1000000L
+    val gramAgg = udaf(GramMatrix)
+    val gramRows = corpus(spark, sfDir)
+      .agg(gramAgg(col("v")).as("gram"))
+      .select(posexplode(col("gram")).as(Seq("k", "gv")))
+      .select(col("k"), expr("cast(round(gv * 10000) as bigint)").as("gq"))
+      .collect()
+    val gM = Array.ofDim[Long](d, d)
+    gramRows.foreach(r => gM(r.getInt(0) / d)(r.getInt(0) % d) = r.getLong(1))
+    def matvec(w: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).map(j => gM(i)(j) * w(j)).sum)
+    var w = Array.fill(d)(q)
+    for (_ <- 1 to PcIters) {
+      val y = matvec(w)
+      val scale = math.max(1L, y.map(math.abs).max / q)
+      w = y.map(v => if (v < 0) -((-v) / scale) else v / scale)
+    }
+    val y4 = matvec(w)
+    val num = (0 until d).map(i => BigInt(w(i)) * y4(i)).sum // exceeds int64
+    val den = (0 until d).map(i => BigInt(w(i)) * w(i)).sum
+    val lambdaQ = (num / den).toLong // PSD ⇒ num ≥ 0: floor == truncate
+    val traceQ = (0 until d).map(i => gM(i)(i)).sum
+    val varShare = 1000000L * lambdaQ / traceQ
+    val wLit = array(w.map(v => lit(v.toDouble)): _*)
+    Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), round(
+        graft.functions.VectorExpressions.dot_product(col("v"), wLit), 0)
+        .cast("long").as("pq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("pq").as("proj_sum_q"),
+        min("pq").as("proj_min_q"), max("pq").as("proj_max_q"))
+      .withColumn("top_eig_q", lit(lambdaQ))
+      .withColumn("var_share_ppm", lit(varShare))
+      .orderBy("label")
+  }
+
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
     * shape): each vector projected onto the first 8 seeded hyperplanes
     * — REAL coordinates this time, not the sign bits the LSH path
@@ -1275,6 +1348,7 @@ object Similarity {
     "x_emb_ivfpq" -> ivfPqTopK _,
     "x_emb_project" -> randomProjection _,
     "x_emb_gram" -> embGram _,
+    "x_emb_top_pc" -> topPrincipalComponent _,
     "x_emb_knn_graph" -> knnGraph _,
     "x_graph_triangles" -> knnTriangles _,
     "x_emb_pagerank" -> embPagerank _,
@@ -1693,6 +1767,38 @@ object Similarity {
         | round(sum(embedding[i]::DOUBLE * embedding[j]::DOUBLE), 4) AS g
         |FROM embeddings, range(1, 65) r1(i), range(1, 65) r2(j)
         |WHERE i <= j GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // the identical integer recurrence from the quantized Gram model:
+    // sign-split truncating rescales, HUGEINT Rayleigh quotient
+    "x_emb_top_pc" -> {
+      val iters = (1 to PcIters).map { k =>
+        s"""y$k AS MATERIALIZED (SELECT g.i AS pos, sum(g.gq * w.w)::BIGINT AS y
+           | FROM gq g JOIN w${k - 1} w ON w.pos = g.j GROUP BY 1),
+           |s$k AS MATERIALIZED (SELECT greatest(1, max(abs(y)) // 1000000)::BIGINT AS s FROM y$k),
+           |w$k AS MATERIALIZED (SELECT pos,
+           |  (CASE WHEN y < 0 THEN -((-y) // (SELECT s FROM s$k))
+           |   ELSE y // (SELECT s FROM s$k) END)::BIGINT AS w FROM y$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, 65)) AS pos FROM e),
+         |gq AS MATERIALIZED (
+         | SELECT a.pos AS i, b.pos AS j, round(sum(a.x * b.x) * 10000)::BIGINT AS gq
+         | FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |w0 AS (SELECT unnest(range(1, 65)) AS pos, 1000000::BIGINT AS w),
+         |$iters,
+         |yF AS MATERIALIZED (SELECT g.i AS pos, sum(g.gq * w.w)::BIGINT AS y
+         | FROM gq g JOIN w$PcIters w ON w.pos = g.j GROUP BY 1),
+         |ray AS (SELECT (sum(w.w::HUGEINT * y.y) // sum(w.w::HUGEINT * w.w))::BIGINT AS lam
+         | FROM w$PcIters w JOIN yF y USING (pos)),
+         |tr AS (SELECT sum(gq)::BIGINT AS t FROM gq WHERE i = j),
+         |wl AS (SELECT list(w::DOUBLE ORDER BY pos) AS wv FROM w$PcIters),
+         |proj AS (SELECT label,
+         |  round(list_dot_product(v, (SELECT wv FROM wl)))::BIGINT AS pq FROM e)
+         |SELECT label, count(*)::BIGINT AS n_vecs, sum(pq)::BIGINT AS proj_sum_q,
+         | min(pq)::BIGINT AS proj_min_q, max(pq)::BIGINT AS proj_max_q,
+         | (SELECT lam FROM ray) AS top_eig_q,
+         | ((1000000 * (SELECT lam FROM ray)) // (SELECT t FROM tr))::BIGINT AS var_share_ppm
+         |FROM proj GROUP BY label ORDER BY label""".stripMargin
+    },
     "x_emb_knn_graph" ->
       s"""WITH $lshOracleCtes,
          |gpairs AS (

@@ -423,6 +423,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"maxFilesPerTrigger=1 must yield one micro-batch per feed file, saw $offsets")
   }
 
+  test("top-PC integer power iteration approximates the double-precision eigenvalue") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("cast(embedding as array<double>) as v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d) g(i)(j) += v(i) * v(j)
+    var w = Array.fill(d)(1.0)
+    for (_ <- 1 to 60) {
+      val y = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * w(j)).sum)
+      val n = math.sqrt(y.map(x => x * x).sum)
+      w = y.map(_ / n)
+    }
+    val lambdaTrue = (0 until d).map(i => w(i) * (0 until d).map(j => g(i)(j) * w(j)).sum).sum
+    val trace = (0 until d).map(i => g(i)(i)).sum
+    val rows = Similarity.topPrincipalComponent(spark, sf).collect()
+    val lam = rows.head.getLong(5).toDouble / 10000.0
+    assert(math.abs(lam - lambdaTrue) / lambdaTrue < 0.05,
+      s"3 integer iterations must land within 5% of the converged eigenvalue: $lam vs $lambdaTrue")
+    val share = rows.head.getLong(6)
+    assert(share > 0 && share < 1000000, "variance share is a proper fraction")
+    assert(math.abs(share - 1e6 * lambdaTrue / trace) < 0.05e6,
+      "ppm share consistent with the double-precision trace ratio")
+    assert(rows.map(_.getLong(1)).sum === vecs.length.toLong, "projection covers the corpus")
+  }
+
   test("triangle count matches a brute-force adjacency-set recomputation") {
     val edges = Similarity.knnGraph(spark, sf).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
