@@ -436,8 +436,11 @@ object Similarity {
     * (each committed file a micro-batch, the lakehouse change-feed
     * shape of `x_stream_cdc`), and `foreachBatch` assigns each
     * micro-batch with the SAME frozen base-trained quantizer, then
-    * appends it to a streamed list_id-partitioned layer. Serving then
-    * probes base ∪ streamed layer.
+    * lands it in the streamed layer under its own `batch=<id>`
+    * directory (overwrite-per-batch ⇒ idempotent under foreachBatch's
+    * at-least-once crash-retry; list_id remains a partition level
+    * beneath, so inverted-list pruning is unchanged). Serving probes
+    * base ∪ streamed layer.
     *
     * The query result must be IDENTICAL to the batch ingest — same
     * frozen model, same rows, different arrival path — so it reuses
@@ -468,10 +471,17 @@ object Similarity {
         .parquet(s"$out/feed")
       val q = feed.writeStream
         .option("checkpointLocation", s"$out/stream_ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // exactly-once per batch: foreachBatch is at-least-once on
+        // crash-retry, so each batch OVERWRITES its own batch=<id>
+        // directory instead of appending to a shared one — a replayed
+        // batch lands idempotently (the x_stream_upsert discipline).
+        // list_id stays a partition level underneath, so inverted-list
+        // pruning works unchanged through the two-level layout.
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           assignTo(cents)(batch.toDF())
             .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
-            .write.mode("append").partitionBy("list_id").parquet(s"$out/stream_delta")
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(s"$out/stream_delta/batch=$batchId")
           ()
         }
         .start()
