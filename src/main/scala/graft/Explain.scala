@@ -197,6 +197,8 @@ object Explain {
         (scalarAttach + " (model total + p75 rank-cut threshold, TextOps.scala:490,503)")),
       "x_mix_anneal" -> Map("bnlj" ->
         "crossJoins of a 1-row totals aggregate and the #epochs (constant) schedule frame (Curation.scala:215,218)"),
+      "x_text_entropy" -> Map("bnlj" ->
+        (scalarAttach + " (corpus mean of per-doc entropies, TextOps.scala charEntropy)")),
       "x_perplexity_filter" -> Map("bnlj" ->
         (scalarAttach + " (surprise-cut threshold from Ranks.valueAtRank, TextOps.scala:388 + the kernel's 1-row cut attach)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),

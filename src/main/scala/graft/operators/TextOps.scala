@@ -899,7 +899,57 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-DOCUMENT character-entropy scoring — the cheap gibberish /
+    * boilerplate gate a corpus filter runs before any LM sees a doc:
+    * a page of repeated fragments (or one stuck key) has far lower
+    * character entropy than natural prose, and the signal needs no
+    * model, only the doc's own byte histogram. Complements [[mixKl]]
+    * (per-SOURCE token entropy — a mixing diagnostic): this is the
+    * per-doc FILTER grain, H(doc) = ln n − (Σ_c cnt_c·ln cnt_c)/n
+    * over the doc's character counts.
+    *
+    * The cut is self-calibrating: a doc is flagged when its entropy is
+    * below the CORPUS MEAN of per-doc entropies, compared as the exact
+    * integer cross-multiplication `e_doc · n_docs < Σ e` — no division,
+    * no float threshold, no fixture-tuned constant. Float discipline as
+    * [[mixKl]]: each `ln` quantized to integer micro-nats at the
+    * per-(doc, char) grain, everything downstream exact integer sums.
+    *
+    * Scale: one keyed aggregation over the character stream (map-side
+    * combined — at most ~100 distinct chars per doc survive the first
+    * combine, so the shuffle is O(docs × alphabet), not O(chars)), a
+    * per-doc rollup on the same doc_id key, and a 1-row mean attach
+    * (broadcast crossJoin — allowlisted scalar attach).
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "")).as("c"))
+    val perDoc = chars
+      .groupBy("doc_id", "source", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("ln_cnt_micro",
+        expr("cast(round(ln(cast(cnt as double)) * 1000000) as bigint)"))
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").as("n"), sum(expr("cnt * ln_cnt_micro")).as("s_ln"))
+      .select(col("doc_id"), col("source"),
+        expr("cast(round(ln(cast(n as double)) * 1000000) as bigint) - (s_ln div n)")
+          .as("entropy_micro"))
+    val mean = perDoc.agg(
+      count(lit(1)).as("n_docs_total"), sum("entropy_micro").as("sum_e"))
+    perDoc.crossJoin(broadcast(mean))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("entropy_micro").as("sum_entropy_micro"),
+        min("entropy_micro").as("min_entropy_micro"),
+        max("entropy_micro").as("max_entropy_micro"),
+        sum(when(col("entropy_micro") * col("n_docs_total") < col("sum_e"), 1L)
+          .otherwise(0L)).as("n_below_mean"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_text_entropy" -> charEntropy _,
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
     "x_bpe_train" -> bpeTrain _,
@@ -1362,6 +1412,31 @@ object TextOps {
         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
         | count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // same micro-nat quantization at the per-(doc, char) grain; the
+    // below-mean flag is the integer cross-multiplication, so both
+    // engines derive the identical flag set (s_ln, n >= 0 — `div`
+    // truncation == `//` floor here)
+    "x_text_entropy" ->
+      """WITH chars AS (
+        | SELECT doc_id, source, unnest(string_split(lower(text), '')) AS c
+        | FROM documents),
+        |per_char AS (
+        | SELECT doc_id, source, c, count(*) AS cnt,
+        |  round(ln(count(*)::DOUBLE) * 1000000)::BIGINT AS ln_cnt_micro
+        | FROM chars GROUP BY doc_id, source, c),
+        |per_doc AS (
+        | SELECT doc_id, source,
+        |  round(ln(sum(cnt)::DOUBLE) * 1000000)::BIGINT
+        |    - (sum(cnt * ln_cnt_micro) // sum(cnt)) AS entropy_micro
+        | FROM per_char GROUP BY doc_id, source),
+        |mean AS (SELECT count(*) AS n_docs_total, sum(entropy_micro) AS sum_e FROM per_doc)
+        |SELECT source, count(*) AS n_docs,
+        | sum(entropy_micro)::BIGINT AS sum_entropy_micro,
+        | min(entropy_micro)::BIGINT AS min_entropy_micro,
+        | max(entropy_micro)::BIGINT AS max_entropy_micro,
+        | sum(CASE WHEN entropy_micro * n_docs_total < sum_e THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_below_mean
+        |FROM per_doc, mean GROUP BY source ORDER BY source""".stripMargin,
     "x_text_fingerprint" ->
       """SELECT source,
         | count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique,

@@ -1363,6 +1363,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy scores every doc, stays in (0, ln alphabet), and the mean cut splits") {
+    val rows = TextOps.charEntropy(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count(),
+      "every document must be scored")
+    // the generator alphabet is a-z + space (~27 symbols): per-doc
+    // entropy must sit strictly inside (0, ln 40) micro-nats
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0L, s"${r.getString(0)}: min entropy must be positive")
+      assert(r.getLong(4) < math.round(math.log(40) * 1e6),
+        s"${r.getString(0)}: max entropy ${r.getLong(4)} exceeds the alphabet bound")
+    }
+    val below = rows.map(_.getLong(5)).sum
+    val total = rows.map(_.getLong(1)).sum
+    assert(below > 0 && below < total,
+      s"below-mean cut must split the corpus, got $below of $total")
+  }
+
   test("DSIR resampling classifies every doc and prefers the target domain") {
     val rows = TextOps.dsirResample(spark, sf).collect()
     assert(rows.length === 20)
