@@ -948,7 +948,84 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The Gopher quality-rule composite (Rae et al. 2021, Appendix A) —
+    * the rule battery a web-scale curation run applies per document,
+    * reported as per-source fail counts per rule plus the all-rules
+    * pass count:
+    *
+    *  - word count in [50, 100000] (the paper's constants);
+    *  - mean word length in [3, 10], as the integer cross-
+    *    multiplications `3·wc ≤ charsum ∧ charsum ≤ 10·wc`;
+    *  - symbol-to-word ratio ≤ 10% (`10·n_sym ≤ wc`);
+    *  - ≥ 80% of words contain an alphabetic character
+    *    (`10·n_alpha ≥ 8·wc`);
+    *  - ≥ 2 distinct stopwords present (of the/a/and/to/of).
+    *
+    * The paper's line-shaped rules (bullet-start / ellipsis-end
+    * fractions) have no analog here: the generator corpus is a single
+    * line with no punctuation, so those rules would be vacuous —
+    * omitted rather than faked.
+    *
+    * Fixture honesty (the [[typoPairs]] discipline): the generator
+    * vocabulary is purely alphabetic, so the symbol and alpha rules
+    * never fire on the raw corpus. The query therefore noises two
+    * deterministic doc slices first — `h mod 7 = 0` docs get one `#`
+    * token per 5 words appended, `h mod 7 = 1` docs one `1234` token
+    * per 3 words — pushing exactly those slices over the 10% symbol /
+    * 20% non-alpha thresholds; both engines compute the identical
+    * injection from the same md5 hash, so the demo self-validates.
+    *
+    * Scale: stopword presence is five max-flags summed — no
+    * count(distinct) expand, no per-token lambda (HigherOrderFunctions
+    * are eval-only; this stays whole-stage codegen). One explode + one
+    * doc_id-keyed aggregate (already partitioned by [[Tables.fanOut]],
+    * partial-agg compressed) + a per-source rollup.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val noised = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("wc0", size(split(lower(trim(col("text"))), "\\s+")))
+      .withColumn("noised", concat(lower(trim(col("text"))),
+        expr("""CASE WHEN h % 7 = 0 THEN repeat(' #', (wc0 + 4) div 5)
+               |     WHEN h % 7 = 1 THEN repeat(' 1234', (wc0 + 2) div 3)
+               |     ELSE '' END""".stripMargin)))
+    val perDoc = noised
+      .select(col("doc_id"), col("source"),
+        explode(split(col("noised"), "\\s+")).as("t"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("wc"),
+        sum(length(col("t"))).as("charsum"),
+        sum(when(col("t") === "#", 1L).otherwise(0L)).as("n_sym"),
+        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        (max(when(col("t") === "the", 1L).otherwise(0L))
+          + max(when(col("t") === "a", 1L).otherwise(0L))
+          + max(when(col("t") === "and", 1L).otherwise(0L))
+          + max(when(col("t") === "to", 1L).otherwise(0L))
+          + max(when(col("t") === "of", 1L).otherwise(0L))).as("stop_hits"))
+      .select(col("source"),
+        col("wc").between(50L, 100000L).as("r_wc"),
+        (lit(3L) * col("wc") <= col("charsum") &&
+          col("charsum") <= lit(10L) * col("wc")).as("r_mwl"),
+        (lit(10L) * col("n_sym") <= col("wc")).as("r_sym"),
+        (lit(10L) * col("n_alpha") >= lit(8L) * col("wc")).as("r_alpha"),
+        (col("stop_hits") >= 2L).as("r_stop"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r_sym"), 1L).otherwise(0L)).as("fail_symbol"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopword"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_gopher_rules" -> gopherRules _,
     "x_text_entropy" -> charEntropy _,
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
@@ -1412,6 +1489,53 @@ object TextOps {
         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
         | count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // identical md5 injection (the typo-pairs idiom), identical
+    // integer cross-multiplied rule forms; stop_hits as five summed
+    // max-flags on both sides
+    "x_gopher_rules" ->
+      """WITH base AS (
+        | SELECT doc_id, source,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS wc0,
+        |  lower(trim(text)) AS txt
+        | FROM documents),
+        |noised AS (
+        | SELECT doc_id, source,
+        |  txt || CASE WHEN h % 7 = 0 THEN repeat(' #', ((wc0 + 4) // 5)::INT)
+        |              WHEN h % 7 = 1 THEN repeat(' 1234', ((wc0 + 2) // 3)::INT)
+        |              ELSE '' END AS noised
+        | FROM base),
+        |tok AS (
+        | SELECT doc_id, source, unnest(regexp_split_to_array(noised, '\s+')) AS t
+        | FROM noised),
+        |per_doc AS (
+        | SELECT doc_id, source,
+        |  count(*) AS wc, sum(len(t)) AS charsum,
+        |  sum(CASE WHEN t = '#' THEN 1 ELSE 0 END) AS n_sym,
+        |  sum(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |  max(CASE WHEN t = 'the' THEN 1 ELSE 0 END)
+        |   + max(CASE WHEN t = 'a' THEN 1 ELSE 0 END)
+        |   + max(CASE WHEN t = 'and' THEN 1 ELSE 0 END)
+        |   + max(CASE WHEN t = 'to' THEN 1 ELSE 0 END)
+        |   + max(CASE WHEN t = 'of' THEN 1 ELSE 0 END) AS stop_hits
+        | FROM tok GROUP BY doc_id, source),
+        |flags AS (
+        | SELECT source,
+        |  wc BETWEEN 50 AND 100000 AS r_wc,
+        |  3 * wc <= charsum AND charsum <= 10 * wc AS r_mwl,
+        |  10 * n_sym <= wc AS r_sym,
+        |  10 * n_alpha >= 8 * wc AS r_alpha,
+        |  stop_hits >= 2 AS r_stop
+        | FROM per_doc)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END)::BIGINT AS fail_wordcount,
+        | sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END)::BIGINT AS fail_wordlen,
+        | sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END)::BIGINT AS fail_symbol,
+        | sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END)::BIGINT AS fail_alpha,
+        | sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)::BIGINT AS fail_stopword,
+        | sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop
+        |     THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     // same micro-nat quantization at the per-(doc, char) grain; the
     // below-mean flag is the integer cross-multiplication, so both
     // engines derive the identical flag set (s_ln, n >= 0 — `div`

@@ -1380,6 +1380,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"below-mean cut must split the corpus, got $below of $total")
   }
 
+  test("Gopher rules: every doc judged, injected slices fail exactly their rule") {
+    val rows = TextOps.gopherRules(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "every document must be judged")
+    // the symbol and alpha rules only fire on the injected ~1/7 doc
+    // slices — nonzero (the injection worked) but bounded well below
+    // the natural-rule fail rates' scale
+    val fSym = rows.map(_.getLong(4)).sum
+    val fAlpha = rows.map(_.getLong(5)).sum
+    assert(fSym > 0 && fSym < n / 3, s"symbol-rule fails $fSym not in (0, n/3)")
+    assert(fAlpha > 0 && fAlpha < n / 3, s"alpha-rule fails $fAlpha not in (0, n/3)")
+    // natural rules discriminate on the raw corpus
+    assert(rows.map(_.getLong(2)).sum > 0, "word-count rule must fail some docs")
+    assert(rows.map(_.getLong(6)).sum > 0, "stopword rule must fail some docs")
+    val pass = rows.map(_.getLong(7)).sum
+    assert(pass > 0 && pass < n, s"composite must split the corpus, got $pass of $n")
+  }
+
   test("DSIR resampling classifies every doc and prefers the target domain") {
     val rows = TextOps.dsirResample(spark, sf).collect()
     assert(rows.length === 20)
