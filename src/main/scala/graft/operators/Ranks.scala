@@ -100,4 +100,54 @@ object Ranks {
       .groupBy("qlabel")
       .agg(min("s").as("thr"))
   }
+
+  /** Grouped form: exact values at PER-GROUP ranks — the "per-language
+    * perplexity tertiles" shape (CCNet's head/middle/tail split), where
+    * every group needs its own cut values over its own score
+    * distribution. `cutRanks` carries (`groupCol`, `qlabel` STRING,
+    * `cut_rk` BIGINT) rows; returns one (`groupCol`, `qlabel`, `thr`)
+    * row per rank that lands within its group's population.
+    *
+    * Strictly BETTER scale shape than the global kernel: grouping keys
+    * partition every window (offsets per group over its bucket rows,
+    * phase 2 per (group, label) over one bucket's distinct scores), so
+    * there is NO unpartitioned window and no 1-row scalar attach —
+    * every join is an equi-join on the group key (hash, broadcastable:
+    * cutRanks and cutBuckets are O(groups × labels)). A naive
+    * `PARTITION BY group ORDER BY score` row_number puts each group's
+    * ENTIRE corpus slice in one partition — for low-cardinality groups
+    * (languages, sources) that is the same 100 TB scale-killer as the
+    * global window, which is exactly why the bucketed construction is
+    * grouped here rather than the window.
+    */
+  def valuesAtRanksBy(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      cutRanks: DataFrame,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val scores = scored
+      .groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(s"s div $bucketWidth"))
+    val offsets = scores.groupBy(groupCol, "bucket").agg(sum("cnt").as("bcnt"))
+      .withColumn("offset",
+        coalesce(
+          sum("bcnt").over(Window.partitionBy(groupCol).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val cutBuckets = offsets.join(broadcast(cutRanks), Seq(groupCol))
+      .filter(col("offset") < col("cut_rk") &&
+        col("cut_rk") <= col("offset") + col("bcnt"))
+      .select(groupCol, "qlabel", "bucket", "offset", "cut_rk")
+    scores.join(broadcast(cutBuckets), Seq(groupCol, "bucket"))
+      .withColumn("cum",
+        col("offset") + sum("cnt").over(
+          Window.partitionBy(groupCol, "qlabel").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") >= col("cut_rk"))
+      .groupBy(groupCol, "qlabel")
+      .agg(min("s").as("thr"))
+  }
 }

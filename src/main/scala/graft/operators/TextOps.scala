@@ -1024,7 +1024,64 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** CCNet's per-language head/middle/tail split (Wenzek et al. 2020):
+    * score every document with the unigram-LM surprise proxy
+    * ([[unigramModel]]'s integer micro-nats), then tertile each
+    * LANGUAGE's own distribution — head = the lowest-perplexity third
+    * of that language, tail = the highest. CCNet keeps head+middle for
+    * training; the output here is the full (lang × bucket) census so
+    * the cut itself is oracle-checked.
+    *
+    * Cuts are the EXACT per-language values at ranks ceil(n/3) and
+    * ceil(2n/3) of (score, doc_id) order, computed by
+    * [[Ranks.valuesAtRanksBy]] — the grouped rank kernel, NOT a
+    * `row_number() OVER (PARTITION BY lang ORDER BY score)` window: a
+    * low-cardinality partition key means each language's whole corpus
+    * slice would land in one partition, the same 100 TB scale-killer
+    * as a global window. Docs tying a threshold land in the lower
+    * bucket, so bucket assignment is a pure integer comparison and
+    * both engines derive the identical census (the DuckDB oracle runs
+    * the per-lang window formulation — the equivalence is the claim).
+    *
+    * The per-doc score frame is localCheckpoint'ed: three consumers
+    * (the rank counts, the kernel, the final census) would otherwise
+    * each replay tokenize→train→score ([[perplexityFilter]]'s
+    * discipline).
+    */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val perDoc = toks.join(unigramModel(spark, sfDir), "t")
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
+      .localCheckpoint()
+    val cutRanks = perDoc.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), explode(array(
+        struct(lit("t1").as("qlabel"), expr("(n + 2) div 3").as("cut_rk")),
+        struct(lit("t2").as("qlabel"), expr("(2 * n + 2) div 3").as("cut_rk")))).as("q"))
+      .select(col("lang"), col("q.qlabel").as("qlabel"), col("q.cut_rk").as("cut_rk"))
+    val thr = Ranks
+      .valuesAtRanksBy(perDoc, "lang", "avg_micro_nats", cutRanks, SurpriseBucketWidth)
+      .groupBy("lang")
+      .agg(
+        max(when(col("qlabel") === "t1", col("thr"))).as("thr1"),
+        max(when(col("qlabel") === "t2", col("thr"))).as("thr2"))
+    perDoc.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("avg_micro_nats") <= col("thr1"), "head")
+          .when(col("avg_micro_nats") <= col("thr2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("doc_id_sum"),
+        sum("avg_micro_nats").as("sum_micro_nats"))
+      .orderBy("lang", "bucket")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_ccnet_buckets" -> ccnetBuckets _,
     "x_gopher_rules" -> gopherRules _,
     "x_text_entropy" -> charEntropy _,
     "x_pii_scrub" -> piiScrub _,
@@ -1489,6 +1546,41 @@ object TextOps {
         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
         | count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // same per-doc scoring CTEs as x_perplexity_filter but grouped by
+    // lang; the per-lang window formulation of the tertile cuts (value
+    // at rank = score of the row_number-ranked doc — the tie-break
+    // never changes the VALUE), identical integer bucket rule
+    "x_ccnet_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |scored AS (
+        | SELECT t, round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+        | FROM model, tot),
+        |per_doc AS (
+        | SELECT doc_id, lang, sum(micro_nats) // count(*) AS avg_micro_nats
+        | FROM toks JOIN scored USING (t) GROUP BY doc_id, lang),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_micro_nats, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM per_doc),
+        |cuts AS (
+        | SELECT lang,
+        |  max(CASE WHEN rn = (n + 2) // 3 THEN avg_micro_nats END) AS thr1,
+        |  max(CASE WHEN rn = (2 * n + 2) // 3 THEN avg_micro_nats END) AS thr2
+        | FROM ranked GROUP BY lang)
+        |SELECT lang,
+        | CASE WHEN avg_micro_nats <= thr1 THEN 'head'
+        |      WHEN avg_micro_nats <= thr2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket,
+        | count(*) AS n_docs,
+        | sum(doc_id)::BIGINT AS doc_id_sum,
+        | sum(avg_micro_nats)::BIGINT AS sum_micro_nats
+        |FROM per_doc JOIN cuts USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // identical md5 injection (the typo-pairs idiom), identical
     // integer cross-multiplied rule forms; stop_hits as five summed
     // max-flags on both sides

@@ -1380,6 +1380,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"below-mean cut must split the corpus, got $below of $total")
   }
 
+  test("CCNet buckets tertile every language and order surprise head < tail") {
+    val rows = TextOps.ccnetBuckets(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.documents(spark, sf).count(),
+      "every document lands in exactly one bucket")
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getString(1)).toSet === Set("head", "middle", "tail"),
+        s"$lang must have all three buckets")
+      val counts = rs.map(_.getLong(2))
+      assert(counts.max - counts.min <= 2,
+        s"$lang tertiles must balance within ties, got ${counts.mkString(",")}")
+      def mean(b: String) = {
+        val r = rs.find(_.getString(1) == b).get
+        r.getLong(4).toDouble / r.getLong(2)
+      }
+      assert(mean("head") <= mean("middle") && mean("middle") <= mean("tail") &&
+        mean("head") < mean("tail"),
+        s"$lang surprise must increase head -> tail")
+    }
+  }
+
   test("Gopher rules: every doc judged, injected slices fail exactly their rule") {
     val rows = TextOps.gopherRules(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
