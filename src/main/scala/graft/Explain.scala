@@ -210,6 +210,10 @@ object Explain {
         ("the brute-force shape with the attribute predicate applied FIRST: 5 broadcast query " +
           "vectors × the FILTERED corpus (label pushed to the scan, spec-asserted); the scale " +
           "path composes the same pre-filter with the bucketed variants")),
+      // x_mmr_rerank needs no entry: its brute-force pool build (the
+      // allowlisted 5-broadcast-query BNLJ shape) runs inside the
+      // eager localCheckpoint, so the inspected plan is only the
+      // O(queries·K²) greedy re-rank
       "x_sim_recall" -> Map("bnlj" ->
         "recall gate re-runs the brute-force baseline as ground truth (5 broadcast query vectors); the measured approximate paths are bucketed"),
       "x_graph_triangles" -> Map("bnlj" ->

@@ -1350,7 +1350,86 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  private val MmrPool = 20 // candidate pool per query (the re-rank input)
+  private val MmrK = 8     // selections per query; λ = 0.7 as 7/3 tenths
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): greedily pick
+    * [[MmrK]] of each query's [[MmrPool]] nearest candidates maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)` — relevance traded
+    * against redundancy with what is already selected. This is the
+    * de-duplicating re-rank step between ANN retrieval and downstream
+    * use (RAG contexts, hard-negative pools, diverse exemplar sets);
+    * without it the top-k of a near-dup-heavy corpus is one document
+    * repeated k times.
+    *
+    * Parity discipline: similarities are quantized to integer
+    * ten-thousandths once (`round(·10⁴)`), and the MMR objective is
+    * the exact integer `7·sim_m − 3·pen_m` (λ=0.7 in tenths); every
+    * argmax is (score desc, cand_id asc) over integers, so both
+    * engines replay the identical greedy trajectory (the DuckDB oracle
+    * unrolls all [[MmrK]] steps as materialized CTEs).
+    *
+    * Scale: one brute-force-baseline corpus pass builds the pool (the
+    * allowlisted 5-broadcast-query shape; the bucketed probes compose
+    * here unchanged), after which EVERYTHING runs on O(queries·K²)
+    * rows — corpus-independent. The greedy loop is [[MmrK]] tiny
+    * keyed joins/aggregates, localCheckpoint'ed per step so the plan
+    * stays flat; candidate pools and pairwise sims checkpoint once.
+    * No collect anywhere — selection state lives in a DataFrame keyed
+    * by query_id.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val pool = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrPool)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("sim"),
+        col("v"), col("nrm"))
+      .localCheckpoint()
+    val cands = pool.select(col("query_id"), col("cand_id"), col("sim"),
+      expr("cast(round(sim * 10000) as bigint)").as("sim_m"))
+      .localCheckpoint()
+    val a = pool.select(col("query_id"), col("cand_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = pool.select(col("query_id"), col("cand_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(dot("av", "bv") / (col("an") * col("bn")) * 10000)
+          .cast("bigint").as("psim_m"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, step: Int): DataFrame = df
+      .groupBy("query_id")
+      .agg(max(struct(col("score_m").as("s"), (-col("cand_id")).as("neg"),
+        col("cand_id").as("cand_id"), col("sim").as("sim"))).as("m"))
+      .select(col("query_id"), lit(step.toLong).as("step"),
+        col("m.cand_id").as("neighbor_id"), col("m.sim").as("sim"),
+        col("m.s").as("score_m"))
+    var selected = argmax(
+      cands.withColumn("score_m", lit(7L) * col("sim_m")), 1)
+      .localCheckpoint()
+    for (j <- 2 to MmrK) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("cand_id"))
+      val pen = cands
+        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
+        .join(pairs.withColumnRenamed("a_id", "cand_id"), Seq("query_id", "cand_id"))
+        .join(selIds.withColumnRenamed("cand_id", "b_id"), Seq("query_id", "b_id"))
+        .groupBy("query_id", "cand_id", "sim", "sim_m")
+        .agg(max("psim_m").as("pen_m"))
+        .withColumn("score_m", lit(7L) * col("sim_m") - lit(3L) * col("pen_m"))
+      selected = selected.union(argmax(pen, j)).localCheckpoint()
+    }
+    selected.orderBy("query_id", "step")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_mmr_rerank" -> mmrRerank _,
     "x_emb_dim_stats" -> dimStats _,
     "x_emb_ivfpq_residual" -> ivfPqResidualTopK _,
     "x_sample_cluster_balanced" -> clusterBalancedSample _,
@@ -1738,7 +1817,62 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, neighbor_id""".stripMargin
   }
 
+  /** The DuckDB replay of [[mmrRerank]]'s greedy trajectory: candidate
+    * pool + pairwise integer sims once, then one MATERIALIZED
+    * selection CTE per step (non-materialized chains re-inline the
+    * anti-join subqueries exponentially — the BPE/top-PC lesson). Each
+    * step's argmax is the identical integer (score desc, cand asc)
+    * order.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to MmrK).map { j =>
+      val prev = s"sel${j - 1}"
+      s"""pen$j AS (
+         | SELECT c.query_id, c.cand_id, c.sim, c.sim_m, max(p.psim_m) AS pen_m
+         | FROM cands c
+         | JOIN pairs p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+         | JOIN $prev s ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+         | WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+         |   WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.cand_id)
+         | GROUP BY c.query_id, c.cand_id, c.sim, c.sim_m),
+         |sel$j AS MATERIALIZED (
+         | SELECT * FROM sel${j - 1} UNION ALL
+         | SELECT query_id, CAST($j AS BIGINT) AS step, cand_id AS neighbor_id,
+         |  sim, (7 * sim_m - 3 * pen_m)::BIGINT AS score_m
+         | FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY 7 * sim_m - 3 * pen_m DESC, cand_id ASC) AS rk FROM pen$j)
+         | WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cands AS MATERIALIZED (
+       | SELECT query_id, cand_id, sim, round(sim * 10000)::BIGINT AS sim_m
+       | FROM (SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
+       |   round(list_cosine_similarity(q.v, n.v), 4) AS sim,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY round(list_cosine_similarity(q.v, n.v), 4) DESC, n.vec_id ASC) AS rk
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5)
+       | WHERE rk <= $MmrPool),
+       |pairs AS MATERIALIZED (
+       | SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |  round(list_cosine_similarity(ea.v, eb.v) * 10000)::BIGINT AS psim_m
+       | FROM cands a
+       | JOIN cands b ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+       | JOIN e ea ON ea.vec_id = a.cand_id
+       | JOIN e eb ON eb.vec_id = b.cand_id),
+       |sel1 AS MATERIALIZED (
+       | SELECT query_id, CAST(1 AS BIGINT) AS step, cand_id AS neighbor_id,
+       |  sim, (7 * sim_m)::BIGINT AS score_m
+       | FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_m DESC, cand_id ASC) AS rk FROM cands)
+       | WHERE rk = 1),
+       |$steps
+       |SELECT query_id, step, neighbor_id, sim, score_m
+       |FROM sel$MmrK ORDER BY query_id, step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x_mmr_rerank" -> mmrOracle,
     "x_emb_pq" -> pqOracle,
     "x_emb_ivfpq" -> ivfPqOracle,
     "x_emb_ivfpq_residual" -> ivfPqResidualOracle,

@@ -1380,6 +1380,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"below-mean cut must split the corpus, got $below of $total")
   }
 
+  test("MMR rerank: 8 distinct picks per query, top-1 first, diversity changes the set") {
+    val rows = Similarity.mmrRerank(spark, sf).collect()
+    assert(rows.length === 40, "5 queries x 8 steps")
+    val byQ = rows.groupBy(_.getLong(0))
+    val top = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val picks = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(picks.distinct.length === 8, s"query $q repicked a neighbor")
+      // step 1 is pure relevance: must equal the brute-force top-1
+      val bf = top(q).sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1))
+      assert(picks.head === bf.head, s"query $q step 1 must be the nearest neighbor")
+    }
+    // diversity must actually change SOME query's selection vs plain top-8
+    val changed = byQ.exists { case (q, rs) =>
+      val picks = rs.map(_.getLong(2)).toSet
+      val bf8 = top(q).sortBy(r => (-r.getDouble(2), r.getLong(1))).take(8).map(_.getLong(1)).toSet
+      picks != bf8
+    }
+    assert(changed, "MMR selection must differ from plain top-8 somewhere")
+  }
+
   test("CCNet buckets tertile every language and order surprise head < tail") {
     val rows = TextOps.ccnetBuckets(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum === Tables.documents(spark, sf).count(),
