@@ -1350,6 +1350,63 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  private val LpaIters = 4
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * UNDIRECTED kNN graph — community detection at the granularity
+    * between pairwise near-dup and whole-corpus clustering: the
+    * communities a curation run samples across (quota per community)
+    * or collapses (one exemplar per community). Every node starts as
+    * its own label; each round every node adopts the most frequent
+    * label among its neighbors, ties to the smallest label, nodes
+    * without neighbors keeping their own. [[LpaIters]] fixed
+    * synchronous rounds (the bounded-iteration discipline of
+    * [[embPagerank]] — deterministic by construction, no oscillation
+    * dependence).
+    *
+    * Determinism discipline: the adopt rule is (count desc, label asc)
+    * over exact integer counts — no scores, no floats — so the DuckDB
+    * oracle (the same rounds unrolled as MATERIALIZED CTEs) replays
+    * the identical label trajectory.
+    *
+    * Scale: one equi-join of the node-sized label frame against the
+    * disk-staged edge list per round ([[knnEdgesOnDisk]] — shuffles
+    * are edge-sized), a (v, label)-keyed count, a per-v argmax struct
+    * aggregate. Labels localCheckpoint each round (consumed twice:
+    * adopt + carry-forward) and the adjacency once — the
+    * [[pagerankFrames]] lineage discipline.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = knnEdgesOnDisk(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("nb"))
+      .union(und.select(col("b").as("v"), col("a").as("nb")))
+      .localCheckpoint()
+    var lbl = corpus(spark, sfDir).select(col("vec_id"))
+      .withColumn("lbl", col("vec_id"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val counts = adj
+        .join(lbl.select(col("vec_id").as("nb"), col("lbl")), "nb")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
+      val pick = counts.groupBy("v")
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("neg"),
+          col("lbl").as("l"))).as("m"))
+        .select(col("v").as("vec_id"), col("m.l").as("new_lbl"))
+      lbl = lbl.join(pick, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum("vec_id").as("member_id_sum"),
+        min("vec_id").as("min_member"))
+      .orderBy("community")
+  }
+
   private val MmrPool = 20 // candidate pool per query (the re-rank input)
   private val MmrK = 8     // selections per query; λ = 0.7 as 7/3 tenths
 
@@ -1440,6 +1497,7 @@ object Similarity {
     "x_emb_top_pc" -> topPrincipalComponent _,
     "x_emb_knn_graph" -> knnGraph _,
     "x_graph_triangles" -> knnTriangles _,
+    "x_graph_lpa" -> labelPropagation _,
     "x_emb_pagerank" -> embPagerank _,
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
@@ -1997,6 +2055,44 @@ object Similarity {
          | (SELECT t FROM tri)::BIGINT AS n_triangles,
          | ((3000000 * (SELECT t FROM tri)) //
          |  (SELECT sum(deg * (deg - 1) // 2) FROM deg))::BIGINT AS global_cc_ppm""".stripMargin,
+    // the same knn edge derivation undirected, then LpaIters unrolled
+    // synchronous adopt rounds — the (count desc, label asc) argmax is
+    // pure integer order, so the label trajectory matches exactly
+    "x_graph_lpa" -> {
+      val rounds = (1 to LpaIters).map { i =>
+        s"""cnt$i AS (
+           | SELECT adj.v, l.lbl, count(*) AS cnt
+           | FROM adj JOIN l${i - 1} l ON l.vec_id = adj.nb GROUP BY adj.v, l.lbl),
+           |pick$i AS (
+           | SELECT v, lbl FROM (SELECT *, row_number() OVER (PARTITION BY v
+           |    ORDER BY cnt DESC, lbl ASC) AS rk FROM cnt$i) WHERE rk = 1),
+           |l$i AS MATERIALIZED (
+           | SELECT l.vec_id, coalesce(p.lbl, l.lbl) AS lbl
+           | FROM l${i - 1} l LEFT JOIN pick$i p ON p.v = l.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshOracleCtes,
+         |gpairs AS (
+         | SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+         |kscored AS (
+         | SELECT p.src, p.dst,
+         |  round(list_cosine_similarity(es.v, ed.v), 4) AS sim
+         | FROM gpairs p JOIN e es ON es.vec_id = p.src JOIN e ed ON ed.vec_id = p.dst),
+         |knn AS (
+         | SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM kscored)
+         | WHERE rk <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn),
+         |adj AS MATERIALIZED (
+         | SELECT a AS v, b AS nb FROM und UNION ALL SELECT b AS v, a AS nb FROM und),
+         |l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_members,
+         | sum(vec_id)::BIGINT AS member_id_sum, min(vec_id)::BIGINT AS min_member
+         |FROM l$LpaIters GROUP BY lbl ORDER BY community""".stripMargin
+    },
     // the same knn edge derivation, then PrIters unrolled integer
     // PageRank iterations — every step BIGINT floor-division, so the
     // ranks match the Spark loop bit-for-bit with no float boundary

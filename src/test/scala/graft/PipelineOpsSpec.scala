@@ -1380,6 +1380,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"below-mean cut must split the corpus, got $below of $total")
   }
 
+  test("LPA census matches a plain-Scala synchronous replay on the same graph") {
+    val und = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val adj = (und.toSeq.map(e => (e._1, e._2)) ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val nodes = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0)).sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      val next = nodes.map { v =>
+        adj.get(v) match {
+          case Some(nbs) =>
+            val counts = nbs.map(lbl).groupBy(identity).map { case (l, o) => (l, o.size) }
+            v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+          case None => v -> lbl(v)
+        }
+      }.toMap
+      lbl = next
+    }
+    val expected = lbl.values.groupBy(identity).map { case (c, m) => (c, m.size.toLong) }
+    val got = Similarity.labelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected, "community census must match the single-node replay")
+  }
+
   test("MMR rerank: 8 distinct picks per query, top-1 first, diversity changes the set") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
     assert(rows.length === 40, "5 queries x 8 steps")
