@@ -210,6 +210,8 @@ object Explain {
         ("the brute-force shape with the attribute predicate applied FIRST: 5 broadcast query " +
           "vectors × the FILTERED corpus (label pushed to the scan, spec-asserted); the scale " +
           "path composes the same pre-filter with the bucketed variants")),
+      "x_emb_outliers" -> Map("bnlj" ->
+        (scalarAttach + " (p95 d² threshold from Ranks.valueAtRank, Similarity.embOutliers + the kernel's 1-row cut attach)")),
       // x_mmr_rerank needs no entry: its brute-force pool build (the
       // allowlisted 5-broadcast-query BNLJ shape) runs inside the
       // eager localCheckpoint, so the inspected plan is only the

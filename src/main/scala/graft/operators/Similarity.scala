@@ -1350,6 +1350,64 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  private val OutlierBucketWidth = 100000L // micro-unit d² buckets for the rank cut
+
+  /** Embedding-space outlier mining: flag the vectors whose squared
+    * distance to their NEAREST trained centroid sits above the exact
+    * corpus p95 — the quantizer-residual signal that surfaces OOD /
+    * mislabeled / garbage embeddings before they poison contrastive
+    * training or ANN serving, reported per label so suspect classes
+    * stand out.
+    *
+    * Reuses two existing models end-to-end: the memoized IVF quantizer
+    * ([[trainedCentroids]] — centroids ride the plan as literals, the
+    * DuckDB oracle retrains them bit-identically via ivfTrainCtes) and
+    * [[Ranks.valueAtRank]] for the cut (value at rank ceil(0.95·n) of
+    * the integer micro-quantized d², ties kept below — the
+    * [[TextOps.perplexityFilter]] threshold discipline; the oracle
+    * runs the global-window formulation).
+    *
+    * Parity: d² = v·v + (c·c − 2·v·c) with the parenthesization
+    * matching the fused-expression evaluation order; min over
+    * centroids commutes with the common v·v addition (float addition
+    * is monotone), and the single round(·10⁶) lands after the min on
+    * both sides.
+    *
+    * Scale: one narrow projection computes K fused dot products per
+    * row (no joins — centroids are K×d literals), the cut comes from
+    * the bucketed rank kernel, and the census is a label-keyed
+    * aggregate. The score frame is localCheckpoint'ed for its three
+    * consumers (count, kernel, census).
+    */
+  def embOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = trainedCentroids(spark, sfDir, corpus(spark, sfDir))
+    val perCent = cents.zipWithIndex.map { case (cent, j) =>
+      val c2 = cent.map(x => x * x).sum
+      (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+        .dot_product(col("v"), centroidCol(cent))).as(s"d$j")
+    }
+    val scored = base
+      .withColumn("best_d", array_min(array(perCent: _*)))
+      .select(col("vec_id"), col("label"),
+        round((graft.functions.VectorExpressions.dot_product(col("v"), col("v"))
+          + col("best_d")) * 1000000).cast("bigint").as("score_m"))
+      .localCheckpoint()
+    val cutRank = scored.agg(count(lit(1)).as("n"))
+      .select(expr("(19 * n + 19) div 20").as("cut_rk"))
+    val thr = Ranks.valueAtRank(scored, "score_m", cutRank, OutlierBucketWidth)
+    scored.crossJoin(broadcast(thr))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("score_m") > col("thr"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("score_m") > col("thr"), col("vec_id"))), lit(0L))
+          .as("outlier_id_sum"))
+      .orderBy("label")
+  }
+
   private val LpaIters = 4
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
@@ -1498,6 +1556,7 @@ object Similarity {
     "x_emb_knn_graph" -> knnGraph _,
     "x_graph_triangles" -> knnTriangles _,
     "x_graph_lpa" -> labelPropagation _,
+    "x_emb_outliers" -> embOutliers _,
     "x_emb_pagerank" -> embPagerank _,
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
@@ -2055,6 +2114,31 @@ object Similarity {
          | (SELECT t FROM tri)::BIGINT AS n_triangles,
          | ((3000000 * (SELECT t FROM tri)) //
          |  (SELECT sum(deg * (deg - 1) // 2) FROM deg))::BIGINT AS global_cc_ppm""".stripMargin,
+    // retrains the identical quantizer, then the global-window
+    // formulation of the p95 cut over the same micro-quantized d²;
+    // min over centroids commutes with the common v·v term (monotone
+    // float addition), one round(·1e6) after the min on both sides
+    "x_emb_outliers" ->
+      s"""WITH $ivfTrainCtes,
+         |d2 AS (
+         | SELECT e.vec_id,
+         |  round(min(list_dot_product(e.v, e.v)
+         |    + (list_dot_product(c.cvec, c.cvec)
+         |       - 2 * list_dot_product(e.v, c.cvec))) * 1000000)::BIGINT AS score_m
+         | FROM e CROSS JOIN cents$IvfIters c GROUP BY e.vec_id),
+         |ranked AS (
+         | SELECT *, row_number() OVER (ORDER BY score_m, vec_id) AS rn,
+         |  count(*) OVER () AS n
+         | FROM d2),
+         |thr AS (
+         | SELECT max(CASE WHEN rn = (19 * n + 19) // 20 THEN score_m END) AS thr
+         | FROM ranked)
+         |SELECT l.label, count(*) AS n_vecs,
+         | sum(CASE WHEN score_m > thr THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         | coalesce(sum(CASE WHEN score_m > thr THEN d.vec_id END), 0)::BIGINT
+         |   AS outlier_id_sum
+         |FROM d2 d JOIN embeddings l ON l.vec_id = d.vec_id, thr
+         |GROUP BY l.label ORDER BY l.label""".stripMargin,
     // the same knn edge derivation undirected, then LpaIters unrolled
     // synchronous adopt rounds — the (count desc, label asc) argmax is
     // pure integer order, so the label trajectory matches exactly

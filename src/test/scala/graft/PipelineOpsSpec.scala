@@ -1380,6 +1380,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"below-mean cut must split the corpus, got $below of $total")
   }
 
+  test("embedding outliers flag at most 5% of the corpus, nonzero, every vector counted") {
+    val rows = Similarity.embOutliers(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "every vector must be scored")
+    val outliers = rows.map(_.getLong(2)).sum
+    assert(outliers > 0, "the p95 cut must flag a tail")
+    assert(outliers <= n / 20 + 1,
+      s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
+  }
+
   test("LPA census matches a plain-Scala synchronous replay on the same graph") {
     val und = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
