@@ -210,6 +210,10 @@ object Explain {
         ("the brute-force shape with the attribute predicate applied FIRST: 5 broadcast query " +
           "vectors × the FILTERED corpus (label pushed to the scan, spec-asserted); the scale " +
           "path composes the same pre-filter with the bucketed variants")),
+      // x_emb_matryoshka needs no entry: its per-prefix brute-force
+      // ranking (the allowlisted 5-broadcast-query BNLJ baseline
+      // shape) runs inside the eager localCheckpoint, so the
+      // inspected plan is only the 100-row recall join/aggregate
       "x_emb_outliers" -> Map("bnlj" ->
         (scalarAttach + " (p95 d² threshold from Ranks.valueAtRank, Similarity.embOutliers + the kernel's 1-row cut attach)")),
       // x_mmr_rerank needs no entry: its brute-force pool build (the

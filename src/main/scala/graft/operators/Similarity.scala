@@ -1408,6 +1408,62 @@ object Similarity {
       .orderBy("label")
   }
 
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation diagnostic (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): top-5 cosine retrieval using only the
+    * FIRST m dimensions of each vector, for m in [[MatryoshkaDims]],
+    * scored as recall against the full-dimension exact top-5. This is
+    * the measurement that decides how far an embedding column can be
+    * truncated for cheap first-stage retrieval (m=16 at 4× less I/O and
+    * FLOPs) before a full-dim re-rank — the two-stage serving shape —
+    * and on NON-MRL-trained embeddings (this corpus) it quantifies the
+    * recall cliff that makes naive truncation unsafe.
+    *
+    * Parity: one `round(sim, 4)` with (sim desc, vec_id asc) tiebreak,
+    * the [[bruteForceTopK]] discipline; prefix slices are index-order
+    * fused loops on both engines. m=64 is the identity anchor — its
+    * recall must be exactly 1.0 (spec-asserted).
+    *
+    * Scale: the deliberate brute-force baseline shape (5 broadcast
+    * query vectors × one corpus scan — allowlisted like
+    * [[bruteForceTopK]]); the 4× dims explode multiplies only the
+    * in-stage pipeline, never a shuffle (the window input is 20
+    * query-sized groups). The production path composes truncation with
+    * the bucketed probes: slice first, then the same LSH/IVF layout
+    * over m-dim vectors.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val VE = graft.functions.VectorExpressions
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val perDim = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("m", explode(array(MatryoshkaDims.map(lit(_)): _*)))
+      .withColumn("qs", slice(col("qv"), lit(1), col("m")))
+      .withColumn("vs", slice(col("v"), lit(1), col("m")))
+      .withColumn("sim", round(
+        VE.dot_product(col("qs"), col("vs"))
+          / (VE.l2_norm(col("qs")) * VE.l2_norm(col("vs"))), 4))
+    val w = Window.partitionBy("m", "query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val top5 = perDim.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("m"), col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint()
+    val exact5 = top5.filter(col("m") === Dim)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    top5.join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy("m", "query_id")
+      .agg(sum("hit").as("n_hit"))
+      .select(col("m").as("dims"), col("query_id"),
+        lit(5).cast("int").as("k"), col("n_hit"),
+        round(col("n_hit") / lit(5.0), 4).as("recall"))
+      .orderBy("dims", "query_id")
+  }
+
   private val LpaIters = 4
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
@@ -1569,6 +1625,7 @@ object Similarity {
     "x_sim_index_incremental" -> ivfIncrementalTopK _,
     "x_stream_index_ingest" -> streamIndexIngest _,
     "x_sim_recall" -> simRecall _,
+    "x_emb_matryoshka" -> matryoshkaRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
 
@@ -1989,6 +2046,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // prefix-slice retrieval per m, identical round/tiebreak; the
+    // m=64 block doubles as the exact ground truth (recall ≡ 1)
+    "x_emb_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ms AS (SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS m),
+         |sc AS (
+         | SELECT ms.m, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v[1:ms.m], n.v[1:ms.m]), 4) AS sim
+         | FROM e q JOIN e n ON n.vec_id <> q.vec_id, ms
+         | WHERE q.vec_id < 5),
+         |top5 AS (
+         | SELECT m, query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY m, query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM sc)
+         | WHERE rk <= 5),
+         |exact5 AS (SELECT query_id, neighbor_id FROM top5 WHERE m = $Dim)
+         |SELECT t.m AS dims, t.query_id, 5::INTEGER AS k,
+         | sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         | round(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall
+         |FROM top5 t LEFT JOIN exact5 x
+         | ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+         |GROUP BY t.m, t.query_id ORDER BY dims, t.query_id""".stripMargin,
     "x_mmr_rerank" -> mmrOracle,
     "x_emb_pq" -> pqOracle,
     "x_emb_ivfpq" -> ivfPqOracle,

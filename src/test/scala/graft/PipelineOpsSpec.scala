@@ -1390,6 +1390,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("matryoshka recall: full-dim anchor is exactly 1.0 and truncation loses recall") {
+    val rows = Similarity.matryoshkaRecall(spark, sf).collect()
+    assert(rows.length === 4 * 5, "4 prefix lengths x 5 queries")
+    val byDim = rows.groupBy(_.getInt(0)).view
+      .mapValues(rs => rs.map(_.getDouble(4)).sum / rs.length).toMap
+    assert(byDim(64) === 1.0, "m=64 is the identity anchor")
+    rows.foreach { r =>
+      val rec = r.getDouble(4)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(3) <= 5L)
+    }
+    assert(byDim(8) < byDim(64),
+      s"8-dim prefixes of non-MRL embeddings must lose recall: ${byDim(8)}")
+  }
+
   test("LPA census matches a plain-Scala synchronous replay on the same graph") {
     val und = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
