@@ -497,6 +497,70 @@ object Curation {
         sum("doc_id").as("id_sum"))
       .orderBy("split")
 
+  /** 80/10/10 split bucket of a hashed key — deliberately coarser than
+    * [[splitTrain]]'s 98/1/1 so held-out mass is non-trivial at every
+    * test scale (the leakage contrast needs clusters that CAN straddle
+    * a 10% bucket).
+    */
+  private def splitOf(e: String): Column =
+    when(h60(s"cast($e as string)") % 10L < 8L, lit("train"))
+      .when(h60(s"cast($e as string)") % 10L === 8L, lit("val"))
+      .otherwise(lit("test"))
+
+  private def splitOfSql(e: String): String =
+    s"""CASE WHEN ${h60Sql(s"$e::VARCHAR")} % 10 < 8 THEN 'train'
+       |  WHEN ${h60Sql(s"$e::VARCHAR")} % 10 = 8 THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+
+  /** Leakage-safe train/val/test split: hash-assign each document's
+    * near-dup CLUSTER (representative = min member id, unclustered
+    * docs represent themselves), so every member of a near-dup cluster
+    * lands in the SAME split. A per-document hash split silently
+    * distributes near-duplicates of a training document into the
+    * held-out sets — the classic evaluation-contamination failure a
+    * dedup pipeline's split step exists to prevent (the within-corpus
+    * complement of [[contamination]]'s train-vs-benchmark gate).
+    *
+    * Output: per (method, split) census with `n_leaky_docs` = docs
+    * sharing a near-dup cluster with a doc in ANOTHER split under that
+    * method — structurally 0 for the cluster-keyed assignment, the
+    * non-zero naive column is the measured contrast.
+    *
+    * Scale: consumes the fingerprint-keyed on-disk cluster model
+    * ([[Dedup.ensureClusterModel]]) via one doc_id equi-join — the
+    * artifact-join apply shape, never a driver array; censuses are
+    * keyed aggregates on (rep, split). Assignment stays a pure
+    * projection of the hash, so it is retry-stable and engine-portable
+    * like every sampling gate here.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Dedup.ensureClusterModel(spark, sfDir)
+    val members = spark.read.parquet(s"$dir/members")
+      .select(col("doc_id"), col("keep_id"))
+    val assigned = Tables.documents(spark, sfDir).select("doc_id")
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("keep_id"), col("doc_id")))
+      .withColumn("cl_split", splitOf("rep"))
+      .withColumn("nv_split", splitOf("doc_id"))
+    def census(splitCol: String, method: String): DataFrame = {
+      val perCluster = assigned
+        .groupBy(col("rep"), col(splitCol).as("split"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("ids"))
+      val spread = perCluster.groupBy("rep")
+        .agg(count(lit(1)).as("nsp"))
+      perCluster.join(spread, Seq("rep"))
+        .groupBy("split")
+        .agg(
+          sum("n").as("n_docs"),
+          sum("ids").as("id_sum"),
+          sum(when(col("nsp") > 1L, col("n")).otherwise(0L)).as("n_leaky_docs"))
+        .select(lit(method).as("method"), col("split"),
+          col("n_docs"), col("id_sum"), col("n_leaky_docs"))
+    }
+    census("cl_split", "cluster").unionByName(census("nv_split", "naive"))
+      .orderBy("method", "split")
+  }
+
   // ---------------------------------------------------------------- //
   // Token-budget selection (global prefix sum)
   // ---------------------------------------------------------------- //
@@ -1815,6 +1879,7 @@ object Curation {
     "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
     "x_split_train" -> splitTrain _,
+    "x_split_leakage_safe" -> leakageSafeSplit _,
     "x_policy_filter" -> policyFilter _,
     "x_outlier_zscore" -> outlierZscore _,
     "x_forget_ids" -> forgetIds _,
@@ -2027,6 +2092,35 @@ object Curation {
          |   THEN d.doc_id END)::BIGINT AS selected_id_sum
          |FROM documents d JOIN r3 USING (source)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // recomputes the near-dup clusters with Dedup's recursive-CTE
+    // formulation (the x_dedup_clusters parity), then runs both split
+    // assignments and the same (rep, split)-keyed leak census
+    "x_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${Dedup.minhashOracleCtes},
+         |${Dedup.clusterLabelCtes},
+         |asg AS (
+         | SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+         | FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |sp AS (
+         | SELECT doc_id, rep,
+         |  ${splitOfSql("rep")} AS cl_split,
+         |  ${splitOfSql("doc_id")} AS nv_split
+         | FROM asg),
+         |c1 AS (SELECT rep, cl_split AS split, count(*) AS n, sum(doc_id) AS ids
+         |       FROM sp GROUP BY 1, 2),
+         |s1 AS (SELECT rep, count(*) AS nsp FROM c1 GROUP BY rep),
+         |m1 AS (SELECT 'cluster' AS method, split, sum(n)::BIGINT AS n_docs,
+         |        sum(ids)::BIGINT AS id_sum,
+         |        sum(CASE WHEN nsp > 1 THEN n ELSE 0 END)::BIGINT AS n_leaky_docs
+         |       FROM c1 JOIN s1 USING (rep) GROUP BY split),
+         |c2 AS (SELECT rep, nv_split AS split, count(*) AS n, sum(doc_id) AS ids
+         |       FROM sp GROUP BY 1, 2),
+         |s2 AS (SELECT rep, count(*) AS nsp FROM c2 GROUP BY rep),
+         |m2 AS (SELECT 'naive' AS method, split, sum(n)::BIGINT AS n_docs,
+         |        sum(ids)::BIGINT AS id_sum,
+         |        sum(CASE WHEN nsp > 1 THEN n ELSE 0 END)::BIGINT AS n_leaky_docs
+         |       FROM c2 JOIN s2 USING (rep) GROUP BY split)
+         |SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY method, split""".stripMargin,
     "x_split_train" ->
       s"""SELECT CASE WHEN ${h60Sql("doc_id::VARCHAR")} % 100 < 98 THEN 'train'
          |  WHEN ${h60Sql("doc_id::VARCHAR")} % 100 = 98 THEN 'val'

@@ -1162,7 +1162,7 @@ object Dedup {
     * cluster oracles, the same way the Spark side shares
     * [[minhashVerifiedPairs]].
     */
-  private val minhashOracleCtes: String = {
+  private[graft] val minhashOracleCtes: String = {
     val slots = affine.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n  ")
     val buckets = (0 until Bands).map { j =>
@@ -1229,7 +1229,7 @@ object Dedup {
     * oracles (appended after [[minhashOracleCtes]] under WITH
     * RECURSIVE).
     */
-  private val clusterLabelCtes: String =
+  private[graft] val clusterLabelCtes: String =
     s"""edges AS (
        | SELECT p.doc_a, p.doc_b
        | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.streaming.EventStreams
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1388,6 +1388,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(outliers > 0, "the p95 cut must flag a tail")
     assert(outliers <= n / 20 + 1,
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
+  }
+
+  test("leakage-safe split: zero cross-split near-dup mass, naive split leaks") {
+    val rows = Curation.leakageSafeSplit(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    Seq("cluster", "naive").foreach { m =>
+      val mr = rows.filter(_.getString(0) == m)
+      assert(mr.map(_.getLong(2)).sum === total, s"$m split must cover the corpus")
+    }
+    val clusterLeak = rows.filter(_.getString(0) == "cluster").map(_.getLong(4)).sum
+    val naiveLeak = rows.filter(_.getString(0) == "naive").map(_.getLong(4)).sum
+    assert(clusterLeak === 0L, "cluster-keyed assignment cannot straddle a cluster")
+    assert(naiveLeak > 0L,
+      "the per-doc hash split must demonstrably leak near-dups on this corpus")
   }
 
   test("matryoshka recall: full-dim anchor is exactly 1.0 and truncation loses recall") {
