@@ -1080,7 +1080,90 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  private val C4LineWords = 10  // words per derived pseudo-line
+  private val C4MinWords = 3    // C4's "remove any line with fewer than 3 words"
+  private val C4ContentMod = 1000000000000L
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 of the T5
+    * paper): drop lines with fewer than [[C4MinWords]] words, lines
+    * containing the word "javascript", and lines containing a curly
+    * brace; drop WHOLE documents containing "lorem" (the lorem-ipsum
+    * page rule); reassemble each surviving document from its kept
+    * lines in order. The granularity ladder this completes:
+    * [[gopherRules]] judges whole docs, [[graft.operators.Dedup.spanRewrite]]
+    * rewrites at token level — C4's distinctive move is the LINE.
+    *
+    * Fixture adaptation (the [[gopherRules]] injection discipline): the
+    * synthetic corpus is one unpunctuated line per doc, so lines are
+    * derived as fixed [[C4LineWords]]-word windows (making the
+    * min-words rule fire naturally on short tail lines), and the
+    * policy/brace/lorem triggers are INJECTED onto md5-selected doc
+    * slices at an md5-chosen line index — each rule's drop count is
+    * therefore self-validating against the known injection rate, and
+    * `content_sum` (the [[graft.operators.Dedup.spanRewrite]] md5 fold)
+    * certifies every reassembled byte. C4's terminal-punctuation rule
+    * is the one omission: with zero punctuation in the generator it
+    * would void the corpus rather than exercise a path.
+    *
+    * Scale: lines derive from an in-stage explode of word-slices (no
+    * per-word shuffle); the only shuffle is the doc_id-keyed reassembly
+    * aggregate (co-located with [[Tables.fanOut]]'s partitioning), then
+    * an O(sources) rollup. Per-doc line buffers are bounded by doc
+    * length exactly like spanRewrite's reassembly buffer.
+    */
+  def c4LineFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("words", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_lines", expr(s"(size(words) + ${C4LineWords - 1}) div $C4LineWords"))
+      .withColumn("inj_li", expr("(h div 11) % n_lines"))
+    val perLine = docs
+      .select(col("doc_id"), col("source"), col("h"), col("inj_li"),
+        explode(expr("sequence(0, n_lines - 1)")).as("li"),
+        col("words"))
+      .withColumn("line0",
+        array_join(expr(s"slice(words, li * $C4LineWords + 1, $C4LineWords)"), " "))
+      .withColumn("line", concat(col("line0"),
+        when(col("h") % 11 === 0 && col("li") === col("inj_li"), lit(" javascript"))
+          .when(col("h") % 11 === 1 && col("li") === col("inj_li"), lit(" {"))
+          .when(col("h") % 11 === 2 && col("li") === col("inj_li"), lit(" lorem ipsum"))
+          .otherwise(lit(""))))
+      .withColumn("lw", split(col("line"), " "))
+      .withColumn("f_short", size(col("lw")) < C4MinWords)
+      .withColumn("f_policy", array_contains(col("lw"), "javascript"))
+      .withColumn("f_brace", array_contains(col("lw"), "{"))
+      .withColumn("has_lorem", array_contains(col("lw"), "lorem"))
+      .withColumn("kept", !col("f_short") && !col("f_policy") && !col("f_brace"))
+    val perDoc = perLine.groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("f_short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("f_policy"), 1L).otherwise(0L)).as("n_policy"),
+        sum(when(col("f_brace"), 1L).otherwise(0L)).as("n_brace"),
+        max(when(col("has_lorem"), 1L).otherwise(0L)).as("doc_lorem"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN kept THEN struct(li, line) END)), s -> s.line), ' ')").as("cleaned"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_lorem").as("docs_dropped"),
+        sum(when(col("doc_lorem") === 1L || col("n_kept") < col("n_lines"), 1L)
+          .otherwise(0L)).as("docs_changed"),
+        sum("n_lines").as("lines_total"),
+        sum("n_kept").as("lines_kept"),
+        sum("n_short").as("drop_short"),
+        sum("n_policy").as("drop_policy"),
+        sum("n_brace").as("drop_brace"),
+        sum(when(col("doc_lorem") === 0L,
+          expr(s"cast(conv(substr(md5(cleaned), 1, 15), 16, 10) as bigint) % $C4ContentMod"))
+          .otherwise(0L)).as("content_sum"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_c4_line_filter" -> c4LineFilter _,
     "x_ccnet_buckets" -> ccnetBuckets _,
     "x_gopher_rules" -> gopherRules _,
     "x_text_entropy" -> charEntropy _,
@@ -1198,6 +1281,57 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical line derivation, injections, rule battery and ordered
+    // reassembly; content_sum certifies every surviving cleaned doc
+    "x_c4_line_filter" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+         | FROM documents),
+         |d2 AS (
+         | SELECT *, (len(words) + ${C4LineWords - 1}) // $C4LineWords AS n_lines,
+         |  (h // 11) % ((len(words) + ${C4LineWords - 1}) // $C4LineWords) AS inj_li
+         | FROM d),
+         |pl AS (
+         | SELECT doc_id, source, li,
+         |  array_to_string(words[li * $C4LineWords + 1 : li * $C4LineWords + $C4LineWords], ' ') ||
+         |   CASE WHEN h % 11 = 0 AND li = inj_li THEN ' javascript'
+         |        WHEN h % 11 = 1 AND li = inj_li THEN ' {'
+         |        WHEN h % 11 = 2 AND li = inj_li THEN ' lorem ipsum'
+         |        ELSE '' END AS line
+         | FROM d2, (SELECT unnest(range(0, 40)) AS li) r
+         | WHERE li < n_lines),
+         |rl AS (
+         | SELECT doc_id, source, li, line,
+         |  len(string_split(line, ' ')) < $C4MinWords AS f_short,
+         |  list_contains(string_split(line, ' '), 'javascript') AS f_policy,
+         |  list_contains(string_split(line, ' '), '{') AS f_brace,
+         |  list_contains(string_split(line, ' '), 'lorem') AS has_lorem
+         | FROM pl),
+         |pd AS (
+         | SELECT doc_id, source,
+         |  count(*) AS n_lines,
+         |  sum(CASE WHEN NOT f_short AND NOT f_policy AND NOT f_brace THEN 1 ELSE 0 END) AS n_kept,
+         |  sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS n_short,
+         |  sum(CASE WHEN f_policy THEN 1 ELSE 0 END) AS n_policy,
+         |  sum(CASE WHEN f_brace THEN 1 ELSE 0 END) AS n_brace,
+         |  max(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS doc_lorem,
+         |  coalesce(string_agg(CASE WHEN NOT f_short AND NOT f_policy AND NOT f_brace
+         |    THEN line END, ' ' ORDER BY li), '') AS cleaned
+         | FROM rl GROUP BY doc_id, source)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         | sum(doc_lorem)::BIGINT AS docs_dropped,
+         | sum(CASE WHEN doc_lorem = 1 OR n_kept < n_lines THEN 1 ELSE 0 END)::BIGINT AS docs_changed,
+         | sum(n_lines)::BIGINT AS lines_total,
+         | sum(n_kept)::BIGINT AS lines_kept,
+         | sum(n_short)::BIGINT AS drop_short,
+         | sum(n_policy)::BIGINT AS drop_policy,
+         | sum(n_brace)::BIGINT AS drop_brace,
+         | sum(CASE WHEN doc_lorem = 0
+         |   THEN ('0x' || substr(md5(cleaned), 1, 15))::BIGINT % $C4ContentMod
+         |   ELSE 0 END)::BIGINT AS content_sum
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     "x_bpe_train" -> bpeTrainOracle,
     "x_bpe_apply" -> bpeApplyOracle,
     // same deletion-neighborhood blocking + exact levenshtein filter

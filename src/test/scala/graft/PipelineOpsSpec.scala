@@ -1390,6 +1390,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("C4 line filter: drop counts equal the injected slices, reassembly conserves lines") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = TextOps.c4LineFilter(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+    // every policy/brace drop comes from its injection slice, one per doc
+    assert(rows.map(_.getLong(7)).sum === docs.filter(col("h") % 11 === 0).count(),
+      "each slice-A doc loses exactly its one injected javascript line")
+    assert(rows.map(_.getLong(8)).sum === docs.filter(col("h") % 11 === 1).count(),
+      "each slice-B doc loses exactly its one injected brace line")
+    assert(rows.map(_.getLong(2)).sum === docs.filter(col("h") % 11 === 2).count(),
+      "each slice-C doc is dropped whole by the lorem rule")
+    rows.foreach { r =>
+      assert(r.getLong(5) + r.getLong(6) + r.getLong(7) + r.getLong(8) >= r.getLong(4),
+        "kept + per-rule drops cover every line (rules may overlap)")
+      assert(r.getLong(5) <= r.getLong(4), "kept lines cannot exceed total")
+    }
+    val changed = rows.map(_.getLong(3)).sum
+    assert(changed > 0 && changed < docs.count(), "the battery must split the corpus")
+  }
+
   test("leakage-safe split: zero cross-split near-dup mass, naive split leaks") {
     val rows = Curation.leakageSafeSplit(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
