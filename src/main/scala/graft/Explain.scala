@@ -206,6 +206,10 @@ object Explain {
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),
       "x_sim_topk_bruteforce" -> Map("bnlj" ->
         "the DELIBERATE brute-force ANN baseline: 5 broadcast query vectors × corpus, non-equi; the scale path is the LSH/IVF bucketed variants"),
+      "x_sim_topk_agg" -> Map("bnlj" ->
+        ("the same deliberate brute-force scoring scan as x_sim_topk_bruteforce (5 broadcast " +
+          "query vectors × corpus); what this query REPLACES is the downstream rank window — " +
+          "the TopKPairs aggregate map-side combines to O(k) pairs per task")),
       "x_sim_topk_prefiltered" -> Map("bnlj" ->
         ("the brute-force shape with the attribute predicate applied FIRST: 5 broadcast query " +
           "vectors × the FILTERED corpus (label pushed to the scan, spec-asserted); the scale " +

@@ -69,6 +69,40 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Exact cosine top-10 via the BOUNDED MAP-SIDE AGGREGATE
+    * ([[graft.functions.TopKPairs]]) instead of [[bruteForceTopK]]'s
+    * rank window — same results (the oracle runs the window
+    * formulation; the equivalence is the claim), different asymptotics:
+    * the window shuffles every (query, corpus-row) scored pair to the
+    * query's one reducer before ranking (Q reducers each receiving the
+    * whole corpus — the low-cardinality-key scale-killer tolerated in
+    * the baseline only as ground truth), while the aggregate keeps at
+    * most k pairs per task and ships O(k · tasks) longs per query
+    * through the exchange. This is the per-query-top-k shape that
+    * survives 100 TB: partial top-k inside the scan stage, one tiny
+    * merge per query key.
+    *
+    * Similarities are quantized once to integer ten-thousandths (the
+    * [[mmrRerank]] discipline) so the (sim desc, id asc) order is total
+    * and identical on both engines.
+    */
+  def aggTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKPairs(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_m",
+        round(dot("qv", "v") / (col("qn") * col("nrm")) * 10000).cast("bigint"))
+      .groupBy("query_id")
+      .agg(topk(col("sim_m"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("p"))
+      .select(col("query_id"), col("p._2").as("neighbor_id"), col("p._1").as("sim_m"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private val PreFilterLabel = 3 // the attribute predicate of the
   // filtered-search query; any selective scan predicate works the same
 
@@ -1617,6 +1651,7 @@ object Similarity {
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
+    "x_sim_topk_agg" -> aggTopK _,
     "x_sim_topk_prefiltered" -> prefilteredTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
@@ -2046,6 +2081,19 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // the WINDOW formulation of the same integer-quantized top-10 —
+    // the aggregate-vs-window equivalence is exactly the claim
+    "x_sim_topk_agg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.v, n.v) * 10000)::BIGINT AS sim_m
+        | FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, sim_m FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim_m DESC, neighbor_id ASC) AS rk FROM sc)
+        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
     // prefix-slice retrieval per m, identical round/tiebreak; the
     // m=64 block doubles as the exact ground truth (recall ≡ 1)
     "x_emb_matryoshka" ->

@@ -1390,6 +1390,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("aggregate top-k equals the window formulation and carries no Window node") {
+    import org.apache.spark.sql.functions.{col, explode, round, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val agg = Similarity.aggTopK(spark, sf)
+    // window formulation of the identical quantized ranking
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sc = e.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim_m", round(
+        graft.functions.VectorExpressions.dot_product(col("qv"), col("v"))
+          / (graft.functions.VectorExpressions.l2_norm(col("qv"))
+            * graft.functions.VectorExpressions.l2_norm(col("v"))) * 10000).cast("bigint"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_m").desc, col("vec_id").asc)
+    val win = sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim_m"))
+      .orderBy("query_id", "neighbor_id")
+    assert(agg.collect().toSeq === win.collect().toSeq)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "the aggregate path must not rank through a window")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "top-k must run as a (partial-combining) aggregate")
+  }
+
   test("C4 line filter: drop counts equal the injected slices, reassembly conserves lines") {
     import org.apache.spark.sql.functions.{col, expr}
     val rows = TextOps.c4LineFilter(spark, sf).collect()
