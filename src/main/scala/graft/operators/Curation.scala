@@ -394,6 +394,54 @@ object Curation {
     perL.reduce(_ unionByName _).orderBy("context_len")
   }
 
+  private val PadBucketWidths = Seq(5L, 10L, 20L, 50L)
+
+  /** Padding-waste sweep for LENGTH-BUCKETED batching — the
+    * dynamic-batching complement of [[packEfficiency]]: when documents
+    * are NOT packed (SFT / contrastive / reranker training keeps one
+    * example per sequence), every batch pads to its longest member, so
+    * the lever is grouping like-length examples. Bucketing by
+    * `len div W` and padding each bucket to its own max bounds
+    * per-example padding by W-1 tokens; this table reports the exact
+    * waste of each candidate W against the pad-everything-to-corpus-max
+    * baseline, which is the measurement that picks W.
+    *
+    * Every strategy row is pure keyed aggregation over (bucket) —
+    * padded mass per bucket is `count · max`, no per-row batch ids, no
+    * rank windows (a bucket's real batches pad to at most the bucket
+    * max, so bucket-level accounting upper-bounds any within-bucket
+    * batching — the documented semantics). Integer arithmetic
+    * end-to-end; floor-div ppm.
+    *
+    * Scale: one scan producing (doc, len), then per-W an O(distinct
+    * buckets) aggregate — all Ws could share a materialized
+    * token-count table at lake scale like packEfficiency's Ls.
+    */
+  def batchPadding(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("bigint").as("len"))
+    val global = base.groupBy()
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("tokens"), max("len").as("mx"))
+      .select(lit("global").as("strategy"), col("n_docs"), col("tokens"),
+        (col("n_docs") * col("mx")).as("padded"))
+    val perW = PadBucketWidths.map { wd =>
+      base.withColumn("bucket", expr(s"len div $wd"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("b_docs"), sum("len").as("b_tokens"), max("len").as("b_mx"))
+        .groupBy()
+        .agg(
+          sum("b_docs").as("n_docs"),
+          sum("b_tokens").as("tokens"),
+          sum(col("b_docs") * col("b_mx")).as("padded"))
+        .select(lit(s"bucket_w$wd").as("strategy"),
+          col("n_docs"), col("tokens"), col("padded"))
+    }
+    (global +: perW).reduce(_ unionByName _)
+      .withColumn("waste_tokens", col("padded") - col("tokens"))
+      .withColumn("waste_ppm", expr("((padded - tokens) * 1000000) div padded"))
+      .orderBy("strategy")
+  }
+
   // ---------------------------------------------------------------- //
   // Temperature-scaled mixture sampling
   // ---------------------------------------------------------------- //
@@ -1887,6 +1935,7 @@ object Curation {
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_pack_efficiency" -> packEfficiency _,
+    "x_batch_padding" -> batchPadding _,
     "x_merge_upsert" -> mergeUpsert _,
     "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
@@ -2092,6 +2141,27 @@ object Curation {
          |   THEN d.doc_id END)::BIGINT AS selected_id_sum
          |FROM documents d JOIN r3 USING (source)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // per-strategy padded mass from bucket-level count·max aggregates
+    "x_batch_padding" -> {
+      val perW = PadBucketWidths.map { wd =>
+        s"""SELECT 'bucket_w$wd' AS strategy, sum(b_docs) AS n_docs,
+           | sum(b_tokens) AS tokens, sum(b_docs * b_mx) AS padded
+           |FROM (SELECT len // $wd AS bucket, count(*) AS b_docs,
+           |       sum(len) AS b_tokens, max(len) AS b_mx FROM d GROUP BY 1)""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH d AS (
+         | SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS len
+         | FROM documents),
+         |s AS (
+         | SELECT 'global' AS strategy, count(*) AS n_docs, sum(len) AS tokens,
+         |  count(*) * max(len) AS padded FROM d
+         | UNION ALL
+         |$perW)
+         |SELECT strategy, n_docs::BIGINT AS n_docs, tokens::BIGINT AS tokens,
+         | padded::BIGINT AS padded, (padded - tokens)::BIGINT AS waste_tokens,
+         | (((padded - tokens) * 1000000) // padded)::BIGINT AS waste_ppm
+         |FROM s ORDER BY strategy""".stripMargin
+    },
     // recomputes the near-dup clusters with Dedup's recursive-CTE
     // formulation (the x_dedup_clusters parity), then runs both split
     // assignments and the same (rep, split)-keyed leak census

@@ -1390,6 +1390,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("batch padding: waste grows with bucket width and global padding is worst") {
+    val rows = Curation.batchPadding(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(rows("bucket_w5") <= rows("bucket_w10"))
+    assert(rows("bucket_w10") <= rows("bucket_w20"))
+    assert(rows("bucket_w20") <= rows("bucket_w50"))
+    assert(rows("bucket_w50") <= rows("global"))
+    assert(rows("bucket_w5") < rows("global"),
+      "bucketing must measurably beat pad-to-corpus-max on this corpus")
+  }
+
   test("aggregate top-k equals the window formulation and carries no Window node") {
     import org.apache.spark.sql.functions.{col, explode, round, row_number}
     import org.apache.spark.sql.expressions.Window
