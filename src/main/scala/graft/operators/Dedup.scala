@@ -220,6 +220,51 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A|, the metric
+    * that catches a document (nearly) CONTAINED in another: quote
+    * farms, boilerplate-wrapped copies, and truncated mirrors sit at
+    * high one-sided containment but mid Jaccard (the union in
+    * Jaccard's denominator dilutes subset relations), so a
+    * Jaccard-only dedup pass keeps them. Candidates come from the
+    * same minhash band buckets as [[minhashLsh]] (the standard
+    * practical compromise — band recall degrades as the size ratio
+    * grows, which is why production containment pipelines also run
+    * the [[substringDedup]] posting spine; both live in this file),
+    * then the exact BOTH-DIRECTION containments are computed on the
+    * semi-joined candidate shingle sets only.
+    *
+    * Output: top-20 candidate pairs by max(cont_a, cont_b) over the
+    * ROUNDED values (round-then-rank, the cross-engine tiebreak
+    * discipline), with both directions reported — cont_a ≥ jaccard
+    * always, spec-asserted against the Jaccard pass.
+    *
+    * Scale: identical shape to the Jaccard verify — banded equi-join
+    * candidates, semi-joined shingle carry, never corpus × corpus.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val banded = bandedBuckets(docs)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+    pairs
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("cont_a", round(col("inter") / size(col("sh_a")), 6))
+      .withColumn("cont_b", round(col("inter") / size(col("sh_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** [[minhashLsh]] under the production hash family
     * ([[fastHashSql]]): the documented lake-scale md5→xxhash64 swap as
     * an executable, benchmarked path rather than a scaladoc promise.
@@ -1146,6 +1191,7 @@ object Dedup {
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,
+    "x_dedup_containment" -> containmentPairs _,
     "x_dedup_minhash_fast" -> minhashLshFast _,
     "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_simhash" -> simhash _,
@@ -1299,6 +1345,17 @@ object Dedup {
          | FROM fpx f WHERE f.is_new)
          |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM cls GROUP BY status ORDER BY status""".stripMargin,
+    // same banded candidates; exact both-direction containment,
+    // round-then-rank on the max direction
+    "x_dedup_containment" ->
+      s"""WITH $minhashOracleCtes,
+         |c AS (
+         | SELECT p.doc_a, p.doc_b,
+         |  round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(ta.sh), 6) AS cont_a,
+         |  round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(tb.sh), 6) AS cont_b
+         | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM c
+         |ORDER BY greatest(cont_a, cont_b) DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "x_dedup_minhash" ->
       s"""WITH $minhashOracleCtes
          |SELECT p.doc_a, p.doc_b,

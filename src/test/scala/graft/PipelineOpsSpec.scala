@@ -1390,6 +1390,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("containment dominates jaccard on the shared candidate pairs") {
+    val cRows = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.max(r.getDouble(2), r.getDouble(3))).toMap
+    val jRows = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = cRows.keySet intersect jRows.keySet
+    assert(shared.nonEmpty, "top containment and top jaccard pairs must overlap on this corpus")
+    shared.foreach { k =>
+      assert(cRows(k) >= jRows(k) - 1e-6,
+        s"max containment must dominate jaccard for $k: ${cRows(k)} vs ${jRows(k)}")
+    }
+    assert(cRows.values.exists(_ >= 0.99), "true subset relations must surface at ~1.0")
+  }
+
   test("batch padding: waste grows with bucket width and global padding is worst") {
     val rows = Curation.batchPadding(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(5)).toMap
