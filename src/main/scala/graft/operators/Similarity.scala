@@ -1442,6 +1442,66 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Sign bit per dimension packed into one BIGINT — 64 codegen'd CASE
+    * terms (distinct powers of two, so the sum IS the bit pattern; the
+    * bit-63 term is Long.MinValue, which adds without overflow because
+    * no two terms share a bit). The same literal values interpolate
+    * into the DuckDB oracle.
+    */
+  private def binCode(v: Column): Column =
+    (0 until Dim).map { i =>
+      when(element_at(v, i + 1) > lit(0.0), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary (1-bit) quantization recall — the 32× compression serving
+    * path modern vector stores ship (sign-binarize to a 64-bit code,
+    * retrieve by Hamming distance, optionally re-rank survivors in
+    * full precision): top-10 by `bit_count(code_q XOR code_c)` scored
+    * as recall@5 against the exact cosine top-5, per query. On this
+    * corpus the measurement quantifies how much of the label-cluster
+    * structure one bit per dimension preserves — the go/no-go number
+    * before swapping a 256-byte vector for an 8-byte code at the
+    * retrieval tier.
+    *
+    * Hamming ties are dense (64 possible distances), so ranking is
+    * (ham asc, vec_id asc) — a total order, identical cross-engine.
+    *
+    * Scale: codes are a stateless narrow projection (64 fused CASE
+    * terms, whole-stage codegen); the scored frame is checkpointed
+    * once for its two rankings. The retrieval here is the brute-force
+    * baseline shape; the scale path is multi-index Hamming (Norouzi &
+    * Fleet: split the code into 4×16-bit words, pigeonhole equi-join
+    * on exact word matches — the [[lshBucketedTopK]] layout with
+    * code words as bands).
+    */
+  def binaryHammingRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = corpus(spark, sfDir).withColumn("code", binCode(col("v")))
+    val q = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("code").as("qcode"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot("qv", "v") / (col("qn") * col("nrm")), 4).as("sim"),
+        expr("cast(bit_count(code ^ qcode) as int)").as("ham"))
+      .localCheckpoint()
+    val we = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val exact5 = scored.withColumn("rk", row_number().over(we)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val wh = Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wh)).filter(col("rk") <= 10)
+      .join(exact5, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        min("ham").as("ham_min"),
+        max("ham").as("ham_max"))
+      .select(col("query_id"), lit(5).cast("int").as("k"), col("n_hit"),
+        round(col("n_hit") / lit(5.0), 4).as("recall"),
+        col("ham_min"), col("ham_max"))
+      .orderBy("query_id")
+  }
+
   private val MatryoshkaDims = Seq(8, 16, 32, 64)
 
   /** Matryoshka truncation diagnostic (Kusupati et al. 2022, "Matryoshka
@@ -1661,6 +1721,7 @@ object Similarity {
     "x_stream_index_ingest" -> streamIndexIngest _,
     "x_sim_recall" -> simRecall _,
     "x_emb_matryoshka" -> matryoshkaRecall _,
+    "x_emb_binary_hamming" -> binaryHammingRecall _,
     "x_dedup_semantic" -> semanticDedup _,
   )
 
@@ -2094,6 +2155,38 @@ object Similarity {
         | SELECT *, row_number() OVER (PARTITION BY query_id
         |   ORDER BY sim_m DESC, neighbor_id ASC) AS rk FROM sc)
         |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+    // identical sign packing (literal power-of-two terms, bit 63 =
+    // Long.MinValue), Hamming rank, exact-cosine ground truth
+    "x_emb_binary_hamming" -> {
+      val codeTerms = (0 until Dim).map { i =>
+        s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |codes AS (SELECT vec_id, v, ($codeTerms)::BIGINT AS code FROM e),
+         |xp AS (
+         | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v, n.v), 4) AS sim,
+         |  bit_count(xor(q.code, n.code))::INT AS ham
+         | FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
+         | WHERE q.vec_id < 5),
+         |exact5 AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM xp)
+         | WHERE rk <= 5),
+         |h10 AS (
+         | SELECT query_id, neighbor_id, ham FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ham ASC, neighbor_id ASC) AS rk FROM xp)
+         | WHERE rk <= 10)
+         |SELECT h.query_id, 5::INTEGER AS k,
+         | sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         | round(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall,
+         | min(h.ham)::INT AS ham_min, max(h.ham)::INT AS ham_max
+         |FROM h10 h LEFT JOIN exact5 x
+         | ON x.query_id = h.query_id AND x.neighbor_id = h.neighbor_id
+         |GROUP BY h.query_id ORDER BY h.query_id""".stripMargin
+    },
     // prefix-slice retrieval per m, identical round/tiebreak; the
     // m=64 block doubles as the exact ground truth (recall ≡ 1)
     "x_emb_matryoshka" ->

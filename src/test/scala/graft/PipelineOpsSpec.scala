@@ -1390,6 +1390,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("binary hamming retrieval beats chance and distances stay in the code range") {
+    val rows = Similarity.binaryHammingRecall(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      assert(r.getInt(4) >= 0 && r.getInt(5) <= 64 && r.getInt(4) <= r.getInt(5))
+    }
+    val hits = rows.map(_.getLong(2)).sum
+    // chance = 10 candidates × 5/(corpus−1) per query ≈ 0.5 hits total
+    assert(hits >= 2L, s"sign codes must preserve cluster structure beyond chance: $hits")
+  }
+
   test("containment dominates jaccard on the shared candidate pairs") {
     val cRows = Dedup.containmentPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> math.max(r.getDouble(2), r.getDouble(3))).toMap
