@@ -640,6 +640,71 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val KnDiscount = "0.75" // the standard absolute discount, as a
+  // literal string so Spark and DuckDB parse the identical double
+
+  /** Interpolated Kneser-Ney bigram surprise (Kneser & Ney 1995; the
+    * KenLM-style smoothing production quality filters actually score
+    * with): −ln P_KN(w₂|w₁) where
+    * `P_KN = max(c(w₁w₂)−d, 0)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/B`
+    * — the continuation probability ranks a word by how many DISTINCT
+    * contexts it follows, not raw frequency, fixing add-one's
+    * overestimate of frequent-but-fixed collocations. The step up
+    * from [[bigramSurprise]]'s add-one model on the same spine.
+    *
+    * Determinism: all four model statistics (c2, c1, right/left
+    * continuation type counts, bigram-type total B) are exact
+    * integers; the ln() is evaluated once per MODEL ROW on an
+    * identically-parenthesized double expression and rounded to
+    * integer micro-nats before any aggregation — the engines never
+    * sum floats. Observed bigrams have c2 ≥ 1 > d, so the discounted
+    * term is strictly positive and the max() is vacuous.
+    *
+    * Scale: the type-count tables derive from the c2 model (Zipf-
+    * bounded), never from a second corpus pass; scoring is the same
+    * bigram-keyed equi-join as the add-one model. B is a one-scalar
+    * model extraction (the [[bigramSurprise]] vocab discipline).
+    */
+  def knBigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = docs.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, concat(t[i], ' ', t[i + 1]) as bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
+      .withColumn("mw2", expr("substring_index(bg, ' ', -1)"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1pr = c2.groupBy(col("mw1").as("rw1")).agg(count(lit(1)).as("n1pr"))
+    val n1pl = c2.groupBy(col("mw2").as("lw2")).agg(count(lit(1)).as("n1pl"))
+    val b = c2.count()
+    val model = c2
+      .join(c1, col("mw1") === c1("w1"))
+      .join(n1pr, col("mw1") === n1pr("rw1"))
+      .join(n1pl, col("mw2") === n1pl("lw2"))
+      .withColumn("micro_nats", expr(
+        s"""cast(round(-ln(
+           |  ((cast(c2 as double) - $KnDiscount) / cast(c1 as double))
+           |  + ((($KnDiscount * cast(n1pr as double)) / cast(c1 as double))
+           |     * (cast(n1pl as double) / cast($b as double)))
+           |) * 1000000) as bigint)""".stripMargin))
+      .select(col("bg"), col("micro_nats"))
+    val perDoc = bigrams.join(model, "bg")
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("avg_micro_nats").as("sum_avg_micro_nats"),
+        min("avg_micro_nats").as("min_surprise"),
+        max("avg_micro_nats").as("max_surprise"))
+      .orderBy("source")
+  }
+
   /** Denylist terms for [[piiScrub]] — stand-ins for the PII patterns
     * (emails, phone numbers, IDs) a production scrubber would target;
     * this corpus is synthetic word soup, so the denylist names real
@@ -1174,6 +1239,7 @@ object TextOps {
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
+    "x_text_kn_lm" -> knBigramSurprise _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
@@ -1395,6 +1461,42 @@ object TextOps {
         | sum(CASE WHEN sum_w_micro >= thr THEN doc_id END)::BIGINT AS selected_id_sum,
         | sum(sum_w_micro)::BIGINT AS w_micro_total
         |FROM perdoc, thr GROUP BY source ORDER BY source""".stripMargin,
+    // same bigram spine; the four KN statistics and the identically-
+    // parenthesized single-ln composite, rounded per MODEL ROW
+    "x_text_kn_lm" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         | FROM documents
+         | WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 2),
+         |idx AS (
+         | SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok),
+         |bgs AS (
+         | SELECT doc_id, source, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+         |c2 AS (SELECT bg, count(*) AS c2,
+         |  split_part(bg, ' ', 1) AS mw1, split_part(bg, ' ', 2) AS mw2
+         | FROM bgs GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1),
+         |n1pr AS (SELECT mw1, count(*) AS n1pr FROM c2 GROUP BY mw1),
+         |n1pl AS (SELECT mw2, count(*) AS n1pl FROM c2 GROUP BY mw2),
+         |bt AS (SELECT count(*) AS b FROM c2),
+         |model AS (
+         | SELECT c2.bg,
+         |  round(-ln(
+         |    ((c2.c2::DOUBLE - $KnDiscount) / c1.c1::DOUBLE)
+         |    + ((($KnDiscount * n1pr.n1pr::DOUBLE) / c1.c1::DOUBLE)
+         |       * (n1pl.n1pl::DOUBLE / (SELECT b FROM bt)::DOUBLE))
+         |  ) * 1000000)::BIGINT AS micro_nats
+         | FROM c2 JOIN c1 ON c2.mw1 = c1.w1
+         |  JOIN n1pr ON n1pr.mw1 = c2.mw1
+         |  JOIN n1pl ON n1pl.mw2 = c2.mw2),
+         |per_doc AS (
+         | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+         | FROM bgs JOIN model USING (bg) GROUP BY doc_id, source)
+         |SELECT source, count(*) AS n_docs,
+         | sum(avg_micro_nats)::BIGINT AS sum_avg_micro_nats,
+         | min(avg_micro_nats)::BIGINT AS min_surprise,
+         | max(avg_micro_nats)::BIGINT AS max_surprise
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "x_text_bigram_lm" ->
       """WITH tok AS (
         | SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t

