@@ -218,6 +218,8 @@ object Explain {
       // ranking (the allowlisted 5-broadcast-query BNLJ baseline
       // shape) runs inside the eager localCheckpoint, so the
       // inspected plan is only the 100-row recall join/aggregate
+      "x_emb_margin" -> Map("bnlj" ->
+        (scalarAttach + " (corpus mean margin for the self-calibrating ambiguity cut, Similarity.assignmentMargin)")),
       "x_emb_outliers" -> Map("bnlj" ->
         (scalarAttach + " (p95 d² threshold from Ranks.valueAtRank, Similarity.embOutliers + the kernel's 1-row cut attach)")),
       // x_mmr_rerank needs no entry: its brute-force pool build (the

@@ -1558,6 +1558,58 @@ object Similarity {
       .orderBy("dims", "query_id")
   }
 
+  /** Cluster-assignment MARGIN census — per vector, the gap between
+    * its nearest and second-nearest trained centroid (in d², micro
+    * units): the pseudo-labeling confidence signal. Low-margin vectors
+    * sit on cluster boundaries, where quantizer assignments flip under
+    * retraining and cluster-blocked operators (semantic dedup, IVF
+    * probes, cluster-balanced sampling) are least reliable — this
+    * census says, per true label, how much of the class is ambiguous
+    * (margin below the corpus mean — self-calibrating, the
+    * [[TextOps.charEntropy]] integer cross-multiplication, no magic
+    * threshold).
+    *
+    * The common v·v term cancels in the difference, so per-centroid
+    * scores are e_j = c_j·c_j − 2·v·c_j only; the margin sorts the
+    * K-element score array and subtracts the two smallest VALUES —
+    * ties between equal doubles cannot perturb it, so no index
+    * tiebreak is needed and both engines agree bit-exactly after the
+    * one round(·10⁶).
+    *
+    * Scale: one narrow projection (K fused dot products + a K-element
+    * in-row sort, centroids as literals), checkpointed once for the
+    * mean attach and the census — nothing corpus-sized shuffles.
+    */
+  def assignmentMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = trainedCentroids(spark, sfDir, corpus(spark, sfDir))
+    val ejs = cents.map { cent =>
+      val c2 = cent.map(x => x * x).sum
+      lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+        .dot_product(col("v"), centroidCol(cent))
+    }
+    val scored = base
+      .withColumn("es", array_sort(array(ejs: _*)))
+      .select(col("vec_id"), col("label"),
+        round((element_at(col("es"), 2) - element_at(col("es"), 1)) * 1000000)
+          .cast("bigint").as("margin_m"))
+      .localCheckpoint()
+    val global = scored.agg(
+      count(lit(1)).as("n_all"), sum("margin_m").as("sum_all"))
+    scored.crossJoin(broadcast(global))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("margin_m").as("sum_margin_m"),
+        min("margin_m").as("min_margin_m"),
+        max("margin_m").as("max_margin_m"),
+        sum(when(col("margin_m") * col("n_all") < col("sum_all"), 1L).otherwise(0L))
+          .as("n_ambiguous"))
+      .orderBy("label")
+  }
+
   private val LpaIters = 4
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
@@ -1707,6 +1759,7 @@ object Similarity {
     "x_graph_triangles" -> knnTriangles _,
     "x_graph_lpa" -> labelPropagation _,
     "x_emb_outliers" -> embOutliers _,
+    "x_emb_margin" -> assignmentMargin _,
     "x_emb_pagerank" -> embPagerank _,
     "x_sim_hard_negatives" -> hardNegatives _,
     "x_emb_centroids" -> labelCentroids _,
@@ -2334,6 +2387,31 @@ object Similarity {
          | (SELECT t FROM tri)::BIGINT AS n_triangles,
          | ((3000000 * (SELECT t FROM tri)) //
          |  (SELECT sum(deg * (deg - 1) // 2) FROM deg))::BIGINT AS global_cc_ppm""".stripMargin,
+    // quantizer retrain + rank-2 window formulation of the same
+    // two-smallest margin; mean attach via scalar subquery
+    "x_emb_margin" ->
+      s"""WITH $ivfTrainCtes,
+         |ej AS (
+         | SELECT e.vec_id,
+         |  (list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(e.v, c.cvec)) AS s
+         | FROM e CROSS JOIN cents$IvfIters c),
+         |ord AS (
+         | SELECT vec_id, s, row_number() OVER (PARTITION BY vec_id ORDER BY s) AS rn
+         | FROM ej),
+         |m AS (
+         | SELECT vec_id,
+         |  round((max(CASE WHEN rn = 2 THEN s END)
+         |       - max(CASE WHEN rn = 1 THEN s END)) * 1000000)::BIGINT AS margin_m
+         | FROM ord WHERE rn <= 2 GROUP BY vec_id),
+         |g AS (SELECT count(*) AS n_all, sum(margin_m) AS sum_all FROM m)
+         |SELECT l.label, count(*)::BIGINT AS n_vecs,
+         | sum(m.margin_m)::BIGINT AS sum_margin_m,
+         | min(m.margin_m)::BIGINT AS min_margin_m,
+         | max(m.margin_m)::BIGINT AS max_margin_m,
+         | sum(CASE WHEN m.margin_m * (SELECT n_all FROM g) < (SELECT sum_all FROM g)
+         |     THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous
+         |FROM m JOIN embeddings l ON l.vec_id = m.vec_id
+         |GROUP BY l.label ORDER BY l.label""".stripMargin,
     // retrains the identical quantizer, then the global-window
     // formulation of the p95 cut over the same micro-quantized d²;
     // min over centroids commutes with the common v·v term (monotone

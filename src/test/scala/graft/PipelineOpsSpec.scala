@@ -1390,6 +1390,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("assignment margins are nonnegative and the mean cut splits the corpus") {
+    val rows = Similarity.assignmentMargin(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "every vector must be scored")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, "margin of sorted d2 scores cannot be negative")
+      assert(r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) <= r.getLong(1))
+    }
+    val amb = rows.map(_.getLong(5)).sum
+    assert(amb > 0 && amb < n, s"below-mean margin cut must split the corpus: $amb of $n")
+  }
+
   test("KN-smoothed surprise sits below the add-one model's on every source") {
     val kn = TextOps.knBigramSurprise(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
