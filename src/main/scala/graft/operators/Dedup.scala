@@ -935,6 +935,46 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Quality-policy dedup apply — keep the HIGHEST-QUALITY member of
+    * each near-dup cluster instead of [[nearDupClusters]]' min-id
+    * representative: the FineWeb/CCNet-style rule ("among near-dups,
+    * keep the longest / cleanest copy") that turns dedup from an
+    * arbitrary survivor pick into a curation decision. Quality here is
+    * the unique-token ratio in exact ppm (the [[graft.operators.Curation]]
+    * token-budget score), and the winner is `max(struct(q, -doc_id))`
+    * per cluster — q desc, doc_id asc on ties, a total integer order.
+    *
+    * Scale: joins the fingerprint-keyed on-disk cluster model
+    * ([[ensureClusterModel]]'s members table) like [[dedupApply]];
+    * winner election is one rep-keyed aggregate over (doc, q) rows —
+    * never text, never a window over the corpus.
+    */
+  def keepBestApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureClusterModel(spark, sfDir)
+    val members = spark.read.parquet(s"$dir/members")
+      .select(col("doc_id"), col("keep_id"))
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("source"),
+        expr("(1000000 * size(array_distinct(toks))) div size(toks)").as("q"))
+    val joined = docs.join(members, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("keep_id"), col("doc_id")))
+    val winners = joined.groupBy("rep")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("rep"), (-col("w.nid")).as("win_id"))
+    joined.join(winners, Seq("rep"))
+      .withColumn("kept", col("doc_id") === col("win_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("kept_id_sum"),
+        sum(when(col("kept"), col("q")).otherwise(0L)).as("kept_q_sum"),
+        sum(when(!col("kept"), col("q")).otherwise(0L)).as("dropped_q_sum"))
+      .orderBy("source")
+  }
+
   private val GridBlocks = 8 // grid granularity for the exact all-pairs
   // theta join: each of the G(G+1)/2 cells compares (n/G)² vectors, so G
   // is the per-task-memory knob — at lake scale pick G ≈ n·rowBytes/task
@@ -1192,6 +1232,7 @@ object Dedup {
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_minhash" -> minhashLsh _,
     "x_dedup_containment" -> containmentPairs _,
+    "x_dedup_keep_best" -> keepBestApply _,
     "x_dedup_minhash_fast" -> minhashLshFast _,
     "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_simhash" -> simhash _,
@@ -1345,6 +1386,34 @@ object Dedup {
          | FROM fpx f WHERE f.is_new)
          |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM cls GROUP BY status ORDER BY status""".stripMargin,
+    // recursive cluster recompute + identical quality ppm + per-rep
+    // (q desc, doc_id asc) winner election
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |$clusterLabelCtes,
+         |ql AS (
+         | SELECT doc_id, source,
+         |  (1000000 * len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))))
+         |   // len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS q
+         | FROM documents),
+         |j AS (
+         | SELECT ql.doc_id, ql.source, ql.q,
+         |  l.label IS NOT NULL AS clustered,
+         |  coalesce(l.label, ql.doc_id) AS rep
+         | FROM ql LEFT JOIN labels l ON l.doc_id = ql.doc_id),
+         |w AS (
+         | SELECT rep, doc_id AS win_id FROM (
+         |  SELECT rep, doc_id,
+         |   row_number() OVER (PARTITION BY rep ORDER BY q DESC, doc_id ASC) AS rn
+         |  FROM j) WHERE rn = 1)
+         |SELECT j.source, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN j.clustered THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+         | sum(CASE WHEN j.doc_id = w.win_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         | coalesce(sum(CASE WHEN j.doc_id = w.win_id THEN j.doc_id END), 0)::BIGINT AS kept_id_sum,
+         | sum(CASE WHEN j.doc_id = w.win_id THEN j.q ELSE 0 END)::BIGINT AS kept_q_sum,
+         | sum(CASE WHEN j.doc_id <> w.win_id THEN j.q ELSE 0 END)::BIGINT AS dropped_q_sum
+         |FROM j JOIN w ON w.rep = j.rep
+         |GROUP BY j.source ORDER BY j.source""".stripMargin,
     // same banded candidates; exact both-direction containment,
     // round-then-rank on the max direction
     "x_dedup_containment" ->

@@ -1390,6 +1390,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("keep-best elects exactly one winner per cluster and it has the max quality") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, lower, split, trim}
+    val rows = Dedup.keepBestApply(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val dropped = rows.map(r => r.getLong(1) - r.getLong(3)).sum
+    assert(dropped > 0, "the fixture's near-dup clusters must drop someone")
+    // replay winner election in plain Scala over (rep, q, doc_id)
+    val dir = graft.operators.Dedup.ensureClusterModel(spark, sf)
+    val members = spark.read.parquet(s"$dir/members")
+    val byCluster = Tables.documents(spark, sf)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        expr("(1000000 * size(array_distinct(toks))) div size(toks)").as("q"))
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"), coalesce(col("keep_id"), col("doc_id")).as("rep"))
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(0)))
+      .groupBy(_._1)
+    val winners = byCluster.values.map(ms => ms.minBy(m => (-m._2, m._3))._3).toSet
+    assert(winners.size.toLong === rows.map(_.getLong(3)).sum,
+      "per-source kept counts must sum to the cluster count")
+    byCluster.values.filter(_.length > 1).take(50).foreach { ms =>
+      val w = ms.minBy(m => (-m._2, m._3))
+      assert(ms.forall(_._2 <= w._2), "elected winner must carry the cluster-max quality")
+    }
+  }
+
   test("assignment margins are nonnegative and the mean cut splits the corpus") {
     val rows = Similarity.assignmentMargin(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
