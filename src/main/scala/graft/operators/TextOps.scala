@@ -640,6 +640,58 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val Bm25Terms = Seq("spark", "window", "merge") // the fixed query
+  // (real corpus words so every stat path is non-vacuous)
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+
+  /** BM25 (Robertson/Spärck Jones; the Lucene `k1·(1−b+b·dl/avgdl)`
+    * form with the +1 idf floor) top-20 document retrieval for a fixed
+    * query — the lexical-retrieval primitive of every RAG / search
+    * stack, over the same token spine as [[tfidfTopTerms]]. Score =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Determinism: N and total token mass are one-scalar model
+    * extractions (the [[bigramSurprise]] vocab discipline) interpolated
+    * as literals; each (doc, term) partial score is a fixed-shape
+    * double expression of exact integers (tf, df, dl) rounded to
+    * integer micro units BEFORE the per-doc sum, so float addition
+    * order never touches the result — the model-row ln discipline.
+    *
+    * Scale: tf is one filtered explode + (doc, term) aggregate (the
+    * filter keeps only query terms, so the shuffle is O(docs·|q|));
+    * df is |q| rows broadcast; ranking is TakeOrderedAndProject. At
+    * lake scale the tf table IS the inverted index slice for the
+    * query — the posting-list scan shape.
+    */
+  def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    val dl = docs.select(col("doc_id"), col("source"),
+      size(col("t")).cast("bigint").as("dl"))
+    val head = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).collect()(0)
+    val nDocs = head.getLong(0)
+    val totalToks = head.getLong(1)
+    val avgdl = s"(cast($totalToks as double) / cast($nDocs as double))"
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .withColumn("micro", expr(
+        s"""cast(round(ln((cast($nDocs as double) - df + 0.5) / (df + 0.5) + 1.0)
+           | * ((tf * ($Bm25K1 + 1.0)) / (tf + $Bm25K1 * ((1.0 - $Bm25B) + ($Bm25B * dl) / $avgdl)))
+           | * 1000000) as bigint)""".stripMargin))
+    scored.groupBy("doc_id", "source")
+      .agg(sum("micro").as("bm25_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   private val KnDiscount = "0.75" // the standard absolute discount, as a
   // literal string so Spark and DuckDB parse the identical double
 
@@ -1240,6 +1292,7 @@ object TextOps {
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_text_kn_lm" -> knBigramSurprise _,
+    "x_text_bm25" -> bm25TopDocs _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
@@ -1461,6 +1514,31 @@ object TextOps {
         | sum(CASE WHEN sum_w_micro >= thr THEN doc_id END)::BIGINT AS selected_id_sum,
         | sum(sum_w_micro)::BIGINT AS w_micro_total
         |FROM perdoc, thr GROUP BY source ORDER BY source""".stripMargin,
+    // same stats from data (equal values → identical doubles), same
+    // fixed-shape per-(doc,term) expression rounded before the doc sum
+    "x_text_bm25" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         | FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |nn AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+         |tf AS (
+         | SELECT doc_id, tok, count(*) AS tf FROM tok
+         | WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         | SELECT f.doc_id,
+         |  round(ln(((SELECT n FROM nn)::DOUBLE - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |   * ((f.tf * ($Bm25K1 + 1.0)) / (f.tf + $Bm25K1 * ((1.0 - $Bm25B)
+         |      + ($Bm25B * l.dl) / ((SELECT total FROM nn)::DOUBLE / (SELECT n FROM nn)::DOUBLE))))
+         |   * 1000000)::BIGINT AS micro
+         | FROM tf f JOIN dfreq d USING (tok) JOIN dl l USING (doc_id))
+         |SELECT s.doc_id, doc.source, sum(s.micro)::BIGINT AS bm25_micro,
+         | count(*)::BIGINT AS n_terms_hit
+         |FROM sc s JOIN documents doc ON doc.doc_id = s.doc_id
+         |GROUP BY s.doc_id, doc.source
+         |ORDER BY bm25_micro DESC, s.doc_id ASC LIMIT 20""".stripMargin,
     // same bigram spine; the four KN statistics and the identically-
     // parenthesized single-ln composite, rounded per MODEL ROW
     "x_text_kn_lm" ->

@@ -1390,6 +1390,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("BM25 ranks saturating tf above raw counts and fills all 20 slots") {
+    import org.apache.spark.sql.functions.{col, expr, lower, size, split, trim}
+    val rows = TextOps.bm25TopDocs(spark, sf).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sorted.reverse), "descending by score")
+    assert(scores.forall(_ > 0L))
+    // the top hit must actually contain query terms — cross-check tf
+    val top = rows.head.getLong(0)
+    val hasTerms = Tables.documents(spark, sf).filter(col("doc_id") === top)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).as("n"),
+        expr("size(filter(split(lower(trim(text)), '\\\\s+'), t -> t IN ('spark','window','merge')))").as("hits"))
+      .collect()(0)
+    assert(hasTerms.getInt(1) > 0, "top-ranked doc must contain query terms")
+  }
+
   test("keep-best elects exactly one winner per cluster and it has the max quality") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, lower, split, trim}
     val rows = Dedup.keepBestApply(spark, sf).collect()
