@@ -218,6 +218,8 @@ object Explain {
       // ranking (the allowlisted 5-broadcast-query BNLJ baseline
       // shape) runs inside the eager localCheckpoint, so the
       // inspected plan is only the 100-row recall join/aggregate
+      "x_hybrid_rrf" -> Map("bnlj" ->
+        "broadcast side is the 1-ROW query-vector frame (vec_id = 0) attached to the corpus scan — a map-side scalar attach; both rank lists come from bounded TopKPairs aggregates, no window"),
       "x_emb_margin" -> Map("bnlj" ->
         (scalarAttach + " (corpus mean margin for the self-calibrating ambiguity cut, Similarity.assignmentMargin)")),
       "x_emb_outliers" -> Map("bnlj" ->

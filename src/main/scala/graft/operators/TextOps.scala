@@ -692,6 +692,62 @@ object TextOps {
       .limit(20)
   }
 
+  private val RrfBase = 60L // the standard RRF dampening constant
+
+  /** Hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et
+    * al. 2009): fuse the [[bm25TopDocs]] lexical top-20 with an
+    * embedding cosine top-20 (query = vector 0; the synthetic corpus
+    * identifies doc i with vector i, standing in for "text and
+    * embedding of the same document") as
+    * `rrf = Σ_lists 1e6 div (60 + rank)` — the score-free fusion every
+    * hybrid search stack ships because it needs no cross-modality
+    * score calibration. Output: fused top-10 with both source ranks
+    * (0 = absent from that list).
+    *
+    * Ranks come from [[graft.functions.TopKPairs]] + posexplode — the
+    * sorted top-k AGGREGATE's array position IS the rank, so neither
+    * list needs a rank window (no global-window shape anywhere); the
+    * RRF arithmetic is pure integer floor-division.
+    *
+    * Scale: both list builds are corpus-scan + bounded aggregate; the
+    * fusion full-outer join runs on ≤ 40 rows. The one BNLJ is the
+    * 1-row query-vector attach (allowlisted).
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(graft.functions.TopKPairs(20),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    def ranksOf(pairs: DataFrame, score: String, id: String): DataFrame =
+      pairs.groupBy()
+        .agg(topk(col(score), col(id)).as("l"))
+        .select(posexplode(col("l")).as(Seq("i", "p")))
+        .select((col("i") + 1).as("rank"), col("p._2").as("id"))
+    val bmRanks = ranksOf(
+      bm25TopDocs(spark, sfDir).select(col("bm25_micro"), col("doc_id")),
+      "bm25_micro", "doc_id")
+      .select(col("id"), col("rank").as("r_bm25"))
+    val ve = graft.functions.VectorExpressions
+    val e = Tables.fanOut(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(ve.dot_product(col("qv"), col("v"))
+          / (ve.l2_norm(col("qv")) * ve.l2_norm(col("v"))) * 10000)
+          .cast("bigint").as("sim_m"))
+    val embRanks = ranksOf(scored, "sim_m", "vec_id")
+      .select(col("id"), col("rank").as("r_emb"))
+    bmRanks.join(embRanks, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("r_bm25"), lit(0)).as("r_bm25"),
+        coalesce(col("r_emb"), lit(0)).as("r_emb"))
+      .withColumn("rrf_ppm", expr(
+        s"""CASE WHEN r_bm25 > 0 THEN 1000000 div ($RrfBase + r_bm25) ELSE 0 END
+           | + CASE WHEN r_emb > 0 THEN 1000000 div ($RrfBase + r_emb) ELSE 0 END""".stripMargin))
+      .orderBy(col("rrf_ppm").desc, col("id").asc)
+      .limit(10)
+  }
+
   private val KnDiscount = "0.75" // the standard absolute discount, as a
   // literal string so Spark and DuckDB parse the identical double
 
@@ -1293,6 +1349,7 @@ object TextOps {
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_text_kn_lm" -> knBigramSurprise _,
     "x_text_bm25" -> bm25TopDocs _,
+    "x_hybrid_rrf" -> hybridRrf _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
@@ -1398,6 +1455,34 @@ object TextOps {
        | ((sum(n_chars) - sum(n_toks)) * 1000000 // sum(n_chars))::BIGINT AS saved_ppm
        |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** The BM25 pipeline as composable CTEs (exposes `bmdoc(doc_id,
+    * source, bm25_micro, n_terms_hit)`), shared by the retrieval
+    * oracle and the hybrid-fusion oracle.
+    */
+  private val bm25OracleCtes: String =
+    s"""tok AS (
+       | SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       | FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |nn AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |tf AS (
+       | SELECT doc_id, tok, count(*) AS tf FROM tok
+       | WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       | GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |bsc AS (
+       | SELECT f.doc_id,
+       |  round(ln(((SELECT n FROM nn)::DOUBLE - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |   * ((f.tf * ($Bm25K1 + 1.0)) / (f.tf + $Bm25K1 * ((1.0 - $Bm25B)
+       |      + ($Bm25B * l.dl) / ((SELECT total FROM nn)::DOUBLE / (SELECT n FROM nn)::DOUBLE))))
+       |   * 1000000)::BIGINT AS micro
+       | FROM tf f JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)),
+       |bmdoc AS (
+       | SELECT s.doc_id, doc.source, sum(s.micro)::BIGINT AS bm25_micro,
+       |  count(*)::BIGINT AS n_terms_hit
+       | FROM bsc s JOIN documents doc ON doc.doc_id = s.doc_id
+       | GROUP BY s.doc_id, doc.source)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // identical line derivation, injections, rule battery and ordered
@@ -1517,28 +1602,36 @@ object TextOps {
     // same stats from data (equal values → identical doubles), same
     // fixed-shape per-(doc,term) expression rounded before the doc sum
     "x_text_bm25" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-         | FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |nn AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
-         |tf AS (
-         | SELECT doc_id, tok, count(*) AS tf FROM tok
-         | WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         | GROUP BY doc_id, tok),
-         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |sc AS (
-         | SELECT f.doc_id,
-         |  round(ln(((SELECT n FROM nn)::DOUBLE - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         |   * ((f.tf * ($Bm25K1 + 1.0)) / (f.tf + $Bm25K1 * ((1.0 - $Bm25B)
-         |      + ($Bm25B * l.dl) / ((SELECT total FROM nn)::DOUBLE / (SELECT n FROM nn)::DOUBLE))))
-         |   * 1000000)::BIGINT AS micro
-         | FROM tf f JOIN dfreq d USING (tok) JOIN dl l USING (doc_id))
-         |SELECT s.doc_id, doc.source, sum(s.micro)::BIGINT AS bm25_micro,
-         | count(*)::BIGINT AS n_terms_hit
-         |FROM sc s JOIN documents doc ON doc.doc_id = s.doc_id
-         |GROUP BY s.doc_id, doc.source
-         |ORDER BY bm25_micro DESC, s.doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH $bm25OracleCtes
+         |SELECT b.doc_id, b.source, b.bm25_micro, b.n_terms_hit
+         |FROM bmdoc b
+         |ORDER BY b.bm25_micro DESC, b.doc_id ASC LIMIT 20""".stripMargin,
+    // both rank lists re-derived (bm25 CTEs + cosine top-20 for vec 0),
+    // integer floor-div RRF, absent rank = 0
+    "x_hybrid_rrf" ->
+      s"""WITH $bm25OracleCtes,
+         |bmr AS (
+         | SELECT doc_id AS id, row_number() OVER (
+         |   ORDER BY bm25_micro DESC, doc_id ASC) AS r_bm25
+         | FROM bmdoc QUALIFY r_bm25 <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |esc AS (
+         | SELECT n.vec_id,
+         |  round(list_cosine_similarity(q.v, n.v) * 10000)::BIGINT AS sim_m
+         | FROM e n, (SELECT v FROM e WHERE vec_id = 0) q
+         | WHERE n.vec_id <> 0),
+         |emr AS (
+         | SELECT vec_id AS id, row_number() OVER (
+         |   ORDER BY sim_m DESC, vec_id ASC) AS r_emb
+         | FROM esc QUALIFY r_emb <= 20)
+         |SELECT coalesce(b.id, m.id) AS id,
+         | coalesce(b.r_bm25, 0)::INT AS r_bm25,
+         | coalesce(m.r_emb, 0)::INT AS r_emb,
+         | (CASE WHEN b.r_bm25 IS NOT NULL THEN 1000000 // ($RrfBase + b.r_bm25) ELSE 0 END
+         |  + CASE WHEN m.r_emb IS NOT NULL THEN 1000000 // ($RrfBase + m.r_emb) ELSE 0 END)::BIGINT
+         |   AS rrf_ppm
+         |FROM bmr b FULL OUTER JOIN emr m ON m.id = b.id
+         |ORDER BY rrf_ppm DESC, id ASC LIMIT 10""".stripMargin,
     // same bigram spine; the four KN statistics and the identically-
     // parenthesized single-ln composite, rounded per MODEL ROW
     "x_text_kn_lm" ->

@@ -1390,6 +1390,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("RRF fusion: double-listed docs beat single-list docs, no windows in the plan") {
+    val df = TextOps.hybridRrf(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+    rows.foreach { r =>
+      val (rb, re) = (r.getInt(1), r.getInt(2))
+      assert(rb >= 0 && rb <= 20 && re >= 0 && re <= 20)
+      assert(rb > 0 || re > 0, "a fused doc must appear on at least one list")
+      val expect = (if (rb > 0) 1000000L / (60 + rb) else 0L) +
+        (if (re > 0) 1000000L / (60 + re) else 0L)
+      assert(r.getLong(3) === expect, "rrf must be the exact integer formula")
+    }
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "rank derivation must come from the TopKPairs aggregate, not a window")
+  }
+
   test("BM25 ranks saturating tf above raw counts and fills all 20 slots") {
     import org.apache.spark.sql.functions.{col, expr, lower, size, split, trim}
     val rows = TextOps.bm25TopDocs(spark, sf).collect()
