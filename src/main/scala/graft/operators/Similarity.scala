@@ -1502,6 +1502,87 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  private val MihWords = 8 // 8 pigeonhole words × 8 bits each
+
+  /** One 8-bit sign word of the binary code, built directly from the
+    * vector (8 codegen'd CASE terms) — deriving words from v rather
+    * than shifting the packed BIGINT keeps both engines in unsigned
+    * territory (DuckDB has no unsigned right shift).
+    */
+  private def mihWord(v: Column, w: Int): Column =
+    (0 until 8).map { i =>
+      when(element_at(v, w * 8 + i + 1) > lit(0.0), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-index Hamming retrieval (Norouzi, Punjani & Fleet, "Fast
+    * Search in Hamming Space with Multi-Index Hashing", CVPR 2012) —
+    * the EXECUTED scale path [[binaryHammingRecall]]'s scaladoc
+    * promises: split each 64-bit sign code into [[MihWords]] 8-bit
+    * words; by pigeonhole, any code within Hamming distance r of the
+    * query shares at least one EXACT word once r < words, so candidate
+    * generation is a (word-index, word-value) equi-join — the
+    * bucketed-LSH shape, partition-prunable when the corpus is laid
+    * out by word buckets — and only candidates pay the full-code
+    * bit_count re-rank. Reported per query: candidate count (the
+    * selectivity the join buys) and recall@10 of candidate-restricted
+    * Hamming top-10 vs the exact brute-force Hamming top-10.
+    *
+    * The pigeonhole guarantee only covers radius < words (Hamming 7
+    * here); this corpus's true neighbors sit at Hamming ≈ 16-20 of 64
+    * (non-binarization-trained embeddings), so candidates are the
+    * ones whose agreement happens to CONCENTRATE in a word — measured
+    * at sf0.001: ~2-4% of the corpus as candidates recovering 10-40%
+    * of the exact top-10. That partial recall at high selectivity IS
+    * the trade-off this query measures (production binary indexes
+    * probe neighboring buckets within each word to buy the rest;
+    * 16-bit words would pigeonhole almost nothing here).
+    *
+    * Scale: candidates via equi-join on (w, wv), distinct'd; the
+    * re-rank window runs over candidate sets only (banding-bounded,
+    * the [[lshTopK]] discipline); the exact baseline runs inside a
+    * localCheckpoint exactly like [[binaryHammingRecall]].
+    */
+  def multiIndexHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = corpus(spark, sfDir).withColumn("code", binCode(col("v")))
+      .select(col("vec_id"), col("v"), col("code"))
+    val words = coded.select(col("vec_id"),
+      explode(array((0 until MihWords).map { w =>
+        struct(lit(w).as("w"), mihWord(col("v"), w).as("wv"))
+      }: _*)).as("p"))
+      .select(col("vec_id"), col("p.w").as("w"), col("p.wv").as("wv"))
+    val qWords = words.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("w"), col("wv"))
+    val cands = words.join(qWords, Seq("w", "wv"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qCodes = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val scoredCand = cands
+      .join(coded.select(col("vec_id"), col("code")), "vec_id")
+      .join(broadcast(qCodes), "query_id")
+      .withColumn("ham", expr("cast(bit_count(code ^ qcode) as int)"))
+    val wc = Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val top10c = scoredCand.withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= 10).select(col("query_id"), col("vec_id"))
+    // exact Hamming top-10 baseline (checkpointed brute force)
+    val scoredAll = coded.join(broadcast(qCodes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("cast(bit_count(code ^ qcode) as int)").as("ham"))
+      .localCheckpoint()
+    val exact10 = scoredAll.withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val nCand = cands.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    top10c.join(broadcast(exact10), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit10"))
+      .join(nCand, "query_id")
+      .select(col("query_id"), col("n_cand"), col("n_hit10"),
+        round(col("n_hit10") / lit(10.0), 4).as("recall10"))
+      .orderBy("query_id")
+  }
+
   private val MatryoshkaDims = Seq(8, 16, 32, 64)
 
   /** Matryoshka truncation diagnostic (Kusupati et al. 2022, "Matryoshka
@@ -1775,6 +1856,7 @@ object Similarity {
     "x_sim_recall" -> simRecall _,
     "x_emb_matryoshka" -> matryoshkaRecall _,
     "x_emb_binary_hamming" -> binaryHammingRecall _,
+    "x_emb_mih" -> multiIndexHamming _,
     "x_dedup_semantic" -> semanticDedup _,
   )
 
@@ -2208,6 +2290,50 @@ object Similarity {
         | SELECT *, row_number() OVER (PARTITION BY query_id
         |   ORDER BY sim_m DESC, neighbor_id ASC) AS rk FROM sc)
         |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+    // identical words from v signs, pigeonhole candidate join, exact
+    // and candidate-restricted Hamming top-10 both re-derived
+    "x_emb_mih" -> {
+      val codeTerms = (0 until Dim).map { i =>
+        s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val wordArr = (0 until MihWords).map { w =>
+        "(" + (0 until 8).map { i =>
+          s"(CASE WHEN v[${w * 8 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ") + ")"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |codes AS (SELECT vec_id, ($codeTerms)::BIGINT AS code FROM e),
+         |wa AS (SELECT vec_id, [$wordArr] AS arr FROM e),
+         |words AS (SELECT vec_id, w, arr[w + 1] AS wv FROM wa, range(0, $MihWords) r(w)),
+         |qw AS (SELECT vec_id AS query_id, w, wv FROM words WHERE vec_id < 5),
+         |cands AS (
+         | SELECT DISTINCT q.query_id, c.vec_id
+         | FROM words c JOIN qw q ON c.w = q.w AND c.wv = q.wv
+         |  AND c.vec_id <> q.query_id),
+         |xp AS (
+         | SELECT q.vec_id AS query_id, n.vec_id,
+         |  bit_count(xor(q.code, n.code))::INT AS ham
+         | FROM codes q JOIN codes n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5),
+         |exact10 AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ham ASC, vec_id ASC) AS rk FROM xp) WHERE rk <= 10),
+         |ch AS (
+         | SELECT c.query_id, c.vec_id, x.ham FROM cands c
+         | JOIN xp x ON x.query_id = c.query_id AND x.vec_id = c.vec_id),
+         |top10c AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ham ASC, vec_id ASC) AS rk FROM ch) WHERE rk <= 10),
+         |nc AS (SELECT query_id, count(*) AS n_cand FROM cands GROUP BY query_id)
+         |SELECT t.query_id, nc.n_cand::BIGINT AS n_cand,
+         | sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit10,
+         | round(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 4) AS recall10
+         |FROM top10c t LEFT JOIN exact10 x
+         | ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+         |JOIN nc ON nc.query_id = t.query_id
+         |GROUP BY t.query_id, nc.n_cand ORDER BY t.query_id""".stripMargin
+    },
     // identical sign packing (literal power-of-two terms, bit 63 =
     // Long.MinValue), Hamming rank, exact-cosine ground truth
     "x_emb_binary_hamming" -> {

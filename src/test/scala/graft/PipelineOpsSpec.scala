@@ -1390,6 +1390,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"strictly-above-p95 flags at most ~5%: got $outliers of $n")
   }
 
+  test("multi-index hamming: high selectivity, candidate top-10 drawn from candidates") {
+    val rows = Similarity.multiIndexHamming(spark, sf).collect()
+    assert(rows.length === 5)
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "pigeonhole buckets must yield candidates")
+      assert(r.getLong(1) < n / 5, s"the word join must prune hard: ${r.getLong(1)} of $n")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "word-concentrated neighbors must recover part of the exact top-10")
+  }
+
   test("RRF fusion: double-listed docs beat single-list docs, no windows in the plan") {
     val df = TextOps.hybridRrf(spark, sf)
     val rows = df.collect()
