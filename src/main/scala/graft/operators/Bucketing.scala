@@ -41,7 +41,11 @@ object Bucketing {
     * change to the source data changes the fingerprint and forces a
     * rewrite ([[graft.sources.LayoutCache]]).
     */
-  private val written = scala.collection.mutable.Map[String, String]()
+  // One global "current contents" key (`sfDir|fp`), NOT a per-sfDir
+  // map: the catalog tables are shared global names, so alternating
+  // scale dirs in one session must invalidate — a per-sfDir map would
+  // mark the tables "fresh" while they hold the other scale's rows.
+  @volatile private var written: Option[String] = None
 
   /** Returns true if the tables were (re)written, false on reuse —
     * exposed for the staleness spec.
@@ -51,7 +55,7 @@ object Bucketing {
       val fp = graft.sources.LayoutCache.fingerprint(
         spark.sparkContext.hadoopConfiguration,
         Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet"))
-      val fresh = written.get(sfDir).contains(fp) &&
+      val fresh = written.contains(s"$sfDir|$fp") &&
         spark.catalog.tableExists("graft_li_bucketed") &&
         spark.catalog.tableExists("graft_o_bucketed")
       if (!fresh) {
@@ -67,7 +71,7 @@ object Bucketing {
         o.write.mode("overwrite")
           .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("graft_o_bucketed")
-        written(sfDir) = fp
+        written = Some(s"$sfDir|$fp")
       }
       !fresh
     }
@@ -95,7 +99,9 @@ object Bucketing {
   // Cost-based join reorder (CBO) evidence
   // ---------------------------------------------------------------- //
 
-  private val cboWritten = scala.collection.mutable.Map[String, String]()
+  // Same global-contents discipline as [[ensureBucketTables]]'s
+  // `written`: the 3 catalog tables are shared names across scale dirs.
+  @volatile private var cboWritten: Option[String] = None
 
   /** Stats-bearing catalog copies of the 3-table star (fingerprint-
     * gated like the bucketed pair): saveAsTable + ANALYZE .. FOR
@@ -111,7 +117,7 @@ object Bucketing {
         Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet",
           s"$sfDir/customer.parquet"))
       val names = Seq("graft_cbo_lineitem", "graft_cbo_orders", "graft_cbo_customer")
-      val fresh = cboWritten.get(sfDir).contains(fp) &&
+      val fresh = cboWritten.contains(s"$sfDir|$fp") &&
         names.forall(spark.catalog.tableExists)
       if (!fresh) {
         names.foreach(dropStale(spark, _))
@@ -124,7 +130,7 @@ object Bucketing {
         spark.sql("ANALYZE TABLE graft_cbo_lineitem COMPUTE STATISTICS FOR COLUMNS l_orderkey")
         spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
         spark.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
-        cboWritten(sfDir) = fp
+        cboWritten = Some(s"$sfDir|$fp")
       }
     }
 

@@ -1643,6 +1643,16 @@ object Curation {
     val audit = orphanFiles
       .agg(count(lit(1)).as("orphans_deleted"),
         coalesce(sum("length"), lit(0L)).as("orphan_bytes")).first()
+    // Audit gates the delete: if the discovered orphan set differs from
+    // the staged fixture (an unknown file slipped past the denylist),
+    // fail loudly BEFORE destroying anything — vacuum once ate the DV
+    // sidecar when the require ran post-delete.
+    require(audit.getLong(1) == expectedBytes,
+      s"vacuum audit bytes ${audit.getLong(1)} != staged $expectedBytes — " +
+        "unknown files in orphan set; refusing to delete")
+    require(audit.getLong(0) == VacuumOrphans.size,
+      s"vacuum audit count ${audit.getLong(0)} != staged ${VacuumOrphans.size} — " +
+        "unknown files in orphan set; refusing to delete")
     // distributed delete: each partition removes its own slice
     orphanFiles.select("path").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -1656,8 +1666,6 @@ object Curation {
       .agg(count(lit(1)).as("v1_rows"), sum("doc_id").as("v1_id_sum")).first()
     val v2 = spark.read.parquet(s"$dir/v2")
       .agg(count(lit(1)).as("v2_rows"), sum("doc_id").as("v2_id_sum")).first()
-    require(audit.getLong(1) == expectedBytes,
-      s"vacuum audit bytes ${audit.getLong(1)} != staged $expectedBytes")
     import spark.implicits._
     Seq((audit.getLong(0), audit.getLong(1),
       v1.getLong(0), v1.getLong(1), v2.getLong(0), v2.getLong(1)))

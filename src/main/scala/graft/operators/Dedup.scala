@@ -956,7 +956,10 @@ object Dedup {
     val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"), col("source"),
-        expr("(1000000 * size(array_distinct(toks))) div size(toks)").as("q"))
+        // 1000000L: widen BEFORE the multiply — int*int would overflow
+        // Int32 at >=2147 distinct tokens while the DuckDB oracle
+        // computes the same expression in BIGINT.
+        expr("(1000000L * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("q"))
     val joined = docs.join(members, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("keep_id"), col("doc_id")))
     val winners = joined.groupBy("rep")
@@ -1335,7 +1338,7 @@ object Dedup {
         |f AS (
         | SELECT DISTINCT source,
         |  ('0x' || substr(md5(array_to_string(toks[i+1:i+$SubstringGram], ' ')), 1, 15))::BIGINT AS hg
-        | FROM t, (SELECT unnest(range(0, 128)) AS i) r
+        | FROM t, (SELECT unnest(range(0, (SELECT max(len(toks)) FROM t))) AS i) r
         | WHERE i <= len(toks) - $SubstringGram),
         |c AS (SELECT source, count(*) AS n FROM f GROUP BY source),
         |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
@@ -1513,16 +1516,18 @@ object Dedup {
     // Recomputes the full rewrite from the raw table: same gram text,
     // same 60-bit hash prefix, same coverage union, and string_agg
     // (ORDER BY position) reassembly — content_sum certifies every
-    // cleaned document's text. Position indexes come from a constant
-    // unnest(range(0,128)) cross join (max doc length is ~100 tokens;
-    // DuckDB's range() table function rejects lateral args).
+    // cleaned document's text. Position indexes come from an
+    // unnest(range(...)) cross join whose bound is DERIVED from
+    // max(len(toks)) as a scalar subquery — DuckDB's range() rejects
+    // lateral (per-row) args but accepts a non-correlated scalar, so
+    // the oracle can never silently under-enumerate a long document.
     "x_dedup_span_rewrite" ->
       s"""WITH t AS (SELECT doc_id, source,
          |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
          |pos AS (
          | SELECT doc_id, i,
          |  ('0x' || substr(md5(array_to_string(toks[i+1:i+$SubstringGram], ' ')), 1, 15))::BIGINT AS hg
-         | FROM t, (SELECT unnest(range(0, 128)) AS i) r
+         | FROM t, (SELECT unnest(range(0, (SELECT max(len(toks)) FROM t))) AS i) r
          | WHERE i <= len(toks) - $SubstringGram),
          |dup AS (
          | SELECT hg FROM (SELECT hg, count(DISTINCT doc_id) AS df FROM pos GROUP BY hg)
@@ -1533,7 +1538,7 @@ object Dedup {
          | WHERE hg IN (SELECT hg FROM dup)),
          |tok AS (
          | SELECT doc_id, p, toks[p+1] AS w
-         | FROM t, (SELECT unnest(range(0, 128)) AS p) r WHERE p < len(toks)),
+         | FROM t, (SELECT unnest(range(0, (SELECT max(len(toks)) FROM t))) AS p) r WHERE p < len(toks)),
          |kept AS (
          | SELECT k.doc_id, count(*)::BIGINT AS n_kept,
          |  string_agg(k.w, ' ' ORDER BY k.p) AS cleaned

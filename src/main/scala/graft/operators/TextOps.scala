@@ -921,8 +921,14 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, String, Long)]]()
 
   private def trainedMerges(
-      spark: SparkSession, sfDir: String): Seq[(Int, String, String, String, Long)] =
-    bpeMergeCache.computeIfAbsent(sfDir, _ => runBpeTraining(spark, sfDir))
+      spark: SparkSession, sfDir: String): Seq[(Int, String, String, String, Long)] = {
+    // Keyed on sfDir AND the input-file fingerprint (the quantizerCache
+    // discipline): a corpus regenerated at the same path within one JVM
+    // session must retrain, not serve a stale merge table.
+    val fp = graft.sources.LayoutCache.fingerprint(
+      spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
+    bpeMergeCache.computeIfAbsent(s"$sfDir|$fp", _ => runBpeTraining(spark, sfDir))
+  }
 
   private def runBpeTraining(
       spark: SparkSession, sfDir: String): Seq[(Int, String, String, String, Long)] = {
@@ -1504,7 +1510,7 @@ object TextOps {
          |        WHEN h % 11 = 1 AND li = inj_li THEN ' {'
          |        WHEN h % 11 = 2 AND li = inj_li THEN ' lorem ipsum'
          |        ELSE '' END AS line
-         | FROM d2, (SELECT unnest(range(0, 40)) AS li) r
+         | FROM d2, (SELECT unnest(range(0, (SELECT max(n_lines) FROM d2))) AS li) r
          | WHERE li < n_lines),
          |rl AS (
          | SELECT doc_id, source, li, line,
