@@ -21,12 +21,18 @@ import java.nio.file.{Files, Paths}
   * near-zero time), and the full JSON line is also written to
   * target/bench.json so the driver's stdout tail window can't clip it.
   *
-  * Noise correction (round-9): when the sweep's sentinel drift exceeds
-  * 1.5, queries that were timed inside a noisy segment AND moved >1.5×
-  * against a committed quiet reference are automatically RE-MEDIANED at
-  * the end of the sweep; if the box is still noisy during the re-run,
-  * the re-run median is normalized by the concurrently measured
-  * sentinel ratio. The reference is matched BY SCALE (BENCH_LOCAL.json
+  * Noise correction (round-9, floor-gated round-10): when the sweep's
+  * sentinel drift exceeds 1.5 OR the run's sentinel baseline sits >1.5×
+  * above the historical floor (a sustained slow phase keeps drift quiet
+  * while every median runs slow — r09's 4.8× phantom), queries whose
+  * effective noise ratio max(segment drift, floor ratio) exceeds 1.5
+  * AND that moved >1.5× against a committed quiet reference are
+  * automatically RE-MEDIANED; if the box is still slow at re-run time
+  * (concurrent sentinel vs the FLOOR > 1.5) the re-run median is
+  * normalized by that ratio and the entry is flagged in `suspects` as
+  * an estimate. Anything still >1.5× off the quiet reference after
+  * correction is also flagged `suspect` — tools/bench_diff.py treats
+  * suspect movers as advisory, never regressions. The reference is matched BY SCALE (BENCH_LOCAL.json
   * for sf0.001 local loops, bench-results/BENCH_LOCAL_sf0.1.json for
   * the driver's sf0.1 runs — cross-scale ratios are meaningless); with
   * no same-scale reference, noisy-segment queries alone are suspects,
@@ -134,9 +140,14 @@ object Bench {
     Files.writeString(histPath,
       f"${System.currentTimeMillis()}%d,$sentinelBaseline%.4f\n",
       java.nio.file.StandardOpenOption.APPEND)
-    val bestBaseline = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(Files.lines(histPath).iterator).asScala.drop(1)
-      .flatMap(_.split(",").lift(1)).map(_.toDouble).foldLeft(sentinelBaseline)(math.min)
+    // Floor = the 10th percentile of recorded baselines (current run
+    // included), not the raw min: this box's history carries one-off
+    // fast flukes (0.190 vs p10 0.236) that would read a quiet run as
+    // 1.7× "slow" and trigger phantom normalization.
+    val bestBaseline = BenchNoise.robustFloor(
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(Files.lines(histPath).iterator).asScala.drop(1)
+        .flatMap(_.split(",").lift(1)).map(_.toDouble).toSeq :+ sentinelBaseline)
     val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.zipWithIndex.map { case (n, i) =>
@@ -184,20 +195,33 @@ object Bench {
     // same-scale reference — the bounded, preferred rule — or, with no
     // usable reference, noisy-segment alone, CAPPED so a fully
     // contended box can't double the sweep re-running everything).
+    //
+    // Round-10: the correction also fires when the sweep's BASELINE
+    // itself sits >1.5× above the historical sentinel floor — a
+    // sustained slow phase spanning the whole sweep keeps within-run
+    // drift quiet (r09 shipped a 4.8× phantom at max_drift 1.24, floor
+    // ratio 3.30), so every query's effective noise ratio is
+    // max(segment drift, floor ratio), and the re-run's normalization
+    // references the FLOOR, not this run's possibly-slow baseline.
     var suspectBudget = BenchNoise.ReMedianCap
+    val sweepNoisy = BenchNoise.sweepNoisy(maxDrift, baselineVsBest)
+    // queries whose corrected value is a floor-normalized ESTIMATE
+    // (box still slow at re-run time) — flagged suspect downstream
+    val normalized = scala.collection.mutable.LinkedHashSet[String]()
     val corrected: Seq[(String, Double)] =
-      if (maxDrift <= 1.5) results
+      if (!sweepNoisy) results
       else results.zipWithIndex.map { case ((n, v), idx) =>
-        val drift = BenchNoise.segDrift(checkpoints, idx)
+        val drift = math.max(BenchNoise.segDrift(checkpoints, idx), baselineVsBest)
         val suspicious = v >= 0 && !runOnce(n) &&
           BenchNoise.suspicious(v, drift, reference.get(n), reference.nonEmpty) &&
           { val ok = suspectBudget > 0; if (ok) suspectBudget -= 1; ok }
         if (!suspicious) n -> v
         else {
-          // measure how noisy the box is RIGHT NOW, then re-median; a
-          // still-noisy re-run is normalized by that concurrent ratio
+          // measure how noisy the box is RIGHT NOW — against the
+          // historical floor, so a sustained slow phase reads as
+          // contention here even though this run's baseline absorbed it
           val concurrent =
-            if (sentinelBaseline > 0) sentinelMin2(spark) / sentinelBaseline else 1.0
+            if (bestBaseline > 0) sentinelMin2(spark) / bestBaseline else 1.0
           val times = (1 to repeats).flatMap { _ =>
             val t0 = System.nanoTime()
             try {
@@ -208,9 +232,11 @@ object Bench {
           if (times.isEmpty) n -> v
           else {
             val med = times.sorted.apply(times.size / 2)
-            val fin = if (concurrent > 1.5) med / concurrent else med
+            val est = concurrent > 1.5
+            val fin = if (est) med / concurrent else med
+            if (est) normalized += n
             reMedianNote(n) =
-              f"""{"orig":$v%.3f,"seg_drift":$drift%.2f,"re_drift":$concurrent%.2f,"final":$fin%.3f}"""
+              f"""{"orig":$v%.3f,"seg_drift":$drift%.2f,"re_floor":$concurrent%.2f,"normalized":$est,"final":$fin%.3f}"""
             n -> fin
           }
         }
@@ -219,6 +245,16 @@ object Bench {
       System.err.println(s"[bench] re-median cap (${BenchNoise.ReMedianCap}) hit — " +
         "remaining noisy-segment queries keep their original medians")
     val finalResults = corrected
+    // Explicit per-query suspect flags (tools/bench_diff.py honors
+    // them): floor-normalized estimates, plus anything in a noisy
+    // sweep whose FINAL value still deviates >1.5× from the same-scale
+    // quiet reference (cap-hit, runOnce, or a failed re-run). A sweep
+    // may not silently ship phantom regressions as healthy medians.
+    val suspects: Seq[String] =
+      if (!sweepNoisy) normalized.toSeq
+      else (normalized ++ finalResults.collect {
+        case (n, v) if v >= 0 && BenchNoise.stillSuspect(v, reference.get(n)) => n
+      }).toSeq.distinct.sorted
     val sentinelJson = {
       val series = sentinelSeries
         .map { case (i, t) => s"""[$i,${f"$t%.3f"}]""" }.mkString("[", ",", "]")
@@ -227,8 +263,9 @@ object Bench {
     val qs = finalResults.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val remedJson = reMedianNote.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val suspJson = suspects.map(jq).mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remedianed":$remedJson,"repeats":$repeats,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"remedianed":$remedJson,"suspects":$suspJson,"repeats":$repeats,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
     Files.createDirectories(Paths.get("bench-results"))
@@ -245,7 +282,7 @@ object Bench {
     val budget = 1700
     val fmt = (v: Double) => if (v < 0) "-1" else f"$v%.3f"
     val bySlowest = finalResults.sortBy { case (_, v) => -v }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"remedianed_n":${reMedianNote.size},"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"floor_ratio":${f"$baselineVsBest%.2f"},"remedianed_n":${reMedianNote.size},"suspects":$suspJson,"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
     val entries = bySlowest.map { case (k, v) => jq(k) + ":" + fmt(v) }
     var kept = entries.length
     def digest(n: Int): String = {
@@ -308,6 +345,34 @@ private[graft] object BenchNoise {
     val after = checkpoints.find(_._1 > idx).map(_._2).getOrElse(before)
     math.max(before, after)
   }
+
+  /** Does the sweep need the correction pass at all? Either within-run
+    * sentinel drift OR a baseline sitting >1.5× above the historical
+    * sentinel floor — the latter is the sustained-slow-phase signature
+    * (whole sweep slow, drift quiet) that shipped r09's 4.8× phantom.
+    */
+  def sweepNoisy(maxDrift: Double, floorRatio: Double): Boolean =
+    maxDrift > 1.5 || floorRatio > 1.5
+
+  /** The historical sentinel floor, robust to one-off fast flukes: the
+    * 10th percentile of all recorded baselines (raw min with <5
+    * samples, where a percentile is meaningless).
+    */
+  def robustFloor(baselines: Seq[Double]): Double = {
+    val s = baselines.filter(_ > 0).sorted
+    if (s.isEmpty) 0.0
+    else if (s.size < 5) s.head
+    else s((s.size * 0.1).toInt)
+  }
+
+  /** Post-correction honesty check: a final value that still deviates
+    * >1.5× (either way) from the same-scale quiet reference in a noisy
+    * sweep is flagged `suspect` rather than shipped as healthy.
+    * Sub-50 ms references are scheduler noise, never suspects; absent
+    * reference rows (new queries) can't be judged.
+    */
+  def stillSuspect(v: Double, ref: Option[Double]): Boolean =
+    ref.exists(r => r > 0.05 && v > 0 && (v / r > 1.5 || r / v > 1.5))
 
   /** The suspicion rule. With a same-scale reference: noisy segment AND
     * >1.5× movement either way vs that reference (sub-50 ms reference

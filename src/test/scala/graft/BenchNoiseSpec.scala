@@ -61,4 +61,33 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(!BenchNoise.suspicious(2.0, 1.2, None, haveReference = false))
     assert(BenchNoise.ReMedianCap > 0)
   }
+
+  test("sweepNoisy fires on floor ratio alone — the r09 sustained-slow-phase signature") {
+    // r09 shipped max_drift 1.24, floor 3.30, remedianed_n 0: must fire now
+    assert(BenchNoise.sweepNoisy(maxDrift = 1.24, floorRatio = 3.30))
+    // classic within-run drift still fires
+    assert(BenchNoise.sweepNoisy(maxDrift = 1.8, floorRatio = 1.0))
+    // genuinely quiet run: no correction pass
+    assert(!BenchNoise.sweepNoisy(maxDrift = 1.24, floorRatio = 1.3))
+  }
+
+  test("robustFloor is the p10 of history, immune to one-off fast flukes") {
+    // a single 0.19 fluke among steady ~0.25 readings must not set the floor
+    val hist = Seq(0.19) ++ Seq.fill(20)(0.25) ++ Seq.fill(20)(0.30)
+    assert(BenchNoise.robustFloor(hist) === 0.25)
+    // few samples: raw min (percentile meaningless)
+    assert(BenchNoise.robustFloor(Seq(0.3, 0.2)) === 0.2)
+    // degenerate inputs never divide-by-zero downstream
+    assert(BenchNoise.robustFloor(Seq.empty) === 0.0)
+    assert(BenchNoise.robustFloor(Seq(-1.0, 0.0)) === 0.0)
+  }
+
+  test("stillSuspect flags post-correction values >1.5x off the quiet reference") {
+    assert(BenchNoise.stillSuspect(6.47, Some(1.34)))  // the r09 phantom
+    assert(BenchNoise.stillSuspect(0.5, Some(1.0)))    // too-fast is suspect too
+    assert(!BenchNoise.stillSuspect(1.4, Some(1.0)))   // within band
+    assert(!BenchNoise.stillSuspect(0.2, Some(0.01)))  // sub-50ms ref: scheduler noise
+    assert(!BenchNoise.stillSuspect(2.0, None))        // no reference row
+    assert(!BenchNoise.stillSuspect(-1.0, Some(1.0)))  // failed query, not a timing
+  }
 }

@@ -50,7 +50,11 @@ def load(path):
     remedianed = doc.get("remedianed", {})
     if not remedianed and isinstance(doc.get("remedianed_n"), int):
         remedianed = {"_count_only": doc["remedianed_n"]}
-    return queries, contended, remedianed
+    # per-query suspect flags (round-10): floor-normalized estimates or
+    # values the sweep could not rescue from a sustained slow phase —
+    # movers on them are advisory, never regressions
+    suspects = set(doc.get("suspects", []))
+    return queries, contended, remedianed, suspects
 
 
 def main():
@@ -63,18 +67,22 @@ def main():
                          "(sub-200ms timings are scheduler noise)")
     args = ap.parse_args()
 
-    old, old_cont, old_remed = load(args.old)
-    new, new_cont, new_remed = load(args.new)
+    old, old_cont, old_remed, old_susp = load(args.old)
+    new, new_cont, new_remed, new_susp = load(args.new)
     common = sorted(set(old) & set(new))
-    movers = []
+    movers, advisory = [], []
     for name in common:
         o, n = old[name], new[name]
         if max(o, n) < args.min_sec:
             continue
         ratio = n / o if o > 0 else float("inf")
         if ratio > args.threshold or ratio < 1 / args.threshold:
-            movers.append((ratio, name, o, n))
+            if name in old_susp or name in new_susp:
+                advisory.append((ratio, name, o, n))
+            else:
+                movers.append((ratio, name, o, n))
     movers.sort(reverse=True)
+    advisory.sort(reverse=True)
 
     print(f"old: {args.old} ({len(old)} queries"
           f"{', CONTENDED' if old_cont else ''})")
@@ -98,8 +106,11 @@ def main():
     # values are already noise-corrected, so movers on them are real
     for name, note in sorted(new_remed.items()):
         print(f"  remedianed (new side, noise-corrected in-sweep): {name} {note}")
+    for ratio, name, o, n in advisory:
+        print(f"  suspect mover (advisory — flagged suspect in-sweep): "
+              f"{ratio:5.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
     if not movers:
-        print(f"no movers beyond {args.threshold}x (min {args.min_sec}s)")
+        print(f"no non-suspect movers beyond {args.threshold}x (min {args.min_sec}s)")
         return 0
     print(f"\n{len(movers)} movers beyond {args.threshold}x "
           "(re-median these before believing them):")
