@@ -103,6 +103,110 @@ object BenchOps {
   def m6WideLayout(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.wideLayout(spark, WideProbeCols, WideProbeRows, s"$workRoot/wide")
 
+  // the reference's width sweep ENDPOINT (metadata_benchmark.cc:233
+  // sweeps {10,100,1000,10000} columns) — probed per round at a row
+  // count kept deliberately small so the per-round cost is footer
+  // decode + one 10-col subset read, not a heavyweight data write
+  private val Wide10kCols = 10000
+  private val Wide10kRows = 100L
+
+  /** M6b — per-round 10,000-column probe at the reference sweep's
+    * endpoint width (rows-only; twinned by [[m6Wide10kLayout]]).
+    * Footer decode time at this width is the reference's headline
+    * metadata-scaling subject; the write is fingerprint-cached so
+    * repeats measure decode, not generation.
+    */
+  def m6Wide10kProbe(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.wideFooterProbe(spark, Wide10kCols, Wide10kRows, s"$workRoot/wide")
+
+  /** M6b deterministic twin — the 10,000-col file's layout + exact
+    * extrema of the first and last columns via DuckDB's independent
+    * decoder.
+    */
+  def m6Wide10kLayout(spark: SparkSession, sfDir: String): DataFrame =
+    BenchRunners.wideLayout(spark, Wide10kCols, Wide10kRows, s"$workRoot/wide")
+
+  // M7 — the CHUNK-vs-PAGE half of the reference's StatsLevel ladder
+  // (src/data_generator.h:5-9; grid at src/metadata_benchmark.cc:245).
+  // parquet-mr has no independent page-stats switch, but page-stat
+  // GRANULARITY is expressible: the column index carries one entry per
+  // PAGE, so pinning the page count per chunk pins how fine the page
+  // statistics are. parquet.page.row.count.limit with per-row size
+  // checks makes page boundaries deterministic (L rows per page on a
+  // single-partition deterministic write), giving a three-config ladder:
+  //   sl0_none  — stats off:  no chunk stats, NO column index at all
+  //   sl1_chunk — stats on, one page per chunk: index exists but its
+  //               granularity collapses to chunk level (1 entry)
+  //   sl2_page  — stats on, 100-row pages: a true per-page index
+  private val PageIdxRows = 2000L
+  private val PageIdxPageRows = 100
+
+  /** M7 — page-index ladder: writes the same 2000-row deterministic
+    * 3-column frame under the three configs and decodes, per config,
+    * the structural footer facts: chunk-stat presence, column-index
+    * presence (page stats), offset-index page count of col 0, plus a
+    * content checksum. Everything is deterministic — fully oracled, no
+    * rows-only twin needed: DuckDB independently re-derives row counts,
+    * chunk-stat presence, and the checksum from the same files, and
+    * pins the page counts arithmetically (ceil(rows/100) vs 1).
+    */
+  def m7PageIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import spark.implicits._
+    val base = spark.range(0L, PageIdxRows, 1L, 1)
+      .select(col("id"),
+        (col("id") % 97).cast("double").as("v"),
+        concat(lit("k"), col("id") % 7).as("k"))
+    val configs = Seq(
+      ("sl0_none", false, PageIdxPageRows),
+      ("sl1_chunk", true, 1 << 30),
+      ("sl2_page", true, PageIdxPageRows))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = configs.map { case (name, stats, pageRows) =>
+      val path = s"$workRoot/pageidx/$name"
+      base.coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("parquet.column.statistics.enabled", stats.toString)
+        .option("parquet.page.row.count.limit", pageRows.toString)
+        // check page bounds at every row so the row-count limit, not
+        // the size estimator, decides boundaries — determinism
+        .option("parquet.page.size.row.check.min", "1")
+        .option("parquet.page.size.row.check.max", "1")
+        .option("parquet.page.size", (16 * 1024 * 1024).toString)
+        .parquet(path)
+      val file = FooterMeta.parquetFiles(conf, path).head
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val chunks = blocks.asScala.flatMap(_.getColumns.asScala).toSeq
+        val nChunks = chunks.size
+        val withCIndex = chunks.count(c => reader.readColumnIndex(c) != null)
+        val withStats = chunks.count(c =>
+          c.getStatistics != null && c.getStatistics.hasNonNullValue)
+        val pagesCol0 = blocks.asScala.map { b =>
+          Option(reader.readOffsetIndex(b.getColumns.get(0)))
+            .map(_.getPageCount).getOrElse(0)
+        }.sum
+        (name, blocks.size, nChunks, withCIndex, withStats, pagesCol0)
+      } finally reader.close()
+    }
+    val facts = rows.toDF("config", "n_row_groups", "n_chunks",
+      "chunks_with_page_index", "chunks_with_stats", "n_pages_col0")
+    val content = configs.map { case (name, _, _) =>
+      val r = spark.read.parquet(s"$workRoot/pageidx/$name")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv")).first()
+      (name, r.getLong(0), math.round(r.getDouble(1)))
+    }.toDF("config", "n_rows", "v_sum")
+    facts.join(content, Seq("config"))
+      .select("config", "n_rows", "n_row_groups", "n_chunks",
+        "chunks_with_page_index", "chunks_with_stats", "n_pages_col0", "v_sum")
+      .orderBy("config")
+  }
+
   /** S1–S3 timed reads (data_read_benchmark shape). */
   def s3ReadBench(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.dataReadBenchmark(spark, ReadCols, ReadRows, s"$workRoot/read")
@@ -683,6 +787,9 @@ object BenchOps {
     "k9_bloom_prune_rows" -> k9BloomPruneRows _,
     "m6_wide_probe" -> m6WideProbe _,
     "m6_wide_layout" -> m6WideLayout _,
+    "m6_wide10k_probe" -> m6Wide10kProbe _,
+    "m6_wide10k_layout" -> m6Wide10kLayout _,
+    "m7_page_index" -> m7PageIndex _,
     "k5_partitioned_write" -> k5PartitionedWrite _,
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
@@ -797,6 +904,44 @@ object BenchOps {
          | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0,
          | (SELECT min(col_${WideProbeCols - 1}) FROM '$p/*.parquet') AS min_last,
          | (SELECT max(col_${WideProbeCols - 1}) FROM '$p/*.parquet') AS max_last""".stripMargin
+    },
+    // The oracle re-derives per config: row count, chunk count, and
+    // CHUNK-stat presence from DuckDB's independent footer decoder,
+    // plus the content checksum from the data itself. The page-axis
+    // facts are pinned by the ladder's semantics, ARITHMETICALLY from
+    // DuckDB-derived quantities (never free constants): the column
+    // index exists iff stats are on (parquet-mr couples them — the
+    // documented §7.4 residual), and the page count per chunk is
+    // ceil(rows/100) under the 100-row page limit vs 1 under the
+    // one-page-per-chunk config. If parquet-mr's writer semantics ever
+    // drift (index written without stats, page limit ignored), the
+    // Spark-measured values flip and this gate goes red.
+    "m7_page_index" -> {
+      val root = s"$workRoot/pageidx"
+      val cfgs = Seq("sl0_none", "sl1_chunk", "sl2_page")
+      cfgs.map { c =>
+        s"""SELECT '$c' AS config,
+           | (SELECT count(*) FROM '$root/$c/*.parquet')::BIGINT AS n_rows,
+           | (SELECT max(row_group_id) + 1 FROM parquet_metadata('$root/$c/*.parquet'))::INT AS n_row_groups,
+           | (SELECT count(*) FROM parquet_metadata('$root/$c/*.parquet'))::INT AS n_chunks,
+           | (SELECT count(*) FILTER (stats_min_value IS NOT NULL) FROM parquet_metadata('$root/$c/*.parquet'))::INT AS chunks_with_page_index,
+           | (SELECT count(*) FILTER (stats_min_value IS NOT NULL) FROM parquet_metadata('$root/$c/*.parquet'))::INT AS chunks_with_stats,
+           | (CASE WHEN '$c' = 'sl1_chunk'
+           |   THEN (SELECT max(row_group_id) + 1 FROM parquet_metadata('$root/$c/*.parquet'))
+           |   ELSE (SELECT ((count(*) + ${PageIdxPageRows - 1}) // $PageIdxPageRows) FROM '$root/$c/*.parquet') END)::INT AS n_pages_col0,
+           | (SELECT round(sum(v))::BIGINT FROM '$root/$c/*.parquet') AS v_sum""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
+    },
+    "m6_wide10k_layout" -> {
+      val p = s"$workRoot/wide/wide_probe_${Wide10kCols}cols"
+      s"""SELECT
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::INT AS num_columns,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS num_rows,
+         | (SELECT max(row_group_id) + 1 FROM parquet_metadata('$p/*.parquet'))::INT AS n_row_groups,
+         | (SELECT min(col_0) FROM '$p/*.parquet') AS min_col0,
+         | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0,
+         | (SELECT min(col_${Wide10kCols - 1}) FROM '$p/*.parquet') AS min_last,
+         | (SELECT max(col_${Wide10kCols - 1}) FROM '$p/*.parquet') AS max_last""".stripMargin
     },
     // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
     // serving the aggregate from footer stats, the gate goes red
