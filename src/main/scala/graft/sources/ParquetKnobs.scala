@@ -10,11 +10,15 @@ import org.apache.spark.sql.DataFrame
   * StatsLevel mapping (reference src/data_generator.h:5-9 has
   * {NONE, CHUNK, PAGE}): NONE maps exactly —
   * `parquet.column.statistics.enabled=false` suppresses all min/max
-  * (verified via footer has_min_max). CHUNK and PAGE both map to
-  * stats-on: parquet-mr always writes the page-level column index
-  * alongside chunk statistics (no independent page switch), so the
-  * remaining deviation (SURVEY §4) is only that CHUNK alone is not
-  * expressible; the requested level is recorded in result rows.
+  * AND the column index (verified via footer has_min_max and
+  * readColumnIndex==null, pinned by the m7_page_index oracle). CHUNK
+  * has no independent switch in parquet-mr, but its GRANULARITY is
+  * expressible: `parquet.page.row.count.limit` sized to one page per
+  * chunk collapses the column index to one entry per chunk — page
+  * stats at chunk granularity — while a small limit yields a true
+  * per-page index. [[graft.operators.BenchOps.m7PageIndex]] pins the
+  * full three-way ladder cross-engine; the requested level is recorded
+  * in result rows here.
   */
 object ParquetKnobs {
 
