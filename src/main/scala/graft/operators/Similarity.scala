@@ -87,9 +87,6 @@ object Similarity {
     * and identical on both engines.
     */
   def aggTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val topk = udaf(graft.functions.TopKPairs(10),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
     val c = corpus(spark, sfDir)
     val q = c.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -97,10 +94,76 @@ object Similarity {
       .withColumn("sim_m",
         round(dot("qv", "v") / (col("qn") * col("nrm")) * 10000).cast("bigint"))
       .groupBy("query_id")
-      .agg(topk(col("sim_m"), col("vec_id")).as("nbrs"))
+      .agg(graft.functions.TopKPairsNative.topk(col("sim_m"), col("vec_id"), 10).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs")).as("p"))
       .select(col("query_id"), col("p._2").as("neighbor_id"), col("p._1").as("sim_m"))
       .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Crossover probe for [[aggTopK]] vs the window formulation — the
+    * committed measurement of WHERE the bounded aggregate's asymptotics
+    * beat the window's (round-9 verdict task 5). At the sf0.1 corpus
+    * (~60k vectors) the window twin wins on constants: the scored frame
+    * is small enough that 5 reducers sorting it cost less than the
+    * ObjectHashAggregate's per-row update machinery. This probe scores
+    * a SYNTHETIC deterministic 2M-vector corpus (hash-derived dim-8
+    * vectors, generated in-stage — no I/O, no testdata dependence)
+    * against the same 5 queries: 10M scored rows now have to cross the
+    * window's exchange into 5 sort reducers, while the aggregate still
+    * ships O(k · tasks · queries) longs. Both formulations run to
+    * completion, their (tiny) top-k results are compared for exact
+    * equality in-query, and the timings + equality flag are the output
+    * row (timing-valued → rows-only; `results_equal` is the
+    * deterministic half, and [[aggTopK]] is the fully-oracled twin of
+    * the aggregate's semantics).
+    *
+    * Scale note: the window side IS the scale-killer under measurement
+    * here (5 partition keys absorbing a 10M-row exchange — the shape
+    * [[bruteForceTopK]] tolerates only as ground truth); it is bounded
+    * (10M rows × 24 bytes) and exists to document the crossover, not
+    * to serve queries.
+    */
+  def aggTopKCrossover(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val n = 5000000L
+    val dim = 8
+    val synth = spark.range(0L, n, 1L, 64)
+      .select(col("id").as("vec_id"),
+        array((0 until dim).map(d =>
+          (pmod(hash(col("id"), lit(d)).cast("bigint"), lit(1000)) / lit(500.0)) - lit(1.0)): _*).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
+    val q = synth.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = synth.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_m",
+        round(graft.functions.VectorExpressions.dot_product(col("qv"), col("v"))
+          / (col("qn") * col("nrm")) * 10000).cast("bigint"))
+    def run(df: DataFrame): (Seq[(Long, Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val aggForm = scored.groupBy("query_id")
+      .agg(graft.functions.TopKPairsNative.topk(col("sim_m"), col("vec_id"), 10).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("p"))
+      .select(col("query_id"), col("p._2").as("neighbor_id"), col("p._1").as("sim_m"))
+      .orderBy("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim_m").desc, col("vec_id").asc)
+    val winForm = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim_m"))
+      .orderBy("query_id", "neighbor_id")
+    // warm both plans once (codegen compile), then measure
+    aggForm.write.format("noop").mode("overwrite").save()
+    winForm.write.format("noop").mode("overwrite").save()
+    val (aggRows, aggSec) = run(aggForm)
+    val (winRows, winSec) = run(winForm)
+    Seq((n, dim, 5, aggRows.size.toLong, aggRows == winRows,
+      math.round(aggSec * 1000.0) / 1000.0, math.round(winSec * 1000.0) / 1000.0,
+      math.round(winSec / aggSec * 100.0) / 100.0))
+      .toDF("corpus_rows", "dim", "n_queries", "topk_rows", "results_equal",
+        "agg_sec", "window_sec", "window_over_agg")
   }
 
   private val PreFilterLabel = 3 // the attribute predicate of the
@@ -1846,6 +1909,7 @@ object Similarity {
     "x_emb_centroids" -> labelCentroids _,
     "x_sim_topk_bruteforce" -> bruteForceTopK _,
     "x_sim_topk_agg" -> aggTopK _,
+    "x_sim_topk_agg_xover" -> aggTopKCrossover _,
     "x_sim_topk_prefiltered" -> prefilteredTopK _,
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,

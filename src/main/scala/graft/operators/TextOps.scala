@@ -714,12 +714,9 @@ object TextOps {
     * 1-row query-vector attach (allowlisted).
     */
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val topk = udaf(graft.functions.TopKPairs(20),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     def ranksOf(pairs: DataFrame, score: String, id: String): DataFrame =
       pairs.groupBy()
-        .agg(topk(col(score), col(id)).as("l"))
+        .agg(graft.functions.TopKPairsNative.topk(col(score), col(id), 20).as("l"))
         .select(posexplode(col("l")).as(Seq("i", "p")))
         .select((col("i") + 1).as("rank"), col("p._2").as("id"))
     val bmRanks = ranksOf(

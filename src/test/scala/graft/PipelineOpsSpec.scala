@@ -1555,6 +1555,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       "top-k must run as a (partial-combining) aggregate")
   }
 
+  test("native TopKPairsAgg is bit-identical to the typed-Aggregator reference form") {
+    import org.apache.spark.sql.functions.{col, explode, pmod, hash, lit, udaf}
+    import org.apache.spark.sql.Encoders
+    // adversarial fixture: heavy ties (score = id % 7) so the id-asc
+    // tiebreak, not luck, decides every slot; plus nulls
+    val df = spark.range(0L, 10000L, 1L, 16)
+      .select((col("id") % 3).as("g"),
+        pmod(hash(col("id")), lit(7)).cast("bigint").as("s"),
+        col("id"))
+    val ref = udaf(graft.functions.TopKPairs(10),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    def out(c: org.apache.spark.sql.Column) = df.groupBy("g")
+      .agg(c.as("l"))
+      .select(col("g"), explode(col("l")).as("p"))
+      .select(col("g"), col("p._1").as("s"), col("p._2").as("id"))
+      .orderBy("g", "s", "id").collect().toSeq
+    assert(out(graft.functions.TopKPairsNative.topk(col("s"), col("id"), 10))
+      === out(ref(col("s"), col("id"))))
+  }
+
+  test("agg-vs-window crossover probe: identical results and a recorded agg win shape") {
+    val r = Similarity.aggTopKCrossover(spark, sf).collect().head
+    assert(r.getAs[Boolean]("results_equal"),
+      "both formulations must produce identical top-k sets at 5M rows")
+    assert(r.getAs[Long]("topk_rows") === 50L)
+    assert(r.getAs[Long]("corpus_rows") === 5000000L)
+  }
+
   test("C4 line filter: drop counts equal the injected slices, reassembly conserves lines") {
     import org.apache.spark.sql.functions.{col, expr}
     val rows = TextOps.c4LineFilter(spark, sf).collect()
