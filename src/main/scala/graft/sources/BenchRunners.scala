@@ -270,17 +270,40 @@ object BenchRunners {
       // files rowGroupLayout's byte oracle reads (see the
       // compressionBenchmark note: rewrites are not bit-reproducible)
       val path = s"$workDir/rg_timed_${nc}c_${rg}r_${ps}p_$stats"
-      // single output file (the reference's layout): with the default 32
-      // generator partitions every part file would hold ONE sub-block-
-      // size row group and the row-group-size axis would not vary at all
-      val df = WideTableGen.wide(spark, nc, numRows.toLong).coalesce(1)
-      // the stats axis is REAL statistics on/off (StatsLevel NONE
-      // suppresses min/max entirely), not the dictionary proxy
-      val (_, writeMs) = timeMs(ParquetKnobs.write(df, path,
-        ParquetKnobs.WriteConfig(
-          rowGroupBytes = ParquetKnobs.rowGroupBytesFor(rg, nc),
-          pageBytes = ps,
-          statsLevel = stats)))
+      // Write-once across JVMs (round-9 verdict task 6): the generator
+      // is deterministic, so a config dir whose marker records the
+      // exact (cols, rows, rg, ps, stats) tuple is reused and sweep
+      // repeats measure DECODE only; write_time_ms then reports the
+      // marker's once-measured generation time. Any config change
+      // misses the marker and rewrites.
+      val cfgStr = s"$nc,$numRows,$rg,$ps,$stats"
+      val markerPath = new Path(s"$path/_GRAFT_GRID_CFG")
+      val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cachedWriteMs: Option[Double] =
+        if (fs.exists(markerPath) && fs.exists(new Path(s"$path/_SUCCESS"))) {
+          val in = fs.open(markerPath)
+          try {
+            val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            if (lines.headOption.contains(cfgStr)) lines.lift(1).map(_.toDouble) else None
+          } finally in.close()
+        } else None
+      val writeMs = cachedWriteMs.getOrElse {
+        // single output file (the reference's layout): with the default
+        // 32 generator partitions every part file would hold ONE sub-
+        // block-size row group and the row-group-size axis would not
+        // vary at all
+        val df = WideTableGen.wide(spark, nc, numRows.toLong).coalesce(1)
+        // the stats axis is REAL statistics on/off (StatsLevel NONE
+        // suppresses min/max entirely), not the dictionary proxy
+        val (_, w) = timeMs(ParquetKnobs.write(df, path,
+          ParquetKnobs.WriteConfig(
+            rowGroupBytes = ParquetKnobs.rowGroupBytesFor(rg, nc),
+            pageBytes = ps,
+            statsLevel = stats)))
+        val out = fs.create(markerPath, true)
+        try out.write(s"$cfgStr\n$w".getBytes("UTF-8")) finally out.close()
+        w
+      }
       val (thriftUs, schemaUs, _) = footerTimesUs(spark, path)
       val (_, statsDecodeMs) = timeMs {
         FooterMeta.chunkStats(spark, Seq(path)).filter(_.has_min_max).count()
