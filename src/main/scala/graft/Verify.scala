@@ -21,6 +21,12 @@ object Verify {
     // sweep itself stays order-deterministic like Bench's.
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }.toSeq.sortBy(_._1)
+    // mechanical registry census (stderr, greppable): the single source
+    // for doc-of-record counts — COVERAGE.md / PLANS.md quote this
+    System.err.println(s"[verify] registry: total=${SparkEntry.queries.size} " +
+      s"oracled=${SparkEntry.oracleSql.size} " +
+      s"rows_only=${SparkEntry.queries.size - SparkEntry.oracleSql.size} " +
+      s"selected=${selected.size}")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

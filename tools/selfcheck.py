@@ -103,14 +103,20 @@ def main(sf_dir, out_dir):
         ok += 1
         print(f"OK       {name} ({len(g)} rows)")
     # queries without oracle → rows-only
+    rows_only = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if name in oracle: continue
+        rows_only += 1
         files = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"{'ROWSOK' if n > 0 else 'ROWS0 '}   {name} ({n} rows, no oracle)")
         if n == 0: fail += 1
-    print(f"\n{ok} oracle-OK, {fail} failures")
+    # mechanical registry census — the doc-of-record counts (COVERAGE.md
+    # banner, PLANS.md appendix) quote THIS line, not hand-kept tallies
+    print(f"\nregistered={len(glob.glob(out_dir + '/*/'))} "
+          f"oracled={ok} rows_only={rows_only}")
+    print(f"{ok} oracle-OK, {fail} failures")
     return 1 if fail else 0
 
 if __name__ == "__main__":
