@@ -1473,6 +1473,40 @@ object Analytics {
       .orderBy("scope")
   }
 
+  /** Error-bound twin of [[a12HllUsers]] (round-9 verdict task 7): the
+    * HLL estimate is non-deterministic across engines (no SQL oracle
+    * can recompute it), but the claim that makes it USABLE — the
+    * estimate sits within the sketch's documented error of the exact
+    * count — IS deterministic and oracle-checkable. lgK=14 gives
+    * rsd ≈ 1.04/√2^14 ≈ 0.81 %; the in-query integer assertion uses
+    * 3σ ≈ 24 400 ppm. Output per scope: the exact distinct count
+    * (DuckDB-recomputed) and the within-bound flag (pinned TRUE by the
+    * oracle — a sketch regression beyond 3σ reddens the gate, not a
+    * perf number).
+    */
+  def a12CardBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    val est = ev.groupBy(concat(lit("day_"), col("day")).as("scope"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+    val exact = ev.groupBy(concat(lit("day_"), col("day")).as("scope"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val overallEst = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .select(lit("all_direct").as("scope"), col("est"))
+    val overallExact = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .select(lit("all_direct").as("scope"), col("n_users"))
+    est.unionByName(overallEst)
+      .join(exact.unionByName(overallExact), Seq("scope"))
+      .select(col("scope"), col("n_users"),
+        // integer ppm error vs exact, then the 3σ bound as a flag
+        (abs(col("est") - col("n_users")) * 1000000L / col("n_users"))
+          .cast("bigint").as("err_ppm_internal"))
+      .select(col("scope"), col("n_users"),
+        (col("err_ppm_internal") <= 24400L).as("within_3sigma"))
+      .orderBy("scope")
+  }
+
   /** A13 — day-over-day retention via theta-sketch SET ALGEBRA
     * ([[graft.functions.ThetaSketchAgg]]): one sketch per day (map-side
     * combined; the shuffle carries ≤ 32 KB per day, never user sets),
@@ -1736,6 +1770,7 @@ object Analytics {
     "s2_column_subset" -> s2ColumnSubset _,
     "e1_time_bucket" -> e1TimeBucket _,
     "a12_card_sketch" -> a12HllUsers _,
+    "a12_card_bounds" -> a12CardBounds _,
     "a12_card_exact" -> a12CardExact _,
     "a13_retention_sketch" -> a13RetentionSketch _,
   )
@@ -2394,6 +2429,17 @@ object Analytics {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // exact counts DuckDB-recomputed; the within-bound flag is PINNED
+    // TRUE — the oracle-checkable half of the sketch's contract
+    "a12_card_bounds" ->
+      """WITH d AS (
+        | SELECT 'day_' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS scope,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        | FROM events GROUP BY 1),
+        |o AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events)
+        |SELECT scope, n_users, TRUE AS within_3sigma FROM d
+        |UNION ALL SELECT 'all_direct', n_users, TRUE FROM o
+        |ORDER BY scope""".stripMargin,
     "a12_card_exact" ->
       """WITH d AS (
         | SELECT 'day_' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS scope,

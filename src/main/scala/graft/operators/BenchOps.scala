@@ -652,6 +652,37 @@ object BenchOps {
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50_price"),
       count(lit(1)).as("n_rows"))
 
+  /** Error-bound twin of [[a7ApproxStats]] (round-9 verdict task 7):
+    * the sketch values themselves have no cross-engine oracle, but
+    * their CONTRACTS do. approx_count_distinct at default rsd 0.05 must
+    * land within 3σ = 15 % of the exact distinct count;
+    * approx_percentile(accuracy=10000) guarantees the returned VALUE
+    * occupies a rank within n/accuracy of the true median rank — both
+    * checked in-query with exact integer arithmetic (ranks via two
+    * counts against the returned value), emitted as flags the oracle
+    * PINS TRUE next to DuckDB-recomputed exacts.
+    */
+  def a7ApproxBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("acd"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("exact_orders")).first()
+    val (acd, p50, nRows, exact) =
+      (s.getLong(0), s.getDouble(1), s.getLong(2), s.getLong(3))
+    val r = li.agg(
+      sum(when(col("l_extendedprice") < p50, 1L).otherwise(0L)).as("rank_lt"),
+      sum(when(col("l_extendedprice") <= p50, 1L).otherwise(0L)).as("rank_le")).first()
+    val (rankLt, rankLe) = (r.getLong(0), r.getLong(1))
+    val rankTol = nRows / 10000 + 1
+    import spark.implicits._
+    Seq((nRows, exact,
+      math.abs(acd - exact) * 1000000L / exact <= 150000L,
+      rankLt <= nRows / 2 + rankTol && rankLe >= nRows / 2 - rankTol))
+      .toDF("n_rows", "exact_orders", "acd_within_3sigma", "p50_rank_within_eps")
+  }
+
   /** M5 — metadata-sidecar experiment (the Spark-idiom analog of the
     * reference's Thrift→FlatBuffers footer transcoding,
     * src/pq_fb_ns_data_generator.cc:34-60): re-encode footer metadata as
@@ -794,6 +825,7 @@ object BenchOps {
     "k6_sorted_write" -> k6SortedWrite _,
     "a6_iteration_mean" -> a6IterationMean _,
     "a7_approx_stats" -> a7ApproxStats _,
+    "a7_approx_bounds" -> a7ApproxBounds _,
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
   )
 
@@ -801,6 +833,13 @@ object BenchOps {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   val oracles: Map[String, String] = Map(
+    // exacts DuckDB-recomputed; both bound flags PINNED TRUE (the
+    // oracle-checkable half of each sketch's accuracy contract)
+    "a7_approx_bounds" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        | count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        | TRUE AS acd_within_3sigma, TRUE AS p50_rank_within_eps
+        |FROM lineitem""".stripMargin,
     // footer metadata is deterministic — DuckDB's parquet_metadata() is
     // an independent second decoder of the same footers ({SFDIR} is
     // substituted by Verify at dump time)
