@@ -152,6 +152,51 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** URL-level dedup — the FIRST dedup stage of every web-corpus
+    * pipeline (CCNet/FineWeb dedup by canonical URL before any content
+    * hashing, because it is free: no text ever shuffles). The corpus
+    * has no URL column, so a deterministic messy URL is derived
+    * in-query from (doc_id, source) — four real-world variants (case
+    * noise, http vs https, www./m. prefixes, utm/ref tracking params,
+    * fragments, trailing slash) that all canonicalize to
+    * `<source>.com/articles/<doc_id % 100>`. Canonicalization:
+    * lowercase → strip scheme → strip www./m. → strip query+fragment →
+    * strip trailing slash, each a codegen'd regexp over a short string.
+    *
+    * Scale: the canonical URL is a short fixed-shape shuffle key and
+    * the census is one groupBy — the same 100 TB shape as
+    * [[exactKeep]]'s md5 key; per-source rollup rides the same
+    * aggregate. No text column is ever read.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+    val raw = docs.withColumn("raw_url",
+      expr(s"""CASE h % 4
+        | WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.COM/Articles/' || (doc_id % 100) || '/?utm_source=feed&utm_campaign=x'
+        | WHEN 1 THEN 'http://' || source || '.com/articles/' || (doc_id % 100)
+        | WHEN 2 THEN 'https://' || source || '.com/Articles/' || (doc_id % 100) || '/#section-' || (h % 7)
+        | ELSE 'https://m.' || source || '.com/articles/' || (doc_id % 100) || '?ref=tw&id=' || doc_id
+        |END""".stripMargin))
+    val canon = raw.withColumn("canonical",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("raw_url")), "^https?://", ""),
+            "^(www|m)\\.", ""),
+          "[?#].*$", ""),
+        "/$", ""))
+    canon.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_distinct_raw"),
+        countDistinct(col("canonical")).as("n_canonical"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_docs - n_canonical)) div n_docs"))
+      .orderBy("source")
+  }
+
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
     * Pipeline: shingle → one md5-derived base hash per shingle → 16
@@ -366,6 +411,35 @@ object Dedup {
     val dir = clusterModelDir(spark, sfDir)
     buildClusterModel(spark, sfDir, dir)
     spark.read.parquet(s"$dir/clusters").orderBy("keep_id")
+  }
+
+  /** Cluster-size histogram — the dedup SAVINGS report every pipeline
+    * publishes (how much of the corpus near-dup removal reclaims, and
+    * whether mass sits in a few mega-clusters or many pairs). Consumes
+    * the fingerprint-keyed on-disk cluster model like [[dedupApply]]
+    * (artifact join, never a rebuild): every doc maps to
+    * coalesce(keep_id, doc_id), sizes are one rep-keyed count, and the
+    * histogram is a second count over the model-sized sizes frame —
+    * singletons appear as the cluster_size=1 row, so the n_docs column
+    * sums to the corpus exactly (spec-asserted).
+    *
+    * Scale: two keyed aggregates, the second over a frame no larger
+    * than the cluster count; the corpus-sized join is doc_id-keyed
+    * against the members table — the same 100 TB shape the apply path
+    * already carries.
+    */
+  def clusterSizeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureClusterModel(spark, sfDir)
+    val members = spark.read.parquet(s"$dir/members")
+      .select(col("doc_id"), col("keep_id"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val sizes = docs.join(members, Seq("doc_id"), "left")
+      .select(coalesce(col("keep_id"), col("doc_id")).as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
   }
 
   private def buildClusterModel(spark: SparkSession, sfDir: String, dir: String): Unit = {
@@ -1233,11 +1307,13 @@ object Dedup {
     "x_dedup_embedding_lsh" -> embeddingCosineLsh _,
     "x_dedup_exact" -> exactStats _,
     "x_dedup_exact_keep" -> exactKeep _,
+    "x_dedup_url" -> urlDedup _,
     "x_dedup_minhash" -> minhashLsh _,
     "x_dedup_containment" -> containmentPairs _,
     "x_dedup_keep_best" -> keepBestApply _,
     "x_dedup_minhash_fast" -> minhashLshFast _,
     "x_dedup_clusters" -> nearDupClusters _,
+    "x_dedup_cluster_hist" -> clusterSizeHist _,
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
     "x_dedup_substring" -> substringDedup _,
@@ -1352,6 +1428,42 @@ object Dedup {
         |JOIN c ca ON ca.source = p.source_a
         |JOIN c cb ON cb.source = p.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // recomputes the messy-URL derivation and the canonicalization
+    // regexp chain verbatim (all patterns anchored/greedy-to-end, so
+    // no 'g' flag divergence is possible)
+    "x_dedup_url" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents),
+        |r AS (SELECT source,
+        |  CASE h % 4
+        |   WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.COM/Articles/' || (doc_id % 100) || '/?utm_source=feed&utm_campaign=x'
+        |   WHEN 1 THEN 'http://' || source || '.com/articles/' || (doc_id % 100)
+        |   WHEN 2 THEN 'https://' || source || '.com/Articles/' || (doc_id % 100) || '/#section-' || (h % 7)
+        |   ELSE 'https://m.' || source || '.com/articles/' || (doc_id % 100) || '?ref=tw&id=' || doc_id
+        |  END AS raw_url FROM d),
+        |c AS (SELECT source, raw_url,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(raw_url), '^https?://', ''), '^(www|m)\.', ''),
+        |    '[?#].*$', ''), '/$', '') AS canonical FROM r)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | count(DISTINCT raw_url)::BIGINT AS n_distinct_raw,
+        | count(DISTINCT canonical)::BIGINT AS n_canonical,
+        | ((1000000 * (count(*) - count(DISTINCT canonical))) // count(*))::BIGINT AS dup_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // rebuilds the label partition from the raw table (the apply
+    // oracle's CTEs); only the PARTITION matters for sizes, so the
+    // rep-identity convention cannot diverge
+    "x_dedup_cluster_hist" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |$clusterLabelCtes,
+         |assign AS (
+         | SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+         | FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |sz AS (SELECT rep, count(*) AS cluster_size FROM assign GROUP BY rep)
+         |SELECT cluster_size::BIGINT AS cluster_size,
+         | count(*)::BIGINT AS n_clusters,
+         | (cluster_size * count(*))::BIGINT AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "x_dedup_apply" ->
       s"""WITH RECURSIVE $minhashOracleCtes,
          |$clusterLabelCtes,

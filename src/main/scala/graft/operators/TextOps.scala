@@ -109,6 +109,29 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Token-length distribution in power-of-two buckets — the corpus
+    * length histogram every training-data report leads with (context-
+    * length planning, packing-efficiency input, truncation-loss
+    * estimates). Bucket = floor(log2(word count)) computed as
+    * length(bin(wc)) - 1: pure integer arithmetic, so both engines
+    * bucket identically with no float-log edge cases at exact powers
+    * of two. One projection + one keyed aggregate — a single corpus
+    * pass at any scale.
+    */
+  def lengthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
+      .withColumn("len_bucket", (length(bin(col("wc"))) - 1).cast("int"))
+      .groupBy("source", "len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("wc").as("sum_tokens"),
+        min("wc").as("min_tokens"),
+        max("wc").as("max_tokens"))
+      .orderBy("source", "len_bucket")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text — the content-defined key exact dedup shuffles on at scale.
     */
@@ -1157,7 +1180,11 @@ object TextOps {
     * doc_id-keyed aggregate (already partitioned by [[Tables.fanOut]],
     * partial-agg compressed) + a per-source rollup.
     */
-  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc Gopher rule flags — shared by [[gopherRules]] (fail
+    * counts) and [[gopherAblation]] (unique-drop attribution); one
+    * frame, two reports.
+    */
+  private def gopherFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val noised = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("h",
         expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
@@ -1166,7 +1193,7 @@ object TextOps {
         expr("""CASE WHEN h % 7 = 0 THEN repeat(' #', (wc0 + 4) div 5)
                |     WHEN h % 7 = 1 THEN repeat(' 1234', (wc0 + 2) div 3)
                |     ELSE '' END""".stripMargin)))
-    val perDoc = noised
+    noised
       .select(col("doc_id"), col("source"),
         explode(split(col("noised"), "\\s+")).as("t"))
       .groupBy("doc_id", "source")
@@ -1187,6 +1214,10 @@ object TextOps {
         (lit(10L) * col("n_sym") <= col("wc")).as("r_sym"),
         (lit(10L) * col("n_alpha") >= lit(8L) * col("wc")).as("r_alpha"),
         (col("stop_hits") >= 2L).as("r_stop"))
+  }
+
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = gopherFlags(spark, sfDir)
     perDoc.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1197,6 +1228,35 @@ object TextOps {
         sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopword"),
         sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
           col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** Gopher rule ABLATION — the "what does each rule uniquely buy"
+    * report a curation team runs before touching thresholds: per rule,
+    * the documents dropped ONLY by that rule (failing it while passing
+    * the other four), plus the multi-fail mass no single-rule change
+    * can rescue. Same flags frame as [[gopherRules]]; the attribution
+    * is pure boolean arithmetic inside the same source-keyed aggregate,
+    * so the report costs one corpus pass at any scale.
+    */
+  def gopherAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = gopherFlags(spark, sfDir)
+      .withColumn("n_fail",
+        (when(!col("r_wc"), 1).otherwise(0) + when(!col("r_mwl"), 1).otherwise(0) +
+          when(!col("r_sym"), 1).otherwise(0) + when(!col("r_alpha"), 1).otherwise(0) +
+          when(!col("r_stop"), 1).otherwise(0)))
+    def uniq(rule: String): Column =
+      sum(when(!col(rule) && col("n_fail") === 1, 1L).otherwise(0L))
+    f.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        uniq("r_wc").as("uniq_wordcount"),
+        uniq("r_mwl").as("uniq_wordlen"),
+        uniq("r_sym").as("uniq_symbol"),
+        uniq("r_alpha").as("uniq_alpha"),
+        uniq("r_stop").as("uniq_stopword"),
+        sum(when(col("n_fail") >= 2, 1L).otherwise(0L)).as("multi_fail"),
+        sum(when(col("n_fail") === 0, 1L).otherwise(0L)).as("n_pass"))
       .orderBy("source")
   }
 
@@ -1342,6 +1402,8 @@ object TextOps {
     "x_c4_line_filter" -> c4LineFilter _,
     "x_ccnet_buckets" -> ccnetBuckets _,
     "x_gopher_rules" -> gopherRules _,
+    "x_gopher_ablation" -> gopherAblation _,
+    "x_text_len_hist" -> lengthHist _,
     "x_text_entropy" -> charEntropy _,
     "x_pii_scrub" -> piiScrub _,
     "x_bpe_pairs" -> bpePairs _,
@@ -1486,6 +1548,46 @@ object TextOps {
        |  count(*)::BIGINT AS n_terms_hit
        | FROM bsc s JOIN documents doc ON doc.doc_id = s.doc_id
        | GROUP BY s.doc_id, doc.source)""".stripMargin
+
+  /** Shared DuckDB CTEs rebuilding the per-doc Gopher flags (identical
+    * md5 injection, identical integer cross-multiplied rule forms) —
+    * consumed by the x_gopher_rules and x_gopher_ablation oracles.
+    */
+  private val gopherOracleCtes: String =
+    """base AS (
+      | SELECT doc_id, source,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS wc0,
+      |  lower(trim(text)) AS txt
+      | FROM documents),
+      |noised AS (
+      | SELECT doc_id, source,
+      |  txt || CASE WHEN h % 7 = 0 THEN repeat(' #', ((wc0 + 4) // 5)::INT)
+      |              WHEN h % 7 = 1 THEN repeat(' 1234', ((wc0 + 2) // 3)::INT)
+      |              ELSE '' END AS noised
+      | FROM base),
+      |tok AS (
+      | SELECT doc_id, source, unnest(regexp_split_to_array(noised, '\s+')) AS t
+      | FROM noised),
+      |per_doc AS (
+      | SELECT doc_id, source,
+      |  count(*) AS wc, sum(len(t)) AS charsum,
+      |  sum(CASE WHEN t = '#' THEN 1 ELSE 0 END) AS n_sym,
+      |  sum(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+      |  max(CASE WHEN t = 'the' THEN 1 ELSE 0 END)
+      |   + max(CASE WHEN t = 'a' THEN 1 ELSE 0 END)
+      |   + max(CASE WHEN t = 'and' THEN 1 ELSE 0 END)
+      |   + max(CASE WHEN t = 'to' THEN 1 ELSE 0 END)
+      |   + max(CASE WHEN t = 'of' THEN 1 ELSE 0 END) AS stop_hits
+      | FROM tok GROUP BY doc_id, source),
+      |flags AS (
+      | SELECT source,
+      |  wc BETWEEN 50 AND 100000 AS r_wc,
+      |  3 * wc <= charsum AND charsum <= 10 * wc AS r_mwl,
+      |  10 * n_sym <= wc AS r_sym,
+      |  10 * n_alpha >= 8 * wc AS r_alpha,
+      |  stop_hits >= 2 AS r_stop
+      | FROM per_doc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // identical line derivation, injections, rule battery and ordered
@@ -1994,41 +2096,38 @@ object TextOps {
     // identical md5 injection (the typo-pairs idiom), identical
     // integer cross-multiplied rule forms; stop_hits as five summed
     // max-flags on both sides
-    "x_gopher_rules" ->
-      """WITH base AS (
-        | SELECT doc_id, source,
-        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
-        |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS wc0,
-        |  lower(trim(text)) AS txt
-        | FROM documents),
-        |noised AS (
-        | SELECT doc_id, source,
-        |  txt || CASE WHEN h % 7 = 0 THEN repeat(' #', ((wc0 + 4) // 5)::INT)
-        |              WHEN h % 7 = 1 THEN repeat(' 1234', ((wc0 + 2) // 3)::INT)
-        |              ELSE '' END AS noised
-        | FROM base),
-        |tok AS (
-        | SELECT doc_id, source, unnest(regexp_split_to_array(noised, '\s+')) AS t
-        | FROM noised),
-        |per_doc AS (
-        | SELECT doc_id, source,
-        |  count(*) AS wc, sum(len(t)) AS charsum,
-        |  sum(CASE WHEN t = '#' THEN 1 ELSE 0 END) AS n_sym,
-        |  sum(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
-        |  max(CASE WHEN t = 'the' THEN 1 ELSE 0 END)
-        |   + max(CASE WHEN t = 'a' THEN 1 ELSE 0 END)
-        |   + max(CASE WHEN t = 'and' THEN 1 ELSE 0 END)
-        |   + max(CASE WHEN t = 'to' THEN 1 ELSE 0 END)
-        |   + max(CASE WHEN t = 'of' THEN 1 ELSE 0 END) AS stop_hits
-        | FROM tok GROUP BY doc_id, source),
-        |flags AS (
+    // identical integer bucketing: length(bin(wc)) - 1 == floor(log2)
+    "x_text_len_hist" ->
+      """WITH d AS (
         | SELECT source,
-        |  wc BETWEEN 50 AND 100000 AS r_wc,
-        |  3 * wc <= charsum AND charsum <= 10 * wc AS r_mwl,
-        |  10 * n_sym <= wc AS r_sym,
-        |  10 * n_alpha >= 8 * wc AS r_alpha,
-        |  stop_hits >= 2 AS r_stop
-        | FROM per_doc)
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS wc
+        | FROM documents),
+        |b AS (SELECT source, wc, (len(bin(wc)) - 1)::INT AS len_bucket FROM d)
+        |SELECT source, len_bucket, count(*)::BIGINT AS n_docs,
+        | sum(wc)::BIGINT AS sum_tokens, min(wc)::BIGINT AS min_tokens,
+        | max(wc)::BIGINT AS max_tokens
+        |FROM b GROUP BY source, len_bucket ORDER BY source, len_bucket""".stripMargin,
+    // same flags CTEs; unique-drop = fails exactly this one rule
+    "x_gopher_ablation" ->
+      s"""WITH $gopherOracleCtes,
+        |nf AS (
+        | SELECT source,
+        |  (CASE WHEN NOT r_wc THEN 1 ELSE 0 END) + (CASE WHEN NOT r_mwl THEN 1 ELSE 0 END)
+        |   + (CASE WHEN NOT r_sym THEN 1 ELSE 0 END) + (CASE WHEN NOT r_alpha THEN 1 ELSE 0 END)
+        |   + (CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS n_fail,
+        |  r_wc, r_mwl, r_sym, r_alpha, r_stop
+        | FROM flags)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN NOT r_wc AND n_fail = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_wordcount,
+        | sum(CASE WHEN NOT r_mwl AND n_fail = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_wordlen,
+        | sum(CASE WHEN NOT r_sym AND n_fail = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_symbol,
+        | sum(CASE WHEN NOT r_alpha AND n_fail = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_alpha,
+        | sum(CASE WHEN NOT r_stop AND n_fail = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_stopword,
+        | sum(CASE WHEN n_fail >= 2 THEN 1 ELSE 0 END)::BIGINT AS multi_fail,
+        | sum(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |FROM nf GROUP BY source ORDER BY source""".stripMargin,
+    "x_gopher_rules" ->
+      s"""WITH $gopherOracleCtes
         |SELECT source, count(*) AS n_docs,
         | sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END)::BIGINT AS fail_wordcount,
         | sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END)::BIGINT AS fail_wordlen,

@@ -1555,6 +1555,59 @@ class PipelineOpsSpec extends AnyFunSuite {
       "top-k must run as a (partial-combining) aggregate")
   }
 
+  test("URL dedup: canonicalization collapses variants, census is conserved") {
+    val rows = Dedup.urlDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, canon, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(canon <= raw && raw <= n, "distinct counts must be monotone")
+      assert(canon < raw, "canonicalization must collapse surface variants")
+      assert(ppm === 1000000L * (n - canon) / n, "dup_ppm must be the exact integer formula")
+    }
+  }
+
+  test("cluster-size histogram: doc mass is conserved and singletons are the size-1 row") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.clusterSizeHist(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total,
+      "n_docs across buckets must sum to the corpus exactly")
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1),
+        "n_docs must equal cluster_size * n_clusters")
+    }
+    assert(rows.exists(_.getLong(0) >= 2L), "near-dup clusters must appear")
+    assert(rows.head.getLong(0) === 1L, "singleton row must exist")
+  }
+
+  test("Gopher ablation: attribution partitions each source's documents") {
+    val abl = TextOps.gopherAblation(spark, sf).collect()
+    val rules = TextOps.gopherRules(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(7)).toMap
+    assert(abl.nonEmpty)
+    abl.foreach { r =>
+      val n = r.getLong(1)
+      val parts = (2 to 7).map(r.getLong) // 5 uniq + multi_fail
+      val nPass = r.getLong(8)
+      assert(parts.sum + nPass === n,
+        "uniq drops + multi_fail + n_pass must partition the source")
+      assert(nPass === rules(r.getString(0)),
+        "n_pass must agree with the gopherRules census")
+    }
+  }
+
+  test("length histogram: power-of-two buckets bound their extrema and conserve docs") {
+    val rows = TextOps.lengthHist(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getInt(1), r.getLong(4), r.getLong(5))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"extrema must sit inside [2^$b, 2^${b + 1})")
+    }
+  }
+
   test("native TopKPairsAgg is bit-identical to the typed-Aggregator reference form") {
     import org.apache.spark.sql.functions.{col, explode, pmod, hash, lit, udaf}
     import org.apache.spark.sql.Encoders
