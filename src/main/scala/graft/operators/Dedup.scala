@@ -265,6 +265,40 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** Jaccard-threshold sensitivity sweep — the tuning report run
+    * before committing to a near-dup cutoff: edge count and affected-
+    * doc count at 0.7 / 0.8 / 0.9, from ONE banding + verification
+    * pass (the candidate pipeline runs once and is localCheckpointed
+    * at its model-sized output; thresholds are an in-stage explode).
+    * Both engines compare the SAME round(…,6) doubles against the same
+    * pct/100.0 literals, so the cut is bit-identical.
+    *
+    * Scale: the sweep costs exactly one [[minhashVerifiedPairs]] run —
+    * the banded shape that never enumerates pairs outside buckets —
+    * plus aggregates over the verified-edge frame, which banding
+    * selectivity keeps orders of magnitude below the corpus.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = minhashVerifiedPairs(spark, sfDir).localCheckpoint()
+    val e = j.select(
+      explode(array(lit(70), lit(80), lit(90))).as("threshold_pct"),
+      col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold_pct") / lit(100.0))
+    val edges = e.groupBy("threshold_pct").agg(count(lit(1)).as("n_edges"))
+    val eps = e.select(col("threshold_pct"), col("doc_a").as("d"))
+      .union(e.select(col("threshold_pct"), col("doc_b").as("d")))
+      .distinct()
+      .groupBy("threshold_pct").agg(count(lit(1)).as("n_docs_affected"))
+    Seq(70, 80, 90).toDF("threshold_pct")
+      .join(edges, Seq("threshold_pct"), "left")
+      .join(eps, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+      .orderBy("threshold_pct")
+  }
+
   /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A|, the metric
     * that catches a document (nearly) CONTAINED in another: quote
     * farms, boilerplate-wrapped copies, and truncated mirrors sit at
@@ -1309,6 +1343,7 @@ object Dedup {
     "x_dedup_exact_keep" -> exactKeep _,
     "x_dedup_url" -> urlDedup _,
     "x_dedup_minhash" -> minhashLsh _,
+    "x_dedup_threshold_sweep" -> thresholdSweep _,
     "x_dedup_containment" -> containmentPairs _,
     "x_dedup_keep_best" -> keepBestApply _,
     "x_dedup_minhash_fast" -> minhashLshFast _,
@@ -1428,6 +1463,28 @@ object Dedup {
         |JOIN c ca ON ca.source = p.source_a
         |JOIN c cb ON cb.source = p.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // same candidate pipeline + round(…,6) Jaccard; identical pct/100.0
+    // literals both engines, LEFT-joined thresholds so an empty cut
+    // still emits its zero row
+    "x_dedup_threshold_sweep" ->
+      s"""WITH $minhashOracleCtes,
+         |j AS (
+         | SELECT p.doc_a, p.doc_b,
+         |  round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) AS jac
+         | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b),
+         |th AS (SELECT unnest([70, 80, 90]) AS threshold_pct),
+         |e AS (
+         | SELECT th.threshold_pct, j.doc_a, j.doc_b
+         | FROM th JOIN j ON j.jac >= th.threshold_pct / 100.0),
+         |ne AS (SELECT threshold_pct, count(*) AS n_edges FROM e GROUP BY 1),
+         |ep AS (SELECT DISTINCT threshold_pct, doc_a AS d FROM e
+         |       UNION SELECT DISTINCT threshold_pct, doc_b FROM e),
+         |nd AS (SELECT threshold_pct, count(*) AS n_docs_affected FROM ep GROUP BY 1)
+         |SELECT th.threshold_pct::INT AS threshold_pct,
+         | coalesce(ne.n_edges, 0)::BIGINT AS n_edges,
+         | coalesce(nd.n_docs_affected, 0)::BIGINT AS n_docs_affected
+         |FROM th LEFT JOIN ne USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
+         |ORDER BY threshold_pct""".stripMargin,
     // recomputes the messy-URL derivation and the canonicalization
     // regexp chain verbatim (all patterns anchored/greedy-to-end, so
     // no 'g' flag divergence is possible)

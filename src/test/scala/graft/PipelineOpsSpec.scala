@@ -1567,6 +1567,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold sweep: edge and doc counts are monotone non-increasing in the cutoff") {
+    val rows = Dedup.thresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(70, 80, 90))
+    val edges = rows.map(_.getLong(1))
+    val docs = rows.map(_.getLong(2))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b },
+      "raising the cutoff can only remove edges")
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    assert(edges.head > 0, "the 0.7 cut must keep the verified near-dup edges")
+  }
+
   test("cluster-size histogram: doc mass is conserved and singletons are the size-1 row") {
     import org.apache.spark.sql.functions.col
     val rows = Dedup.clusterSizeHist(spark, sf).collect()
