@@ -91,7 +91,11 @@ object Bench {
   private val runOnce = Set(
     "s3_read_bench", "k1_compression_sweep", "m2_chunks_pages", "m2_stats",
     "m3_rowgroup_grid", "m4_pushdown", "m5_metadata_sidecar",
-    "x_sim_topk_agg_xover")
+    "x_sim_topk_agg_xover",
+    // the 10,000-col pair: the probe medians its footer decodes
+    // internally, and the layout twin is a deterministic 10k-col agg —
+    // repeating either just re-pays wide-plan compilation (~2 s each)
+    "m6_wide10k_probe", "m6_wide10k_layout")
   // x_dedup_clusters left the set in round 5: the union-find fast path
   // made it a ~2 s query, so it gets the same median-of-repeats
   // treatment as every other analytic query

@@ -664,13 +664,17 @@ object BenchOps {
     */
   def a7ApproxBounds(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    // exact distinct in its OWN aggregate: mixing countDistinct with
+    // the sketch aggregates forces Catalyst's distinct-rewrite Expand
+    // (every row duplicated per aggregate group), which multiplied the
+    // percentile buffer work ~4x at sf0.1 — two cheap passes beat one
+    // expanded pass
     val s = li.agg(
       approx_count_distinct(col("l_orderkey")).as("acd"),
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-      count(lit(1)).as("n_rows"),
-      countDistinct(col("l_orderkey")).as("exact_orders")).first()
-    val (acd, p50, nRows, exact) =
-      (s.getLong(0), s.getDouble(1), s.getLong(2), s.getLong(3))
+      count(lit(1)).as("n_rows")).first()
+    val (acd, p50, nRows) = (s.getLong(0), s.getDouble(1), s.getLong(2))
+    val exact = li.select(col("l_orderkey")).distinct().count()
     val r = li.agg(
       sum(when(col("l_extendedprice") < p50, 1L).otherwise(0L)).as("rank_lt"),
       sum(when(col("l_extendedprice") <= p50, 1L).otherwise(0L)).as("rank_le")).first()
