@@ -315,7 +315,11 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     dropStaleSinks(spark)
     val name = s"graft_stream_late_${counter.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    // 5 micro-batches (4 staged files + eviction) × one windowed-agg
+    // store per partition: 4 partitions halve the commit-cycle count
+    // vs 8 with identical output (state is a few thousand window keys;
+    // same-phase A/B medians 2.24 s vs 2.66 s)
+    withStatePartitions(spark, 4) {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -879,7 +883,11 @@ object EventStreams {
       "c_user = v_user AND v_ts >= c_ts - interval 30 minutes AND v_ts <= c_ts"))
     dropStaleSinks(spark)
     val name = s"graft_stream_ssj_${counter.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    // same lever the outer twin measured (round-9 task 8): a
+    // stream-stream join commits 4 state stores per shuffle partition
+    // per batch, so at harness state sizes 2 partitions (8 stores)
+    // beat 8 (32 stores; same-phase A/B medians 2.04 s vs 2.28 s)
+    withStatePartitions(spark, 2) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
