@@ -232,6 +232,8 @@ object Explain {
         "recall gate re-runs the brute-force baseline as ground truth (5 broadcast query vectors); the measured approximate paths are bucketed"),
       "x_graph_triangles" -> Map("bnlj" ->
         "crossJoins of three 1-row count aggregates (degree stats, edge count, triangle count) into the single summary row — constant-size builds"),
+      "x_multimodal_cdc" -> Map("bnlj" ->
+        "crossJoin of two 1-row global aggregates (corpus census × chunk-dedup census, Multimodal.cdcChunking) into the single summary row"),
       "x_stream_ann" -> Map("large-local-relation" -> memorySink),
       "x_stream_perplexity" -> Map("large-local-relation" -> memorySink),
       "x_stream_window_sliding" -> Map("large-local-relation" -> memorySink),

@@ -1333,7 +1333,77 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Record linkage / entity resolution across two catalogs — the
+    * blocked match-score-threshold pipeline (Fellegi-Sunter shape) that
+    * reconciles a vendor feed against the master catalog before any
+    * training-data join can trust its keys.
+    *
+    * The second catalog is the master with deterministic dirt injected
+    * (the [[graft.operators.TextOps.typoPairs]] self-validating-fixture
+    * discipline): an md5(partkey)-selected third of the names lose one
+    * character at a hash-derived position, a seventh of the sizes
+    * drift by one. Both engines compute the identical injection, so
+    * precision/recall are exact assertions, not vibes.
+    *
+    * Pipeline: block on (brand, type, name's first char) — keys chosen
+    * to SURVIVE the known dirt, the cardinal blocking rule — so
+    * candidate pairs exist ONLY within a block and the O(n²)
+    * cross-catalog join never exists; score
+    * candidates with `levenshtein(name) ≤ 1 AND |Δsize| ≤ 1`; classify
+    * matches as true (twin partkey) or false (coincidental
+    * near-identical catalog entries — counted, not hidden), with the
+    * unperturbed price as an out-of-band confirmation column.
+    *
+    * Scale: the blocking join is a hash equi-join on low-cardinality
+    * keys; per-block pair count is (block size)², the standard ER cost
+    * model — a skewed block would take the [[ngramJaccard]] grid
+    * decomposition, unneeded at catalog cardinalities. Output is a
+    * per-type integer summary: deterministic under any partitioning.
+    */
+  def erMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.part(spark, sfDir)
+    val b = a
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(p_partkey as string)), 1, 15), 16, 10) as bigint)"))
+      .select(
+        (col("p_partkey") + 1000000L).as("b_key"),
+        when(col("h") % 3 === 0 && length(col("p_name")) >= 6,
+          expr("""concat(substr(p_name, 1, cast(h % (length(p_name) - 2) as int) + 1),
+                 |       substr(p_name, cast(h % (length(p_name) - 2) as int) + 3))""".stripMargin))
+          .otherwise(col("p_name")).as("b_name"),
+        col("p_brand").as("b_brand"), col("p_type").as("b_type"),
+        (col("p_size") + when(col("h") % 7 === 0, 1).otherwise(0)).as("b_size"),
+        col("p_retailprice").as("b_price"))
+    // blocking keys must SURVIVE the known dirt: the deletion keeps
+    // the name's first character (prefix length ≥ 1 by construction),
+    // so (brand, type, first char) is noise-robust and cuts per-block
+    // pair counts ~10× vs (brand, type) alone — 3.5 s → 0.5 s at sf0.1
+    val cand = a.join(b,
+      col("p_brand") === col("b_brand") && col("p_type") === col("b_type") &&
+        substring(col("p_name"), 1, 1) === substring(col("b_name"), 1, 1))
+      .withColumn("lev", expr("levenshtein(p_name, b_name)"))
+      .withColumn("size_diff", abs(col("p_size") - col("b_size")))
+      .withColumn("matched",
+        (col("lev") <= 1 && col("size_diff") <= 1).cast("int"))
+      .withColumn("is_true", (col("b_key") - 1000000L === col("p_partkey")).cast("int"))
+    cand.groupBy(col("p_type").as("p_type"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("matched")).as("n_matched"),
+        sum(col("matched") * col("is_true")).as("n_true_pos"),
+        sum(col("matched") * (lit(1) - col("is_true"))).as("n_false_pos"),
+        // the strong key dirt can't fake, as a confirmation column —
+        // price is unique per part here, so this equals n_true_pos and
+        // certifies no false positive sneaks a price collision
+        sum(col("matched") * when(col("p_retailprice") === col("b_price"), 1).otherwise(0))
+          .as("n_price_confirmed"),
+        sum(col("matched") * (lit(100) - lit(40) * col("lev") - lit(20) * col("size_diff")))
+          .as("sum_score"))
+      .orderBy("p_type")
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_er_match" -> erMatch _,
     "x_source_overlap" -> sourceOverlap _,
     "x_dedup_apply" -> dedupApply _,
     "x_dedup_incremental" -> incrementalDedup _,
@@ -1443,6 +1513,38 @@ object Dedup {
        |labels AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical dirt injection (md5-keyed name deletion / size drift),
+    // blocking join, match rule and integer scoring
+    "x_er_match" ->
+      """WITH b AS (
+        | SELECT p_partkey + 1000000 AS b_key,
+        |  CASE WHEN h % 3 = 0 AND length(p_name) >= 6
+        |   THEN substr(p_name, 1, (h % (length(p_name) - 2))::INT + 1)
+        |     || substr(p_name, (h % (length(p_name) - 2))::INT + 3)
+        |   ELSE p_name END AS b_name,
+        |  p_brand AS b_brand, p_type AS b_type,
+        |  p_size + CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS b_size,
+        |  p_retailprice AS b_price
+        | FROM (SELECT *, ('0x' || substr(md5(p_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |       FROM part)),
+        |c AS (
+        | SELECT p.p_type, p.p_partkey, b.b_key,
+        |  levenshtein(p.p_name, b.b_name) AS lev,
+        |  abs(p.p_size - b.b_size) AS size_diff,
+        |  CASE WHEN levenshtein(p.p_name, b.b_name) <= 1
+        |        AND abs(p.p_size - b.b_size) <= 1 THEN 1 ELSE 0 END AS matched,
+        |  CASE WHEN b.b_key - 1000000 = p.p_partkey THEN 1 ELSE 0 END AS is_true,
+        |  CASE WHEN p.p_retailprice = b.b_price THEN 1 ELSE 0 END AS price_eq
+        | FROM part p JOIN b ON p.p_brand = b.b_brand AND p.p_type = b.b_type
+        |  AND substr(p.p_name, 1, 1) = substr(b.b_name, 1, 1))
+        |SELECT p_type,
+        | count(*)::BIGINT AS n_candidates,
+        | sum(matched)::BIGINT AS n_matched,
+        | sum(matched * is_true)::BIGINT AS n_true_pos,
+        | sum(matched * (1 - is_true))::BIGINT AS n_false_pos,
+        | sum(matched * price_eq)::BIGINT AS n_price_confirmed,
+        | sum(matched * (100 - 40 * lev - 20 * size_diff))::BIGINT AS sum_score
+        |FROM c GROUP BY p_type ORDER BY p_type""".stripMargin,
     "x_source_overlap" ->
       s"""WITH t AS (SELECT source,
         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

@@ -265,9 +265,73 @@ object Multimodal {
       .orderBy("format")
   }
 
+  private val CdcWindow = 16  // bytes hashed per boundary test
+  private val CdcDivisor = 64 // boundary when h % divisor == 0 (~64 B chunks)
+
+  /** Content-defined chunking dedup over the binary media column — the
+    * sub-file storage dedup every blob lake runs (LBFS/Venti lineage):
+    * chunk boundaries are cut where a hash of the TRAILING
+    * [[CdcWindow]] bytes divides [[CdcDivisor]], so an insertion early
+    * in a blob shifts only the chunk it lands in while every later
+    * boundary re-synchronizes — the property fixed-size blocks lack
+    * and whole-blob hashing ([[mediaDedup]]) can't see: two media
+    * files sharing a long byte run dedup that run even when the
+    * files differ elsewhere.
+    *
+    * Boundary rule here is the WINDOWED-HASH formulation — position i
+    * ends a chunk iff md5(bytes[i-15..i]) ≡ 0 (mod 64) — which is
+    * semantically identical to a gear/Rabin rolling hash CDC (the
+    * boundary depends only on the local window content) but
+    * SQL-recomputable, so the DuckDB oracle rebuilds byte-identical
+    * chunks. A production kernel computes the same boundaries in O(1)
+    * per byte with the gear recurrence inside a native Expression; the
+    * per-position md5 is the oracle-checkable twin of that kernel, not
+    * the 100 TB hot path.
+    *
+    * Scale: boundary detection is a per-blob projection (positions
+    * explode locally; blob bytes never shuffle — only the 16-byte
+    * chunk fingerprints and integer lengths reach the exchange); the
+    * dedup aggregate is keyed on the chunk hash, map-side combined.
+    */
+  def cdcChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.fanOut(spark, mediaTable(spark, sfDir), col("doc_id"))
+      .withColumn("blen", octet_length(col("media")).cast("long"))
+    // chunk-end positions: content-defined boundaries plus each blob's
+    // final byte (sequence() descends when start > stop, so short blobs
+    // are filtered out rather than guarded inside the lambda)
+    val bounds = media.filter(col("blen") >= CdcWindow)
+      .select(col("doc_id"), col("media"),
+        explode(expr(s"sequence(${CdcWindow}L, blen)")).as("e"))
+      .filter(expr(s"cast(conv(substr(md5(substr(media, cast(e - ${CdcWindow - 1} as int)," +
+        s" $CdcWindow)), 1, 15), 16, 10) as bigint) % $CdcDivisor = 0"))
+      .select(col("doc_id"), col("e"))
+      .union(media.select(col("doc_id"), col("blen").as("e")))
+      .distinct()
+    val segs = bounds.withColumn("s",
+      lag("e", 1, 0L).over(Window.partitionBy("doc_id").orderBy("e")) + 1L)
+    val chunks = segs.join(media.select(col("doc_id"), col("media")), "doc_id")
+      .select(col("doc_id"),
+        md5(expr("substr(media, cast(s as int), cast(e - s + 1 as int))")).as("chash"),
+        (col("e") - col("s") + 1L).as("clen"))
+    val uniq = chunks.groupBy("chash")
+      .agg(count(lit(1)).as("copies"), min("clen").as("clen"))
+    val corpus = media.agg(
+      count(lit(1)).as("n_docs"), sum("blen").as("total_bytes"))
+    // 1-row scalar attach (broadcast), not a data cross join
+    corpus.crossJoin(uniq.agg(
+      sum("copies").as("n_chunks"),
+      count(lit(1)).as("n_unique_chunks"),
+      sum((col("copies") - 1L) * col("clen")).as("dup_bytes"),
+      max("copies").as("max_copies")))
+      .select(col("n_docs"), col("total_bytes"), col("n_chunks"),
+        col("n_unique_chunks"), col("dup_bytes"), col("max_copies"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val registry: Map[String, Q] = Map(
+    "x_multimodal_cdc" -> cdcChunking _,
     "x_multimodal_features" -> featureRollup _,
     "x_multimodal_bytes" -> byteStats _,
     "x_multimodal_transforms" -> transformRollup _,
@@ -295,6 +359,38 @@ object Multimodal {
       | FROM mm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical windowed-hash boundaries, segment reassembly and chunk
+    // fingerprints (media bytes = UTF-8 of the ascii text, so DuckDB
+    // recomputes on the varchar — the equivalence x_multimodal_bytes
+    // already pins via strlen == octet_length)
+    "x_multimodal_cdc" ->
+      s"""WITH d AS (SELECT doc_id, text, strlen(text)::BIGINT AS blen FROM documents),
+         |bpos AS (
+         | SELECT doc_id, i AS e
+         | FROM d, (SELECT unnest(range($CdcWindow, (SELECT max(blen) FROM d) + 1)) AS i) r
+         | WHERE i <= blen
+         |  AND ('0x' || substr(md5(substr(text, (i - ${CdcWindow - 1})::INT, $CdcWindow)), 1, 15))::BIGINT
+         |      % $CdcDivisor = 0
+         | UNION
+         | SELECT doc_id, blen AS e FROM d),
+         |segs AS (
+         | SELECT doc_id, e,
+         |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+         | FROM bpos),
+         |ch AS (
+         | SELECT seg.doc_id,
+         |  md5(substr(d.text, seg.s::INT, (seg.e - seg.s + 1)::INT)) AS chash,
+         |  (seg.e - seg.s + 1) AS clen
+         | FROM segs seg JOIN d USING (doc_id)),
+         |u AS (SELECT chash, count(*) AS copies, min(clen) AS clen FROM ch GROUP BY chash)
+         |SELECT
+         | (SELECT count(*) FROM d)::BIGINT AS n_docs,
+         | (SELECT sum(blen) FROM d)::BIGINT AS total_bytes,
+         | sum(copies)::BIGINT AS n_chunks,
+         | count(*)::BIGINT AS n_unique_chunks,
+         | sum((copies - 1) * clen)::BIGINT AS dup_bytes,
+         | max(copies)::BIGINT AS max_copies
+         |FROM u""".stripMargin,
     "x_multimodal_features" ->
       s"""WITH $decodeCtes
          |SELECT format, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,

@@ -1398,7 +1398,72 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val WinnowWindow = 4     // consecutive gram hashes per window
+  private val WinnowHashMod = 1L << 20 // hash range AND the (h,pos) pack base
+  private val WinnowDfCap = 50     // drop fingerprints shared by > cap docs
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram, slide a
+    * window of [[WinnowWindow]] consecutive gram hashes over each
+    * document, and keep the RIGHTMOST MINIMUM per window. The selected
+    * set is a position-robust local fingerprint: any shared substring
+    * of ≥ window+gram tokens between two documents is GUARANTEED to
+    * contribute at least one common selected hash — the detection
+    * guarantee whole-document hashes ([[fingerprint]]) and random
+    * sketches (minhash) don't give.
+    *
+    * The rightmost-min-with-tiebreak selection is ONE window-function
+    * `min` over a packed code `h * 2^20 + (2^20-1-pos)` — smallest hash
+    * wins, ties break to the largest position — so the winnow pass is a
+    * per-document sort, never a global one. Overlap mining then
+    * equi-joins documents on selected hashes with a document-frequency
+    * cap ([[WinnowDfCap]], the standard "too-common fingerprint" drop
+    * that keeps boilerplate from exploding the candidate join — same
+    * role as minhash's band-bucket bound).
+    *
+    * Scale: gram hashing is a projection; the winnow min is a window
+    * partitioned BY DOC (parallel across docs, state = 4 rows); the
+    * join key space is capped at [[WinnowDfCap]]² pairs per fingerprint.
+    * Integer-exact everywhere; md5-derived hashes are SQL-recomputable
+    * so the DuckDB oracle rebuilds identical fingerprints.
+    */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions.word_ngrams(col("tokens"), 3))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        expr(s"cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % $WinnowHashMod")
+          .as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowWindow - 1), 0)
+    val fps = grams
+      .withColumn("code", col("h") * WinnowHashMod + (lit(WinnowHashMod - 1) - col("pos")))
+      .withColumn("sel", min("code").over(win))
+      .filter(col("pos") >= WinnowWindow - 1) // full windows only
+      .select(col("doc_id"), expr(s"sel div $WinnowHashMod").as("h"))
+      .distinct()
+    val kept = fps.join(
+      fps.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= WinnowDfCap),
+      "h")
+    val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"), col("fp_a"), col("fp_b"),
+        expr("(1000000 * shared_fp) div least(fp_a, fp_b)").as("overlap_ppm"))
+      .orderBy(col("shared_fp").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val registry: Map[String, Q] = Map(
+    "x_text_winnowing" -> winnowing _,
     "x_c4_line_filter" -> c4LineFilter _,
     "x_ccnet_buckets" -> ccnetBuckets _,
     "x_gopher_rules" -> gopherRules _,
@@ -1590,6 +1655,35 @@ object TextOps {
       | FROM per_doc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical gram windows, packed rightmost-min selection, df cap
+    // and ppm arithmetic (all integers, so div/// parity holds)
+    "x_text_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |g AS (
+         | SELECT doc_id, i AS pos,
+         |  ('0x' || substr(md5(array_to_string(toks[i+1:least(i+3, len(toks))], ' ')), 1, 15))::BIGINT
+         |    % $WinnowHashMod AS h
+         | FROM t, (SELECT unnest(range(0, (SELECT max(greatest(len(toks) - 3, 0)) + 1 FROM t))) AS i) r
+         | WHERE i <= greatest(len(toks) - 3, 0)),
+         |s AS (
+         | SELECT doc_id, pos,
+         |  min(h * $WinnowHashMod + (${WinnowHashMod - 1} - pos)) OVER (
+         |   PARTITION BY doc_id ORDER BY pos
+         |   ROWS BETWEEN ${WinnowWindow - 1} PRECEDING AND CURRENT ROW) AS sel
+         | FROM g),
+         |f AS (SELECT DISTINCT doc_id, sel // $WinnowHashMod AS h FROM s
+         |      WHERE pos >= ${WinnowWindow - 1}),
+         |k AS (SELECT f.doc_id, f.h FROM f
+         |      JOIN (SELECT h FROM f GROUP BY h HAVING count(*) <= $WinnowDfCap) d USING (h)),
+         |c AS (SELECT doc_id, count(*) AS n_fp FROM k GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+         |      FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.shared_fp::BIGINT AS shared_fp,
+         | ca.n_fp::BIGINT AS fp_a, cb.n_fp::BIGINT AS fp_b,
+         | ((1000000 * p.shared_fp) // least(ca.n_fp, cb.n_fp))::BIGINT AS overlap_ppm
+         |FROM p JOIN c ca ON ca.doc_id = p.doc_a JOIN c cb ON cb.doc_id = p.doc_b
+         |ORDER BY shared_fp DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // identical line derivation, injections, rule battery and ordered
     // reassembly; content_sum certifies every surviving cleaned doc
     "x_c4_line_filter" ->

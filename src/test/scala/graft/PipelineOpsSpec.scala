@@ -1877,4 +1877,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(sims.sorted.reverse.toSeq === sims.toSeq, "rk must order by sim desc")
     }
   }
+
+  test("winnowing: exact duplicates share their full fingerprint set; ppm is exact") {
+    val rows = TextOps.winnowing(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (shared, fpA, fpB, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(shared <= math.min(fpA, fpB),
+        "shared fingerprints cannot exceed either document's set")
+      assert(ppm === 1000000L * shared / math.min(fpA, fpB),
+        "overlap_ppm must be the exact integer formula")
+    }
+    val shareds = rows.map(_.getLong(2))
+    assert(shareds.zip(shareds.tail).forall { case (a, b) => a >= b },
+      "output must rank by shared_fp desc")
+    // the corpus plants exact duplicate documents; winnowing's detection
+    // guarantee makes their fingerprint sets IDENTICAL → ppm 1000000
+    assert(rows.exists(_.getLong(5) === 1000000L),
+      "planted exact dups must surface as full-overlap pairs")
+  }
+
+  test("ER match: recall is total (every injected twin re-linked), price confirms") {
+    val rows = Dedup.erMatch(spark, sf).collect()
+    val perType = Tables.part(spark, sf).groupBy("p_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === perType.keySet)
+    rows.foreach { r =>
+      val (tpe, nCand, nMatched, nTrue, nFalse, nPrice) = (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nTrue === perType(tpe),
+        s"$tpe: the dirt stays inside the match tolerance, so recall must be 1.0")
+      assert(nMatched === nTrue + nFalse, "matches partition into true and false")
+      assert(nPrice === nTrue,
+        "price is unique per part: exactly the true links carry equal prices")
+      assert(nCand >= nMatched, "blocking candidates bound the matches")
+    }
+  }
+
+  test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
+    import org.apache.spark.sql.functions._
+    val r = Multimodal.cdcChunking(spark, sf).collect().head
+    val (nDocs, totalBytes, nChunks, nUniq, dupBytes, maxCopies) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val docs = Tables.documents(spark, sf)
+    assert(nDocs === docs.count())
+    assert(totalBytes === docs.agg(sum(length(col("text")))).head.getLong(0),
+      "ascii corpus: byte mass equals character mass")
+    assert(nUniq <= nChunks)
+    assert(nChunks >= nDocs, "every blob yields at least its final chunk")
+    assert(maxCopies >= 2 && dupBytes > 0,
+      "planted duplicate documents must dedup at the chunk level")
+    assert(dupBytes < totalBytes, "savings are a strict subset of the corpus")
+  }
 }
