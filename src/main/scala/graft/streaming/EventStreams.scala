@@ -756,6 +756,41 @@ object EventStreams {
       round(avg((col("ts_us") - col("last_view_ts")) / 1000000.0), 4).as("avg_gap_s"))
   }
 
+  /** W13 — the SAME as-of semantics through the custom physical
+    * operator ([[graft.plans.AsOfJoinExec]] — the preference-order (c)
+    * route end to end: logical node, planner strategy, co-partitioned
+    * merge exec). Clicks and views arrive as two SEPARATE frames (the
+    * true binary-join shape the (a)-route union trick sidesteps); every
+    * click picks the latest view of its user with `v_ts ≤ c_ts`,
+    * deterministic under the (v_ts, v_id) tiebreak. The matched-view-id
+    * SUM rides in the output, so the oracle certifies WHICH view each
+    * click matched, not just how many matched.
+    *
+    * Scale: two hash-clustered exchanges + per-partition sorts (the
+    * SortMergeJoin bill) and a single O(|L|+|R|) merge pass with O(1)
+    * carry state — see the exec scaladoc for why a hot user never pays
+    * a pair enumeration.
+    */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts_us").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_us").as("v_ts"))
+    graft.plans.AsOfJoin.asof(clicks, views,
+      Seq(clicks("c_user")), Seq(views("v_user")),
+      clicks("c_ts"), views("v_ts"), Seq(views("v_id")))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("v_id")).as("n_matched"),
+        sum(col("c_ts") - col("v_ts")).as("total_gap_us"),
+        sum(col("v_id")).as("matched_view_id_sum"))
+  }
+
   /** Stream-static enrichment join + windowed aggregation — the
     * canonical streaming-ETL shape: an unbounded event stream joined to
     * a slowly-changing dimension, then aggregated per window.
@@ -1247,6 +1282,7 @@ object EventStreams {
     "x_stream_stream_join" -> streamStreamJoin _,
     "x_stream_stream_outer" -> streamStreamOuter _,
     "w3_asof_join" -> asofJoin _,
+    "w13_asof_native" -> asofNative _,
     "x_stream_join" -> streamStaticJoin _,
     "x_stream_cdc" -> streamCdc _,
     "x_stream_window" -> streamWindow _,
@@ -1283,6 +1319,25 @@ object EventStreams {
         |SELECT c.user_id, c.n_events, r.event_type AS last_type, r.v AS last_v
         |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1
         |ORDER BY c.user_id""".stripMargin,
+    // window recomputation of the custom exec's merge: same-ts views
+    // sort BEFORE their click (is_click 0 < 1, the ≤ bound) and ties
+    // among views resolve to the largest event_id (the exec's tiebreak)
+    "w13_asof_native" ->
+      """WITH u AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT is_click, ts_us,
+        |  last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS) OVER w AS lv_id,
+        |  last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS) OVER w AS lv_ts
+        | FROM u
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_click, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT count(*)::BIGINT AS n_clicks, count(lv_id)::BIGINT AS n_matched,
+        | sum(ts_us - lv_ts)::BIGINT AS total_gap_us,
+        | sum(lv_id)::BIGINT AS matched_view_id_sum
+        |FROM m WHERE is_click = 1""".stripMargin,
     "w3_asof_join" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT event_type, ts_us,

@@ -400,4 +400,58 @@ class PlansSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.scaleMode", "false")
     }
   }
+
+  test("custom AsOfJoinExec plans, co-partitions, and matches the window twin row-for-row") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts_us").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_us").as("v_ts"))
+    val j = graft.plans.AsOfJoin.asof(clicks, views,
+      Seq(clicks("c_user")), Seq(views("v_user")),
+      clicks("c_ts"), views("v_ts"), Seq(views("v_id")))
+
+    // the physical operator must actually plan, behind exactly the two
+    // co-partitioning exchanges a sort-merge join would pay
+    val got = j.orderBy("c_id").collect()
+    val plans = collectPlans(j.queryExecution.executedPlan)
+    assert(plans.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+      "the custom strategy must plan AsOfJoinExec")
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 3, // 2 co-partitioning + the orderBy range shuffle
+      s"as-of must cost at most the SMJ exchange bill, saw $shuffles shuffles")
+
+    // row-for-row parity with the union+window (a)-route formulation,
+    // including the (v_ts, v_id) boundary tiebreak
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twin = ev.filter(col("event_type").isin("click", "view"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+      .withColumn("lv_id",
+        last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("lv_ts",
+        last(when(col("is_click") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts_us"),
+        col("lv_id"), col("lv_ts"))
+      .orderBy("c_id").collect()
+    assert(got.length === twin.length)
+    got.zip(twin).foreach { case (g, t) =>
+      assert(g.getLong(1) === t.getLong(1), "click id")
+      assert(Option(g.get(4)) === Option(t.get(3)),
+        s"click ${g.getLong(1)}: matched view id must honor the tiebreak")
+      assert(Option(g.get(5)) === Option(t.get(4)), "matched view ts")
+    }
+    // the outer side is real: clicks preceding any view survive as nulls
+    assert(got.exists(_.isNullAt(4)), "unmatched clicks must null-extend")
+    assert(got.exists(!_.isNullAt(4)), "matched clicks must carry their view")
+  }
 }
