@@ -1210,6 +1210,42 @@ object Curation {
       .orderBy("user_id")
   }
 
+  /** The SAME point-in-time enrichment as [[scd2Dim]], but through the
+    * custom [[graft.plans.AsOfJoinExec]] instead of an interval join:
+    * the dimension needs NO valid_to column at all — `asof(facts,
+    * versions)` picks the latest `valid_from ≤ ts` version per key
+    * directly, with the (valid_from, event_id) tiebreak reproducing the
+    * interval derivation's `lead` ordering exactly (a same-timestamp
+    * superseded version has an empty interval there and loses the
+    * tiebreak here). Shares x_scd2_dim's oracle: the two formulations
+    * must agree row-for-row.
+    *
+    * Scale: the interval join is a range join (O(n·versions-per-user)
+    * candidate pairs, plus the lead window to BUILD valid_to); the
+    * as-of exec is two hash exchanges + sorts + one merge pass, and
+    * skips dimension-table maintenance entirely — the shape a
+    * feature-store read wants at 100 TB.
+    */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val dim = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("d_user"), col("ts_us").as("valid_from"),
+        col("event_id").as("d_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("state"))
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    graft.plans.AsOfJoin.asof(facts, dim,
+      Seq(facts("user_id")), Seq(dim("d_user")),
+      facts("ts_us"), dim("valid_from"), Seq(dim("d_id")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("state")).as("n_matched"),
+        sum(coalesce(col("state"), lit(0L))).as("state_sum"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Incremental aggregate maintenance
   // ---------------------------------------------------------------- //
@@ -1951,6 +1987,7 @@ object Curation {
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
+    "x_scd2_pit" -> scd2PointInTime _,
     "k11_wap_publish" -> wapPublish _,
     "x_snapshot_diff" -> snapshotDiff _,
     "x_lake_vacuum" -> lakeVacuum _,
@@ -1958,6 +1995,24 @@ object Curation {
     "x_merge_on_read" -> mergeOnRead _,
     "x_partition_evolution" -> partitionEvolution _,
   )
+
+  private val Scd2Oracle: String =
+    """WITH ev AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  round(value * 1000000)::BIGINT AS v
+        | FROM events),
+        |dim AS (
+        | SELECT user_id, v AS state, ts_us AS valid_from,
+        |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |           9223372036854775807) AS valid_to
+        | FROM ev WHERE event_type = 'view'),
+        |f AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'click'),
+        |j AS (
+        | SELECT f.user_id, d.state FROM f LEFT JOIN dim d
+        | ON f.user_id = d.user_id AND d.valid_from <= f.ts_us AND f.ts_us < d.valid_to)
+        |SELECT user_id, count(*)::BIGINT AS n_clicks, count(state)::BIGINT AS n_matched,
+        | sum(coalesce(state, 0))::BIGINT AS state_sum
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // compacted read-back == base table: compaction moves bytes
@@ -2293,24 +2348,12 @@ object Curation {
          |SELECT stage, n_rows, n_violations, published, text_checksum
          |FROM s ORDER BY stage""".stripMargin,
     // interval re-derivation with the same (micros, event_id) ordering;
-    // intervals partition each user's timeline so at most one matches
-    "x_scd2_dim" ->
-      """WITH ev AS (
-        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-        |  round(value * 1000000)::BIGINT AS v
-        | FROM events),
-        |dim AS (
-        | SELECT user_id, v AS state, ts_us AS valid_from,
-        |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
-        |           9223372036854775807) AS valid_to
-        | FROM ev WHERE event_type = 'view'),
-        |f AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'click'),
-        |j AS (
-        | SELECT f.user_id, d.state FROM f LEFT JOIN dim d
-        | ON f.user_id = d.user_id AND d.valid_from <= f.ts_us AND f.ts_us < d.valid_to)
-        |SELECT user_id, count(*)::BIGINT AS n_clicks, count(state)::BIGINT AS n_matched,
-        | sum(coalesce(state, 0))::BIGINT AS state_sum
-        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // intervals partition each user's timeline so at most one matches.
+    // x_scd2_pit shares it verbatim: the as-of formulation must agree
+    // with the interval formulation row-for-row
+    "x_scd2_dim" -> Scd2Oracle,
+    "x_scd2_pit" -> Scd2Oracle,
+    
     // direct whole-table recompute: the merged partials must equal it
     // exactly (integer micros moments are associative adds)
     "x_incr_agg" ->
