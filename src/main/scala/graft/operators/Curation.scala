@@ -185,6 +185,67 @@ object Curation {
       .orderBy("day")
   }
 
+  /** Population Stability Index per source vs the global corpus — THE
+    * standard drift score model-monitoring gates on (PSI < 0.1 stable,
+    * 0.1–0.2 minor, > 0.2 major), complementing [[dqDrift]]'s
+    * mean-deviation test with a whole-DISTRIBUTION comparison: a
+    * source whose length mix shifted but whose mean held still lights
+    * up here and nowhere else.
+    *
+    * Distribution grain: power-of-two token-length buckets (the
+    * [[graft.operators.TextOps.lengthHist]] integer bucketing — no
+    * float-log edge cases). Laplace add-one smoothing keeps every
+    * (source, bucket) term finite — p' = (c_s+1)/(n_s+B),
+    * q' = (c_g+1)/(n+B) over the B global buckets — the standard PSI
+    * epsilon, made exact.
+    *
+    * Float discipline ([[graft.operators.TextOps.mixKl]]): the single
+    * composite ln(p'/q') = ln(c_s+1) − ln(n_s+B) − ln(c_g+1) + ln(n+B)
+    * is quantized ONCE to integer micro-nats; (p'−q') rides as the
+    * exact integer cross-difference, so psi_micro_nats =
+    * Σ[((c_s+1)(n+B) − (c_g+1)(n_s+B)) · ln_micro] div ((n_s+B)(n+B))
+    * is a pure BIGINT fold. Every term is ≥ 0 (sign(p'−q') =
+    * sign(ln(p'/q')); rounding can only zero a term, never flip it),
+    * so the truncating div agrees across engines. The literal
+    * numerator is overflow-safe to ~10^9 docs per source; beyond that
+    * the fold moves to per-term division or DECIMAL(38) — one line.
+    *
+    * Scale: one corpus projection + two keyed aggregates; the term
+    * frame is the CONSTANT (#sources × #buckets) grid (a crossJoin of
+    * two model-sized aggregates — allowlisted), never corpus-sized.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
+      .withColumn("b", (length(bin(col("wc"))) - 1).cast("int"))
+    val glob = docs.groupBy("b").agg(count(lit(1)).as("cnt_g"))
+    val srcB = docs.groupBy("source", "b").agg(count(lit(1)).as("cnt_s"))
+    val nSrc = srcB.groupBy("source").agg(sum("cnt_s").as("n_s"))
+    // two exact integer scalars — model-sized, plan literals the
+    // oracle recomputes
+    val n = docs.count()
+    val nBuckets = glob.count()
+    val terms = nSrc.crossJoin(broadcast(glob))
+      .join(srcB, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("cnt_s"))
+      .withColumn("ln_micro", expr(
+        s"""cast(round((ln(cast(cnt_s + 1 as double)) - ln(cast(n_s + $nBuckets as double))
+           | - ln(cast(cnt_g + 1 as double)) + ln(cast(${n + nBuckets}L as double))) * 1000000)
+           | as bigint)""".stripMargin))
+      .withColumn("term", ((col("cnt_s") + 1L) * lit(n + nBuckets)
+        - (col("cnt_g") + 1L) * (col("n_s") + lit(nBuckets))) * col("ln_micro"))
+    terms.groupBy("source")
+      .agg(max("n_s").as("n_docs"), count(lit(1)).as("n_buckets"),
+        expr(s"sum(term) div (max(n_s + $nBuckets) * ${n + nBuckets}L)")
+          .as("psi_micro_nats"))
+      .withColumn("band",
+        when(col("psi_micro_nats") < 100000L, "stable")
+          .when(col("psi_micro_nats") < 200000L, "minor")
+          .otherwise("major"))
+      .orderBy("source")
+  }
+
   private val AnnealEpochs = 5
   private val AnnealBudget = 1000L // docs per epoch
 
@@ -1965,6 +2026,7 @@ object Curation {
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
+    "x_psi_drift" -> psiDrift _,
     "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
@@ -2347,6 +2409,34 @@ object Curation {
          | FROM a)
          |SELECT stage, n_rows, n_violations, published, text_checksum
          |FROM s ORDER BY stage""".stripMargin,
+    // identical bucketing, smoothing, composite-ln quantization and
+    // BIGINT fold; every term nonneg so the truncating div agrees
+    "x_psi_drift" ->
+      """WITH d AS (SELECT source,
+        |  length(bin(len(regexp_split_to_array(lower(trim(text)), '\s+')))) - 1 AS b
+        | FROM documents),
+        |g AS (SELECT b, count(*)::BIGINT AS cnt_g FROM d GROUP BY b),
+        |s AS (SELECT source, b, count(*)::BIGINT AS cnt_s FROM d GROUP BY source, b),
+        |ns AS (SELECT source, sum(cnt_s)::BIGINT AS n_s FROM s GROUP BY source),
+        |t AS (
+        | SELECT ns.source, ns.n_s, g.b, g.cnt_g, coalesce(s.cnt_s, 0) AS cnt_s,
+        |  (SELECT count(*) FROM g)::BIGINT AS nb, (SELECT count(*) FROM d)::BIGINT AS n
+        | FROM ns CROSS JOIN g LEFT JOIN s ON s.source = ns.source AND s.b = g.b),
+        |t2 AS (
+        | SELECT source, n_s, nb, n, cnt_g, cnt_s,
+        |  round((ln((cnt_s + 1)::DOUBLE) - ln((n_s + nb)::DOUBLE)
+        |   - ln((cnt_g + 1)::DOUBLE) + ln((n + nb)::DOUBLE)) * 1000000)::BIGINT AS ln_micro
+        | FROM t),
+        |p AS (
+        | SELECT source, max(n_s)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
+        |  (sum(((cnt_s + 1) * (n + nb) - (cnt_g + 1) * (n_s + nb)) * ln_micro)
+        |   // (max(n_s + nb) * max(n + nb)))::BIGINT AS psi_micro_nats
+        | FROM t2 GROUP BY source)
+        |SELECT source, n_docs, n_buckets, psi_micro_nats,
+        | CASE WHEN psi_micro_nats < 100000 THEN 'stable'
+        |      WHEN psi_micro_nats < 200000 THEN 'minor'
+        |      ELSE 'major' END AS band
+        |FROM p ORDER BY source""".stripMargin,
     // interval re-derivation with the same (micros, event_id) ordering;
     // intervals partition each user's timeline so at most one matches.
     // x_scd2_pit shares it verbatim: the as-of formulation must agree

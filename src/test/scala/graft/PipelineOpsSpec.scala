@@ -1915,6 +1915,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PSI drift: nonnegative, bands match thresholds, grid is the full bucket set") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.psiDrift(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "per-source doc counts must partition the corpus")
+    val globalBuckets = docs
+      .select((length(bin(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))) - 1))
+      .distinct().count()
+    rows.foreach { r =>
+      val (psi, band) = (r.getLong(3), r.getString(4))
+      assert(psi >= 0L, s"${r.getString(0)}: PSI is a sum of nonnegative terms")
+      assert(band === (if (psi < 100000L) "stable" else if (psi < 200000L) "minor" else "major"))
+      assert(r.getLong(2) === globalBuckets,
+        "every source scores against the full global bucket grid")
+    }
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
