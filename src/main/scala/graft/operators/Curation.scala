@@ -246,6 +246,44 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Pareto-frontier (skyline) document selection — the
+    * quality-vs-cost tradeoff curve a token-budgeted curation run
+    * reads before picking its operating point: a doc is ON the
+    * frontier iff no other doc offers ≥ its vocabulary richness
+    * (distinct tokens, up-axis) at ≤ its token cost (down-axis) with
+    * one strict. Output is the frontier's POINT SET — (q, wc) with
+    * occupancy and a representative id — bounded by the score RANGE,
+    * never corpus cardinality.
+    *
+    * Distributed shape: dominance collapses to two bounded steps —
+    * (1) per-q min cost, a keyed aggregate (corpus-sized input,
+    * range-sized output); (2) a strict-prefix min over the per-q frame
+    * in q-desc order: a point survives iff its cost beats every
+    * higher-q cost (equal-(q,wc) duplicates tie without strictness and
+    * co-survive — exact dups land on the same point). The one
+    * unpartitioned window runs over the RANGE-sized frame (the
+    * a16_global_quantiles argument: O(distinct q) rows however big the
+    * corpus); the join back is a broadcast of the frontier points.
+    */
+  def paretoSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("q"),
+        size(col("toks")).cast("long").as("wc"))
+    val perQ = d.groupBy("q").agg(min("wc").as("mw"))
+    val w = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pts = perQ.withColumn("hm", min("mw").over(w))
+      .filter(col("hm").isNull || col("mw") < col("hm"))
+      .select(col("q").as("pq"), col("mw"))
+    d.join(broadcast(pts), col("q") === col("pq") && col("wc") === col("mw"))
+      .groupBy("q", "wc")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .orderBy(col("q").desc)
+  }
+
   private val AnnealEpochs = 5
   private val AnnealBudget = 1000L // docs per epoch
 
@@ -2027,6 +2065,7 @@ object Curation {
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
     "x_psi_drift" -> psiDrift _,
+    "x_pareto_select" -> paretoSelect _,
     "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
@@ -2409,6 +2448,21 @@ object Curation {
          | FROM a)
          |SELECT stage, n_rows, n_violations, published, text_checksum
          |FROM s ORDER BY stage""".stripMargin,
+    // same per-q min + strict-prefix-min sweep; equal-(q,wc) points
+    // co-survive on both sides (no strict dominance among ties)
+    "x_pareto_select" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(list_distinct(toks))::BIGINT AS q,
+        |       len(toks)::BIGINT AS wc FROM t),
+        |pq AS (SELECT q, min(wc) AS mw FROM d GROUP BY q),
+        |sk AS (SELECT q, mw,
+        |  min(mw) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hm
+        | FROM pq),
+        |pts AS (SELECT q, mw FROM sk WHERE hm IS NULL OR mw < hm)
+        |SELECT d.q, d.wc, count(*)::BIGINT AS n_docs, min(d.doc_id)::BIGINT AS min_doc
+        |FROM d JOIN pts ON d.q = pts.q AND d.wc = pts.mw
+        |GROUP BY d.q, d.wc ORDER BY d.q DESC""".stripMargin,
     // identical bucketing, smoothing, composite-ln quantization and
     // BIGINT fold; every term nonneg so the truncating div agrees
     "x_psi_drift" ->

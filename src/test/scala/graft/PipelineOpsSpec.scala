@@ -1933,6 +1933,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto frontier: staircase is strict and no point dominates another") {
+    val rows = Curation.paretoSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pts = rows.map(r => (r.getLong(0), r.getLong(1)))
+    // sorted q desc, cost must strictly decrease — the skyline staircase
+    pts.zip(pts.tail).foreach { case ((q1, w1), (q2, w2)) =>
+      assert(q1 > q2, "one point per quality level")
+      assert(w1 > w2, s"lower quality must buy strictly lower cost: ($q1,$w1) vs ($q2,$w2)")
+    }
+    for (a <- pts; b <- pts if a != b)
+      assert(!(b._1 >= a._1 && b._2 <= a._2),
+        s"$b dominates $a — not a frontier")
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
