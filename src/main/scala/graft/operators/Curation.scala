@@ -284,6 +284,51 @@ object Curation {
       .orderBy(col("q").desc)
   }
 
+  /** Cross-source quantile normalization — the batch-effect correction
+    * a multi-source corpus needs before per-doc scores are comparable:
+    * each document's score is replaced by the GLOBAL score at its
+    * source-relative quantile (rank-matching, the same transform
+    * bioinformatics and multi-rater pipelines use), so a source whose
+    * crawler systematically inflates n_chars stops dominating every
+    * threshold gate.
+    *
+    * Exact integer construction: per-source rank r by (score, doc_id)
+    * — a window PARTITIONED BY SOURCE, parallel across sources;
+    * matched global rank g = ⌈r·n/n_s⌉ as one BIGINT expression; the
+    * calibrated value comes from an equi-join on g against the global
+    * (rank → value) frame. That global frame is the ONE global window
+    * in the plan, and it executes through
+    * [[graft.plans.ScaleModeRewrite.rewriteEager]] — the distributed
+    * range-partition rank construction, never a single-partition
+    * corpus sort (fails loudly if the rewrite declines).
+    *
+    * Scale: two corpus-wide keyed shuffles (per-source window, rank
+    * equi-join) + the rewritten rank's two parallel exchanges. Output
+    * is per-source integer sums — raw vs calibrated mass.
+    */
+  def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val n = docs.count() // exact scalar, plan literal (oracle recomputes)
+    val perSrcW = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = docs.withColumn("r", row_number().over(perSrcW))
+    val nS = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val globalRanked = graft.plans.ScaleModeRewrite.rewriteEager(
+      docs.select(col("n_chars").as("gval"), col("doc_id"))
+        .withColumn("grank",
+          row_number().over(Window.orderBy(col("gval"), col("doc_id"))))
+        .select(col("grank").cast("long").as("grank"), col("gval")))
+    ranked.join(broadcast(nS), "source")
+      .withColumn("g", expr(s"(cast(r as bigint) * ${n}L + n_s - 1) div n_s"))
+      .join(globalRanked, col("g") === col("grank"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("raw_sum"),
+        sum("gval").as("cal_sum"))
+      .orderBy("source")
+  }
+
   private val AnnealEpochs = 5
   private val AnnealBudget = 1000L // docs per epoch
 
@@ -2066,6 +2111,7 @@ object Curation {
     "x_dq_drift" -> dqDrift _,
     "x_psi_drift" -> psiDrift _,
     "x_pareto_select" -> paretoSelect _,
+    "x_quantile_norm" -> quantileNorm _,
     "k10_partition_overwrite" -> partitionOverwrite _,
     "x_mix_sources" -> mixSources _,
     "x_mix_temperature" -> mixTemperature _,
@@ -2448,6 +2494,22 @@ object Curation {
          | FROM a)
          |SELECT stage, n_rows, n_violations, published, text_checksum
          |FROM s ORDER BY stage""".stripMargin,
+    // identical rank-matching arithmetic; both row_numbers share the
+    // (score, doc_id) total order, so the mapping is deterministic
+    "x_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r FROM d),
+        |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM d GROUP BY source),
+        |g AS (SELECT n_chars AS gval,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS grank FROM d),
+        |m AS (SELECT r.source, r.n_chars,
+        |  ((r.r * (SELECT count(*) FROM d) + ns.n_s - 1) // ns.n_s) AS gr
+        | FROM r JOIN ns USING (source))
+        |SELECT m.source, count(*)::BIGINT AS n_docs,
+        | sum(m.n_chars)::BIGINT AS raw_sum, sum(g.gval)::BIGINT AS cal_sum
+        |FROM m JOIN g ON g.grank = m.gr
+        |GROUP BY m.source ORDER BY m.source""".stripMargin,
     // same per-q min + strict-prefix-min sweep; equal-(q,wc) points
     // co-survive on both sides (no strict dominance among ties)
     "x_pareto_select" ->

@@ -65,6 +65,29 @@ class ScaleModeExtensions extends (SparkSessionExtensions => Unit) {
 
 object ScaleModeRewrite extends Rule[LogicalPlan] {
 
+  /** Apply the rewrite EAGERLY to one DataFrame's analyzed plan, conf
+    * scoped to the call — the w12_rank_distributed pattern extracted:
+    * a query opts its own global window into the distributed
+    * construction without flipping session-wide optimizer state that
+    * would leak into every other query in a sweep. Fails loudly if the
+    * rewrite declined (a silently-kept global window would pass tests
+    * and fall over at scale).
+    */
+  def rewriteEager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.graft.scaleMode")
+    spark.conf.set("spark.graft.scaleMode", "true")
+    val rewritten =
+      try apply(df.queryExecution.analyzed)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.scaleMode", v)
+        case None => spark.conf.unset("spark.graft.scaleMode")
+      }
+    require(rewritten.toString.contains("__graft_pid"),
+      "ScaleModeRewrite must fire on the global rank window (exchange reuse off?)")
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
+  }
+
   /** Sketch accuracy: quantile error ≤ 1/accuracy relative rank. */
   val Accuracy = 10000
 

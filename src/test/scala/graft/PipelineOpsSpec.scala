@@ -1947,6 +1947,24 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$b dominates $a — not a frontier")
   }
 
+  test("quantile normalization: calibrated mass is bounded by the global distribution") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.quantileNorm(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    assert(rows.map(_.getLong(2)).sum ===
+      docs.agg(sum("n_chars")).head.getLong(0), "raw mass must be conserved")
+    val (gMin, gMax) = {
+      val r = docs.agg(min("n_chars"), max("n_chars")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    rows.foreach { r =>
+      val (nd, cal) = (r.getLong(1), r.getLong(3))
+      assert(cal >= gMin * nd && cal <= gMax * nd,
+        s"${r.getString(0)}: calibrated values must come from the global range")
+    }
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
