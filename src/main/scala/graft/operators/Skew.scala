@@ -79,8 +79,72 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** J9 — AQE runtime skew-join evidence (the j7_runtime_bloom
+    * discipline applied to OptimizeSkewedJoin): the SAME worst-case
+    * 5-key join [[saltedJoin]] handles by explicit salting, handed to
+    * AQE's runtime splitter instead. Broadcast is disabled in scope to
+    * force the sort-merge shape, the skew thresholds are lowered from
+    * their cluster defaults (256 MB / 5× median) to fire at harness
+    * bytes, and the fact side fans out first so the skewed reduce
+    * partition spans many map outputs — AQE splits by map-index range,
+    * so a single-mapper shuffle is UNSPLITTABLE however skewed (a real
+    * 100 TB ingest never has that problem; a one-file test fixture
+    * always does).
+    *
+    * `skew_join` is read STRUCTURALLY from the executed plan — a
+    * SortMergeJoinExec carrying isSkewJoin=true, never a plan-string
+    * match — and pinned TRUE by the oracle. Results must equal the
+    * plain join (AQE may only change the partitioning): the spec
+    * asserts identity against [[saltedJoin]], whose output is the same
+    * aggregate by construction.
+    */
+  def aqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = graft.Tables.fanOut(spark, Tables.events(spark, sfDir), col("event_id"))
+      // integer ×10 weights: the weighted mass folds as exact BIGINT
+      // cents·w10, immune to the summation-order FP dither a fanned-out
+      // double sum would hit at the round(…,2) boundary
+      val dim = weights.map { case (t, w) => (t, math.round(w * 10)) }
+        .toDF("event_type", "w10")
+      // aggregate on a key the join does NOT partition by: splitting a
+      // skewed partition invalidates the join's output partitioning,
+      // and without forceOptimizeSkewedJoin AQE declines any split
+      // that would ADD an exchange — grouping by day needs its own
+      // exchange either way, so the split is free and the rule fires
+      val df = fact.join(dim, Seq("event_type"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(expr("cast(round(value * 100) as bigint)") * col("w10"))
+            .as("weighted_milli"),
+          count(lit(1)).as("n"))
+        .orderBy("day")
+      val rows = df.collect()
+      val skewed = graft.Explain.walkPlans(df.queryExecution.executedPlan).exists {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj.isSkewJoin
+        case _ => false
+      }
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), skewed))
+        .toDF("day", "weighted_milli", "n", "skew_join")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   val registry: Map[String, Q] = Map(
     "j3_salted_join" -> saltedJoin _,
+    "j9_aqe_skew" -> aqeSkewJoin _,
     "x_skew_profile" -> skewProfile _,
   )
 
@@ -92,6 +156,15 @@ object Skew {
         |   WHEN 'signup' THEN 3.0 WHEN 'view' THEN 1.0 END), 2) AS weighted_value,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // plain-join recompute + the skew flag pinned TRUE: AQE may only
+    // change partitioning, never the answer (exact BIGINT cents·w10)
+    "j9_aqe_skew" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | sum(round(value * 100)::BIGINT * CASE event_type
+        |   WHEN 'click' THEN 15 WHEN 'error' THEN 1 WHEN 'purchase' THEN 50
+        |   WHEN 'signup' THEN 30 WHEN 'view' THEN 10 END)::BIGINT AS weighted_milli,
+        | count(*) AS n, TRUE AS skew_join
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     // same integer divisions against the literal 32-partition budget
     "x_skew_profile" ->
       """WITH c AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type),

@@ -1965,6 +1965,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join: runtime split fires and only changes partitioning, not the answer") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Skew
+    val rows = Skew.aqeSkewJoin(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(3)),
+      "OptimizeSkewedJoin must fire (isSkewJoin read structurally from the executed plan)")
+    // parity against a plain recompute with no AQE skew machinery
+    val plain = Tables.events(spark, sf)
+      .withColumn("w10", expr(
+        """CASE event_type WHEN 'click' THEN 15 WHEN 'error' THEN 1
+          | WHEN 'purchase' THEN 50 WHEN 'signup' THEN 30 ELSE 10 END""".stripMargin))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)") * col("w10")).as("wm"),
+        count(lit(1)).as("n"))
+      .orderBy("day").collect()
+    assert(rows.length === plain.length)
+    rows.zip(plain).foreach { case (g, p) =>
+      assert(g.getString(0) === p.getString(0))
+      assert(g.getLong(1) === p.getLong(1), s"day ${g.getString(0)}: weighted mass")
+      assert(g.getLong(2) === p.getLong(2))
+    }
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
