@@ -50,6 +50,40 @@ object BenchOps {
         "has_min_max", "null_count", "dict_encoded")
       .orderBy("file", "row_group", "column")
 
+  /** K12 — per-column encoding/compression ADVISOR over footer
+    * metadata: the storage-layout report a lake compaction service
+    * derives before rewriting a table — per column, chunk count,
+    * compressed vs uncompressed byte mass, whether every chunk
+    * dictionary-encoded, and an integer-thresholded recommendation
+    * (≤60 % effective / ≤90 % consider-zstd / incompressible-with-dict
+    * consider-plain / else try-dictionary). The decision inputs are
+    * pure footer quantities, so the advisor runs on a 100 TB table
+    * without touching a data page — the [[graft.sources.FooterMeta]]
+    * distributed decode fans the footers across executors.
+    *
+    * Cross-engine: DuckDB's `parquet_metadata()` reads the SAME
+    * physical footer, so sizes, encodings and therefore every
+    * recommendation must agree exactly (integer ppm thresholds — no
+    * float advice boundaries).
+    */
+  def k12EncodingAdvisor(spark: SparkSession, sfDir: String): DataFrame =
+    FooterMeta.chunkStats(spark, Seq(s"$sfDir/lineitem.parquet")).toDF()
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("compressed_bytes").as("comp_bytes"),
+        sum("uncompressed_bytes").as("uncomp_bytes"),
+        min("dict_encoded").as("dict_all"))
+      .withColumn("ratio_ppm", expr("comp_bytes * 1000000 div uncomp_bytes"))
+      .withColumn("advice",
+        when(col("ratio_ppm") <= 600000, "effective")
+          .when(col("ratio_ppm") <= 900000, "moderate-consider-zstd")
+          .when(col("dict_all"), "incompressible-consider-plain")
+          .otherwise("try-dictionary"))
+      .select("column", "n_chunks", "comp_bytes", "uncomp_bytes",
+        "ratio_ppm", "dict_all", "advice")
+      .orderBy("column")
+
   /** S5 via the DataSource V2 connector ([[graft.sources.v2.FooterDataSource]]):
     * footer metadata read through Spark's connector API — per-file input
     * partitions, column pruning at the source — producing exactly
@@ -797,6 +831,7 @@ object BenchOps {
     "g1_wide_gen" -> g1WideGen _,
     "s4_footer_meta" -> s4FooterMeta _,
     "s5_chunk_stats" -> s5ChunkStats _,
+    "k12_encoding_advisor" -> k12EncodingAdvisor _,
     "s3_read_bench" -> s3ReadBench _,
     "s3_read_counts" -> s3ReadCounts _,
     "k1_compression_sweep" -> k1CompressionSweep _,
@@ -856,6 +891,26 @@ object BenchOps {
          |FROM parquet_metadata([$files])
          |GROUP BY 1 ORDER BY file""".stripMargin
     },
+    // same physical footer, same integer thresholds - the advice
+    // column is deterministic byte arithmetic, never a heuristic
+    "k12_encoding_advisor" ->
+      """WITH c AS (
+        | SELECT path_in_schema AS "column", total_compressed_size AS cb,
+        |  total_uncompressed_size AS ub,
+        |  (encodings LIKE '%DICTIONARY%') AS de
+        | FROM parquet_metadata(['{SFDIR}/lineitem.parquet'])),
+        |a AS (
+        | SELECT "column", count(*)::BIGINT AS n_chunks, sum(cb)::BIGINT AS comp_bytes,
+        |  sum(ub)::BIGINT AS uncomp_bytes, bool_and(de) AS dict_all
+        | FROM c GROUP BY "column"),
+        |r AS (SELECT *, (comp_bytes * 1000000 // uncomp_bytes) AS ratio_ppm FROM a)
+        |SELECT "column", n_chunks, comp_bytes, uncomp_bytes,
+        | ratio_ppm::BIGINT AS ratio_ppm, dict_all,
+        | CASE WHEN ratio_ppm <= 600000 THEN 'effective'
+        |      WHEN ratio_ppm <= 900000 THEN 'moderate-consider-zstd'
+        |      WHEN dict_all THEN 'incompressible-consider-plain'
+        |      ELSE 'try-dictionary' END AS advice
+        |FROM r ORDER BY "column"""".stripMargin,
     "s5_chunk_stats" ->
       """SELECT regexp_extract(file_name, '[^/]+$') AS file,
         | row_group_id::INT AS row_group, path_in_schema AS column,

@@ -1988,6 +1988,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("encoding advisor: advice is a pure function of the byte ratios it reports") {
+    val rows = graft.operators.BenchOps.k12EncodingAdvisor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ratio, dictAll, advice) = (r.getLong(4), r.getBoolean(5), r.getString(6))
+      val expected =
+        if (ratio <= 600000) "effective"
+        else if (ratio <= 900000) "moderate-consider-zstd"
+        else if (dictAll) "incompressible-consider-plain"
+        else "try-dictionary"
+      assert(advice === expected, s"${r.getString(0)}: advice must follow the thresholds")
+      assert(r.getLong(2) <= r.getLong(3) * 2,
+        "compressed mass must stay in sane relation to uncompressed")
+      assert(ratio === r.getLong(2) * 1000000L / r.getLong(3))
+    }
+    assert(rows.map(_.getString(6)).distinct.length >= 2,
+      "the fixture must exercise more than one advice bucket")
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
