@@ -108,10 +108,24 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  /** The merge emits exactly one row per left row, in left order — the
+    * (key, time) sort survives, so a downstream window or merge join on
+    * the same keys skips its sort.
+    */
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
@@ -149,9 +163,11 @@ case class AsOfJoinExec(
             advance()
             cmp = if (head == null) 1 else keyOrd.compare(headKey, lKey)
           }
-          if (latest != null && keyOrd.compare(latestKey, lKey) == 0)
+          outRows += 1
+          if (latest != null && keyOrd.compare(latestKey, lKey) == 0) {
+            matched += 1
             resultProj(joined(l, latest))
-          else resultProj(joined(l, nullRight))
+          } else resultProj(joined(l, nullRight))
         }
       }
     }
