@@ -50,6 +50,22 @@ object BenchOps {
         "has_min_max", "null_count", "dict_encoded")
       .orderBy("file", "row_group", "column")
 
+  /** Column-level lineage of q3 as a QUERY — the catalog-facing
+    * governance report ([[graft.plans.Lineage]]): every output column
+    * of the 3-table join+aggregate traced to its (table, column)
+    * leaves, including the two-source derived `revenue`. Pure plan
+    * analysis: no job runs, no data is read, so the oracle is the
+    * hand-derived expected lineage pinned as a literal table (the
+    * s9_json_scan fixed-table discipline) — a tracer regression
+    * changes the rows and reddens the gate.
+    */
+  def planLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.Lineage.trace(Analytics.q3ShippingPriority(spark, sfDir))
+      .toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
   /** K12 — per-column encoding/compression ADVISOR over footer
     * metadata: the storage-layout report a lake compaction service
     * derives before rewriting a table — per column, chunk count,
@@ -832,6 +848,7 @@ object BenchOps {
     "s4_footer_meta" -> s4FooterMeta _,
     "s5_chunk_stats" -> s5ChunkStats _,
     "k12_encoding_advisor" -> k12EncodingAdvisor _,
+    "x_plan_lineage" -> planLineage _,
     "s3_read_bench" -> s3ReadBench _,
     "s3_read_counts" -> s3ReadCounts _,
     "k1_compression_sweep" -> k1CompressionSweep _,
@@ -891,6 +908,16 @@ object BenchOps {
          |FROM parquet_metadata([$files])
          |GROUP BY 1 ORDER BY file""".stripMargin
     },
+    // hand-derived expected lineage for q3, pinned (pure plan
+    // analysis has no data-side recompute; the literal IS the spec)
+    "x_plan_lineage" ->
+      """SELECT out_col, src_table, src_col FROM (VALUES
+        | ('l_orderkey', 'lineitem', 'l_orderkey'),
+        | ('o_orderpriority', 'orders', 'o_orderpriority'),
+        | ('orderdate', 'orders', 'o_orderdate'),
+        | ('revenue', 'lineitem', 'l_discount'),
+        | ('revenue', 'lineitem', 'l_extendedprice')) AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
     // same physical footer, same integer thresholds - the advice
     // column is deterministic byte arithmetic, never a heuristic
     "k12_encoding_advisor" ->

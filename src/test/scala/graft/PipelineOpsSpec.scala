@@ -2007,6 +2007,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the fixture must exercise more than one advice bucket")
   }
 
+  test("lineage tracer: self-join sides stay separate, derived columns fan in") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf)
+    val a = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("pa"))
+    val b = o.select(col("o_orderkey").as("k2"), col("o_orderdate").as("d"))
+    val q = a.join(b, col("k") === col("k2"))
+      .select(col("k"), (col("pa") * 2).as("double_price"), col("d"))
+    val triples = graft.plans.Lineage.trace(q).toSet
+    assert(triples === Set(
+      ("k", "orders", "o_orderkey"),
+      ("double_price", "orders", "o_totalprice"),
+      ("d", "orders", "o_orderdate")),
+      s"got $triples")
+    // a two-source derived column fans in to both leaves
+    val rev = graft.plans.Lineage.trace(
+      Tables.lineitem(spark, sf).select(
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r")))
+    assert(rev.toSet === Set(
+      ("r", "lineitem", "l_discount"), ("r", "lineitem", "l_extendedprice")))
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
