@@ -234,6 +234,8 @@ object Explain {
         "crossJoins of three 1-row count aggregates (degree stats, edge count, triangle count) into the single summary row — constant-size builds"),
       "x_multimodal_cdc" -> Map("bnlj" ->
         "crossJoin of two 1-row global aggregates (corpus census × chunk-dedup census, Multimodal.cdcChunking) into the single summary row"),
+      "x_partition_audit" -> Map("bnlj" ->
+        (scalarAttach + " (global max-file-rows cut for the relative small-file rule, BenchOps.partitionAudit)")),
       "x_psi_drift" -> Map("bnlj" ->
         "crossJoin of two CONSTANT model-sized aggregates — the #sources frame × the #length-buckets frame (≈ sources × log2(max doc length) rows however big the corpus, Curation.psiDrift)"),
       "x_stream_ann" -> Map("large-local-relation" -> memorySink),

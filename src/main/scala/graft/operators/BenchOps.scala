@@ -66,6 +66,57 @@ object BenchOps {
       .orderBy("out_col", "src_table", "src_col")
   }
 
+  /** Partition-layout audit — the small-files report every lake
+    * compaction service runs: per hive partition, file / row / row-group
+    * counts and how many files are "small" under the RELATIVE rule
+    * `rows × 3 < max file rows in the layout` (scale-invariant: the
+    * fixture's 8-way-split P partition flags at every sf while the
+    * 2-way F/O files never do), plus the compaction verdict. Inputs
+    * are footer quantities via the distributed [[FooterMeta]] decode —
+    * no data page is read, so the audit costs O(files) at any size.
+    *
+    * The fixture is the problem made deterministic: F/O written in 2
+    * hash buckets (healthy files), P appended in 8 (the streaming-
+    * ingest dribble that creates the small-file problem), under a
+    * write-once dir keyed by `{SFDIR}` concatenation so the DuckDB
+    * oracle addresses the same files textually and re-derives every
+    * count from `parquet_metadata()`.
+    */
+  def partitionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/orders.parquet")
+    val out = s"$workRoot/paudit$sfDir/orders_by_status"
+    val fs = new Path(out).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$out/_AUDIT_FP_$fp"))) {
+      fs.delete(new Path(out), true)
+      val o = graft.Tables.orders(spark, sfDir)
+      o.filter(col("o_orderstatus") =!= "P").repartition(2, col("o_orderkey"))
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+      o.filter(col("o_orderstatus") === "P").repartition(8, col("o_orderkey"))
+        .write.partitionBy("o_orderstatus").mode("append").parquet(out)
+      fs.create(new Path(s"$out/_AUDIT_FP_$fp")).close()
+    }
+    val dirs = fs.listStatus(new Path(out)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("o_orderstatus="))
+      .map(_.getPath.toString)
+    val perFile = FooterMeta.fileMeta(spark, dirs).toDF()
+      .select(regexp_extract(col("path"), "o_orderstatus=([^/]+)", 1).as("partition"),
+        col("num_rows"), col("num_row_groups"))
+    // 1-row global max attach (broadcast) — the relative small-file cut
+    val cut = perFile.agg(max("num_rows").as("max_file_rows"))
+    perFile.crossJoin(broadcast(cut))
+      .withColumn("small", (col("num_rows") * 3 < col("max_file_rows")).cast("long"))
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("num_rows").as("n_rows"),
+        sum("num_row_groups").cast("long").as("n_rowgroups"),
+        sum("small").as("n_small_files"))
+      .withColumn("compact_candidate", col("n_small_files") >= 4L)
+      .orderBy("partition")
+  }
+
   /** K12 — per-column encoding/compression ADVISOR over footer
     * metadata: the storage-layout report a lake compaction service
     * derives before rewriting a table — per column, chunk count,
@@ -849,6 +900,7 @@ object BenchOps {
     "s5_chunk_stats" -> s5ChunkStats _,
     "k12_encoding_advisor" -> k12EncodingAdvisor _,
     "x_plan_lineage" -> planLineage _,
+    "x_partition_audit" -> partitionAudit _,
     "s3_read_bench" -> s3ReadBench _,
     "s3_read_counts" -> s3ReadCounts _,
     "k1_compression_sweep" -> k1CompressionSweep _,
@@ -907,6 +959,25 @@ object BenchOps {
          | sum(CASE WHEN column_id = 0 THEN row_group_num_rows ELSE 0 END)::BIGINT AS num_rows
          |FROM parquet_metadata([$files])
          |GROUP BY 1 ORDER BY file""".stripMargin
+    },
+    // same files via parquet_metadata (column_id=0 dedupes the
+    // per-chunk rows), same relative small-file rule and verdict
+    "x_partition_audit" -> {
+      val p = s"$workRoot/paudit{SFDIR}/orders_by_status"
+      s"""WITH m AS (
+         | SELECT file_name,
+         |  regexp_extract(file_name, 'o_orderstatus=([^/]+)', 1) AS partition,
+         |  row_group_num_rows
+         | FROM parquet_metadata('$p/*/*.parquet') WHERE column_id = 0),
+         |f AS (SELECT partition, file_name, count(*)::BIGINT AS n_rg,
+         |       sum(row_group_num_rows)::BIGINT AS n_rows
+         |      FROM m GROUP BY 1, 2),
+         |g AS (SELECT f.*, (SELECT max(n_rows) FROM f) AS max_file_rows FROM f)
+         |SELECT partition, count(*)::BIGINT AS n_files, sum(n_rows)::BIGINT AS n_rows,
+         | sum(n_rg)::BIGINT AS n_rowgroups,
+         | sum(CASE WHEN n_rows * 3 < max_file_rows THEN 1 ELSE 0 END)::BIGINT AS n_small_files,
+         | (sum(CASE WHEN n_rows * 3 < max_file_rows THEN 1 ELSE 0 END) >= 4) AS compact_candidate
+         |FROM g GROUP BY partition ORDER BY partition""".stripMargin
     },
     // hand-derived expected lineage for q3, pinned (pure plan
     // analysis has no data-side recompute; the literal IS the spec)

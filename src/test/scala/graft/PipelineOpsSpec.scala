@@ -2028,6 +2028,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("r", "lineitem", "l_discount"), ("r", "lineitem", "l_extendedprice")))
   }
 
+  test("partition audit: the dribbled partition flags, the healthy ones don't, rows conserve") {
+    val rows = graft.operators.BenchOps.partitionAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
+    val raw = Tables.orders(spark, sf).groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === raw.keySet)
+    rows.foreach { case (p, (_, nRows, _, _)) =>
+      assert(nRows === raw(p), s"$p: audit rows must equal the raw partition")
+    }
+    val (pFiles, _, pSmall, pFlag) = rows("P")
+    assert(pFiles === 8L && pSmall === 8L && pFlag,
+      "the 8-way dribbled partition must flag for compaction")
+    Seq("F", "O").foreach { p =>
+      val (nf, _, ns, flag) = rows(p)
+      assert(nf === 2L && ns === 0L && !flag, s"$p: healthy partition must not flag")
+    }
+  }
+
   test("CDC chunking: census conserved, planted dup docs dedup at chunk level") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.cdcChunking(spark, sf).collect().head
