@@ -134,7 +134,12 @@ case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      val resultProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // bind against the right side RE-MARKED nullable: BoundReference
+      // takes its null-check from the INPUT attribute, and a
+      // non-nullable right child (e.g. a local relation of longs)
+      // would otherwise read 0 where the null-extension wrote null
+      val resultProj =
+        UnsafeProjection.create(output, lOut ++ rOut.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         // lookahead right row + its key, both copied out of the sorter's

@@ -454,4 +454,47 @@ class PlansSpec extends AnyFunSuite {
     assert(got.exists(_.isNullAt(4)), "unmatched clicks must null-extend")
     assert(got.exists(!_.isNullAt(4)), "matched clicks must carry their view")
   }
+
+  test("AsOfJoinExec edges: empty right, missing keys, boundary ties, equal-time runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def asof(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      graft.plans.AsOfJoin.asof(l, r,
+        Seq(l("k")), Seq(r("rk")), l("t"), r("rt"), Seq(r("rid")))
+
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L), (3L, 7L, 103L))
+      .toDF("k", "t", "lid")
+
+    // empty right: every left row survives null-extended
+    val emptyR = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
+    val e = asof(left, emptyR).orderBy("lid").collect()
+    assert(e.length === 4 && e.forall(_.isNullAt(3)),
+      "an empty right side must left-outer every row")
+
+    // key present only on the right never leaks; key missing on the
+    // right null-extends; boundary rt == t MATCHES (≤ bound); among
+    // equal (rk, rt) the largest rid wins (the tiebreak)
+    val right = Seq(
+      (1L, 10L, 7L), (1L, 10L, 9L),       // tie at the k=1 t=10 boundary
+      (1L, 15L, 11L),                      // between the two k=1 clicks
+      (9L, 1L, 99L))                       // right-only key
+      .toDF("rk", "rt", "rid")
+    val got = asof(left, right).orderBy("lid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(
+      100L -> 9L,   // boundary tie → rightmost rid
+      101L -> 11L,  // latest rt ≤ 20
+      102L -> -1L,  // k=2 absent on the right
+      103L -> -1L), // k=3 absent on the right
+      s"got $got")
+
+    // a long equal-key run on the right costs one pass, not a buffer:
+    // 10k right rows for one key, every left row picks the exact cut
+    val runR = spark.range(10000)
+      .select(lit(1L).as("rk"), col("id").as("rt"), col("id").as("rid"))
+    val runL = Seq((1L, 0L, 0L), (1L, 4999L, 1L), (1L, 99999L, 2L)).toDF("k", "t", "lid")
+    val run = asof(runL, runR).orderBy("lid").select("rid").collect().map(_.getLong(0))
+    assert(run.toSeq === Seq(0L, 4999L, 9999L))
+  }
 }
