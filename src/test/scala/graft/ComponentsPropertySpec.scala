@@ -186,4 +186,42 @@ class ComponentsPropertySpec extends AnyFunSuite {
       assert(got === want, s"pagerank disagrees on nodes=$nodeIds edges=$dirEdges")
     }
   }
+
+  /** Reference as-of: per left row, the right row of the same key with
+    * the max (time, tiebreak) among time ≤ left time — straight from
+    * the definition, no merge machinery to share bugs with.
+    */
+  private def referenceAsof(left: List[(Long, Long, Long)],
+      right: List[(Long, Long, Long)]): Map[Long, Option[Long]] =
+    left.map { case (k, t, lid) =>
+      lid -> right.filter { case (rk, rt, _) => rk == k && rt <= t }
+        .sortBy { case (_, rt, rid) => (rt, rid) }.lastOption.map(_._3)
+    }.toMap
+
+  test("property: AsOfJoinExec agrees with the definitional reference on random frames") {
+    import spark.implicits._
+    val rowsGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 5L)       // few keys → dense equal-key runs
+        t <- Gen.choose(0L, 20L)      // narrow times → boundary ties
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+
+    // Spark-side cost bounds the sweep: a handful of generated cases,
+    // each exercising ties, empty sides and missing keys by density
+    val cases = Gen.listOfN(6, Gen.zip(rowsGen, rowsGen))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (l, r) =>
+      val lDf = l.toDF("k", "t", "lid")
+      val rDf = r.toDF("rk", "rt", "rid")
+      val got = graft.plans.AsOfJoin.asof(lDf, rDf,
+        Seq(lDf("k")), Seq(rDf("rk")), lDf("t"), rDf("rt"), Seq(rDf("rid")))
+        .select("lid", "rid").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      assert(got === referenceAsof(l, r), s"asof disagrees on left=$l right=$r")
+    }
+  }
 }
