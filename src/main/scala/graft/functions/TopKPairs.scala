@@ -189,6 +189,19 @@ case class TopKPairsAgg(
     b
   }
 
+  // update() reads both children as raw longs off the InternalRow
+  // (getLong fast path) — reject any non-LongType input at ANALYSIS
+  // time instead of producing garbage at runtime. (The udaf form this
+  // aggregate replaced was type-safe via its tuple encoder.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType == LongType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs requires (BIGINT score, BIGINT id) children, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString}); " +
+        "quantize scores to integer micros at the call site")
+  }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("_1", LongType, nullable = false),

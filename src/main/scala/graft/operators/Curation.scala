@@ -206,9 +206,13 @@ object Curation {
     * Σ[((c_s+1)(n+B) − (c_g+1)(n_s+B)) · ln_micro] div ((n_s+B)(n+B))
     * is a pure BIGINT fold. Every term is ≥ 0 (sign(p'−q') =
     * sign(ln(p'/q')); rounding can only zero a term, never flip it),
-    * so the truncating div agrees across engines. The literal
-    * numerator is overflow-safe to ~10^9 docs per source; beyond that
-    * the fold moves to per-term division or DECIMAL(38) — one line.
+    * so the truncating div agrees across engines. Overflow bound: the
+    * per-term numerator ((c_s+1)(n+B) − (c_g+1)(n_s+B)) · ln_micro is
+    * O(n² · ln_micro) with ln_micro up to ~2e7, so it stays inside
+    * Long.MaxValue only to n ≈ 10^5–10^6 docs — NOT 10^9. Past that,
+    * Spark WRAPS silently while DuckDB raises on BIGINT overflow (a
+    * silent cross-engine divergence); the fold must move to per-term
+    * division or DECIMAL(38) before the corpus reaches that size.
     *
     * Scale: one corpus projection + two keyed aggregates; the term
     * frame is the CONSTANT (#sources × #buckets) grid (a crossJoin of
@@ -1833,11 +1837,21 @@ object Curation {
     require(audit.getLong(0) == VacuumOrphans.size,
       s"vacuum audit count ${audit.getLong(0)} != staged ${VacuumOrphans.size} — " +
         "unknown files in orphan set; refusing to delete")
-    // distributed delete: each partition removes its own slice
+    // distributed delete: each partition removes its own slice.
+    // Ship the SESSION hadoop conf to the executors (SerializableConfiguration
+    // is private[spark], so serialize the entries) — a fresh
+    // Configuration() on the executor loses s3a/hdfs credentials set on
+    // the session, and the delete would fail on a non-default filesystem.
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
     orphanFiles.select("path").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val pfs = new Path(dir).getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hc.set(k, v) }
+        val pfs = new Path(dir).getFileSystem(hc)
         rows.foreach(r => pfs.delete(
           new Path(java.net.URI.create(r.getString(0))), false))
     }
