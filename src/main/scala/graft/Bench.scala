@@ -73,6 +73,66 @@ object Bench {
         .agg(sum("id").as("s"), avg("id").as("a"), count("*").as("c")))
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Shuffle-bound sentinel: 2M rows round-trip through a real
+    * exchange (serialize, spill-file write, fetch, deserialize) into a
+    * high-cardinality hash aggregate. A host phase that slows disk or
+    * the shuffle-fetch path shows here while the in-memory cpu kernel
+    * stays quiet — the round-10 sweep's ~1.14× moderate phase was
+    * exactly the kind the 1-kernel sentinel missed.
+    */
+  private def sentinelShuffleOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    materialize(
+      spark.range(0L, 2000000L, 1L, 32)
+        .withColumn("k", col("id") % 100000)
+        .repartition(32, col("k"))
+        .groupBy("k")
+        .agg(sum("id").as("s"), count(lit(1)).as("c")))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Scan-bound sentinel: a fixed ~90 MB parquet fixture (written once
+    * per process under target/) read through the full columnar-decode
+    * path — filesystem reads, page decompression, string decode. The
+    * fixture is deterministic so the kernel's quiet-box runtime is a
+    * constant like the other two.
+    */
+  @volatile private var sentinelScanPath: String = null
+  private def sentinelScanOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    if (sentinelScanPath == null) synchronized {
+      if (sentinelScanPath == null) {
+        val p = "target/graft-work/sentinel_scan_parquet"
+        spark.range(0L, 3000000L, 1L, 8)
+          .select(col("id"), (col("id") % 1000).as("k"),
+            md5(col("id").cast("string")).as("pad"))
+          .write.mode("overwrite").parquet(p)
+        sentinelScanPath = p
+      }
+    }
+    val t0 = System.nanoTime()
+    materialize(spark.read.parquet(sentinelScanPath)
+      .filter(col("k") < 500)
+      .agg(sum(length(col("pad"))).as("b"), count(lit(1)).as("c")))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The heterogeneous sentinel set (round-11): one kernel per resource
+    * class. Checkpoints ROTATE through them (interleaved per segment, so
+    * per-sweep overhead stays at one min-of-2 kernel per checkpoint): a
+    * sustained phase spanning a few segments is sampled by all three,
+    * while the old single cpu kernel registered drift 1.0 straight
+    * through an I/O-side moderate phase.
+    */
+  private val sentinelKernelNames = Vector("cpu", "shuffle", "scan")
+  private def sentinelKernelOnce(
+      spark: org.apache.spark.sql.SparkSession, k: Int): Double = k match {
+    case 0 => sentinelOnce(spark)
+    case 1 => sentinelShuffleOnce(spark)
+    case _ => sentinelScanOnce(spark)
+  }
   private val sentinelEvery = 10
 
   /** Min of two back-to-back timings: sustained host contention slows
@@ -80,8 +140,9 @@ object Bench {
     * after a heavy parquet write) only hits one — the min is the robust
     * contention signal, the single shot a false-positive generator.
     */
-  private def sentinelMin2(spark: org.apache.spark.sql.SparkSession): Double =
-    math.min(sentinelOnce(spark), sentinelOnce(spark))
+  private def sentinelKernelMin2(
+      spark: org.apache.spark.sql.SparkSession, k: Int): Double =
+    math.min(sentinelKernelOnce(spark, k), sentinelKernelOnce(spark, k))
 
   /** Queries that are themselves generate-then-measure benchmark
     * harnesses (minutes-scale, self-timing): run once, not repeated —
@@ -125,39 +186,70 @@ object Bench {
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $n failed: ${e.getMessage}") }
     }
-    // Sentinel baseline: median of 3 after its own warmup (the warmup
-    // pass above already compiled codegen for range/agg shapes).
-    sentinelOnce(spark)
-    val sentinelBaseline = {
-      val ts = (1 to 3).map(_ => sentinelOnce(spark)).sorted
-      ts(ts.size / 2)
+    // Per-kernel sentinel baselines: median of 3 after each kernel's
+    // own warmup (the warmup pass above already compiled codegen for
+    // range/agg shapes; the scan kernel writes its fixture here).
+    (0 until sentinelKernelNames.size).foreach(k => sentinelKernelOnce(spark, k))
+    val sentinelBaselines: IndexedSeq[Double] =
+      (0 until sentinelKernelNames.size).map { k =>
+        val ts = (1 to 3).map(_ => sentinelKernelOnce(spark, k)).sorted
+        ts(ts.size / 2)
+      }
+    val sentinelBaseline = sentinelBaselines(0) // cpu kernel, history compat
+    // Across-runs floor history PER KERNEL: this box shows minutes-long
+    // SUSTAINED slow host phases. If one spans the whole sweep, the
+    // baseline is slow too and within-run drift shows nothing — so also
+    // compare each kernel's baseline against the best ever recorded for
+    // that fixed workload; any kernel >2× its historical floor marks
+    // the entire run as executed in a slow phase.
+    val histPaths = sentinelKernelNames.map {
+      case "cpu" => Paths.get("bench-results/bench_sentinel_history.csv")
+      case n     => Paths.get(s"bench-results/bench_sentinel_history_$n.csv")
     }
-    // Across-runs floor history: this box shows minutes-long SUSTAINED
-    // slow host phases. If one spans the whole sweep, the baseline is
-    // slow too and within-run drift shows nothing — so also compare
-    // the baseline against the best ever recorded for this fixed
-    // workload; a baseline >2× the historical floor marks the entire
-    // run as executed in a slow phase.
-    val histPath = Paths.get("bench-results/bench_sentinel_history.csv")
-    Files.createDirectories(histPath.getParent)
-    if (!Files.exists(histPath))
-      Files.writeString(histPath, "epoch_ms,sentinel_baseline_s\n")
-    Files.writeString(histPath,
-      f"${System.currentTimeMillis()}%d,$sentinelBaseline%.4f\n",
-      java.nio.file.StandardOpenOption.APPEND)
+    Files.createDirectories(histPaths.head.getParent)
+    histPaths.zipWithIndex.foreach { case (p, k) =>
+      if (!Files.exists(p))
+        Files.writeString(p, "epoch_ms,sentinel_baseline_s\n")
+      Files.writeString(p,
+        f"${System.currentTimeMillis()}%d,${sentinelBaselines(k)}%.4f\n",
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     // Floor = the 10th percentile of recorded baselines (current run
-    // included), not the raw min: this box's history carries one-off
-    // fast flukes (0.190 vs p10 0.236) that would read a quiet run as
-    // 1.7× "slow" and trigger phantom normalization.
-    val bestBaseline = BenchNoise.robustFloor(
-      scala.jdk.CollectionConverters
-        .IteratorHasAsScala(Files.lines(histPath).iterator).asScala.drop(1)
-        .flatMap(_.split(",").lift(1)).map(_.toDouble).toSeq :+ sentinelBaseline)
+    // included via the file append above — do NOT add it again; the
+    // double-count biased p10 toward the current reading), not the raw
+    // min: this box's history carries one-off fast flukes (0.190 vs
+    // p10 0.236) that would read a quiet run as 1.7× "slow" and
+    // trigger phantom normalization.
+    val kernelFloors: IndexedSeq[Double] = histPaths.zipWithIndex.map { case (p, _) =>
+      BenchNoise.robustFloor(
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(Files.lines(p).iterator).asScala.drop(1)
+          .flatMap(_.split(",").lift(1)).map(_.toDouble).toSeq)
+    }.toIndexedSeq
+    val bestBaseline = kernelFloors(0) // cpu kernel, JSON compat
+    // One checkpoint = min-of-2 of ONE kernel (rotating), expressed as
+    // a DRIFT RATIO vs that kernel's baseline — the series is
+    // ratio-valued so heterogeneous kernels share one timeline.
+    var sentinelRotation = 0
+    def sentinelCheckpointRatio(): Double = {
+      val k = sentinelRotation % sentinelKernelNames.size
+      sentinelRotation += 1
+      val m = sentinelKernelMin2(spark, k)
+      if (sentinelBaselines(k) > 0) m / sentinelBaselines(k) else 1.0
+    }
+    // Floor-relative contention reading RIGHT NOW across ALL kernels —
+    // used by the re-median pass to normalize estimates; max over
+    // kernels so an I/O-only phase can't hide behind a quiet cpu.
+    def floorRatioNow(): Double =
+      (0 until sentinelKernelNames.size).map { k =>
+        val m = sentinelKernelMin2(spark, k)
+        if (kernelFloors(k) > 0) m / kernelFloors(k) else 1.0
+      }.max
     val sentinelSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % sentinelEvery == 0)
-        sentinelSeries += ((i, sentinelMin2(spark)))
+        sentinelSeries += ((i, sentinelCheckpointRatio()))
       val reps = if (runOnce(n)) 1 else repeats
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -173,12 +265,13 @@ object Bench {
       }
       n -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
-    sentinelSeries += ((names.size, sentinelMin2(spark)))
-    val maxDrift =
-      if (sentinelBaseline <= 0) 1.0
-      else sentinelSeries.map(_._2 / sentinelBaseline).max
+    sentinelSeries += ((names.size, sentinelCheckpointRatio()))
+    // series values are already baseline-relative ratios
+    val maxDrift = sentinelSeries.map(_._2).max
     val baselineVsBest =
-      if (bestBaseline <= 0) 1.0 else sentinelBaseline / bestBaseline
+      (0 until sentinelKernelNames.size).map { k =>
+        if (kernelFloors(k) > 0) sentinelBaselines(k) / kernelFloors(k) else 1.0
+      }.max
     val contended = maxDrift > 2.0 || baselineVsBest > 2.0
 
     // ---- in-sweep noise correction ----
@@ -186,15 +279,24 @@ object Bench {
     // sf0.1 while local sweeps record sf0.001 — ratios across scales
     // are meaningless, so a candidate reference is only used when its
     // recorded sf basename equals this run's.
-    val reference: Map[String, Double] = {
-      val sfBase = new java.io.File(sfDir).getName
-      Seq("BENCH_LOCAL.json", s"bench-results/BENCH_LOCAL_$sfBase.json")
+    // Round-11: the preferred reference is the per-query BEST-KNOWN
+    // floor map (min-of-medians across every recorded same-scale
+    // sweep, maintained monotonically below) — a single "blessed"
+    // quiet record can itself have been captured in a moderate slow
+    // phase its sentinel missed (the r10 sf0.1 record ran ~1.14× slow
+    // and read worse than the driver sweep for dozens of queries).
+    val sfBase = new java.io.File(sfDir).getName
+    val bestPath = Paths.get(s"bench-results/BENCH_BEST_$sfBase.json")
+    val reference: Map[String, Double] =
+      Seq(bestPath.toString, "BENCH_LOCAL.json",
+          s"bench-results/BENCH_LOCAL_$sfBase.json")
         .map(Paths.get(_)).filter(Files.exists(_))
         .map(p => BenchNoise.parseReference(Files.readString(p)))
-        .collectFirst { case (qs, sf) if new java.io.File(sf).getName == sfBase => qs }
+        .collectFirst { case (qs, sf)
+          if qs.nonEmpty && new java.io.File(sf).getName == sfBase => qs }
         .getOrElse(Map.empty)
-    }
-    val checkpoints = BenchNoise.checkpointRatios(sentinelSeries.toSeq, sentinelBaseline)
+    // series values are ratios already — anchor baseline is 1.0
+    val checkpoints = BenchNoise.checkpointRatios(sentinelSeries.toSeq, 1.0)
     val reMedianNote = scala.collection.mutable.LinkedHashMap[String, String]()
     // Suspects: timed in a noisy segment AND (moved >1.5× against a
     // same-scale reference — the bounded, preferred rule — or, with no
@@ -225,8 +327,7 @@ object Bench {
           // measure how noisy the box is RIGHT NOW — against the
           // historical floor, so a sustained slow phase reads as
           // contention here even though this run's baseline absorbed it
-          val concurrent =
-            if (bestBaseline > 0) sentinelMin2(spark) / bestBaseline else 1.0
+          val concurrent = floorRatioNow()
           val times = (1 to repeats).flatMap { _ =>
             val t0 = System.nanoTime()
             try {
@@ -261,9 +362,16 @@ object Bench {
         case (n, v) if v >= 0 && BenchNoise.stillSuspect(v, reference.get(n)) => n
       }).toSeq.distinct.sorted
     val sentinelJson = {
+      // series entries are [query_index, drift_ratio] — ratio vs the
+      // rotating kernel's own baseline (kernel = index order cpu,
+      // shuffle, scan, repeating)
       val series = sentinelSeries
         .map { case (i, t) => s"""[$i,${f"$t%.3f"}]""" }.mkString("[", ",", "]")
-      s"""{"baseline":${f"$sentinelBaseline%.3f"},"series":$series,"max_drift":${f"$maxDrift%.2f"},"baseline_vs_best_floor":${f"$baselineVsBest%.2f"},"contended":$contended}"""
+      val bl = sentinelKernelNames.zip(sentinelBaselines)
+        .map { case (n, b) => jq(n) + ":" + f"$b%.3f" }.mkString("{", ",", "}")
+      val fl = sentinelKernelNames.zip(kernelFloors)
+        .map { case (n, b) => jq(n) + ":" + f"$b%.3f" }.mkString("{", ",", "}")
+      s"""{"baseline":${f"$sentinelBaseline%.3f"},"baselines":$bl,"floors":$fl,"series_unit":"ratio","series":$series,"max_drift":${f"$maxDrift%.2f"},"baseline_vs_best_floor":${f"$baselineVsBest%.2f"},"contended":$contended}"""
     }
     val qs = finalResults.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
@@ -275,6 +383,36 @@ object Bench {
     Files.writeString(Paths.get("target/bench.json"), line + "\n")
     Files.createDirectories(Paths.get("bench-results"))
     Files.writeString(Paths.get("bench-results/BENCH_FULL.json"), line + "\n")
+    // ---- best-known-floor map (round-11) ----
+    // Monotone min-merge of this sweep's medians into
+    // bench-results/BENCH_BEST_<sf>.json. Values measured on a slow
+    // box can only be HIGHER than the true floor, so merging them is
+    // harmless under min; the one class that can be artificially LOW —
+    // floor-normalized ESTIMATES (suspects) — is excluded. Errors
+    // (v < 0) are excluded too. tools/bench_diff.py --best diffs a
+    // record against this map.
+    locally {
+      val suspectSet = suspects.toSet
+      val existing: Map[String, Double] =
+        if (Files.exists(bestPath)) {
+          val (qs, sf) = BenchNoise.parseReference(Files.readString(bestPath))
+          if (new java.io.File(sf).getName == sfBase) qs else Map.empty
+        } else Map.empty
+      val merged = (existing.keySet ++ finalResults.map(_._1)).toSeq.sorted.flatMap { n =>
+        val cand = finalResults.collectFirst {
+          case (`n`, v) if v >= 0 && !suspectSet(n) => v }
+        (existing.get(n), cand) match {
+          case (Some(e), Some(c)) => Some(n -> math.min(e, c))
+          case (Some(e), None)    => Some(n -> e)
+          case (None, Some(c))    => Some(n -> c)
+          case _                  => None
+        }
+      }
+      val bestQs = merged.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      Files.writeString(bestPath,
+        s"""{"metric":"best_floor","unit":"sec","sf":"$sfBase","queries":$bestQs}""" + "\n")
+    }
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the
     // full-precision line above (~2.8 KB at 89 queries) overflows that

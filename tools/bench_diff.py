@@ -23,7 +23,8 @@ import re
 import sys
 
 
-def load(path):
+def load_doc(path):
+    """Raw bench document (driver wrappers unwrapped) — queries + sf."""
     with open(path) as f:
         doc = json.load(f)
     # driver wrapper: {"n":..,"tail":..,"parsed":{...}}
@@ -44,6 +45,11 @@ def load(path):
                     continue
     if "queries" not in doc:
         sys.exit(f"error: no query map found in {path}")
+    return doc
+
+
+def load(path):
+    doc = load_doc(path)
     queries = {k: float(v) for k, v in doc["queries"].items() if float(v) >= 0}
     sentinel = doc.get("sentinel", {})
     contended = bool(doc.get("contended", sentinel.get("contended", False)))
@@ -59,13 +65,33 @@ def load(path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
+    ap.add_argument("old", nargs="?",
+                    help="reference record; omit with --best")
     ap.add_argument("new")
+    ap.add_argument("--best", action="store_true",
+                    help="diff NEW against the best-known-floor map "
+                         "bench-results/BENCH_BEST_<sf>.json for NEW's "
+                         "scale (the per-query min-of-medians Bench "
+                         "maintains across sweeps) instead of a single "
+                         "blessed record")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore movers whose BOTH sides are below this "
                          "(sub-200ms timings are scheduler noise)")
     args = ap.parse_args()
+
+    if args.best:
+        import os
+        sf = os.path.basename(load_doc(args.new).get("sf", ""))
+        cand = os.path.join("bench-results", f"BENCH_BEST_{sf}.json")
+        if args.old:
+            sys.exit("error: --best resolves OLD itself; drop the OLD arg")
+        if not os.path.exists(cand):
+            sys.exit(f"error: no floor map {cand} — run tools/bench_best.py "
+                     "or a Bench sweep at this scale first")
+        args.old = cand
+    elif not args.old:
+        ap.error("OLD is required unless --best is given")
 
     old, old_cont, old_remed, old_susp = load(args.old)
     new, new_cont, new_remed, new_susp = load(args.new)
@@ -100,8 +126,11 @@ def main():
         print("no common queries")
     for name in sorted(set(new) - set(old)):
         print(f"  new-only: {name} {new[name]:.2f}s")
-    for name in sorted(set(old) - set(new)):
-        print(f"  dropped:  {name} (was {old[name]:.2f}s)")
+    if not args.best:
+        # vs the floor map, "dropped" is meaningless: the map carries
+        # the full registry while driver digests keep only the top-N
+        for name in sorted(set(old) - set(new)):
+            print(f"  dropped:  {name} (was {old[name]:.2f}s)")
     # queries whose new-side median was auto-corrected in-sweep: their
     # values are already noise-corrected, so movers on them are real
     for name, note in sorted(new_remed.items()):
