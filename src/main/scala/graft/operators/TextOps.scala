@@ -323,11 +323,19 @@ object TextOps {
     */
   private[graft] def unigramModel(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokenized(spark, sfDir)
+    // The model is Zipf-bounded (types, not tokens) — checkpoint it so
+    // the token total below reads the MODEL instead of re-tokenizing
+    // the corpus as a second count() job (round-11: this was one of
+    // the two corpus passes behind the x_ccnet_buckets constant
+    // factor), and so consumers that join the model twice don't replay
+    // the tokenize either.
     val model = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // corpus token total: one exact integer scalar — model-sized
     // extraction (like IVF centroids), becomes a plan literal that the
-    // oracle recomputes identically as a subquery
-    val total = toks.count()
+    // oracle recomputes identically as a subquery. Σ cnt over the
+    // model ≡ the corpus token count, without touching the corpus.
+    val total = model.agg(sum("cnt")).first().getLong(0)
     model
       .withColumn("micro_nats",
         expr(s"cast(round((ln(cast($total as double)) - ln(cast(cnt as double))) * 1000000) as bigint)"))
@@ -803,10 +811,21 @@ object TextOps {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, concat(t[i], ' ', t[i + 1]) as bg))"))
         .as("p"))
       .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    // The c2 bigram model is consumed FIVE ways (c1 marginal, right/
+    // left continuation counts, the type total B — a separate count()
+    // JOB — and the model join); without the checkpoint each consumer
+    // replays the corpus tokenize+explode, and B's count() can't even
+    // hit ReusedExchange. The model is Zipf-bounded (types, not
+    // tokens), so the checkpoint is small at any corpus scale —
+    // [[perplexityFilter]]'s discipline. (Round-11: this was the
+    // x_text_kn_lm constant-factor regression.)
     val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
       .withColumn("mw2", expr("substring_index(bg, ' ', -1)"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    // c(w1·) = Σ_w2 c(w1 w2): the marginal derives from the CHECKPOINTED
+    // model, not from a second corpus aggregate.
+    val c1 = c2.groupBy(col("mw1").as("w1")).agg(sum("c2").as("c1"))
     val n1pr = c2.groupBy(col("mw1").as("rw1")).agg(count(lit(1)).as("n1pr"))
     val n1pl = c2.groupBy(col("mw2").as("lw2")).agg(count(lit(1)).as("n1pl"))
     val b = c2.count()
