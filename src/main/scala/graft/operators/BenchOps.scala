@@ -278,8 +278,11 @@ object BenchOps {
         .option("parquet.page.size", (16 * 1024 * 1024).toString)
         .parquet(path)
       val file = FooterMeta.parquetFiles(conf, path).head
+      // Use the SESSION hadoop conf (same as FooterMeta.parquetFiles one
+      // line up) — a fresh Configuration() loses s3a/hdfs credentials
+      // when workRoot resolves to a non-default filesystem.
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(file), new org.apache.hadoop.conf.Configuration()))
+        HadoopInputFile.fromPath(new Path(file), conf))
       try {
         val blocks = reader.getFooter.getBlocks
         import scala.jdk.CollectionConverters._
@@ -1138,6 +1141,26 @@ object BenchOps {
          | (SELECT max(col_0) FROM '$p/*.parquet') AS max_col0,
          | (SELECT min(col_${Wide10kCols - 1}) FROM '$p/*.parquet') AS min_last,
          | (SELECT max(col_${Wide10kCols - 1}) FROM '$p/*.parquet') AS max_last""".stripMargin
+    },
+    // round-11: the probes' outputs are now their deterministic halves
+    // (timings go to stderr + the bench record), so DuckDB re-derives
+    // every column from the same files; n_subset_cols is the probe's
+    // fixed 1-in-(nc/10) projection width
+    "m6_wide_probe" -> {
+      val p = s"$workRoot/wide/wide_probe_${WideProbeCols}cols"
+      s"""SELECT
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::INT AS num_columns,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS num_rows,
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::BIGINT AS n_cols_footer,
+         | 10::INT AS n_subset_cols""".stripMargin
+    },
+    "m6_wide10k_probe" -> {
+      val p = s"$workRoot/wide/wide_probe_${Wide10kCols}cols"
+      s"""SELECT
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::INT AS num_columns,
+         | (SELECT count(*) FROM '$p/*.parquet')::BIGINT AS num_rows,
+         | (SELECT count(DISTINCT column_id) FROM parquet_metadata('$p/*.parquet'))::BIGINT AS n_cols_footer,
+         | 10::INT AS n_subset_cols""".stripMargin
     },
     // the oracle pins agg_pushed to TRUE: if the Spark side ever stops
     // serving the aggregate from footer stats, the gate goes red

@@ -106,9 +106,9 @@ object Similarity {
     * (~60k vectors) the window twin wins on constants: the scored frame
     * is small enough that 5 reducers sorting it cost less than the
     * ObjectHashAggregate's per-row update machinery. This probe scores
-    * a SYNTHETIC deterministic 2M-vector corpus (hash-derived dim-8
+    * a SYNTHETIC deterministic 5M-vector corpus (hash-derived dim-8
     * vectors, generated in-stage — no I/O, no testdata dependence)
-    * against the same 5 queries: 10M scored rows now have to cross the
+    * against the same 5 queries: 25M scored rows now have to cross the
     * window's exchange into 5 sort reducers, while the aggregate still
     * ships O(k · tasks · queries) longs. Both formulations run to
     * completion, their (tiny) top-k results are compared for exact
@@ -118,9 +118,9 @@ object Similarity {
     * the aggregate's semantics).
     *
     * Scale note: the window side IS the scale-killer under measurement
-    * here (5 partition keys absorbing a 10M-row exchange — the shape
+    * here (5 partition keys absorbing a 25M-row exchange — the shape
     * [[bruteForceTopK]] tolerates only as ground truth); it is bounded
-    * (10M rows × 24 bytes) and exists to document the crossover, not
+    * (25M rows × 24 bytes) and exists to document the crossover, not
     * to serve queries.
     */
   def aggTopKCrossover(spark: SparkSession, sfDir: String): DataFrame = {
@@ -159,11 +159,16 @@ object Similarity {
     winForm.write.format("noop").mode("overwrite").save()
     val (aggRows, aggSec) = run(aggForm)
     val (winRows, winSec) = run(winForm)
-    Seq((n, dim, 5, aggRows.size.toLong, aggRows == winRows,
-      math.round(aggSec * 1000.0) / 1000.0, math.round(winSec * 1000.0) / 1000.0,
-      math.round(winSec / aggSec * 100.0) / 100.0))
-      .toDF("corpus_rows", "dim", "n_queries", "topk_rows", "results_equal",
-        "agg_sec", "window_sec", "window_over_agg")
+    // Timings go to stderr (plus this run's per-query wall time in the
+    // bench record); the OUTPUT is only the deterministic half, so the
+    // query is fully oracled against pinned literals (round-11: the
+    // rows-only set shrinks to genuinely timing-valued outputs only).
+    // Committed crossover medians live in the scaladoc above.
+    System.err.println(
+      f"[x_sim_topk_agg_xover] agg=$aggSec%.3fs window=$winSec%.3fs " +
+        f"window/agg=${winSec / aggSec}%.2f")
+    Seq((n, dim, 5, aggRows.size.toLong, aggRows == winRows))
+      .toDF("corpus_rows", "dim", "n_queries", "topk_rows", "results_equal")
   }
 
   private val PreFilterLabel = 3 // the attribute predicate of the
@@ -2341,6 +2346,15 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // round-11: the crossover probe's OUTPUT is its deterministic half
+    // (both formulations' top-k equality + the fixed probe shape);
+    // timings go to stderr + the bench record. results_equal is
+    // COMPUTED in-query — pinning it TRUE is the accuracy contract,
+    // exactly a7_approx_bounds' pinned-flag discipline.
+    "x_sim_topk_agg_xover" ->
+      """SELECT 5000000::BIGINT AS corpus_rows, 8::INT AS dim,
+        | 5::INT AS n_queries, 50::BIGINT AS topk_rows,
+        | TRUE AS results_equal""".stripMargin,
     // the WINDOW formulation of the same integer-quantized top-10 —
     // the aggregate-vs-window equivalence is exactly the claim
     "x_sim_topk_agg" ->
