@@ -44,6 +44,27 @@ import org.apache.spark.sql.types.LongType
   * (micros — the discipline every temporal query in this engine
   * already follows); keys must be non-null.
   */
+/** Match direction (round-11, the pandas `merge_asof` surface):
+  * BACKWARD = latest right with rt ≤ lt (the classic as-of);
+  * FORWARD = earliest right with rt ≥ lt (next-event attach);
+  * NEAREST = whichever of the two is closer in time, ties going
+  * backward. All three run in the SAME single merge pass — the
+  * backward candidate is the carry cell, the forward candidate is the
+  * lookahead head, so direction costs zero extra state or passes.
+  */
+object AsOfDirection {
+  val Backward = 0
+  val Forward = 1
+  val Nearest = 2
+  def parse(s: String): Int = s match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -51,7 +72,9 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreaks: Seq[Expression]) extends BinaryNode {
+    rightTieBreaks: Seq[Expression],
+    direction: Int = AsOfDirection.Backward,
+    toleranceMicros: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -64,8 +87,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -85,10 +108,14 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTieBreaks: Seq[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    direction: Int = AsOfDirection.Backward,
+    toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be LongType (unix micros)")
+  require(direction >= AsOfDirection.Backward && direction <= AsOfDirection.Nearest,
+    s"unknown as-of direction code $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -161,17 +188,49 @@ case class AsOfJoinExec(
           val lKey = lKeyProj(l)
           val lTime = lTimeBound.eval(l).asInstanceOf[Long]
           var cmp = if (head == null) 1 else keyOrd.compare(headKey, lKey)
-          while (head != null && (cmp < 0 ||
-              (cmp == 0 && rTimeBound.eval(head).asInstanceOf[Long] <= lTime))) {
+          // FORWARD leaves rt == lt in the lookahead (its match is the
+          // FIRST right row with rt ≥ lt in (rt, tiebreak) order);
+          // backward/nearest consume it into the carry (LAST wins —
+          // the tiebreak). Either way the pass stays single and O(1).
+          while (head != null && (cmp < 0 || (cmp == 0 && {
+              val rt = rTimeBound.eval(head).asInstanceOf[Long]
+              if (direction == AsOfDirection.Forward) rt < lTime else rt <= lTime
+            }))) {
             latest = head
             latestKey = headKey
             advance()
             cmp = if (head == null) 1 else keyOrd.compare(headKey, lKey)
           }
+          // backward candidate: the carry cell, if key-matched and in
+          // tolerance; forward candidate: the lookahead, same checks
+          def backwardRow: InternalRow =
+            if (latest != null && keyOrd.compare(latestKey, lKey) == 0) {
+              val d = lTime - rTimeBound.eval(latest).asInstanceOf[Long]
+              if (toleranceMicros < 0 || d <= toleranceMicros) latest else null
+            } else null
+          def forwardRow: InternalRow =
+            if (head != null && cmp == 0) {
+              val d = rTimeBound.eval(head).asInstanceOf[Long] - lTime
+              if (toleranceMicros < 0 || d <= toleranceMicros) head else null
+            } else null
+          val m = direction match {
+            case AsOfDirection.Backward => backwardRow
+            case AsOfDirection.Forward  => forwardRow
+            case _ =>
+              val b = backwardRow
+              val f = forwardRow
+              if (b == null) f
+              else if (f == null) b
+              else {
+                val db = lTime - rTimeBound.eval(b).asInstanceOf[Long]
+                val df = rTimeBound.eval(f).asInstanceOf[Long] - lTime
+                if (df < db) f else b // tie → backward (pandas semantics)
+              }
+          }
           outRows += 1
-          if (latest != null && keyOrd.compare(latestKey, lKey) == 0) {
+          if (m != null) {
             matched += 1
-            resultProj(joined(l, latest))
+            resultProj(joined(l, m))
           } else resultProj(joined(l, nullRight))
         }
       }
@@ -189,10 +248,40 @@ object AsOfJoin {
     * deterministic under `tieBreaks`. Registers [[AsOfJoinStrategy]] on
     * the session's experimental strategies on first use (idempotent).
     */
+  /** Time-type discipline at the API edge: the exec merges on LongType
+    * unix MICROS (integer compares — no engine-parity float/timezone
+    * hazards). TimestampType callers are adapted here via
+    * `unix_micros(...)`; any other type gets a clear error naming the
+    * discipline instead of the exec's bare require.
+    */
+  private def toMicros(df: DataFrame, time: Column, side: String): Expression = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val e = GraftColumnBridge.expression(time)
+    df.select(time).schema.head.dataType match {
+      case LongType      => e
+      // the Catalyst node directly, NOT functions.unix_micros: the sql
+      // function builds an UnresolvedFunction column node that the
+      // analyzer does not resolve inside a custom LogicalPlan
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.expressions.UnixMicros(e)
+      case other => throw new IllegalArgumentException(
+        s"asof $side time column must be LongType unix micros or " +
+          s"TimestampType (auto-converted via unix_micros), got " +
+          s"${other.simpleString}: cast TIMESTAMP_NTZ/DATE/string inputs " +
+          "to timestamp or integer micros at the call site")
+    }
+  }
+
+  /** @param direction  "backward" (default), "forward", or "nearest"
+    * @param toleranceMicros  max |left.time − right.time| for a match;
+    *                         negative = unbounded (default)
+    */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
-      rightTieBreaks: Seq[Column] = Nil): DataFrame = {
+      rightTieBreaks: Seq[Column] = Nil,
+      direction: String = "backward",
+      toleranceMicros: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -202,8 +291,10 @@ object AsOfJoin {
       right.queryExecution.analyzed,
       leftKeys.map(GraftColumnBridge.expression),
       rightKeys.map(GraftColumnBridge.expression),
-      GraftColumnBridge.expression(leftTime),
-      GraftColumnBridge.expression(rightTime),
-      rightTieBreaks.map(GraftColumnBridge.expression)))
+      toMicros(left, leftTime, "left"),
+      toMicros(right, rightTime, "right"),
+      rightTieBreaks.map(GraftColumnBridge.expression),
+      AsOfDirection.parse(direction),
+      toleranceMicros))
   }
 }

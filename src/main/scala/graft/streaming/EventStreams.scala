@@ -791,6 +791,97 @@ object EventStreams {
         sum(col("v_id")).as("matched_view_id_sum"))
   }
 
+  /** The clicks/views frames every as-of variant below shares. */
+  private def asofSides(spark: SparkSession, sfDir: String) = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts_us").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_us").as("v_ts"))
+    (clicks, views)
+  }
+
+  /** 24 hours in micros — the staleness bound a feature-store
+    * point-in-time read enforces (a feature older than the SLA is no
+    * feature). Sized to the fixture's inter-event gaps (~2 days mean)
+    * so BOTH arms are non-vacuous at every sf: a visible share of
+    * clicks match and a visible share are voided as stale.
+    */
+  private val AsofToleranceUs = 86400L * 1000000L
+
+  /** W14 — BOUNDED-staleness as-of (round-11): [[asofNative]]'s
+    * backward match, null-extended when the latest prior view is more
+    * than [[AsofToleranceUs]] stale. Tolerance is evaluated INSIDE
+    * [[graft.plans.AsOfJoinExec]]'s merge (one subtraction per left
+    * row against the O(1) carry cell — the plan shape, exchanges and
+    * sorts are identical to the unbounded form), not as a post-filter:
+    * at 100 TB a post-filter would still attach and ship every stale
+    * match. Oracle: the window twin's match, voided past the bound —
+    * the latest-prior row is out of tolerance iff every prior row is.
+    */
+  def asofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (clicks, views) = asofSides(spark, sfDir)
+    graft.plans.AsOfJoin.asof(clicks, views,
+      Seq(clicks("c_user")), Seq(views("v_user")),
+      clicks("c_ts"), views("v_ts"), Seq(views("v_id")),
+      toleranceMicros = AsofToleranceUs)
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("v_id")).as("n_matched"),
+        sum(col("c_ts") - col("v_ts")).as("total_gap_us"),
+        sum(col("v_id")).as("matched_view_id_sum"))
+  }
+
+  /** W15 — NEAREST as-of (round-11): each click attaches its closest
+    * view in time, either direction, ties going backward (pandas
+    * `merge_asof(direction='nearest')`). Same single merge pass: the
+    * backward candidate is the exec's carry cell, the forward candidate
+    * its lookahead head — direction costs no extra state, no second
+    * sort, no second exchange. The n_forward/n_backward split proves
+    * both arms fire on real data. Oracle: per-click argmin over the
+    * user's views by (|Δt|, is_forward, side-specific tiebreak) — the
+    * equi-join formulation a native engine would need a post-rank for.
+    */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (clicks, views) = asofSides(spark, sfDir)
+    graft.plans.AsOfJoin.asof(clicks, views,
+      Seq(clicks("c_user")), Seq(views("v_user")),
+      clicks("c_ts"), views("v_ts"), Seq(views("v_id")),
+      direction = "nearest")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("v_id")).as("n_matched"),
+        sum(when(col("v_ts") > col("c_ts"), 1L).otherwise(0L)).as("n_forward"),
+        sum(when(col("v_ts") <= col("c_ts"), 1L).otherwise(0L)).as("n_backward"),
+        sum(abs(col("c_ts") - col("v_ts"))).as("total_abs_gap_us"),
+        sum(col("v_id")).as("matched_view_id_sum"))
+  }
+
+  /** W16 — FORWARD as-of (round-11): each click attaches the EARLIEST
+    * view at-or-after it (next-event attribution — "which impression
+    * did this click lead to"). The merge leaves boundary-equal rows in
+    * the lookahead instead of consuming them into the carry, so the
+    * match is the FIRST of an equal-time run in (time, tiebreak) order
+    * — the mirror of backward's last-wins. Oracle: the mirrored window
+    * (first_value over CURRENT ROW .. UNBOUNDED FOLLOWING).
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val (clicks, views) = asofSides(spark, sfDir)
+    graft.plans.AsOfJoin.asof(clicks, views,
+      Seq(clicks("c_user")), Seq(views("v_user")),
+      clicks("c_ts"), views("v_ts"), Seq(views("v_id")),
+      direction = "forward")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("v_id")).as("n_matched"),
+        sum(col("v_ts") - col("c_ts")).as("total_gap_us"),
+        sum(col("v_id")).as("matched_view_id_sum"))
+  }
+
   /** Stream-static enrichment join + windowed aggregation — the
     * canonical streaming-ETL shape: an unbounded event stream joined to
     * a slowly-changing dimension, then aggregated per window.
@@ -1283,6 +1374,9 @@ object EventStreams {
     "x_stream_stream_outer" -> streamStreamOuter _,
     "w3_asof_join" -> asofJoin _,
     "w13_asof_native" -> asofNative _,
+    "w14_asof_tolerance" -> asofTolerance _,
+    "w15_asof_nearest" -> asofNearest _,
+    "w16_asof_forward" -> asofForward _,
     "x_stream_join" -> streamStaticJoin _,
     "x_stream_cdc" -> streamCdc _,
     "x_stream_window" -> streamWindow _,
@@ -1337,6 +1431,66 @@ object EventStreams {
         |SELECT count(*)::BIGINT AS n_clicks, count(lv_id)::BIGINT AS n_matched,
         | sum(ts_us - lv_ts)::BIGINT AS total_gap_us,
         | sum(lv_id)::BIGINT AS matched_view_id_sum
+        |FROM m WHERE is_click = 1""".stripMargin,
+    // the window twin's match, voided past the staleness bound: the
+    // latest-prior view is out of tolerance iff every prior one is
+    "w14_asof_tolerance" ->
+      """WITH u AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT is_click, ts_us,
+        |  last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS) OVER w AS lv_id,
+        |  last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS) OVER w AS lv_ts
+        | FROM u
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_click, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        | SELECT ts_us,
+        |  CASE WHEN ts_us - lv_ts <= 86400000000 THEN lv_id END AS lv_id,
+        |  CASE WHEN ts_us - lv_ts <= 86400000000 THEN lv_ts END AS lv_ts
+        | FROM m WHERE is_click = 1)
+        |SELECT count(*)::BIGINT AS n_clicks, count(lv_id)::BIGINT AS n_matched,
+        | sum(ts_us - lv_ts)::BIGINT AS total_gap_us,
+        | sum(lv_id)::BIGINT AS matched_view_id_sum
+        |FROM g""".stripMargin,
+    // per-click argmin over the user's views by (|Δt|, side, tiebreak):
+    // ties go backward; backward tiebreak is max v_id (last-wins),
+    // forward is min v_id (first-wins) — the exec's carry/lookahead pair
+    "w15_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS c_id, ts_us AS c_ts FROM ev WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS v_id, ts_us AS v_ts FROM ev WHERE event_type = 'view'),
+        |j AS (
+        | SELECT c.c_id, c.c_ts, v.v_id, v.v_ts,
+        |  row_number() OVER (PARTITION BY c.c_id ORDER BY abs(v.v_ts - c.c_ts),
+        |   (v.v_ts > c.c_ts),
+        |   CASE WHEN v.v_ts <= c.c_ts THEN -v.v_id ELSE v.v_id END) AS rk
+        | FROM c LEFT JOIN v USING (user_id))
+        |SELECT count(*)::BIGINT AS n_clicks, count(v_id)::BIGINT AS n_matched,
+        | sum(CASE WHEN v_ts > c_ts THEN 1 ELSE 0 END)::BIGINT AS n_forward,
+        | sum(CASE WHEN v_ts <= c_ts THEN 1 ELSE 0 END)::BIGINT AS n_backward,
+        | sum(abs(c_ts - v_ts))::BIGINT AS total_abs_gap_us,
+        | sum(v_id)::BIGINT AS matched_view_id_sum
+        |FROM j WHERE rk = 1""".stripMargin,
+    // the mirrored window: first view at-or-after each click, same-ts
+    // views eligible (clicks sort before them), min event_id on ties
+    "w16_asof_forward" ->
+      """WITH u AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        | SELECT is_click, ts_us,
+        |  first_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS) OVER w AS nv_id,
+        |  first_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS) OVER w AS nv_ts
+        | FROM u
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_click DESC, event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT count(*)::BIGINT AS n_clicks, count(nv_id)::BIGINT AS n_matched,
+        | sum(nv_ts - ts_us)::BIGINT AS total_gap_us,
+        | sum(nv_id)::BIGINT AS matched_view_id_sum
         |FROM m WHERE is_click = 1""".stripMargin,
     "w3_asof_join" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -224,4 +224,62 @@ class ComponentsPropertySpec extends AnyFunSuite {
       assert(got === referenceAsof(l, r), s"asof disagrees on left=$l right=$r")
     }
   }
+
+  /** Definitional reference for the round-11 direction/tolerance
+    * surface: backward = max (rt, rid) with rt ≤ t, forward = min
+    * (rt, rid) with rt ≥ t, nearest = the closer of the two with ties
+    * going backward; a candidate only counts when |rt − t| ≤ tol
+    * (tol < 0 = unbounded).
+    */
+  private def referenceAsofDir(left: List[(Long, Long, Long)],
+      right: List[(Long, Long, Long)],
+      direction: String, tol: Long): Map[Long, Option[Long]] =
+    left.map { case (k, t, lid) =>
+      val cands = right.filter(_._1 == k)
+      val bw = cands.filter(c => c._2 <= t && (tol < 0 || t - c._2 <= tol))
+        .sortBy(c => (c._2, c._3)).lastOption
+      val fw = cands.filter(c => c._2 >= t && (tol < 0 || c._2 - t <= tol))
+        .sortBy(c => (c._2, c._3)).headOption
+      val m = direction match {
+        case "backward" => bw
+        case "forward"  => fw
+        case _ => (bw, fw) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (f._2 - t < t - b._2) Some(f) else Some(b) // tie → backward
+        }
+      }
+      lid -> m.map(_._3)
+    }.toMap
+
+  test("property: as-of direction/tolerance surface agrees with the definitional reference") {
+    import spark.implicits._
+    val rowsGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(0, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L)
+        t <- Gen.choose(0L, 16L) // narrow → boundary ties on both sides
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val cases = Gen.listOfN(3, Gen.zip(rowsGen, rowsGen))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    for {
+      (l, r) <- cases
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(-1L, 3L) // unbounded + a tolerance tight enough to reject
+    } {
+      val lDf = l.toDF("k", "t", "lid")
+      val rDf = r.toDF("rk", "rt", "rid")
+      val got = graft.plans.AsOfJoin.asof(lDf, rDf,
+        Seq(lDf("k")), Seq(rDf("rk")), lDf("t"), rDf("rt"), Seq(rDf("rid")),
+        direction = dir, toleranceMicros = tol)
+        .select("lid", "rid").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      assert(got === referenceAsofDir(l, r, dir, tol),
+        s"asof($dir, tol=$tol) disagrees on left=$l right=$r")
+    }
+  }
 }

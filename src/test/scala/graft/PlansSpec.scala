@@ -497,4 +497,89 @@ class PlansSpec extends AnyFunSuite {
     val run = asof(runL, runR).orderBy("lid").select("rid").collect().map(_.getLong(0))
     assert(run.toSeq === Seq(0L, 4999L, 9999L))
   }
+
+  test("AsOfJoinExec under AQE with skewed keys: co-partitioning survives runtime re-plan") {
+    // Custom ClusteredDistribution nodes are where AQE surprises live:
+    // coalescing/splitting the two co-partitioning exchanges DIFFERENTLY
+    // would silently mis-join. Drive AQE hard (tiny advisory size over a
+    // skewed key whose slice dwarfs every other) and assert exact parity
+    // with a definitional per-row max-filter computed without the exec.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "this spec must run with AQE on")
+      // skew: key 0 carries 50k right rows + 2k left rows; keys 1-40
+      // carry ~50 each. Deterministic (id-derived) so the oracle below
+      // is exact.
+      val right = spark.range(52000).select(
+        when(col("id") < 50000, 0L).otherwise((col("id") - 50000) % 40 + 1).as("rk"),
+        (col("id") * 7 % 100000).as("rt"),
+        col("id").as("rid"))
+      val left = spark.range(4000).select(
+        when(col("id") < 2000, 0L).otherwise(col("id") % 40 + 1).as("k"),
+        (col("id") * 13 % 100000).as("t"),
+        col("id").as("lid"))
+      val j = graft.plans.AsOfJoin.asof(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"), Seq(right("rid")))
+      val got = j.select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // the adaptive FINAL plan must still run the custom exec
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      assert(collectPlans(finalPlan).exists(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+        s"adaptive final plan lost AsOfJoinExec:\n$finalPlan")
+      // definitional oracle: argmax over (rt, rid) among rt <= t, per left row
+      val oracle = left.join(right, left("k") === right("rk") &&
+          right("rt") <= left("t"), "left_outer")
+        .groupBy("lid")
+        .agg(max(struct(col("rt"), col("rid"))).as("m"))
+        .select(col("lid"), coalesce(col("m.rid"), lit(-1L)).as("rid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === oracle.size)
+      val diffs = oracle.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"lid=$k oracle=$v got=${got.get(k)}" }
+      assert(diffs.isEmpty, s"AQE parity broke on ${diffs.size} rows: ${diffs.take(5)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("asof() adapts TimestampType inputs via unix_micros and rejects other types") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, 1000000L, 10L), (1L, 3000000L, 11L)).toDF("k", "us", "lid")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Seq((1L, 2000000L, 20L)).toDF("rk", "rus", "rid")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    // TimestampType path must equal the explicit-micros path row-for-row
+    val viaTs = graft.plans.AsOfJoin.asof(l, r,
+        Seq(l("k")), Seq(r("rk")), l("ts"), r("rts"), Seq(r("rid")))
+      .orderBy("lid").select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq
+    val viaUs = graft.plans.AsOfJoin.asof(l, r,
+        Seq(l("k")), Seq(r("rk")), l("us"), r("rus"), Seq(r("rid")))
+      .orderBy("lid").select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq
+    assert(viaTs === Seq(10L -> -1L, 11L -> 20L))
+    assert(viaTs === viaUs)
+    // a non-time type fails at the API edge with the discipline named,
+    // not with the exec's bare require
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asof(l, r,
+        Seq(l("k")), Seq(r("rk")), l("ts").cast("string"), r("rts"), Seq(r("rid")))
+    }
+    assert(err.getMessage.contains("unix micros"),
+      s"error must name the time discipline, got: ${err.getMessage}")
+  }
 }
