@@ -82,7 +82,11 @@ object BenchOps {
     * oracle addresses the same files textually and re-derives every
     * count from `parquet_metadata()`.
     */
-  def partitionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Write-once partitioned orders fixture shared by
+    * [[partitionAudit]] and [[fileProvenance]] — keyed on the input
+    * file fingerprint so a testdata regen rebuilds it exactly once.
+    */
+  private def ensurePauditFixture(spark: SparkSession, sfDir: String): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/orders.parquet")
@@ -97,6 +101,44 @@ object BenchOps {
         .write.partitionBy("o_orderstatus").mode("append").parquet(out)
       fs.create(new Path(s"$out/_AUDIT_FP_$fp")).close()
     }
+    out
+  }
+
+  /** Row-level file provenance via the hidden `_metadata` struct
+    * (round-11): which physical file contributed which rows — the
+    * lineage question incident response asks first ("which shard was
+    * written by the bad job"), answered by Spark's NATIVE metadata
+    * columns instead of an input_file_name() UDF-era hack. Output is a
+    * per-(partition, file) census with key extrema, so a corrupted or
+    * skewed file is directly addressable. Oracle: DuckDB re-derives
+    * the identical census from the same files via
+    * `parquet_scan(..., filename=true, hive_partitioning=true)` — two
+    * independent readers agreeing on physical row placement.
+    *
+    * Scale: `_metadata.file_path` is a constant per split (no per-row
+    * cost in the scan), and the aggregate is (partition, file)-keyed —
+    * cardinality = the file count, the same frame FooterMeta reports
+    * on. No new shapes at 100 TB.
+    */
+  def fileProvenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = ensurePauditFixture(spark, sfDir)
+    spark.read.parquet(out)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file"))
+      .groupBy("o_orderstatus", "file")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("o_orderkey").as("key_sum"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus", "file")
+  }
+
+  def partitionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = ensurePauditFixture(spark, sfDir)
+    val fs = new Path(out).getFileSystem(conf)
     val dirs = fs.listStatus(new Path(out)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("o_orderstatus="))
       .map(_.getPath.toString)
@@ -903,6 +945,7 @@ object BenchOps {
     "s5_chunk_stats" -> s5ChunkStats _,
     "k12_encoding_advisor" -> k12EncodingAdvisor _,
     "x_plan_lineage" -> planLineage _,
+    "x_file_provenance" -> fileProvenance _,
     "x_partition_audit" -> partitionAudit _,
     "s3_read_bench" -> s3ReadBench _,
     "s3_read_counts" -> s3ReadCounts _,
@@ -981,6 +1024,16 @@ object BenchOps {
          | sum(CASE WHEN n_rows * 3 < max_file_rows THEN 1 ELSE 0 END)::BIGINT AS n_small_files,
          | (sum(CASE WHEN n_rows * 3 < max_file_rows THEN 1 ELSE 0 END) >= 4) AS compact_candidate
          |FROM g GROUP BY partition ORDER BY partition""".stripMargin
+    },
+    // DuckDB re-derives the per-(partition, file) census from the same
+    // physical files — filename=true is its _metadata.file_path
+    "x_file_provenance" -> {
+      val p = s"$workRoot/paudit{SFDIR}/orders_by_status"
+      s"""SELECT o_orderstatus, regexp_extract(filename, '[^/]+$$') AS file,
+         | count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS key_sum,
+         | min(o_orderkey)::BIGINT AS min_key, max(o_orderkey)::BIGINT AS max_key
+         |FROM parquet_scan('$p/*/*.parquet', filename=true, hive_partitioning=true)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // hand-derived expected lineage for q3, pinned (pure plan
     // analysis has no data-side recompute; the literal IS the spec)

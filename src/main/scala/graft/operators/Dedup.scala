@@ -476,6 +476,44 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Soft dedup (round-11): REWEIGHT near-duplicates instead of
+    * dropping them — each doc gets sampling weight 1/|cluster| in
+    * integer ppm, so a cluster contributes exactly one doc's worth of
+    * training mass however many copies it holds (the soft alternative
+    * to [[dedupApply]]'s hard removal; downweighting common content
+    * rather than deleting it preserves tail phrasing diversity). The
+    * per-source census reports raw vs effective doc counts — the
+    * "how much does my corpus shrink under soft dedup" report, where
+    * effective_docs ≈ the hard-dedup survivor count by construction.
+    *
+    * Float discipline: weights are integer ppm via truncating div;
+    * every term is positive, so Spark `div` and DuckDB `//` agree.
+    *
+    * Scale: consumes the on-disk cluster model like [[clusterSizeHist]]
+    * (artifact join, never a rebuild); sizes are one rep-keyed count
+    * and the weight attach is the same rep-keyed equi-join the apply
+    * path carries — no new shapes at 100 TB.
+    */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureClusterModel(spark, sfDir)
+    val members = spark.read.parquet(s"$dir/members")
+      .select(col("doc_id"), col("keep_id"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val assign = docs.join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("keep_id"), col("doc_id")).as("rep"))
+    val sizes = assign.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "rep")
+      .withColumn("w_ppm", expr("1000000 div cluster_size"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum("w_ppm").as("sum_weight_ppm"),
+        expr("sum(w_ppm) div 1000000").as("effective_docs"))
+      .orderBy("source")
+  }
+
   private def buildClusterModel(spark: SparkSession, sfDir: String, dir: String): Unit = {
     // Cache the ONE-DIRECTIONAL edge set and materialize it before
     // deriving the bidirectional view: a union of two projections of an
@@ -1419,6 +1457,7 @@ object Dedup {
     "x_dedup_minhash_fast" -> minhashLshFast _,
     "x_dedup_clusters" -> nearDupClusters _,
     "x_dedup_cluster_hist" -> clusterSizeHist _,
+    "x_dedup_soft" -> softDedupWeights _,
     "x_dedup_simhash" -> simhash _,
     "x_dedup_ngram_jaccard" -> ngramJaccard _,
     "x_dedup_substring" -> substringDedup _,
@@ -1623,6 +1662,23 @@ object Dedup {
          | count(*)::BIGINT AS n_clusters,
          | (cluster_size * count(*))::BIGINT AS n_docs
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // same recursive cluster labels; weights are positive integer ppm
+    // so the truncating divisions agree across engines
+    "x_dedup_soft" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |$clusterLabelCtes,
+         |assign AS (
+         | SELECT d.doc_id, d.source, coalesce(l.label, d.doc_id) AS rep
+         | FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |sz AS (SELECT rep, count(*) AS cluster_size FROM assign GROUP BY rep),
+         |w AS (
+         | SELECT a.source, s.cluster_size, 1000000 // s.cluster_size AS w_ppm
+         | FROM assign a JOIN sz s USING (rep))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         | sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)::BIGINT AS n_in_clusters,
+         | sum(w_ppm)::BIGINT AS sum_weight_ppm,
+         | (sum(w_ppm) // 1000000)::BIGINT AS effective_docs
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "x_dedup_apply" ->
       s"""WITH RECURSIVE $minhashOracleCtes,
          |$clusterLabelCtes,

@@ -132,6 +132,88 @@ object TextOps {
       .orderBy("source", "len_bucket")
   }
 
+  private val ZipfTopK = 1000
+
+  /** Zipf rank-frequency fit (round-11): the log-log least-squares
+    * slope over the corpus's top-[[ZipfTopK]] token frequencies — the
+    * canonical "is this corpus natural language or boilerplate" check
+    * (natural text sits near slope −1; template/machine output
+    * flattens or steepens it). Training-data reports lead with it next
+    * to the length histogram.
+    *
+    * Scale shape: frequencies come off the Zipf-bounded unigram counts
+    * (one corpus pass); the top-K cut is TakeOrderedAndProject (never a
+    * global sort), and the rank window runs over the CONSTANT-size K
+    * frame — no unpartitioned corpus window anywhere.
+    *
+    * Float discipline: ln(rank), ln(cnt) quantized ONCE to integer
+    * milli-nats per model row; the regression is then pure BIGINT sums
+    * with the numerator/denominator arranged POSITIVE (slope < 0 is
+    * re-signed at the end) so Spark's truncating `div` and DuckDB's
+    * floor `//` cannot diverge. Milli (not micro) keeps K·Sxy and the
+    * cross products inside Long at any corpus size (the psiDrift
+    * overflow lesson applied up front).
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenized(spark, sfDir)
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val topK = counts.orderBy(col("cnt").desc, col("t").asc).limit(ZipfTopK)
+    // bounded frame: the window ranks exactly K rows
+    val w = Window.orderBy(col("cnt").desc, col("t").asc)
+    val q = topK.withColumn("rank", row_number().over(w))
+      .select(
+        expr("cast(round(ln(cast(rank as double)) * 1000) as bigint)").as("lr"),
+        expr("cast(round(ln(cast(cnt as double)) * 1000) as bigint)").as("lf"))
+    q.agg(
+        count(lit(1)).as("k"),
+        sum("lr").as("sx"), sum("lf").as("sy"),
+        sum(expr("lr * lr")).as("sxx"), sum(expr("lr * lf")).as("sxy"))
+      .select(
+        col("k"),
+        expr("-(((sx * sy - k * sxy) * 1000) div (k * sxx - sx * sx))")
+          .as("slope_milli"),
+        expr("(sy + (((sx * sy - k * sxy) * 1000) div (k * sxx - sx * sx)) * sx div 1000) div k")
+          .as("intercept_milli"))
+  }
+
+  /** Tokenizer fertility by language (round-11): BPE tokens per word
+    * — THE tokenizer-equity metric multilingual corpus reports publish
+    * (a language whose fertility is 2× pays 2× the context budget per
+    * word; SentencePiece/tiktoken evals report exactly this). Same
+    * trained merge table and delimiter-fold apply as [[bpeApply]]
+    * (one model, every consumer), censused per LANGUAGE instead of per
+    * source, with fertility and chars-per-token in integer ppm.
+    *
+    * Scale: the merge fold is a per-row string expression over the
+    * word explode — one corpus pass, one lang-keyed aggregate; the
+    * trained merge table is memoized per (sfDir, fingerprint) like
+    * every model artifact.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir).sortBy(_._1)
+    val folded = merges.foldLeft("s") { case (acc, (_, l, r, _, _)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    padded(spark, sfDir)
+      .select(col("lang"), explode(split(trim(col("padded")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 12))
+      .withColumn("r", regexp_replace(col("word"), "(.)", "$1||"))
+      .withColumn("s", concat(lit("|"), expr("substring(r, 1, length(r) - 1)")))
+      .withColumn("t", expr(folded))
+      .select(col("lang"), length(col("word")).cast("long").as("n_chars"),
+        expr("cast((length(t) - length(replace(t, '|', '')) - 2) div 2 + 1 as bigint)")
+          .as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_chars").as("n_chars"),
+        sum("n_toks").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 div n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text — the content-defined key exact dedup shuffles on at scale.
     */
@@ -1493,6 +1575,8 @@ object TextOps {
     "x_bpe_pairs" -> bpePairs _,
     "x_bpe_train" -> bpeTrain _,
     "x_bpe_apply" -> bpeApply _,
+    "x_text_zipf" -> zipfFit _,
+    "x_tokenizer_fertility" -> tokenizerFertility _,
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
@@ -1577,6 +1661,39 @@ object TextOps {
     * token accounting reduces it — entirely self-contained re-training
     * plus re-tokenization.
     */
+  /** [[bpeApplyOracle]]'s merge-fold apply, censused per LANGUAGE with
+    * the fertility/chars-per-token ratios — the [[tokenizerFertility]]
+    * twin. All ratios positive integer ppm (// == div).
+    */
+  private def fertilityOracle: String = {
+    val folded = (1 to BpeMerges).foldLeft("s") { (acc, k) =>
+      s"""replace($acc,
+         |   '|' || split_part((SELECT pair FROM mk$k), ' ', 1) ||
+         |   '||' || split_part((SELECT pair FROM mk$k), ' ', 2) || '|',
+         |   '|' || replace((SELECT pair FROM mk$k), ' ', '') || '|')""".stripMargin
+    }
+    s"""$bpeTrainCtes,
+       |wa AS (
+       | SELECT lang, word FROM (
+       |  SELECT lang,
+       |   unnest(regexp_split_to_array(lower(trim(text)), ${"'\\s+'"})) AS word
+       |  FROM documents)
+       | WHERE regexp_full_match(word, '[a-z]+') AND len(word) BETWEEN 2 AND 12),
+       |delim AS (
+       | SELECT lang, word, '|' || substr(r, 1, len(r) - 1) AS s FROM (
+       |  SELECT lang, word,
+       |   regexp_replace(word, '(.)', ${"'\\1||'"}, 'g') AS r FROM wa)),
+       |ap AS (
+       | SELECT lang, len(word)::BIGINT AS n_chars,
+       |  ((len(t) - len(replace(t, '|', '')) - 2) // 2 + 1)::BIGINT AS n_toks
+       | FROM (SELECT lang, word, $folded AS t FROM delim))
+       |SELECT lang, count(*) AS n_words, sum(n_chars)::BIGINT AS n_chars,
+       | sum(n_toks)::BIGINT AS n_bpe_tokens,
+       | (sum(n_toks) * 1000000 // count(*))::BIGINT AS fertility_ppm,
+       | (sum(n_chars) * 1000000 // sum(n_toks))::BIGINT AS chars_per_token_ppm
+       |FROM ap GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def bpeApplyOracle: String = {
     val folded = (1 to BpeMerges).foldLeft("s") { (acc, k) =>
       s"""replace($acc,
@@ -1756,6 +1873,25 @@ object TextOps {
          |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     "x_bpe_train" -> bpeTrainOracle,
     "x_bpe_apply" -> bpeApplyOracle,
+    // identical integer least-squares over identically-quantized
+    // milli-nat logs; all divisions arranged positive (// == div)
+    "x_text_zipf" ->
+      s"""WITH c AS (
+         | SELECT t, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents)
+         | GROUP BY t),
+         |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT $ZipfTopK),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank FROM top),
+         |q AS (SELECT round(ln(rank::DOUBLE) * 1000)::BIGINT AS lr,
+         |       round(ln(cnt::DOUBLE) * 1000)::BIGINT AS lf FROM r),
+         |s AS (SELECT count(*)::BIGINT AS k, sum(lr)::BIGINT AS sx, sum(lf)::BIGINT AS sy,
+         |       sum(lr * lr)::BIGINT AS sxx, sum(lr * lf)::BIGINT AS sxy FROM q)
+         |SELECT k,
+         | (-((sx * sy - k * sxy) * 1000 // (k * sxx - sx * sx)))::BIGINT AS slope_milli,
+         | ((sy + ((sx * sy - k * sxy) * 1000 // (k * sxx - sx * sx)) * sx // 1000) // k)::BIGINT AS intercept_milli
+         |FROM s""".stripMargin,
+    "x_tokenizer_fertility" -> fertilityOracle,
     // same deletion-neighborhood blocking + exact levenshtein filter
     "x_text_typo_pairs" ->
       """WITH tok0 AS (

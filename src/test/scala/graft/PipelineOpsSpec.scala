@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{BenchOps, Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.streaming.EventStreams
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -2061,5 +2061,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(maxCopies >= 2 && dupBytes > 0,
       "planted duplicate documents must dedup at the chunk level")
     assert(dupBytes < totalBytes, "savings are a strict subset of the corpus")
+  }
+
+  test("soft dedup: mass conserves, weights bound by counts, effective equals survivors") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.softDedupWeights(spark, sf).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === Tables.documents(spark, sf).count(), "census covers the corpus")
+    rows.foreach { r =>
+      val (n, inCl, wSum, eff) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inCl <= n)
+      assert(wSum <= n * 1000000L, s"${r.getString(0)}: weights cannot exceed 1 per doc")
+      assert(eff <= n && eff >= 0)
+      // singletons carry exactly 1e6 ppm: weight mass below n only from clusters
+      assert((n - inCl) * 1000000L <= wSum,
+        s"${r.getString(0)}: singleton mass alone is a lower bound")
+    }
+    // global effective docs ~ hard-dedup survivor count: reps of every
+    // cluster + singletons = distinct reps (truncating div loses < 1
+    // per cluster, so compare via the exact ppm sum)
+    val wTotal = rows.map(_.getLong(3)).sum
+    val survivors = Dedup.clusterSizeHist(spark, sf)
+      .agg(sum("n_clusters")).head.getLong(0)
+    // sum over clusters of size*floor(1e6/size) is within n_clusters of 1e6*survivors
+    assert(math.abs(wTotal - survivors * 1000000L) < survivors * 1000000L / 2,
+      s"weight mass $wTotal must be on the order of survivors $survivors")
+  }
+
+  test("zipf fit: slope negative, intercept positive, no corpus-sized sort in the plan") {
+    val df = TextOps.zipfFit(spark, sf)
+    val r = df.collect().head
+    assert(r.getLong(0) > 2, "needs at least 3 rank points")
+    assert(r.getLong(1) < 0, "rank-frequency slope must be negative")
+    assert(r.getLong(2) > 0, "log-intercept must be positive")
+    // the top-K cut must plan as TakeOrderedAndProject, not a global Sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("tokenizer fertility: at least one token per word, chars conserve per language") {
+    val rows = TextOps.tokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, nt, fert, cpt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nt >= nw, s"${r.getString(0)}: every word is at least one token")
+      assert(nt <= nc, s"${r.getString(0)}: merges never exceed character count")
+      assert(fert === nt * 1000000L / nw)
+      assert(cpt === nc * 1000000L / nt)
+    }
+  }
+
+  test("file provenance: census matches the physical fixture exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = BenchOps.fileProvenance(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+    assert(rows.map(_.getLong(2)).sum === orders.count(),
+      "per-file rows must sum to the table")
+    assert(rows.map(_.getLong(3)).sum ===
+      orders.agg(sum("o_orderkey")).head.getLong(0), "key mass conserves")
+    // the P partition was written with 8 tasks - multiple files must appear
+    val pFiles = rows.filter(_.getString(0) == "P")
+    assert(pFiles.length > 1, "the 8-task partition yields several files")
+    rows.foreach { r =>
+      assert(r.getString(1).endsWith(".parquet"))
+      assert(r.getLong(4) <= r.getLong(5), "min_key <= max_key per file")
+    }
   }
 }
