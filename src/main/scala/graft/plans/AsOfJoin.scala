@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** AS-OF join as a first-class operator — the preference-order (c)
@@ -110,7 +112,7 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     direction: Int = AsOfDirection.Backward,
-    toleranceMicros: Long = -1L) extends BinaryExecNode {
+    toleranceMicros: Long = -1L) extends BinaryExecNode with CodegenSupport {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be LongType (unix micros)")
@@ -240,6 +242,163 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen (round-11) ----
+  //
+  // The merge becomes the PRODUCE side of the stage, exactly the
+  // SortMergeJoinExec pattern: both sorted children arrive as the
+  // stage's two input iterators (WholeStageCodegenExec supports
+  // precisely two), the carry/lookahead state machine lives in
+  // generated class fields, and every downstream projection/aggregate
+  // fuses into the same loop — the 5 consumer queries stop paying the
+  // interpreted-iterator boundary per row.
+  //
+  // Scope: single LongType key (what every consumer uses — a
+  // multi-key or non-long caller falls back to the interpreted
+  // doExecute automatically via supportCodegen). Null semantics
+  // replicate the interpreted path bit-for-bit: keys order nulls
+  // FIRST and null==null matches (RowOrdering), null times coerce to
+  // 0 (Scala's null.asInstanceOf[Long]).
+
+  override def supportCodegen: Boolean =
+    leftKeys.size == 1 && rightKeys.size == 1 &&
+      leftKeys.head.dataType == LongType && rightKeys.head.dataType == LongType
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the left iterator's reused UnsafeRow buffer
+  // (and the copied right carry) — a buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val head = ctx.addMutableState("InternalRow", "asofHead")
+    val headKey = ctx.addMutableState("long", "asofHeadKey")
+    val headKeyNull = ctx.addMutableState("boolean", "asofHeadKeyNull")
+    val headRt = ctx.addMutableState("long", "asofHeadRt")
+    val latest = ctx.addMutableState("InternalRow", "asofLatest")
+    val latestKey = ctx.addMutableState("long", "asofLatestKey")
+    val latestKeyNull = ctx.addMutableState("boolean", "asofLatestKeyNull")
+    val latestRt = ctx.addMutableState("long", "asofLatestRt")
+    val init = ctx.addMutableState("boolean", "asofInit")
+
+    // right key/time evaluated once per advance, cached in the fields
+    val rRow = ctx.freshName("asofRRow")
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKeys.head, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceFn = ctx.addNewFunction("asofAdvance",
+      s"""
+         |private void asofAdvance() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRow = ((InternalRow) $rightInput.next()).copy();
+         |    ${rKeyEv.code}
+         |    ${rtEv.code}
+         |    $head = $rRow;
+         |    $headKeyNull = ${rKeyEv.isNull};
+         |    $headKey = $headKeyNull ? 0L : ${rKeyEv.value};
+         |    $headRt = ${rtEv.isNull} ? 0L : ${rtEv.value};
+         |  } else {
+         |    $head = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    val lRow = ctx.freshName("asofLRow")
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKeys.head, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val c =
+        code"""
+boolean $isNull = $matched == null || $matched.isNullAt($i);
+$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} :
+  (${CodeGenerator.getValue(matched, a.dataType, i.toString)});"""
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val lKeyNull = ctx.freshName("asofLKeyNull")
+    val lKeyV = ctx.freshName("asofLKey")
+    val lTimeV = ctx.freshName("asofLTime")
+    // FORWARD leaves boundary-equal rows in the lookahead (first-wins)
+    val advCond =
+      if (direction == AsOfDirection.Forward) s"$headRt < $lTimeV"
+      else s"$headRt <= $lTimeV"
+    val headLt =
+      s"(($headKeyNull && !$lKeyNull) || (!$headKeyNull && !$lKeyNull && $headKey < $lKeyV))"
+    val headEq =
+      s"(($headKeyNull && $lKeyNull) || (!$headKeyNull && !$lKeyNull && $headKey == $lKeyV))"
+    val latestEq =
+      s"(($latestKeyNull && $lKeyNull) || (!$latestKeyNull && !$lKeyNull && $latestKey == $lKeyV))"
+    val tolBw =
+      if (toleranceMicros < 0) "true"
+      else s"($lTimeV - $latestRt) <= ${toleranceMicros}L"
+    val tolFw =
+      if (toleranceMicros < 0) "true"
+      else s"($headRt - $lTimeV) <= ${toleranceMicros}L"
+    val bwOk = s"($latest != null && $latestEq && $tolBw)"
+    val fwOk = s"($head != null && $headEq && $tolFw)"
+    val select = direction match {
+      case AsOfDirection.Backward => s"if ($bwOk) $matched = $latest;"
+      case AsOfDirection.Forward  => s"if ($fwOk) $matched = $head;"
+      case _ =>
+        s"""
+           |boolean asofBw = $bwOk;
+           |boolean asofFw = $fwOk;
+           |if (asofBw && asofFw) {
+           |  $matched = (($headRt - $lTimeV) < ($lTimeV - $latestRt)) ? $head : $latest;
+           |} else if (asofBw) {
+           |  $matched = $latest;
+           |} else if (asofFw) {
+           |  $matched = $head;
+           |}
+         """.stripMargin
+    }
+
+    s"""
+       |if (!$init) {
+       |  $init = true;
+       |  $advanceFn();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  ${ltEv.code}
+       |  boolean $lKeyNull = ${lKeyEv.isNull};
+       |  long $lKeyV = $lKeyNull ? 0L : ${lKeyEv.value};
+       |  long $lTimeV = ${ltEv.isNull} ? 0L : ${ltEv.value};
+       |  while ($head != null && ($headLt || ($headEq && $advCond))) {
+       |    $latest = $head;
+       |    $latestKey = $headKey;
+       |    $latestKeyNull = $headKeyNull;
+       |    $latestRt = $headRt;
+       |    $advanceFn();
+       |  }
+       |  InternalRow $matched = null;
+       |  $select
+       |  $numOutput.add(1);
+       |  if ($matched != null) $numMatched.add(1);
+       |  ${evaluateVariables(leftVars ++ rightVars)}
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 }
 
 object AsOfJoin {

@@ -555,6 +555,53 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoinExec codegen path equals the interpreted path on every direction") {
+    import org.apache.spark.sql.functions._
+    // deterministic frames with boundary ties, equal-time runs, null
+    // keys (null==null must MATCH, like RowOrdering), and a right-only
+    // key — the shapes where a generated merge could drift
+    val l = spark.range(200).select(
+      when(col("id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 7).as("k"),
+      (col("id") * 31 % 500).as("t"),
+      col("id").as("lid"))
+    val r = spark.range(300).select(
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 9).as("rk"),
+      (col("id") * 11 % 500).as("rt"),
+      col("id").as("rid"))
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(-1L, 40L)) {
+      def build() = graft.plans.AsOfJoin.asof(l, r,
+          Seq(l("k")), Seq(r("rk")), l("t"), r("rt"), Seq(r("rid")),
+          direction = dir, toleranceMicros = tol)
+        .select("lid", "rid")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df.collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sortBy(_._1).toSeq
+      def run(): Seq[(Long, Long)] = rows(build())
+      // codegen ON: the exec must sit INSIDE a WholeStageCodegen span
+      // (inspect the FINAL adaptive plan, i.e. after materialization)
+      assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+      val j = build()
+      val gen = rows(j)
+      val planStr = (j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      // the `*(n)` star is the WholeStageCodegen marker in AQE's
+      // final-plan rendering
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(planStr).isDefined,
+        s"exec must codegen ($dir):\n$planStr")
+      val interpreted = try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        run()
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(gen.toSeq === interpreted.toSeq,
+        s"codegen/interpreted drift at dir=$dir tol=$tol")
+    }
+  }
+
   test("asof() adapts TimestampType inputs via unix_micros and rejects other types") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
