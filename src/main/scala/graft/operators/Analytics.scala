@@ -927,6 +927,51 @@ object Analytics {
     * collect over an unbounded group is the anti-pattern this op
     * demonstrates avoiding.
     */
+  /** F7 — VARIANT semi-structured shredding (round-11): Spark 4's
+    * native open Variant type end-to-end — a nested JSON document per
+    * event (synthesized deterministically from the row so every sf
+    * exercises it) is `parse_json`'d into VariantType, then shredded
+    * back out with typed `variant_get` paths (nested object field,
+    * array index, embedded raw-props object) and `try_variant_get` on
+    * a missing path proving null-safety. The claim the oracle checks:
+    * the Variant round-trip is LOSSLESS — every extracted value equals
+    * the source column it was encoded from, so DuckDB re-derives the
+    * census straight from the raw table and the two must agree. Only
+    * integers and strings ride the JSON (a double's string form is
+    * engine-dependent — the cents discipline applied to encoding).
+    *
+    * Scale: parse+extract are per-row expressions inside codegen (no
+    * UDF, no shuffle added); Variant's binary encoding is exactly the
+    * open-lakehouse semi-structured column format, so this is the
+    * 100 TB JSON-column scan shape.
+    */
+  def f7VariantShred(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val j = ev.select(col("event_type"), col("event_id"), col("user_id"),
+        concat(
+          lit("""{"meta":{"t":""""), col("event_type"), lit("""","id":"""),
+          col("event_id"),
+          lit("""},"ids":["""), col("event_id"), lit(","), col("user_id"),
+          lit("""],"props":"""), col("props"), lit("}")).as("js"))
+      .withColumn("v", parse_json(col("js")))
+    j.select(col("event_type"),
+        variant_get(col("v"), "$.meta.t", "string").as("t"),
+        variant_get(col("v"), "$.meta.id", "bigint").as("mid"),
+        variant_get(col("v"), "$.ids[1]", "bigint").as("uid"),
+        variant_get(col("v"), "$.props.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.meta.missing", "bigint").as("miss"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("t") === col("event_type"), 1L).otherwise(0L)).as("t_roundtrip"),
+        sum(when(col("mid") === col("event_id"), 1L).otherwise(0L)).as("id_roundtrip"),
+        sum("uid").as("uid_sum"),
+        sum("k").as("k_sum"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing_null"))
+      .orderBy("event_type")
+  }
+
   def f6StringAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, sfDir)
@@ -1745,6 +1790,7 @@ object Analytics {
     "a14_exact_quantiles" -> a14ExactQuantiles _,
     "a16_global_quantiles" -> a16GlobalQuantiles _,
     "f6_string_agg" -> f6StringAgg _,
+    "f7_variant_shred" -> f7VariantShred _,
     "f2_weighted_mean" -> f2WeightedMean _,
     "a4_distribution_summary" -> a4DistributionSummary _,
     "a5_first_by_key" -> a5FirstByKey _,
@@ -2164,6 +2210,16 @@ object Analytics {
         | string_agg(c_name, ',' ORDER BY c_name) AS top_names,
         | sum(cents)::BIGINT AS top_cents
         |FROM top3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the lossless-roundtrip claim: DuckDB derives the census straight
+    // from the raw columns the Variant document was encoded from
+    "f7_variant_shred" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        | count(*)::BIGINT AS t_roundtrip,
+        | count(*)::BIGINT AS id_roundtrip,
+        | sum(user_id)::BIGINT AS uid_sum,
+        | sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+        | count(*)::BIGINT AS n_missing_null
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a11_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

@@ -401,6 +401,34 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** [[groupPrioritySample]] through the BOUNDED native aggregate
+    * (round-11): a `PARTITION BY source` row_number drags each
+    * source's ENTIRE corpus slice through one reducer — the
+    * low-cardinality-group scale hazard — while
+    * [[graft.functions.TopKPairsAgg]] ships O(K) (priority, doc_id)
+    * pairs per task × source, combines map-side, and the sorted
+    * buffer POSITION is the rank (no window anywhere). Payload
+    * columns re-attach by a doc_id equi-join against the selected
+    * K·|sources| ids. Shares the window form's oracle VERBATIM
+    * (x_scd2_pit's twin discipline) — identical rows out of both
+    * formulations is exactly the claim.
+    */
+  def groupPriorityAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val prio = expr(
+      s"(n_chars * ${TwoPow48}L) div " +
+        s"(cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) + 1)")
+    val base = Tables.documents(spark, sfDir).withColumn("priority", prio)
+    val picked = base.groupBy("source")
+      .agg(graft.functions.TopKPairsNative
+        .topk(col("priority"), col("doc_id"), GroupPriorityK).as("l"))
+      .select(col("source"), posexplode(col("l")).as(Seq("i", "p")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rk"),
+        col("p._2").as("doc_id"), col("p._1").as("priority"))
+    picked.join(base.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("priority"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   // ---------------------------------------------------------------- //
   // Mixture / quota selection
   // ---------------------------------------------------------------- //
@@ -2120,6 +2148,7 @@ object Curation {
     "x_sample_weighted" -> weightedSample _,
     "x_sample_priority" -> prioritySample _,
     "x_sample_priority_grouped" -> groupPrioritySample _,
+    "x_sample_priority_agg" -> groupPriorityAgg _,
     "x_k_anonymity" -> kAnonymity _,
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
@@ -2222,6 +2251,18 @@ object Curation {
          |ORDER BY doc_id""".stripMargin,
     // same integer priorities, ranked within each source
     "x_sample_priority_grouped" ->
+      s"""SELECT source, doc_id, n_chars, priority, rk::INT AS rk FROM (
+         | SELECT source, doc_id, n_chars,
+         |  ((n_chars * $TwoPow48) //
+         |   (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1))::BIGINT AS priority,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ((n_chars * $TwoPow48) //
+         |     (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)) DESC, doc_id ASC) AS rk
+         | FROM documents)
+         |WHERE rk <= $GroupPriorityK ORDER BY source, rk""".stripMargin,
+    // the bounded-aggregate twin shares the window form's oracle
+    // VERBATIM — identical rows from both formulations IS the claim
+    "x_sample_priority_agg" ->
       s"""SELECT source, doc_id, n_chars, priority, rk::INT AS rk FROM (
          | SELECT source, doc_id, n_chars,
          |  ((n_chars * $TwoPow48) //

@@ -105,8 +105,73 @@ object ZOrder {
     out
   }
 
+  // ---- Hilbert curve (round-11) ----
+  //
+  // The Z-curve's weakness is its "seams": consecutive z-values can sit
+  // a whole quadrant apart (the jump at every power-of-two boundary),
+  // so a range of z-values covers rectangles plus stray corners. The
+  // Hilbert curve has NO seams — consecutive d-values are always
+  // xy-adjacent (manhattan distance exactly 1, spec-asserted as a
+  // bijection + adjacency proof over the full 256×256 grid), which is
+  // why Delta's liquid clustering moved from Z-order to Hilbert. The
+  // xy2d transform is 8 integer rotate/reflect steps, generated for
+  // BOTH engines from the same loop (the affine-constants discipline),
+  // so the mapping carries a full hash-match oracle like the Z-curve.
+
+  private val HilbertOrder = 8 // 8 bits per dim — matches Buckets=256
+
+  /** One xy2d step at scale s, applied to running (hx, hy, hd). */
+  private def hilbertSparkStep(df: DataFrame, s: Long): DataFrame = df
+    .withColumn("rx", expr(s"CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END"))
+    .withColumn("ry", expr(s"CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END"))
+    .withColumn("hd", expr(s"hd + $s * $s * cast(((3 * rx) ^ ry) as bigint)"))
+    .withColumn("hx2", expr(s"CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN $s - 1 - hy ELSE hy END"))
+    .withColumn("hy2", expr(s"CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN $s - 1 - hx ELSE hx END"))
+    .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+    .drop("rx", "ry", "hx2", "hy2")
+
+  /** Hilbert d-value appended to a frame carrying (x, y) columns. */
+  private[graft] def hilbertMapped(df: DataFrame, x: String, y: String): DataFrame = {
+    val init = df
+      .withColumn("hx", col(x).cast("bigint"))
+      .withColumn("hy", col(y).cast("bigint"))
+      .withColumn("hd", lit(0L))
+    val stepped = ((HilbertOrder - 1) to 0 by -1)
+      .foldLeft(init)((d, i) => hilbertSparkStep(d, 1L << i))
+    stepped.withColumnRenamed("hd", "hval").drop("hx", "hy")
+  }
+
+  /** DuckDB twin: the same 8 steps as nested SELECT layers. */
+  private def hilbertDuckSql(innerRelation: String, carried: String): String = {
+    var inner =
+      s"SELECT $carried, ckq AS hx, dyq AS hy, 0::BIGINT AS hd FROM $innerRelation"
+    for (i <- (HilbertOrder - 1) to 0 by -1) {
+      val s = 1L << i
+      inner =
+        s"""SELECT $carried,
+           | CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN $s - 1 - hy ELSE hy END AS hx,
+           | CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN $s - 1 - hx ELSE hx END AS hy,
+           | (hd + $s * $s * xor(3 * rx, ry))::BIGINT AS hd
+           |FROM (SELECT *,
+           |  CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |  CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM ($inner))""".stripMargin
+    }
+    inner
+  }
+
+  /** K13 — the Hilbert mapping on the same quantized (customer, day)
+    * dimensions as [[zOrderMap]]: the lowest-d run of the orders table
+    * (what the first row groups of a Hilbert-clustered layout hold).
+    */
+  def hilbertMap(spark: SparkSession, sfDir: String): DataFrame =
+    hilbertMapped(zMapped(spark, sfDir), "ckq", "dyq")
+      .select(col("o_orderkey"), col("ckq"), col("dyq"), col("hval"))
+      .orderBy(col("hval"), col("o_orderkey"))
+      .limit(500)
+
   val registry: Map[String, Q] = Map(
     "k7_zorder" -> zOrderMap _,
+    "k13_hilbert" -> hilbertMap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +187,19 @@ object ZOrder {
          | FROM orders, mx)
          |SELECT o_orderkey, ckq, dyq, ($zDuckExpr) AS zval
          |FROM m ORDER BY zval, o_orderkey LIMIT 500""".stripMargin,
+    "k13_hilbert" -> {
+      val stepped = hilbertDuckSql("m", "o_orderkey, ckq, dyq")
+      s"""WITH mx AS (
+         | SELECT max(o_custkey)::BIGINT AS mck,
+         |  max(date_diff('day', DATE '$Epoch', o_orderdate::DATE))::BIGINT AS mdy
+         | FROM orders),
+         |m AS (
+         | SELECT o_orderkey,
+         |  (o_custkey * $Buckets) // (mck + 1) AS ckq,
+         |  (date_diff('day', DATE '$Epoch', o_orderdate::DATE)::BIGINT * $Buckets) // (mdy + 1) AS dyq
+         | FROM orders, mx)
+         |SELECT o_orderkey, ckq, dyq, hd AS hval
+         |FROM ($stepped) ORDER BY hval, o_orderkey LIMIT 500""".stripMargin
+    },
   )
 }

@@ -54,4 +54,43 @@ class ZOrderSpec extends AnyFunSuite {
     // sorted ascending by construction
     assert(rows.map(_.getLong(3)).toSeq === rows.map(_.getLong(3)).sorted.toSeq)
   }
+
+  test("hilbert mapping is a seamless bijection over the full 256x256 grid") {
+    import org.apache.spark.sql.functions._
+    // every (x, y) point of the curve's domain, mapped in one pass
+    val grid = spark.range(256L * 256L)
+      .select((col("id") % 256).as("gx"), (col("id") / 256).cast("bigint").as("gy"))
+    val d = graft.operators.ZOrder.hilbertMapped(grid, "gx", "gy")
+      .select(col("gx"), col("gy"), col("hval"))
+    d.cache()
+    try {
+      // bijection: 65536 DISTINCT d-values covering exactly [0, 65535]
+      val stats = d.agg(countDistinct("hval"), min("hval"), max("hval")).head
+      assert(stats.getLong(0) === 65536L, "d-values must be distinct")
+      assert(stats.getLong(1) === 0L && stats.getLong(2) === 65535L)
+      // NO SEAMS: consecutive d-values are xy-adjacent (manhattan
+      // distance exactly 1) — the property the Z-curve lacks and the
+      // reason liquid clustering uses Hilbert
+      val a = d.select(col("hval").as("d0"), col("gx").as("x0"), col("gy").as("y0"))
+      val b = d.select((col("hval") - 1).as("d0"), col("gx").as("x1"), col("gy").as("y1"))
+      val seams = a.join(b, "d0")
+        .filter(abs(col("x1") - col("x0")) + abs(col("y1") - col("y0")) =!= 1)
+        .count()
+      assert(seams === 0L, s"hilbert must have zero seams, found $seams")
+      // contrast: the Z-curve HAS seams on the same grid (sanity that
+      // the test can fail) — at least every 2x2 block boundary jumps
+      val z = grid.withColumn("ckq", col("gx")).withColumn("dyq", col("gy"))
+        .withColumn("zval", expr(
+          (0 until 8).map { i =>
+            s"shiftleft(shiftright(ckq, $i) & 1, ${2 * i + 1}) | shiftleft(shiftright(dyq, $i) & 1, ${2 * i})"
+          }.mkString(" | ")))
+        .select(col("zval"), col("gx"), col("gy"))
+      val za = z.select(col("zval").as("d0"), col("gx").as("x0"), col("gy").as("y0"))
+      val zb = z.select((col("zval") - 1).as("d0"), col("gx").as("x1"), col("gy").as("y1"))
+      val zSeams = za.join(zb, "d0")
+        .filter(abs(col("x1") - col("x0")) + abs(col("y1") - col("y0")) =!= 1)
+        .count()
+      assert(zSeams > 0L, "the z-curve must show seams on the same grid")
+    } finally d.unpersist()
+  }
 }
