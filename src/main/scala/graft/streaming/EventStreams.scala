@@ -418,6 +418,65 @@ object EventStreams {
     stageDir
   }
 
+  /** Streaming point-in-time enrichment through the CUSTOM as-of exec
+    * (round-11): each micro-batch of clicks is enriched against the
+    * static views dimension via [[graft.plans.AsOfJoin.asof]] inside
+    * `foreachBatch` — THE production pattern for running a batch-side
+    * operator (custom exec included) in a Structured Streaming
+    * pipeline, and the Spark expression of Flink's event-time temporal
+    * join against a slowly-changing dimension. Because the dimension
+    * is static and as-of enrichment is per-row, the union of per-batch
+    * outputs equals the batch as-of EXACTLY, whatever the micro-batch
+    * boundaries — so the query shares [[asofNative]]'s oracle verbatim
+    * (the x_scd2_pit twin discipline), and multi-batch execution is
+    * real (the staged dir's sentinel file forms a second batch; its
+    * zero clicks must not disturb the census).
+    *
+    * Scale: the dimension loads once per batch as a co-partitioned
+    * side of the merge (at lake scale it would be a snapshot read);
+    * per-batch cost is the batch's own as-of — no streaming state at
+    * all, which is the point: the state LIVES in the dimension table.
+    */
+  def streamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts_us").as("v_ts"))
+    val stageDir = stagedAppendDir(spark, sfDir)
+    val src = normTs(spark.readStream
+      .schema(rawSchema(rawTsType(spark, sfDir)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir))
+      .filter(col("event_type") === "click")
+    dropStaleSinks(spark)
+    val outDir =
+      s"/root/repo/target/graft-work/stream/asof_out_${counter.incrementAndGet()}"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val clicks = batch.select(col("user_id").as("c_user"),
+          col("event_id").as("c_id"), unix_micros(col("ts")).as("c_ts"))
+        graft.plans.AsOfJoin.asof(clicks, views,
+            Seq(clicks("c_user")), Seq(views("v_user")),
+            clicks("c_ts"), views("v_ts"), Seq(views("v_id")))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("v_id")).as("n_matched"),
+        sum(col("c_ts") - col("v_ts")).as("total_gap_us"),
+        sum(col("v_id")).as("matched_view_id_sum"))
+  }
+
   /** Streaming exact deduplication — `dropDuplicatesWithinWatermark` on
     * event_id, the streaming twin of [[graft.operators.Dedup.exactKeep]]:
     * dedup state is EVICTED once the watermark passes an event's time,
@@ -1378,6 +1437,7 @@ object EventStreams {
     "w15_asof_nearest" -> asofNearest _,
     "w16_asof_forward" -> asofForward _,
     "x_stream_join" -> streamStaticJoin _,
+    "x_stream_asof" -> streamAsof _,
     "x_stream_cdc" -> streamCdc _,
     "x_stream_window" -> streamWindow _,
     "x_stream_window_sliding" -> streamWindowSliding _,
@@ -1391,6 +1451,23 @@ object EventStreams {
     "w2_sessionize" -> sessionize _,
     "w8_session_window" -> sessionWindow _,
   )
+
+  private val AsofNativeOracle: String =
+    """WITH u AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      | FROM events WHERE event_type IN ('click', 'view')),
+      |m AS (
+      | SELECT is_click, ts_us,
+      |  last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS) OVER w AS lv_id,
+      |  last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS) OVER w AS lv_ts
+      | FROM u
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_click, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT count(*)::BIGINT AS n_clicks, count(lv_id)::BIGINT AS n_matched,
+      | sum(ts_us - lv_ts)::BIGINT AS total_gap_us,
+      | sum(lv_id)::BIGINT AS matched_view_id_sum
+      |FROM m WHERE is_click = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the streaming retrieval path must reproduce the batch LSH answer
@@ -1416,22 +1493,10 @@ object EventStreams {
     // window recomputation of the custom exec's merge: same-ts views
     // sort BEFORE their click (is_click 0 < 1, the ≤ bound) and ties
     // among views resolve to the largest event_id (the exec's tiebreak)
-    "w13_asof_native" ->
-      """WITH u AS (
-        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
-        | FROM events WHERE event_type IN ('click', 'view')),
-        |m AS (
-        | SELECT is_click, ts_us,
-        |  last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS) OVER w AS lv_id,
-        |  last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS) OVER w AS lv_ts
-        | FROM u
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_click, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT count(*)::BIGINT AS n_clicks, count(lv_id)::BIGINT AS n_matched,
-        | sum(ts_us - lv_ts)::BIGINT AS total_gap_us,
-        | sum(lv_id)::BIGINT AS matched_view_id_sum
-        |FROM m WHERE is_click = 1""".stripMargin,
+    // per-batch as-of over a static dimension unions to the batch
+    // answer exactly — the streaming query shares w13's oracle verbatim
+    "x_stream_asof" -> AsofNativeOracle,
+    "w13_asof_native" -> AsofNativeOracle,
     // the window twin's match, voided past the staleness bound: the
     // latest-prior view is out of tolerance iff every prior one is
     "w14_asof_tolerance" ->
