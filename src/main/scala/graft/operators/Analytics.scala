@@ -1376,6 +1376,41 @@ object Analytics {
     * SQL entry point produces the identical plan/result as the
     * DataFrame API (shares q1's oracle).
     */
+  /** J10 — LATERAL correlated join (round-11): top-2 customers by
+    * account balance PER NATION via `JOIN LATERAL ... LIMIT 2` — the
+    * per-group top-k expressed as a correlated subquery instead of a
+    * window or a bounded aggregate (the third formulation of the
+    * engine's per-group-selection family:
+    * `x_sample_priority_grouped`'s window,
+    * `x_sample_priority_agg`'s TopKPairsAgg, and this). What's under
+    * test is Catalyst's DECORRELATION: the optimizer must rewrite the
+    * correlated LIMIT subquery into a join + per-key ranking rather
+    * than re-running the inner query per outer row — `explain` shows
+    * no iterative subquery node, and DuckDB (which also decorrelates)
+    * runs the IDENTICAL SQL as the oracle.
+    *
+    * Scale: post-decorrelation this is one shuffle on the correlation
+    * key with a per-key limit — the window formulation's plan, derived
+    * by the optimizer from the declarative form. Nations are a bounded
+    * dimension; the inner table is the corpus side.
+    */
+  def j10Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name AS nation, t.c_name AS customer,
+        | cast(round(t.c_acctbal * 100) as bigint) AS acctbal_cents
+        |FROM nation_v n
+        |JOIN LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY nation, acctbal_cents DESC, customer""".stripMargin)
+  }
+
   def sql1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
     spark.sql(
@@ -1803,6 +1838,7 @@ object Analytics {
     "u2_union_distinct" -> u2UnionDistinct _,
     "u3_intersect_except" -> u3IntersectExcept _,
     "sql1_pricing_summary" -> sql1PricingSummary _,
+    "j10_lateral" -> j10Lateral _,
     "w1_rank_topn" -> w1RankTopN _,
     "w4_range_join" -> w4RangeJoin _,
     "w5_running_total" -> w5RunningTotal _,
@@ -2210,6 +2246,20 @@ object Analytics {
         | string_agg(c_name, ',' ORDER BY c_name) AS top_names,
         | sum(cents)::BIGINT AS top_cents
         |FROM top3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB decorrelates the IDENTICAL lateral SQL — same correlated
+    // LIMIT subquery, same tie order, same integer cents
+    "j10_lateral" ->
+      """SELECT n.n_name AS nation, t.c_name AS customer,
+        | round(t.c_acctbal * 100)::BIGINT AS acctbal_cents
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 2
+        |) t ON true
+        |ORDER BY nation, acctbal_cents DESC, customer""".stripMargin,
     // the lossless-roundtrip claim: DuckDB derives the census straight
     // from the raw columns the Variant document was encoded from
     "f7_variant_shred" ->

@@ -602,6 +602,29 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoinExec SQL metrics report true row/match counts on both paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L), (3L, 7L, 103L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 9L, 7L), (1L, 15L, 11L), (9L, 1L, 99L)).toDF("rk", "rt", "rid")
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        val j = graft.plans.AsOfJoin.asof(l, r,
+          Seq(l("k")), Seq(r("rk")), l("t"), r("rt"), Seq(r("rid")))
+        j.collect()
+        val exec = collectPlans(j.queryExecution.executedPlan)
+          .collectFirst { case e: graft.plans.AsOfJoinExec => e }
+        assert(exec.isDefined, "exec must plan")
+        assert(exec.get.metrics("numOutputRows").value === 4L,
+          s"4 left rows out (wholeStage=$wholeStage)")
+        assert(exec.get.metrics("numMatched").value === 2L,
+          s"lids 100,101 match; 102,103 null-extend (wholeStage=$wholeStage)")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("asof() adapts TimestampType inputs via unix_micros and rejects other types") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
