@@ -1411,6 +1411,36 @@ object Analytics {
         |ORDER BY nation, acctbal_cents DESC, customer""".stripMargin)
   }
 
+  /** F8 — ANSI `try_*` error-safe arithmetic (round-11): the functions
+    * a pipeline uses to keep ONE malformed row from killing a 100 TB
+    * job — overflow (`try_add`/`try_multiply` on BIGINT edges),
+    * division by zero (`try_divide`), and out-of-bounds access
+    * (`try_element_at`) all become NULLs counted in the census instead
+    * of task failures. Every trigger is data-derived so both the
+    * null and the success arm of each function fire on real rows; the
+    * oracle re-derives the identical census from the hand-written
+    * semantics (CASE-guarded exact arithmetic), so the claim is that
+    * Spark's try surface equals its documented null contract.
+    */
+  def f8TryArithmetic(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.select(col("l_returnflag"),
+        expr("try_add(9223372036854775800L, l_orderkey)").as("ta"),
+        expr("try_multiply(l_orderkey, 4611686018427387904L)").as("tm"),
+        expr("try_divide(l_quantity, l_linenumber - 4)").as("td"),
+        expr("try_element_at(array(l_orderkey), cast(l_linenumber as int))").as("te"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ta").isNull, 1L).otherwise(0L)).as("add_overflows"),
+        sum(when(col("tm").isNull, 1L).otherwise(0L)).as("mul_overflows"),
+        sum(when(col("td").isNull, 1L).otherwise(0L)).as("div_by_zero"),
+        sum(when(col("te").isNull, 1L).otherwise(0L)).as("oob_access"),
+        sum(expr("coalesce(ta, 0L) % 1000003")).as("add_check"),
+        sum(expr("coalesce(te, 0L) % 1000003")).as("elem_check"))
+      .orderBy("l_returnflag")
+  }
+
   def sql1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
     spark.sql(
@@ -1839,6 +1869,7 @@ object Analytics {
     "u3_intersect_except" -> u3IntersectExcept _,
     "sql1_pricing_summary" -> sql1PricingSummary _,
     "j10_lateral" -> j10Lateral _,
+    "f8_try_arithmetic" -> f8TryArithmetic _,
     "w1_rank_topn" -> w1RankTopN _,
     "w4_range_join" -> w4RangeJoin _,
     "w5_running_total" -> w5RunningTotal _,
@@ -2246,6 +2277,19 @@ object Analytics {
         | string_agg(c_name, ',' ORDER BY c_name) AS top_names,
         | sum(cents)::BIGINT AS top_cents
         |FROM top3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // hand-written semantics of each try_* function: overflow iff
+    // orderkey > 7 (add) / >= 2 (multiply by 2^62), zero divisor iff
+    // linenumber = 4, OOB iff linenumber <> 1 on a 1-element array
+    "f8_try_arithmetic" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | sum(CASE WHEN l_orderkey > 7 THEN 1 ELSE 0 END)::BIGINT AS add_overflows,
+        | sum(CASE WHEN l_orderkey >= 2 THEN 1 ELSE 0 END)::BIGINT AS mul_overflows,
+        | sum(CASE WHEN l_linenumber = 4 THEN 1 ELSE 0 END)::BIGINT AS div_by_zero,
+        | sum(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END)::BIGINT AS oob_access,
+        | sum(CASE WHEN l_orderkey > 7 THEN 0
+        |      ELSE (9223372036854775800 + l_orderkey) % 1000003 END)::BIGINT AS add_check,
+        | sum(CASE WHEN l_linenumber = 1 THEN l_orderkey % 1000003 ELSE 0 END)::BIGINT AS elem_check
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // DuckDB decorrelates the IDENTICAL lateral SQL — same correlated
     // LIMIT subquery, same tie order, same integer cents
     "j10_lateral" ->

@@ -214,6 +214,58 @@ object TextOps {
       .orderBy("lang")
   }
 
+  private val HeapsCheckpoints = 5
+
+  /** Heaps'-law vocabulary growth (round-11): V(n) ≈ K·n^β measured at
+    * five doc-id prefixes of the corpus — the companion diagnostic to
+    * [[zipfFit]] (a crawl whose vocabulary growth flattens is
+    * duplicating itself; one that grows linearly is noise). β per
+    * checkpoint is the two-point log fit against the first checkpoint.
+    *
+    * Scale shape — NO distinct aggregation anywhere: vocabulary at a
+    * prefix is "tokens whose FIRST occurrence (min doc_id, one keyed
+    * aggregate over the Zipf-bounded type frame) falls inside it", and
+    * occurrence mass is five conditional sums in one corpus pass. A
+    * count(DISTINCT CASE …) per checkpoint would Expand the token
+    * stream five-fold; this form reads the corpus once and the model
+    * once.
+    *
+    * Float discipline: ln quantized ONCE per scalar to milli-nats;
+    * β = Δ(lnV)·1000 div Δ(lnN) with both deltas positive (vocabulary
+    * and mass GROW), so the truncating div agrees cross-engine.
+    */
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokenized(spark, sfDir)
+    val maxId = Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).first().getLong(0)
+    val cuts = (1 to HeapsCheckpoints).map(i => i * maxId / HeapsCheckpoints)
+    val tokenSums = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("doc_id") <= c, 1L).otherwise(0L)).as(s"n$i") }
+    val model = toks.groupBy("t").agg(min("doc_id").as("fd"))
+    val vocabSums = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("fd") <= c, 1L).otherwise(0L)).as(s"v$i") }
+    val row = toks.agg(tokenSums.head, tokenSums.tail: _*)
+      .crossJoin(model.agg(vocabSums.head, vocabSums.tail: _*))
+    val points = (0 until HeapsCheckpoints).map { i =>
+      struct(lit(i + 1).as("checkpoint"), lit(cuts(i)).as("max_doc_id"),
+        col(s"n$i").as("n_tokens"), col(s"v$i").as("n_vocab"),
+        col("n0").as("n1_t"), col("v0").as("v1_t"))
+    }
+    row.select(explode(array(points: _*)).as("p"))
+      .select(col("p.checkpoint").as("checkpoint"),
+        col("p.max_doc_id").as("max_doc_id"),
+        col("p.n_tokens").as("n_tokens"), col("p.n_vocab").as("n_vocab"),
+        expr("p.n_vocab * 1000000 div p.n_tokens").as("ttr_ppm"),
+        expr(
+          """CASE WHEN p.checkpoint = 1 THEN 0 ELSE
+            | ((cast(round(ln(cast(p.n_vocab as double)) * 1000) as bigint)
+            |   - cast(round(ln(cast(p.v1_t as double)) * 1000) as bigint)) * 1000)
+            | div (cast(round(ln(cast(p.n_tokens as double)) * 1000) as bigint)
+            |   - cast(round(ln(cast(p.n1_t as double)) * 1000) as bigint)) END""".stripMargin)
+          .as("beta_milli"))
+      .orderBy("checkpoint")
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text — the content-defined key exact dedup shuffles on at scale.
     */
@@ -1576,6 +1628,7 @@ object TextOps {
     "x_bpe_train" -> bpeTrain _,
     "x_bpe_apply" -> bpeApply _,
     "x_text_zipf" -> zipfFit _,
+    "x_text_heaps" -> heapsLaw _,
     "x_tokenizer_fertility" -> tokenizerFertility _,
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
@@ -1892,6 +1945,31 @@ object TextOps {
          | ((sy + ((sx * sy - k * sxy) * 1000 // (k * sxx - sx * sx)) * sx // 1000) // k)::BIGINT AS intercept_milli
          |FROM s""".stripMargin,
     "x_tokenizer_fertility" -> fertilityOracle,
+    // identical prefix census (first-occurrence vocabulary, conditional
+    // occurrence sums) and milli-nat two-point fit; deltas positive
+    "x_text_heaps" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), ${"'\\s+'"})) AS t
+         | FROM documents),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |md AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY t),
+         |cp AS (SELECT i AS checkpoint, (i * (SELECT m FROM mx)) // $HeapsCheckpoints AS c
+         |       FROM range(1, ${HeapsCheckpoints + 1}) r(i)),
+         |pt AS (
+         | SELECT cp.checkpoint, cp.c AS max_doc_id,
+         |  (SELECT count(*) FROM tk WHERE doc_id <= cp.c)::BIGINT AS n_tokens,
+         |  (SELECT count(*) FROM md WHERE fd <= cp.c)::BIGINT AS n_vocab
+         | FROM cp),
+         |b AS (SELECT n_tokens AS n1, n_vocab AS v1 FROM pt WHERE checkpoint = 1)
+         |SELECT checkpoint::INT AS checkpoint, max_doc_id::BIGINT AS max_doc_id,
+         | n_tokens, n_vocab,
+         | (n_vocab * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+         | (CASE WHEN checkpoint = 1 THEN 0 ELSE
+         |   ((round(ln(n_vocab::DOUBLE) * 1000)::BIGINT
+         |     - round(ln((SELECT v1 FROM b)::DOUBLE) * 1000)::BIGINT) * 1000)
+         |   // (round(ln(n_tokens::DOUBLE) * 1000)::BIGINT
+         |     - round(ln((SELECT n1 FROM b)::DOUBLE) * 1000)::BIGINT) END)::BIGINT AS beta_milli
+         |FROM pt ORDER BY checkpoint""".stripMargin,
     // same deletion-neighborhood blocking + exact levenshtein filter
     "x_text_typo_pairs" ->
       """WITH tok0 AS (
