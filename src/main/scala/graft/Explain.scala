@@ -186,6 +186,8 @@ object Explain {
     Map(
       "e2_event_funnel" -> Map("bnlj" ->
         "crossJoin of two 1-row stage-total aggregates (Analytics.scala:973)"),
+      "x_text_heaps" -> Map("bnlj" ->
+        "crossJoin of two 1-row checkpoint aggregates (occurrence sums x first-occurrence vocab sums, TextOps.scala heapsLaw) — both sides exactly one row"),
       "q11_important_stock" -> Map("bnlj" -> (scalarAttach + " (group-value threshold, Analytics.scala:567)")),
       "q22_idle_customers" -> Map("bnlj" -> (scalarAttach + " (global mean balance, Analytics.scala:478)")),
       "u3_intersect_except" -> Map("bnlj" ->

@@ -2113,6 +2113,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heaps law: no Expand in the plan, growth monotone, vocab bounded by tokens") {
+    val df = TextOps.heapsLaw(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // the design claim: prefix vocabulary WITHOUT count(DISTINCT CASE...)
+    // — a multi-distinct would plan an Expand (5x token-stream blowup)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"heaps must not Expand the corpus:\n$plan")
+    val toks = rows.map(_.getLong(2))
+    val vocab = rows.map(_.getLong(3))
+    assert(toks.toSeq === toks.sorted.toSeq, "occurrence mass grows with the prefix")
+    assert(vocab.toSeq === vocab.sorted.toSeq, "vocabulary grows with the prefix")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2), "vocab <= tokens"))
+  }
+
+  test("topk_pairs rejects non-BIGINT children at analysis time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1.5, 1L)).toDF("score", "id")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy().agg(graft.functions.TopKPairsNative.topk(col("score"), col("id"), 3))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"),
+      s"analysis error must name the required type, got: ${err.getMessage}")
+  }
+
   test("file provenance: census matches the physical fixture exactly") {
     import org.apache.spark.sql.functions._
     val rows = BenchOps.fileProvenance(spark, sf).collect()
