@@ -1423,12 +1423,26 @@ object Analytics {
     * Spark's try surface equals its documented null contract.
     */
   def f8TryArithmetic(spark: SparkSession, sfDir: String): DataFrame = {
+    // Error rows are RARE by construction (sub-percent key slices) —
+    // both the realistic shape and a measured cost truth: every caught
+    // error pays a thrown JVM exception, so the first draft that
+    // overflowed on ~100% of rows ran 24 s at sf0.1 vs sub-second with
+    // rare triggers. try_* guards the tail; it does not make per-row
+    // failure free — size expectations accordingly at 100 TB.
     val li = Tables.lineitem(spark, sfDir)
     li.select(col("l_returnflag"),
-        expr("try_add(9223372036854775800L, l_orderkey)").as("ta"),
-        expr("try_multiply(l_orderkey, 4611686018427387904L)").as("tm"),
-        expr("try_divide(l_quantity, l_linenumber - 4)").as("td"),
-        expr("try_element_at(array(l_orderkey), cast(l_linenumber as int))").as("te"))
+        // overflow iff orderkey is a multiple of 499 above 7 (~0.2%)
+        expr("try_add(9223372036854775800L, " +
+          "CASE WHEN l_orderkey % 499 = 0 THEN l_orderkey ELSE 7L END)").as("ta"),
+        // overflow iff orderkey % 997 = 0 (~0.1%)
+        expr("try_multiply(CASE WHEN l_orderkey % 997 = 0 THEN 4611686018427387904L ELSE 2L END, " +
+          "CASE WHEN l_orderkey % 997 = 0 THEN 4L ELSE cast(l_linenumber as bigint) END)").as("tm"),
+        // zero divisor iff linenumber = 4 AND orderkey % 101 = 0
+        expr("try_divide(l_quantity, " +
+          "CASE WHEN l_orderkey % 101 = 0 THEN l_linenumber - 4 ELSE l_linenumber END)").as("td"),
+        // OOB iff orderkey % 211 = 0 (~0.5%): index 2 into 1-element array
+        expr("try_element_at(array(l_orderkey), " +
+          "CASE WHEN l_orderkey % 211 = 0 THEN 2 ELSE 1 END)").as("te"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -2277,18 +2291,21 @@ object Analytics {
         | string_agg(c_name, ',' ORDER BY c_name) AS top_names,
         | sum(cents)::BIGINT AS top_cents
         |FROM top3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    // hand-written semantics of each try_* function: overflow iff
-    // orderkey > 7 (add) / >= 2 (multiply by 2^62), zero divisor iff
-    // linenumber = 4, OOB iff linenumber <> 1 on a 1-element array
+    // hand-written semantics of each try_* null contract on the same
+    // rare key-slice triggers (orderkey 0 IS a multiple of 499 in the
+    // testdata and does NOT overflow — the add null-contract needs the
+    // value bound, not just the slice; the else arm lands on
+    // Long.MaxValue exactly without overflowing)
     "f8_try_arithmetic" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
-        | sum(CASE WHEN l_orderkey > 7 THEN 1 ELSE 0 END)::BIGINT AS add_overflows,
-        | sum(CASE WHEN l_orderkey >= 2 THEN 1 ELSE 0 END)::BIGINT AS mul_overflows,
-        | sum(CASE WHEN l_linenumber = 4 THEN 1 ELSE 0 END)::BIGINT AS div_by_zero,
-        | sum(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END)::BIGINT AS oob_access,
-        | sum(CASE WHEN l_orderkey > 7 THEN 0
-        |      ELSE (9223372036854775800 + l_orderkey) % 1000003 END)::BIGINT AS add_check,
-        | sum(CASE WHEN l_linenumber = 1 THEN l_orderkey % 1000003 ELSE 0 END)::BIGINT AS elem_check
+        | sum(CASE WHEN l_orderkey % 499 = 0 AND l_orderkey > 7 THEN 1 ELSE 0 END)::BIGINT AS add_overflows,
+        | sum(CASE WHEN l_orderkey % 997 = 0 THEN 1 ELSE 0 END)::BIGINT AS mul_overflows,
+        | sum(CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 4 THEN 1 ELSE 0 END)::BIGINT AS div_by_zero,
+        | sum(CASE WHEN l_orderkey % 211 = 0 THEN 1 ELSE 0 END)::BIGINT AS oob_access,
+        | sum(CASE WHEN l_orderkey % 499 = 0 AND l_orderkey > 7 THEN 0
+        |      WHEN l_orderkey % 499 = 0 THEN (9223372036854775800 + l_orderkey) % 1000003
+        |      ELSE 9223372036854775807 % 1000003 END)::BIGINT AS add_check,
+        | sum(CASE WHEN l_orderkey % 211 = 0 THEN 0 ELSE l_orderkey % 1000003 END)::BIGINT AS elem_check
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // DuckDB decorrelates the IDENTICAL lateral SQL — same correlated
     // LIMIT subquery, same tie order, same integer cents
