@@ -222,6 +222,16 @@ object TextOps {
     * duplicating itself; one that grows linearly is noise). β per
     * checkpoint is the two-point log fit against the first checkpoint.
     *
+    * The TYPE unit is the 3-token shingle (the
+    * [[graft.functions.TextExpressions.word_ngrams]] trigram, dedup's
+    * shingle), not the unigram: the synthetic corpus's word vocabulary
+    * saturates at a few dozen types in the first checkpoint (β would
+    * pin to 0 and the fit would be vacuous), while the trigram type
+    * space genuinely grows with the corpus — and shingle-type growth
+    * is ALSO the quantity near-dup dedup actually cares about (a
+    * corpus whose shingle vocabulary stops growing is repeating
+    * itself).
+    *
     * Scale shape — NO distinct aggregation anywhere: vocabulary at a
     * prefix is "tokens whose FIRST occurrence (min doc_id, one keyed
     * aggregate over the Zipf-bounded type frame) falls inside it", and
@@ -235,7 +245,10 @@ object TextOps {
     * and mass GROW), so the truncating div agrees cross-engine.
     */
   def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokenized(spark, sfDir)
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.word_ngrams(col("tokens"), 3)).as("t"))
     val maxId = Tables.documents(spark, sfDir)
       .agg(max("doc_id")).first().getLong(0)
     val cuts = (1 to HeapsCheckpoints).map(i => i * maxId / HeapsCheckpoints)
@@ -1949,8 +1962,11 @@ object TextOps {
     // occurrence sums) and milli-nat two-point fit; deltas positive
     "x_text_heaps" ->
       s"""WITH tk AS (
-         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), ${"'\\s+'"})) AS t
-         | FROM documents),
+         | SELECT doc_id,
+         |  unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS t
+         | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), ${"'\\s+'"}) AS toks
+         |       FROM documents)),
          |mx AS (SELECT max(doc_id) AS m FROM documents),
          |md AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY t),
          |cp AS (SELECT i AS checkpoint, (i * (SELECT m FROM mx)) // $HeapsCheckpoints AS c
