@@ -130,8 +130,22 @@ object ZOrder {
     .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
     .drop("rx", "ry", "hx2", "hy2")
 
-  /** Hilbert d-value appended to a frame carrying (x, y) columns. */
-  private[graft] def hilbertMapped(df: DataFrame, x: String, y: String): DataFrame = {
+  /** Hilbert d-value appended to a frame carrying (x, y) columns —
+    * the NATIVE codegen expression
+    * ([[graft.functions.CurveExpressions.hilbert_d]]): one generated
+    * static call per row instead of the 24 chained CASE projections of
+    * [[hilbertMappedFold]], which is retained as the oracle-parity
+    * twin (DuckDB runs the fold) and spec-pinned bit-identical over
+    * the curve's full domain.
+    */
+  private[graft] def hilbertMapped(df: DataFrame, x: String, y: String): DataFrame =
+    df.withColumn("hval", graft.functions.CurveExpressions
+      .hilbert_d(col(x).cast("bigint"), col(y).cast("bigint"), HilbertOrder))
+
+  /** The 8-step expression-fold formulation — the cross-engine twin of
+    * the native expression (both generated from the same step logic).
+    */
+  private[graft] def hilbertMappedFold(df: DataFrame, x: String, y: String): DataFrame = {
     val init = df
       .withColumn("hx", col(x).cast("bigint"))
       .withColumn("hy", col(y).cast("bigint"))

@@ -91,6 +91,14 @@ class ZOrderSpec extends AnyFunSuite {
         .filter(abs(col("x1") - col("x0")) + abs(col("y1") - col("y0")) =!= 1)
         .count()
       assert(zSeams > 0L, "the z-curve must show seams on the same grid")
+      // the NATIVE codegen expression is bit-identical to the 8-step
+      // expression fold (the DuckDB oracle's formulation) on the FULL
+      // domain — the (b)-route claim
+      val fold = graft.operators.ZOrder.hilbertMappedFold(grid, "gx", "gy")
+        .select(col("gx"), col("gy"), col("hval").as("fval"))
+      val drift = d.join(fold, Seq("gx", "gy"))
+        .filter(col("hval") =!= col("fval")).count()
+      assert(drift === 0L, s"native hilbert_d drifted from the fold on $drift points")
     } finally d.unpersist()
   }
 }
