@@ -250,6 +250,117 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per source vs the
+    * global corpus — the third leg of the drift battery next to
+    * [[dqDrift]] (mean deviation) and [[psiDrift]] (binned PSI): KS
+    * reads the UNBINNED ECDFs, so a shape shift too fine for PSI's
+    * power-of-two buckets (e.g. a within-bucket median move) still
+    * registers, and D ∈ [0,1] carries the classical critical-value
+    * interpretation.
+    *
+    * Integer discipline: each ECDF is quantized INDEPENDENTLY to ppm —
+    * d_ppm(x) = |cum_s·10⁶ div n_s − cum_g·10⁶ div n| — so the fold
+    * never forms the cum_s·n cross products. Truncating div on
+    * nonnegative operands agrees across engines (Spark `div` = DuckDB
+    * `//` for ≥0), and each quantization costs < 1 ppm, so the
+    * reported statistic is the exact KS D of the ppm-quantized ECDFs.
+    * Overflow bound: cum·10⁶ ≤ n·10⁶ stays inside Long to n ≈ 9·10¹²
+    * docs — comfortably past any real corpus, unlike a cum_s·n_g
+    * cross-product formulation (overflow at n ≈ 3·10⁹).
+    *
+    * Scale: one corpus projection + two keyed aggregates; the ECDF
+    * frame is the (#sources × distinct wc) grid — a crossJoin of two
+    * model-sized aggregates (allowlisted), never corpus-sized — and
+    * every window is partitioned by source over that grid. The argmax
+    * location ks_at_wc (min wc attaining D, a deterministic tie-break)
+    * tells the curator WHERE the distributions part.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
+    val srcW = docs.groupBy("source", "wc").agg(count(lit(1)).as("c_s"))
+    val globW = docs.groupBy("wc").agg(count(lit(1)).as("c_g"))
+    val nSrc = srcW.groupBy("source").agg(sum("c_s").as("n_s"))
+    // one exact integer scalar — model-sized, a plan literal the
+    // oracle recomputes
+    val n = docs.count()
+    val grid = nSrc.crossJoin(broadcast(globW))
+      .join(srcW, Seq("source", "wc"), "left")
+      .na.fill(0L, Seq("c_s"))
+    val w = Window.partitionBy("source").orderBy("wc")
+    val ecdf = grid
+      .withColumn("cum_s", sum("c_s").over(w))
+      .withColumn("cum_g", sum("c_g").over(w))
+      .withColumn("d_ppm",
+        expr(s"abs(cum_s * 1000000 div n_s - cum_g * 1000000 div ${n}L)"))
+      .withColumn("mx", max("d_ppm").over(Window.partitionBy("source")))
+    ecdf.filter(col("d_ppm") === col("mx"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), max("d_ppm").as("ks_ppm"),
+        min("wc").as("ks_at_wc"))
+      .withColumn("band",
+        when(col("ks_ppm") < 50000L, "stable")
+          .when(col("ks_ppm") < 150000L, "minor")
+          .otherwise("major"))
+      .orderBy("source")
+  }
+
+  // four fixed Feistel round keys — arbitrary, committed constants;
+  // change them and you've defined a DIFFERENT (equally valid) shuffle
+  private val FeistelKeys = Seq(40503L, 34283L, 49842L, 10196L)
+
+  /** Deterministic bijective corpus shuffle — the epoch-shuffle a
+    * training-data writer runs so consecutive output rows never share
+    * a source/time neighborhood, WITHOUT a random() that breaks rerun
+    * reproducibility and without the collision risk of hash-ordering
+    * (two docs hashing equal would tie nondeterministically across
+    * engines): a 4-round Feistel network over doc_id's 32-bit halves —
+    * (l,r) → (r, l ⊕ F(r,k)), F = mix((r ⊕ k)·73244475) — is a
+    * PERMUTATION of the full 64-bit id space by construction, so
+    * distinct ids stay distinct and every run, engine, and executor
+    * computes the identical order. The shuffled key doubles as the
+    * shard assigner: the top 4 bits of the final right half spread any
+    * id distribution (sequential, sparse, clustered) uniformly across
+    * 16 output shards — the balanced-shard-write shape (key space is
+    * uniform even when ids are 0..n sequential).
+    *
+    * Output: the per-shard census (count + exact id sum) — covering
+    * the WHOLE permutation, not a sampled head — that the writer's
+    * shard manifest records. Pure integer arithmetic end to end: the
+    * F-product (r ⊕ k)·73244475 ≤ 2⁵⁹ stays inside Long (both engines
+    * exact, no overflow raise in DuckDB), shifts and xors are
+    * bit-identical cross-engine.
+    *
+    * Scale: one projection + one 16-group aggregate (map-side
+    * partials); the permutation is embarrassingly parallel per row —
+    * no shuffle until the 16-row census. At the real writer, the
+    * shard column feeds repartition(shard)/partitionBy — co-located
+    * writes with no global sort.
+    */
+  def feistelShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    feistelPermuted(spark, sfDir)
+      .withColumn("shard", expr("shiftright(r, 28)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("shard")
+
+  /** The raw permuted (doc_id, l, r) frame — the spec asserts
+    * bijectivity (distinct (l,r) = distinct doc_id) on it directly. */
+  private[graft] def feistelPermuted(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 4294967295L // 2^32 − 1
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"))
+      .withColumn("l", expr(s"shiftright(doc_id, 32) & $M"))
+      .withColumn("r", expr(s"doc_id & $M"))
+    FeistelKeys.foldLeft(docs) { case (df, k) =>
+      df.withColumn("t", expr(s"(r ^ $k) * 73244475"))
+        .withColumn("f", expr(s"(t ^ shiftright(t, 16)) & $M"))
+        .select(col("doc_id"), col("r").as("l"), expr("l ^ f").as("r"))
+    }
+  }
+
   /** Pareto-frontier (skyline) document selection — the
     * quality-vs-cost tradeoff curve a token-budgeted curation run
     * reads before picking its operating point: a doc is ON the
@@ -2153,6 +2264,8 @@ object Curation {
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
     "x_psi_drift" -> psiDrift _,
+    "x_drift_ks" -> ksDrift _,
+    "x_shuffle_feistel" -> feistelShuffle _,
     "x_pareto_select" -> paretoSelect _,
     "x_quantile_norm" -> quantileNorm _,
     "k10_partition_overwrite" -> partitionOverwrite _,
@@ -2608,6 +2721,49 @@ object Curation {
         |      WHEN psi_micro_nats < 200000 THEN 'minor'
         |      ELSE 'major' END AS band
         |FROM p ORDER BY source""".stripMargin,
+    // identical per-side ppm quantization of both ECDFs before the
+    // difference; div/// both truncate on nonnegative operands, and
+    // every sum is cast back to BIGINT so the dtype class matches
+    "x_drift_ks" ->
+      """WITH d AS (SELECT source,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS wc
+        | FROM documents),
+        |s AS (SELECT source, wc, count(*)::BIGINT AS c_s FROM d GROUP BY 1, 2),
+        |g AS (SELECT wc, count(*)::BIGINT AS c_g FROM d GROUP BY 1),
+        |ns AS (SELECT source, sum(c_s)::BIGINT AS n_s FROM s GROUP BY 1),
+        |grid AS (
+        | SELECT ns.source, ns.n_s, g.wc, g.c_g, coalesce(s.c_s, 0)::BIGINT AS c_s,
+        |  (SELECT count(*) FROM d)::BIGINT AS n
+        | FROM ns CROSS JOIN g LEFT JOIN s ON s.source = ns.source AND s.wc = g.wc),
+        |e AS (
+        | SELECT source, n_s, wc,
+        |  abs((sum(c_s) OVER w)::BIGINT * 1000000 // n_s
+        |    - (sum(c_g) OVER w)::BIGINT * 1000000 // n)::BIGINT AS d_ppm
+        | FROM grid WINDOW w AS (PARTITION BY source ORDER BY wc)),
+        |m AS (SELECT source, n_s, wc, d_ppm,
+        |  max(d_ppm) OVER (PARTITION BY source) AS mx FROM e)
+        |SELECT source, max(n_s)::BIGINT AS n_docs, max(d_ppm)::BIGINT AS ks_ppm,
+        | min(wc)::BIGINT AS ks_at_wc,
+        | CASE WHEN max(d_ppm) < 50000 THEN 'stable'
+        |      WHEN max(d_ppm) < 150000 THEN 'minor'
+        |      ELSE 'major' END AS band
+        |FROM m WHERE d_ppm = mx GROUP BY source ORDER BY source""".stripMargin,
+    // the same 4 Feistel rounds, generated from the same FeistelKeys
+    // list the engine folds over — one definition, two engines
+    "x_shuffle_feistel" -> {
+      val rounds = FeistelKeys.zipWithIndex.map { case (k, i) =>
+        s"""r${i + 1} AS (SELECT doc_id, r AS l,
+           |  xor(l, xor(t, t >> 16) & 4294967295) AS r
+           | FROM (SELECT doc_id, l, r, xor(r, $k) * 73244475 AS t FROM r$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH r0 AS (SELECT doc_id, (doc_id >> 32) & 4294967295 AS l,
+         |  doc_id & 4294967295 AS r FROM documents),
+         |$rounds
+         |SELECT (r >> 28)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+         | sum(doc_id)::BIGINT AS id_sum
+         |FROM r${FeistelKeys.size} GROUP BY shard ORDER BY shard""".stripMargin
+    },
     // interval re-derivation with the same (micros, event_id) ordering;
     // intervals partition each user's timeline so at most one matches.
     // x_scd2_pit shares it verbatim: the as-of formulation must agree

@@ -818,6 +818,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val MinCollocCount = 3L // df gate: a collocation must recur
+
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase-mining
+    * pass a tokenizer-training / vocab-curation pipeline runs to find
+    * multiword units worth single tokens: top-30 adjacent bigrams by
+    * pointwise mutual information, count-gated so hapax pairs (whose
+    * PMI is degenerate-maximal) never rank. Probabilities are
+    * bigram-slot relative frequencies — P(x,·) = c_x/N over the LEFT
+    * slot, P(·,y) = c_y/N over the RIGHT slot, P(x,y) = c_xy/N over N
+    * total bigrams — so PMI = ln(c_xy·N / (c_x·c_y)).
+    *
+    * Float discipline: the composite ln(c_xy) + ln(N) − ln(c_x) −
+    * ln(c_y) is quantized ONCE to integer micro-nats ([[bigramSurprise]]
+    * model-row discipline); counts stay exact BIGINT everywhere else.
+    * Ordering (pmi_micro desc, bigram asc) is total — bigram text is
+    * unique per row — so the top-30 cut is deterministic cross-engine.
+    *
+    * Scale: three keyed aggregates over one exploded bigram stream
+    * (map-side partials); only the count-gated survivors join the two
+    * vocab-sized slot-count frames (shuffled equi-joins — no broadcast
+    * assumption, vocab can be huge at lake scale); the final cut is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = docs.select(explode(expr(
+      "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // one exact integer scalar — model-sized, a plan literal the
+    // oracle recomputes
+    val n = pairs.count()
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= MinCollocCount)
+    val cx = pairs.groupBy("w1").agg(count(lit(1)).as("c_x"))
+    val cy = pairs.groupBy("w2").agg(count(lit(1)).as("c_y"))
+    cxy.join(cx, "w1").join(cy, "w2")
+      .withColumn("pmi_micro", expr(
+        s"""cast(round((ln(cast(c_xy as double)) + ln(cast(${n}L as double))
+           | - ln(cast(c_x as double)) - ln(cast(c_y as double))) * 1000000) as bigint)""".stripMargin))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(30)
+  }
+
   private val Bm25Terms = Seq("spark", "window", "merge") // the fixed query
   // (real corpus words so every stat path is non-vacuous)
   private val Bm25K1 = "1.2"
@@ -921,6 +968,56 @@ object TextOps {
            | + CASE WHEN r_emb > 0 THEN 1000000 div ($RrfBase + r_emb) ELSE 0 END""".stripMargin))
       .orderBy(col("rrf_ppm").desc, col("id").asc)
       .limit(10)
+  }
+
+  /** NDCG@10 of the [[bm25TopDocs]] ranking (Järvelin & Kekäläinen
+    * 2002) — the graded-relevance retrieval metric every search /
+    * RAG eval harness reports, closing the eval loop that
+    * [[graft.operators.Similarity]]'s recall query opens for ANN:
+    * grade rel(d) = doc_id mod 4 (the deterministic stand-in for a
+    * judgment table; swap in a real `judgments(doc_id, rel)` join at
+    * deployment), gain(r) = rel·10⁶/log₂(r+1) quantized per term,
+    * DCG = Σ gains over the BM25 top-10, IDCG = the same sum over the
+    * corpus-ideal top-10 grades.
+    *
+    * The ideal ranking needs NO global sort of judged docs: grades
+    * take 4 values, so the 4-row (rel, count) aggregate + a cumulative
+    * window over rel desc yields each grade's ideal-rank interval
+    * [cum−c+1, min(cum,10)], exploded to ≤ 10 (rank, rel) rows — the
+    * corpus-independent frame however many docs are judged. The BM25
+    * side's rank window runs over its top-20 aggregate output. Both
+    * final scalars are 1-row aggregates; their crossJoin is the
+    * allowlisted scalar attach.
+    *
+    * Float discipline: each gain term quantizes round(rel·10⁶/log₂(r+1))
+    * ONCE from exact integers (both engines' log₂ on the same ≤ 11
+    * integer arguments); dcg/idcg are exact BIGINT sums; ndcg_ppm is
+    * truncating integer division.
+    */
+  def ndcgAt10(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gain = "cast(round(rel * 1000000 / log2(cast(rank + 1 as double))) as bigint)"
+    val ranked = bm25TopDocs(spark, sfDir)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", col("doc_id") % 4)
+      .withColumn("gain_micro", expr(gain))
+    val dcg = ranked.agg(count(lit(1)).as("k"), sum("gain_micro").as("dcg_micro"))
+    val cnt = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 4).as("rel"))
+      .groupBy("rel").agg(count(lit(1)).as("c"))
+    val ideal = cnt
+      .withColumn("cum", sum("c").over(Window.orderBy(col("rel").desc)))
+      .withColumn("lo", col("cum") - col("c") + 1)
+      .filter(col("lo") <= 10)
+      .withColumn("hi", least(col("cum"), lit(10L)))
+      .select(col("rel"), explode(expr("sequence(lo, hi)")).as("rank"))
+      .withColumn("gain_micro", expr(gain))
+    val idcg = ideal.agg(sum("gain_micro").as("idcg_micro"))
+    dcg.crossJoin(idcg)
+      .withColumn("ndcg_ppm", expr("dcg_micro * 1000000 div idcg_micro"))
+      .select("k", "dcg_micro", "idcg_micro", "ndcg_ppm")
   }
 
   private val KnDiscount = "0.75" // the standard absolute discount, as a
@@ -1646,6 +1743,8 @@ object TextOps {
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_bigram_lm" -> bigramSurprise _,
+    "x_text_pmi" -> pmiCollocations _,
+    "x_eval_ndcg" -> ndcgAt10 _,
     "x_text_kn_lm" -> knBigramSurprise _,
     "x_text_bm25" -> bm25TopDocs _,
     "x_hybrid_rrf" -> hybridRrf _,
@@ -2054,6 +2153,34 @@ object TextOps {
          |SELECT b.doc_id, b.source, b.bm25_micro, b.n_terms_hit
          |FROM bmdoc b
          |ORDER BY b.bm25_micro DESC, b.doc_id ASC LIMIT 20""".stripMargin,
+    // same bm25 CTEs; per-term round(rel*1e6/log2(r+1)) quantization,
+    // ideal ranks from the 4-row grade census intervals, trunc-div ppm
+    "x_eval_ndcg" ->
+      s"""WITH $bm25OracleCtes,
+         |r AS (
+         | SELECT doc_id, row_number() OVER (
+         |   ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+         | FROM bmdoc QUALIFY rank <= 10),
+         |dcg AS (
+         | SELECT count(*)::BIGINT AS k,
+         |  sum(round((doc_id % 4) * 1000000 / log2((rank + 1)::DOUBLE)))::BIGINT
+         |    AS dcg_micro
+         | FROM r),
+         |cnt AS (SELECT doc_id % 4 AS rel, count(*)::BIGINT AS c
+         |        FROM documents GROUP BY 1),
+         |iv AS (
+         | SELECT rel, sum(c) OVER (ORDER BY rel DESC) - c + 1 AS lo,
+         |  least(sum(c) OVER (ORDER BY rel DESC), 10) AS hi
+         | FROM cnt QUALIFY lo <= 10),
+         |ideal AS (
+         | SELECT rel, unnest(generate_series(lo::BIGINT, hi::BIGINT)) AS rank FROM iv),
+         |idcg AS (
+         | SELECT sum(round(rel * 1000000 / log2((rank + 1)::DOUBLE)))::BIGINT
+         |   AS idcg_micro
+         | FROM ideal)
+         |SELECT k, dcg_micro, idcg_micro,
+         | (dcg_micro * 1000000 // idcg_micro)::BIGINT AS ndcg_ppm
+         |FROM dcg CROSS JOIN idcg""".stripMargin,
     // both rank lists re-derived (bm25 CTEs + cosine top-20 for vec 0),
     // integer floor-div RRF, absent rank = 0
     "x_hybrid_rrf" ->
@@ -2141,6 +2268,26 @@ object TextOps {
         | min(avg_micro_nats)::BIGINT AS min_surprise,
         | max(avg_micro_nats)::BIGINT AS max_surprise
         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    // same slot-count probabilities and single composite-ln
+    // quantization; (pmi_micro desc, bigram asc) is a total order so
+    // the LIMIT 30 cut agrees cross-engine
+    "x_text_pmi" ->
+      """WITH tok AS (
+        | SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        | FROM documents
+        | WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2),
+        |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok),
+        |p AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+        |n AS (SELECT count(*)::BIGINT AS n FROM p),
+        |cxy AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM p GROUP BY 1, 2
+        |        HAVING count(*) >= 3),
+        |cx AS (SELECT w1, count(*)::BIGINT AS c_x FROM p GROUP BY 1),
+        |cy AS (SELECT w2, count(*)::BIGINT AS c_y FROM p GROUP BY 1)
+        |SELECT cxy.w1 || ' ' || cxy.w2 AS bigram, c_xy, c_x, c_y,
+        | round((ln(c_xy::DOUBLE) + ln((SELECT n FROM n)::DOUBLE)
+        |  - ln(c_x::DOUBLE) - ln(c_y::DOUBLE)) * 1000000)::BIGINT AS pmi_micro
+        |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2)
+        |ORDER BY pmi_micro DESC, bigram ASC LIMIT 30""".stripMargin,
     "x_pii_scrub" ->
       s"""WITH per AS (
          | SELECT source, lower(text) AS lowered,

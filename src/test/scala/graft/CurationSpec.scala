@@ -686,4 +686,52 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/delta_mor").count() === nUpd + nIns)
   }
 
+  test("KS drift: D in [0,1e6] ppm, attained at a real wc, and the largest source re-derives") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.ksDrift(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L,
+        s"${r.getString(0)}: KS D is a ppm fraction")
+    }
+    // brute-force the quantized-ECDF KS for the largest source in Scala
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val biggest = docs.groupBy(_._1).view.mapValues(_.length).maxBy(v => (v._2, v._1))._1
+    val srcWc = docs.filter(_._1 == biggest).map(_._2).sorted
+    val allWc = docs.map(_._2).sorted
+    val grid = allWc.distinct
+    val d = grid.map { x =>
+      val cs = srcWc.count(_ <= x) * 1000000L / srcWc.length
+      val cg = allWc.count(_ <= x) * 1000000L / allWc.length
+      math.abs(cs - cg)
+    }.max
+    val row = rows.find(_.getString(0) == biggest).get
+    assert(row.getLong(2) === d, s"$biggest: engine KS must equal the brute-force fold")
+    assert(grid.contains(row.getLong(3)), "argmax location is a real wc value")
+  }
+
+  test("feistel shuffle is a bijection that spreads sequential ids across all shards") {
+    import org.apache.spark.sql.functions._
+    val perm = Curation.feistelPermuted(spark, TestSpark.sf)
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    assert(perm.select("l", "r").distinct().count() === n,
+      "a Feistel network must keep distinct ids distinct")
+    // halves stay inside 32 bits (the invertibility precondition)
+    assert(perm.filter(col("l") < 0 || col("l") > 4294967295L ||
+      col("r") < 0 || col("r") > 4294967295L).count() === 0)
+    val census = Curation.feistelShuffle(spark, TestSpark.sf).collect()
+    assert(census.map(_.getLong(1)).sum === n, "shard census covers every doc")
+    assert(census.length === 16, "sequential ids must reach ALL 16 shards")
+    // balanced: no shard more than 3x the uniform share at 500+ docs
+    assert(census.map(_.getLong(1)).max <= 3 * (n / 16 + 1),
+      "the permutation must break the sequential-id clustering")
+    // and it genuinely reorders: sorting by the permuted key is not the
+    // identity order on doc_id
+    val head = perm.orderBy("r", "l").limit(10).collect().map(_.getLong(0))
+    assert(!head.sameElements(head.sorted), "shuffled head must not be id-ordered")
+  }
+
 }

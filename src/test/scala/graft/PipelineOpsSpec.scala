@@ -2156,4 +2156,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getLong(4) <= r.getLong(5), "min_key <= max_key per file")
     }
   }
+
+  test("PMI collocations: count-gated, ordered, and the top score re-derives") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.pmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 3, s"${r.getString(0)}: hapax-gated count")
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(1) <= r.getLong(3),
+        s"${r.getString(0)}: joint count can't exceed either slot count")
+    }
+    val scores = rows.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "pmi_micro must be nonincreasing down the top-30")
+    // re-derive the head row's PMI from its own exact counts + the
+    // corpus bigram total
+    val n = Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .agg(sum(size(col("t")) - 1)).head.getLong(0)
+    val h = rows.head
+    val expected = math.round((math.log(h.getLong(1).toDouble) + math.log(n.toDouble)
+      - math.log(h.getLong(2).toDouble) - math.log(h.getLong(3).toDouble)) * 1e6)
+    assert(h.getLong(4) === expected, "head PMI re-derives from its counts")
+  }
+
+  test("NDCG@10: k=10, dcg bounded by idcg, ndcg in (0, 1e6]") {
+    val r = TextOps.ndcgAt10(spark, sf).collect()
+    assert(r.length === 1)
+    val (k, dcg, idcg, ndcg) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(k === 10, "BM25 must retrieve a full top-10 at every sf")
+    assert(dcg > 0 && dcg <= idcg, "ideal ranking dominates any ranking")
+    assert(ndcg > 0 && ndcg <= 1000000L)
+    // idcg re-derives: ideal top-10 grades are the 10 largest rel values
+    val rels = Tables.documents(spark, sf)
+      .select((org.apache.spark.sql.functions.col("doc_id") % 4).as("rel"))
+      .collect().map(_.getLong(0)).sorted.reverse.take(10)
+    val expectedIdcg = rels.zipWithIndex.map { case (rel, i) =>
+      math.round(rel * 1e6 / (math.log((i + 2).toDouble) / math.log(2.0)))
+    }.sum
+    assert(idcg === expectedIdcg, "idcg re-derives from the grade census")
+  }
 }
