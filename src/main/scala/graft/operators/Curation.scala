@@ -2061,6 +2061,58 @@ object Curation {
     * equivalence to the no-bloom computation and that the gate
     * actually prunes.
     */
+  /** Graded ROUGE-2 recall of each eval/benchmark doc against its
+    * best-matching corpus doc — [[contamination]]'s binary verdict
+    * upgraded to the SCORE an eval-leakage report actually ranks by
+    * (how much of the benchmark is reproducible, and from WHERE):
+    * recall(e) = |bigrams(e) ∩ bigrams(best c)| / |bigrams(e)| in ppm,
+    * with the best candidate attributed by (overlap desc, cand_id asc).
+    *
+    * Metric discipline: the score is defined ON the stopword-capped
+    * bigram sets (distinct word-2-grams with document frequency ≤
+    * [[HotDocFreq]], numerator AND denominator) — dropping hot
+    * shingles from both sides keeps the ratio a real recall of a
+    * well-defined set, exactly reproducible by the oracle, instead of
+    * an approximation with an unstated bias.
+    *
+    * Scale ([[contamination]]'s spine): one aggregation pass
+    * classifies every bigram hash (df + eval membership); only eval'd,
+    * non-hot survivors join — the candidate join is banded by shared
+    * bigram with fan-out ≤ [[HotDocFreq]] docs per shingle, NEVER
+    * all-pairs; the best-match window partitions by eval doc over the
+    * candidate-bounded pair frame.
+    */
+  def rougeOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("bgs", array_distinct(
+        graft.functions.TextExpressions.word_ngrams(col("tokens"), 2)))
+      .select(col("doc_id"), explode(col("bgs")).as("s"))
+      .select(col("doc_id"), h60("s").as("hs"))
+    val keptHs = ex.groupBy("hs")
+      .agg(count(lit(1)).as("df"),
+        max(when(col("doc_id") % EvalMod === 0, 1).otherwise(0)).as("ev"))
+      .filter(col("df") <= HotDocFreq && col("ev") === 1)
+      .select("hs")
+    val evalSide = ex.filter(col("doc_id") % EvalMod === 0)
+      .join(keptHs, Seq("hs"), "left_semi")
+    val den = evalSide.groupBy("doc_id").agg(count(lit(1)).as("den"))
+      .withColumnRenamed("doc_id", "eval_id")
+    val inter = evalSide.withColumnRenamed("doc_id", "eval_id")
+      .join(ex.filter(col("doc_id") % EvalMod =!= 0)
+        .withColumnRenamed("doc_id", "cand_id"), "hs")
+      .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
+      .filter(col("rk") === 1)
+      .join(den, "eval_id")
+      .withColumn("rouge2_ppm", expr("inter * 1000000 div den"))
+      .select("eval_id", "cand_id", "inter", "den", "rouge2_ppm")
+      .orderBy("eval_id")
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
     contaminationScanGated(spark, sfDir, useBloom = true)
 
@@ -2287,6 +2339,7 @@ object Curation {
     "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
     "x_contamination_bloom" -> contaminationBloom _,
+    "x_eval_rouge" -> rougeOverlap _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
@@ -2870,6 +2923,42 @@ object Curation {
          | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
          | max(shared) AS max_shared
          |FROM shared GROUP BY source ORDER BY source""".stripMargin,
+    // 2-gram twin of the contamination shingle derivation (same h60,
+    // same df-cap + eval classification); best-match pick re-derived
+    // with the identical (inter desc, cand_id asc) QUALIFY
+    "x_eval_rouge" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         | FROM (SELECT doc_id,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |ex AS (
+         | SELECT doc_id, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, unnest(sh) AS s FROM t)),
+         |kept AS (
+         | SELECT hs FROM (
+         |  SELECT hs, count(*) AS df,
+         |   max(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END) AS ev
+         |  FROM ex GROUP BY hs)
+         | WHERE df <= $HotDocFreq AND ev = 1),
+         |es AS (SELECT doc_id AS eval_id, hs FROM ex
+         |       WHERE doc_id % $EvalMod = 0 AND hs IN (SELECT hs FROM kept)),
+         |den AS (SELECT eval_id, count(*)::BIGINT AS den FROM es GROUP BY eval_id),
+         |inter AS (
+         | SELECT es.eval_id, c.doc_id AS cand_id, count(*)::BIGINT AS inter
+         | FROM es JOIN ex c USING (hs)
+         | WHERE c.doc_id % $EvalMod <> 0
+         | GROUP BY es.eval_id, c.doc_id),
+         |best AS (
+         | SELECT eval_id, cand_id, inter,
+         |  row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY inter DESC, cand_id ASC) AS rk
+         | FROM inter QUALIFY rk = 1)
+         |SELECT b.eval_id, b.cand_id, b.inter, d.den,
+         | (b.inter * 1000000 // d.den)::BIGINT AS rouge2_ppm
+         |FROM best b JOIN den d USING (eval_id)
+         |ORDER BY b.eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are
     // removed by the exact verify join), so the oracle needs no bloom.

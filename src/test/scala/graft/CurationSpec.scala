@@ -713,6 +713,38 @@ class CurationSpec extends AnyFunSuite {
     assert(grid.contains(row.getLong(3)), "argmax location is a real wc value")
   }
 
+  test("ROUGE-2 recall: bounded, attributed to the true argmax candidate") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.rougeOverlap(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 === 0, "scored docs are the eval set")
+      assert(r.getLong(1) % 97 !== 0, "candidates come from the corpus side")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3),
+        s"eval ${r.getLong(0)}: 1 <= inter <= den")
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L)
+    }
+    // brute-force the best match for the first scored eval doc over the
+    // raw corpus (hot-bigram cap re-applied), and confirm the argmax
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def bgs(t: Seq[String]): Set[String] =
+      (0 to math.max(t.length - 2, 0)).map(i => t.slice(i, math.min(i + 2, t.length)).mkString(" ")).toSet
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    val evalHs = docs.filter(_._1 % 97 == 0).flatMap(d => bgs(d._2)).toSet
+    docs.foreach(d => bgs(d._2).foreach(s => df(s) = df.getOrElse(s, 0) + 1))
+    val kept: Set[String] = evalHs.filter(s => df(s) <= 100)
+    val e0 = rows.head.getLong(0)
+    val eSet = bgs(docs.find(_._1 == e0).get._2).intersect(kept)
+    val cands = docs.filter(_._1 % 97 != 0)
+      .map(d => (d._1, bgs(d._2).intersect(eSet).size)).filter(_._2 > 0)
+    val best = cands.minBy { case (id, n) => (-n, id) }
+    assert((rows.head.getLong(1), rows.head.getLong(2)) === best,
+      "engine best-match must equal the brute-force argmax")
+    assert(rows.head.getLong(3) === eSet.size, "denominator is the kept-bigram set size")
+  }
+
   test("feistel shuffle is a bijection that spreads sequential ids across all shards") {
     import org.apache.spark.sql.functions._
     val perm = Curation.feistelPermuted(spark, TestSpark.sf)
