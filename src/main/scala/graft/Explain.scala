@@ -205,6 +205,8 @@ object Explain {
         (scalarAttach + " (corpus mean of per-doc entropies, TextOps.scala charEntropy)")),
       "x_perplexity_filter" -> Map("bnlj" ->
         (scalarAttach + " (surprise-cut threshold from Ranks.valueAtRank, TextOps.scala:388 + the kernel's 1-row cut attach)")),
+      "x_curriculum_phases" -> Map("bnlj" ->
+        (scalarAttach + " (the 1-row quartile-threshold attach from Ranks.valuesAtRanks + the kernel's 3-row cut attach, TextOps.curriculumPhases)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
       "x_vocab_coverage" -> Map("bnlj" ->
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),
@@ -242,6 +244,10 @@ object Explain {
         (scalarAttach + " (global max-file-rows cut for the relative small-file rule, BenchOps.partitionAudit)")),
       "x_psi_drift" -> Map("bnlj" ->
         "crossJoin of two CONSTANT model-sized aggregates — the #sources frame × the #length-buckets frame (≈ sources × log2(max doc length) rows however big the corpus, Curation.psiDrift)"),
+      "x_drift_ks" -> Map("bnlj" ->
+        "crossJoin of two model-sized aggregates — the #sources frame × the distinct-wc frame (the ECDF grid, bounded by the length-value range however big the corpus, Curation.ksDrift)"),
+      "x_stream_drift" -> Map("bnlj" ->
+        "crossJoin of two model-sized aggregates off the already-aggregated sink grid — the #days frame × the #value-buckets frame (≈ days × log2(max value micros) rows however large the feed, EventStreams.streamDrift)"),
       "x_stream_ann" -> Map("large-local-relation" -> memorySink),
       "x_stream_perplexity" -> Map("large-local-relation" -> memorySink),
       "x_stream_window_sliding" -> Map("large-local-relation" -> memorySink),

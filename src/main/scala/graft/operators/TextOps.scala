@@ -573,6 +573,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Curriculum-phase scheduling — the easy→hard ordering a curriculum
+    * training run feeds its data loader: documents split into four
+    * global difficulty quartiles by unigram surprise (the
+    * [[perplexityFilter]] proxy: low surprise = predictable = easy),
+    * with per-(phase, source) composition so the schedule's source mix
+    * is visible before any epoch runs (phase 1 skewing to one source
+    * is the classic curriculum failure mode).
+    *
+    * Scale: the three quartile cuts come from ONE
+    * [[Ranks.valuesAtRanks]] pass (the batched rank kernel — no global
+    * sort, no corpus-sized window; a naive ntile(4) OVER () is the
+    * single-partition killer this replaces); phase assignment is a
+    * broadcast 1-row threshold attach + two integer compares per doc.
+    * Ties at a cut co-phase deterministically (s > thr puts equal
+    * scores in the lower phase), so phase sizes can deviate from n/4
+    * by tie mass — the price of a value-deterministic split.
+    */
+  def curriculumPhases(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = surprisePerDoc(spark, sfDir).localCheckpoint()
+    val cutRanks = perDoc.agg(count(lit(1)).as("n"))
+      .selectExpr("""stack(3, 'q1', (1 * n + 3) div 4,
+                    |         'q2', (2 * n + 3) div 4,
+                    |         'q3', (3 * n + 3) div 4) as (qlabel, cut_rk)""".stripMargin)
+    val thr = Ranks.valuesAtRanks(perDoc, "avg_micro_nats", cutRanks, SurpriseBucketWidth)
+    val thrRow = thr.agg(
+      max(when(col("qlabel") === "q1", col("thr"))).as("t1"),
+      max(when(col("qlabel") === "q2", col("thr"))).as("t2"),
+      max(when(col("qlabel") === "q3", col("thr"))).as("t3"))
+    perDoc.crossJoin(broadcast(thrRow))
+      .withColumn("phase",
+        lit(1) + (col("avg_micro_nats") > col("t1")).cast("int")
+          + (col("avg_micro_nats") > col("t2")).cast("int")
+          + (col("avg_micro_nats") > col("t3")).cast("int"))
+      .groupBy("phase", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(avg_micro_nats) div count(1)").as("mean_micro_nats"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("phase", "source")
+  }
+
   /** SymSpell-style typo-pair mining: every vocabulary pair at edit
     * distance EXACTLY 1, found via DELETION-NEIGHBORHOOD blocking —
     * each token emits itself plus its single-character deletions, and
@@ -1745,6 +1785,7 @@ object TextOps {
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_text_pmi" -> pmiCollocations _,
     "x_eval_ndcg" -> ndcgAt10 _,
+    "x_curriculum_phases" -> curriculumPhases _,
     "x_text_kn_lm" -> knBigramSurprise _,
     "x_text_bm25" -> bm25TopDocs _,
     "x_hybrid_rrf" -> hybridRrf _,
@@ -2458,6 +2499,40 @@ object TextOps {
          | sum(CASE WHEN avg_micro_nats <= (SELECT thr FROM thr) THEN doc_id END)::BIGINT AS kept_id_sum,
          | sum(CASE WHEN avg_micro_nats > (SELECT thr FROM thr) THEN doc_id END)::BIGINT AS dropped_id_sum
          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    // same per-doc surprise derivation; the three quartile cuts use the
+    // single-window rank formulation the Ranks kernel is provably
+    // equivalent to; ties co-phase via the identical strict compare
+    "x_curriculum_phases" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, source,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         | FROM documents),
+         |model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |scored AS (
+         | SELECT t, round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+         | FROM model, tot),
+         |per_doc AS (
+         | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+         | FROM toks JOIN scored USING (t) GROUP BY doc_id, source),
+         |nn AS (SELECT count(*) AS n FROM per_doc),
+         |rk AS (
+         | SELECT avg_micro_nats,
+         |  row_number() OVER (ORDER BY avg_micro_nats, doc_id) AS rk
+         | FROM per_doc),
+         |t1 AS (SELECT avg_micro_nats AS t FROM rk WHERE rk = (SELECT (1 * n + 3) // 4 FROM nn)),
+         |t2 AS (SELECT avg_micro_nats AS t FROM rk WHERE rk = (SELECT (2 * n + 3) // 4 FROM nn)),
+         |t3 AS (SELECT avg_micro_nats AS t FROM rk WHERE rk = (SELECT (3 * n + 3) // 4 FROM nn)),
+         |ph AS (
+         | SELECT doc_id, source, avg_micro_nats,
+         |  1 + (avg_micro_nats > (SELECT t FROM t1))::INT
+         |    + (avg_micro_nats > (SELECT t FROM t2))::INT
+         |    + (avg_micro_nats > (SELECT t FROM t3))::INT AS phase
+         | FROM per_doc)
+         |SELECT phase, source, count(*)::BIGINT AS n_docs,
+         | (sum(avg_micro_nats) // count(*))::BIGINT AS mean_micro_nats,
+         | sum(doc_id)::BIGINT AS id_sum
+         |FROM ph GROUP BY phase, source ORDER BY phase, source""".stripMargin,
     "x_pipeline_select" ->
       """WITH base AS (
         | SELECT doc_id, source, length(text) AS len,

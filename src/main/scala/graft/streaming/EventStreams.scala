@@ -170,6 +170,75 @@ object EventStreams {
       .orderBy("bucket", "event_type")
   }
 
+  /** Streaming drift gate — the production monitor that watches a live
+    * event feed's VALUE DISTRIBUTION day by day and raises the same PSI
+    * bands [[graft.operators.Curation.psiDrift]] scores batch corpora
+    * with: the model-quality regression alarm (a payment-amount mix
+    * shift, a feature pipeline emitting zeros) that a mean-only monitor
+    * misses. Stream side is the scale-correct shape: watermarked
+    * day-windowed (window, bucket) counts — state is (#open days ×
+    * #buckets) however large the feed — with values bucketed into
+    * power-of-two micro-unit buckets AT INGEST (one codegen'd
+    * projection, no per-event state).
+    *
+    * The PSI fold runs post-sink on the (day × bucket) count grid —
+    * model-sized, so the exact-integer arithmetic ([[psiDrift]]'s
+    * composite-ln micro-nat quantization, every term ≥ 0, truncating
+    * div) costs nothing per event; the global baseline is the SAME
+    * grid summed over days (no second scan of the feed).
+    */
+  def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val counts = src
+      .withWatermark("ts", "1 hour")
+      .withColumn("b", expr(
+        "length(bin(greatest(cast(round(value * 1000000) as bigint), 1))) - 1"))
+      .groupBy(window(col("ts"), "1 day"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    dropStaleSinks(spark)
+    val name = s"graft_stream_drift_${counter.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // localCheckpoint: the PSI fold references the sink grid three ways
+    // (per-day, global, left-join back); MemoryPlan self-joins fail
+    // attribute dedup, and the checkpoint also pins the grid so the
+    // fold never re-reads a sink a later test could drop
+    val wb = spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("b"), col("c"))
+      .localCheckpoint()
+    val glob = wb.groupBy("b").agg(sum("c").as("cnt_g"))
+    val nDay = wb.groupBy("day").agg(sum("c").as("n_w"))
+    // two exact integer scalars off the model-sized sink grid
+    val n = wb.agg(sum("c")).head.getLong(0)
+    val nB = glob.count()
+    val terms = nDay.crossJoin(broadcast(glob))
+      .join(wb.withColumnRenamed("c", "c_w"), Seq("day", "b"), "left")
+      .na.fill(0L, Seq("c_w"))
+      .withColumn("ln_micro", expr(
+        s"""cast(round((ln(cast(c_w + 1 as double)) - ln(cast(n_w + $nB as double))
+           | - ln(cast(cnt_g + 1 as double)) + ln(cast(${n + nB}L as double))) * 1000000)
+           | as bigint)""".stripMargin))
+      .withColumn("term", ((col("c_w") + 1L) * lit(n + nB)
+        - (col("cnt_g") + 1L) * (col("n_w") + lit(nB))) * col("ln_micro"))
+    terms.groupBy("day")
+      .agg(max("n_w").as("n_events"), count(lit(1)).as("n_buckets"),
+        expr(s"sum(term) div (max(n_w + $nB) * ${n + nB}L)")
+          .as("psi_micro_nats"))
+      .withColumn("band",
+        when(col("psi_micro_nats") < 100000L, "stable")
+          .when(col("psi_micro_nats") < 200000L, "minor")
+          .otherwise("major"))
+      .orderBy("day")
+  }
+
   /** Append-mode twin of [[streamWindow]] — the 100 TB shape: watermark
     * EVICTS window state and each window is emitted exactly once when
     * the watermark passes its end, instead of complete-mode's
@@ -1440,6 +1509,7 @@ object EventStreams {
     "x_stream_asof" -> streamAsof _,
     "x_stream_cdc" -> streamCdc _,
     "x_stream_window" -> streamWindow _,
+    "x_stream_drift" -> streamDrift _,
     "x_stream_window_sliding" -> streamWindowSliding _,
     "x_stream_window_append" -> streamWindowAppend _,
     "x_stream_file_sink" -> streamFileSink _,
@@ -1571,6 +1641,36 @@ object EventStreams {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // batch re-derivation of the streamed day×bucket grid + the exact
+    // psiDrift fold (identical bucketing, smoothing, composite-ln
+    // quantization; every term nonneg so truncating div agrees)
+    "x_stream_drift" ->
+      """WITH e AS (
+        | SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+        |  length(bin(greatest(round(value * 1000000)::BIGINT, 1))) - 1 AS b
+        | FROM events),
+        |wb AS (SELECT day, b, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |g AS (SELECT b, sum(c)::BIGINT AS cnt_g FROM wb GROUP BY b),
+        |nd AS (SELECT day, sum(c)::BIGINT AS n_w FROM wb GROUP BY day),
+        |t AS (
+        | SELECT nd.day, nd.n_w, g.b, g.cnt_g, coalesce(wb.c, 0) AS c_w,
+        |  (SELECT count(*) FROM g)::BIGINT AS nb, (SELECT sum(c) FROM wb)::BIGINT AS n
+        | FROM nd CROSS JOIN g LEFT JOIN wb ON wb.day = nd.day AND wb.b = g.b),
+        |t2 AS (
+        | SELECT day, n_w, nb, n, cnt_g, c_w,
+        |  round((ln((c_w + 1)::DOUBLE) - ln((n_w + nb)::DOUBLE)
+        |   - ln((cnt_g + 1)::DOUBLE) + ln((n + nb)::DOUBLE)) * 1000000)::BIGINT AS ln_micro
+        | FROM t),
+        |p AS (
+        | SELECT day, max(n_w)::BIGINT AS n_events, count(*)::BIGINT AS n_buckets,
+        |  (sum(((c_w + 1) * (n + nb) - (cnt_g + 1) * (n_w + nb)) * ln_micro)
+        |   // (max(n_w + nb) * max(n + nb)))::BIGINT AS psi_micro_nats
+        | FROM t2 GROUP BY day)
+        |SELECT day, n_events, n_buckets, psi_micro_nats,
+        | CASE WHEN psi_micro_nats < 100000 THEN 'stable'
+        |      WHEN psi_micro_nats < 200000 THEN 'minor'
+        |      ELSE 'major' END AS band
+        |FROM p ORDER BY day""".stripMargin,
     // batch twin of the watermark drop rule: a late row (event_id%5=0)
     // survives iff its 10-minute window was still open when it arrived,
     // i.e. window end > max(on-time ts) - 1h

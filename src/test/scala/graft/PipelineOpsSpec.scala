@@ -2157,6 +2157,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum phases: value-ordered quartiles conserve docs and difficulty order") {
+    val rows = TextOps.curriculumPhases(spark, sf).collect()
+    val phases = rows.map(_.getInt(0)).distinct.sorted
+    assert(phases.sameElements(Array(1, 2, 3, 4)), "all four phases populated")
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n, "every doc lands in exactly one phase")
+    // global per-phase mean difficulty is nondecreasing (phases are
+    // value-ordered intervals of the surprise distribution)
+    val byPhase = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.map(r => r.getLong(3) * r.getLong(2)).sum.toDouble / rs.map(_.getLong(2)).sum
+    }
+    assert(byPhase.zip(byPhase.tail).forall { case (a, b) => a <= b },
+      s"phase means must be easy->hard: ${byPhase.mkString(", ")}")
+    // quartiles balanced up to tie mass: no phase above half the corpus
+    val sizes = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(sizes.values.forall(_ <= n / 2 + 1), s"phase sizes: $sizes")
+  }
+
+  test("streaming drift gate: nonnegative PSI per day over the full feed") {
+    val rows = EventStreams.streamDrift(spark, sf).collect()
+    assert(rows.length === 30, "the fixture feed spans 30 days")
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "day censuses cover every event")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"${r.getString(0)}: PSI is a sum of nonneg terms")
+      val band = r.getString(4)
+      val psi = r.getLong(3)
+      assert(band === (if (psi < 100000L) "stable" else if (psi < 200000L) "minor" else "major"))
+    }
+  }
+
   test("PMI collocations: count-gated, ordered, and the top score re-derives") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.pmiCollocations(spark, sf).collect()
