@@ -309,7 +309,7 @@ object Curation {
 
   // four fixed Feistel round keys — arbitrary, committed constants;
   // change them and you've defined a DIFFERENT (equally valid) shuffle
-  private val FeistelKeys = Seq(40503L, 34283L, 49842L, 10196L)
+  private[graft] val FeistelKeys = Seq(40503L, 34283L, 49842L, 10196L)
 
   /** Deterministic bijective corpus shuffle — the epoch-shuffle a
     * training-data writer runs so consecutive output rows never share

@@ -764,6 +764,16 @@ class CurationSpec extends AnyFunSuite {
     // identity order on doc_id
     val head = perm.orderBy("r", "l").limit(10).collect().map(_.getLong(0))
     assert(!head.sameElements(head.sorted), "shuffled head must not be id-ordered")
+    // constructive bijectivity: run the inverse rounds (reverse keys,
+    // un-swap) and recover every original id exactly
+    val M = 4294967295L
+    val inv = Curation.FeistelKeys.reverse.foldLeft(perm) { case (df, k) =>
+      df.withColumn("t", expr(s"(l ^ $k) * 73244475"))
+        .withColumn("f", expr(s"(t ^ shiftright(t, 16)) & $M"))
+        .select(col("doc_id"), expr("r ^ f").as("l"), col("l").as("r"))
+    }
+    assert(inv.filter(expr("l * 4294967296 + r <> doc_id")).count() === 0,
+      "inverse Feistel must reconstruct every doc_id")
   }
 
 }
