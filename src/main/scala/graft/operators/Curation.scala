@@ -681,6 +681,49 @@ object Curation {
     perL.reduce(_ unionByName _).orderBy("context_len")
   }
 
+  /** Shelf packing — the NO-SPANNING packer [[packSequences]] can't
+    * express: SFT / contrastive training keeps every example WHOLE
+    * inside its context (concat-and-chunk would split a document
+    * across two sequences and corrupt both), so documents of capped
+    * length ℓ shelve floor(L/ℓ) to a context and each length class
+    * packs independently. That makes the whole policy CLOSED-FORM —
+    * contexts(ℓ) = ceil(cnt_ℓ / floor(L/ℓ)) — one groupBy(length)
+    * aggregate, zero sequential state, bit-identical on any engine or
+    * partitioning, where a first-fit-decreasing packer would be an
+    * inherently sequential fold no engine can reproduce exactly.
+    * (Shelf waste upper-bounds FFD by < one ℓ per length class — the
+    * accounting a team needs to DECIDE whether a smarter packer is
+    * worth a sequential stage.)
+    *
+    * Same truncation semantics as [[packEfficiency]] (tokens capped at
+    * L); reports shelf waste vs the one-doc-per-context naive waste,
+    * both in exact ppm of the allocated token budget.
+    */
+  def packShelf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"))
+    val perL = PackLens.map { l =>
+      base
+        .withColumn("len", least(col("tokens"), lit(l)))
+        .groupBy("len").agg(count(lit(1)).as("cnt"))
+        .withColumn("per_ctx", expr(s"$l div len"))
+        .withColumn("ctxs", expr("(cnt + per_ctx - 1) div per_ctx"))
+        .groupBy()
+        .agg(
+          sum("cnt").as("n_docs"),
+          sum("ctxs").as("n_contexts"),
+          sum(expr("cnt * len")).as("capped_tokens"))
+        .select(
+          lit(l).as("context_len"),
+          col("n_docs"), col("n_contexts"), col("capped_tokens"),
+          expr(s"((n_contexts * $l - capped_tokens) * 1000000) div (n_contexts * $l)")
+            .as("shelf_waste_ppm"),
+          expr(s"((n_docs * $l - capped_tokens) * 1000000) div (n_docs * $l)")
+            .as("naive_waste_ppm"))
+    }
+    perL.reduce(_ unionByName _).orderBy("context_len")
+  }
+
   private val PadBucketWidths = Seq(5L, 10L, 20L, 50L)
 
   /** Padding-waste sweep for LENGTH-BUCKETED batching — the
@@ -2334,6 +2377,7 @@ object Curation {
     "x_select_token_budget" -> tokenBudgetSelect _,
     "x_pack_sequences" -> packSequences _,
     "x_pack_efficiency" -> packEfficiency _,
+    "x_pack_shelf" -> packShelf _,
     "x_batch_padding" -> batchPadding _,
     "x_merge_upsert" -> mergeUpsert _,
     "k9_snapshot_read" -> snapshotVersions _,
@@ -2897,6 +2941,28 @@ object Curation {
          |  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tokens
          | FROM documents),
          |dealt AS (SELECT *, (h % $Packers)::INT AS packer FROM docs)
+         |$perL
+         |ORDER BY context_len""".stripMargin
+    },
+    // the closed-form shelf accounting recomputed per length class
+    "x_pack_shelf" -> {
+      val perL = PackLens.map { l =>
+        s"""SELECT $l AS context_len, sum(cnt)::BIGINT AS n_docs,
+           | sum(ctxs)::BIGINT AS n_contexts,
+           | sum(cnt * len)::BIGINT AS capped_tokens,
+           | ((sum(ctxs) * $l - sum(cnt * len)) * 1000000
+           |   // (sum(ctxs) * $l))::BIGINT AS shelf_waste_ppm,
+           | ((sum(cnt) * $l - sum(cnt * len)) * 1000000
+           |   // (sum(cnt) * $l))::BIGINT AS naive_waste_ppm
+           |FROM (
+           | SELECT len, cnt, (cnt + ($l // len) - 1) // ($l // len) AS ctxs
+           | FROM (
+           |  SELECT least(tokens, $l) AS len, count(*) AS cnt
+           |  FROM docs GROUP BY 1))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         | SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tokens
+         | FROM documents)
          |$perL
          |ORDER BY context_len""".stripMargin
     },

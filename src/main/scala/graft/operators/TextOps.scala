@@ -1060,6 +1060,39 @@ object TextOps {
       .select("k", "dcg_micro", "idcg_micro", "ndcg_ppm")
   }
 
+  /** MRR + precision/recall@10 of the [[bm25TopDocs]] ranking — the
+    * binary-relevance eval trio next to [[ndcgAt10]]'s graded one
+    * (relevant = top grade of the same judgment scheme, doc_id ≡ 3
+    * mod 4; swap in a judgments join at deployment). All three scores
+    * are pure integer ppm: rr = 10⁶ div (first relevant rank, 0-safe),
+    * p@10 = hits·10⁶ div 10, r@10 = hits·10⁶ div |relevant corpus|.
+    *
+    * Scale: the rank window runs over the BM25 top-20 aggregate
+    * output; the corpus relevant-count is a 1-row aggregate attached
+    * by the allowlisted scalar crossJoin — nothing here touches the
+    * corpus beyond the BM25 spine itself.
+    */
+  def mrrAt10(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25TopDocs(spark, sfDir)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", (col("doc_id") % 4 === 3).cast("int"))
+    val head = ranked.agg(
+      count(lit(1)).as("k"),
+      sum("rel").as("hits"),
+      min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+    val totalRel = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 3)
+      .agg(count(lit(1)).as("n_relevant"))
+    head.crossJoin(broadcast(totalRel))
+      .select(col("k"), col("hits"), col("n_relevant"),
+        expr("coalesce(1000000 div first_rel, cast(0 as bigint))").as("mrr_ppm"),
+        expr("hits * 1000000 div 10").as("p10_ppm"),
+        expr("hits * 1000000 div n_relevant").as("r10_ppm"))
+  }
+
   private val KnDiscount = "0.75" // the standard absolute discount, as a
   // literal string so Spark and DuckDB parse the identical double
 
@@ -1398,6 +1431,68 @@ object TextOps {
         expr("cast(round(ln(cast(n_tokens as double)) * 1000000) as bigint) - (s_ln div n_tokens)")
           .as("entropy_micro_nats"),
         expr("greatest(s_kl, cast(0 as bigint)) div n_tokens").as("kl_micro_nats"))
+      .orderBy("source")
+  }
+
+  private val Ln2Micro = 693147L // round(ln 2 · 1e6) — JSD's upper bound
+
+  /** Jensen–Shannon divergence per source vs the corpus unigram
+    * distribution — the SYMMETRIC, BOUNDED source-similarity metric
+    * mixture design actually ranks by (DSIR-style domain matching):
+    * unlike [[mixKl]]'s KL it is finite under disjoint support with NO
+    * Laplace smoothing, and jsd ∈ [0, ln 2] normalizes to a ppm score
+    * comparable across corpora. JSD = (KL(p‖m) + KL(q‖m))/2,
+    * m = (p+q)/2.
+    *
+    * No source × vocab grid: KL(p‖m) only has mass where c_s > 0 (the
+    * inner-join frame), and KL(q‖m)'s absent-token tail is CLOSED-FORM
+    * — every token missing from s has q/m = 2 exactly, so the tail is
+    * `(n − Σ_present c_g) · ln2` — one subtraction off the same
+    * aggregate, never a grid row.
+    *
+    * Float discipline: each ln(ratio) is computed from exact integer
+    * counts widened to double in one fixed operation order (identical
+    * in both engines) and quantized ONCE to micro-nats; the c·ln folds
+    * are exact BIGINT (|ln ratio| ≤ ln(n²) keeps the fold inside Long
+    * to ~10¹¹ tokens per source); both KL parts are clamped at 0
+    * before the truncating division (quantization can graze a small
+    * negative on a mathematically-nonnegative sum).
+    *
+    * Scale: two keyed aggregates over one exploded token stream; the
+    * term frame joins per-source counts to the vocab-sized global
+    * counts by token — a shuffled equi-join, deliberately NOT a
+    * broadcast (vocab is corpus-scale at 100 TB).
+    */
+  def jsdSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    // corpus token total: one exact integer scalar, a plan literal the
+    // oracle recomputes
+    val n = toks.count()
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cnt_g"))
+    val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
+    val srcTotals = perSrc.groupBy("source").agg(sum("cnt_s").as("n_s"))
+    val den = s"(cast(cnt_s as double) * cast(${n}L as double)" +
+      " + cast(cnt_g as double) * cast(n_s as double))"
+    val terms = perSrc
+      .join(corpus, "t")
+      .join(broadcast(srcTotals), "source")
+      .withColumn("lp_micro", expr(
+        s"""cast(round(ln(cast(2 as double) * cast(cnt_s as double)
+           | * cast(${n}L as double) / $den) * 1000000) as bigint)""".stripMargin))
+      .withColumn("lq_micro", expr(
+        s"""cast(round(ln(cast(2 as double) * cast(cnt_g as double)
+           | * cast(n_s as double) / $den) * 1000000) as bigint)""".stripMargin))
+    terms.groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        sum(expr("cnt_s * lp_micro")).as("s_p"),
+        sum(expr("cnt_g * lq_micro")).as("s_q"),
+        sum("cnt_g").as("g_present"))
+      .select(col("source"), col("n_tokens"),
+        expr(s"""((greatest(s_p, cast(0 as bigint)) div n_tokens)
+           | + (greatest(s_q + (${n}L - g_present) * $Ln2Micro, cast(0 as bigint))
+           |    div ${n}L)) div 2""".stripMargin).as("jsd_micro_nats"))
+      .withColumn("jsd_ppm", expr(s"jsd_micro_nats * 1000000 div $Ln2Micro"))
       .orderBy("source")
   }
 
@@ -1782,9 +1877,11 @@ object TextOps {
     "x_tokenizer_fertility" -> tokenizerFertility _,
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
+    "x_text_jsd" -> jsdSources _,
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_text_pmi" -> pmiCollocations _,
     "x_eval_ndcg" -> ndcgAt10 _,
+    "x_eval_mrr" -> mrrAt10 _,
     "x_curriculum_phases" -> curriculumPhases _,
     "x_text_kn_lm" -> knBigramSurprise _,
     "x_text_bm25" -> bm25TopDocs _,
@@ -2222,6 +2319,25 @@ object TextOps {
          |SELECT k, dcg_micro, idcg_micro,
          | (dcg_micro * 1000000 // idcg_micro)::BIGINT AS ndcg_ppm
          |FROM dcg CROSS JOIN idcg""".stripMargin,
+    // same bm25 CTEs + binary top-grade relevance; 0-safe reciprocal
+    // rank via the null-propagating division under coalesce
+    "x_eval_mrr" ->
+      s"""WITH $bm25OracleCtes,
+         |r AS (
+         | SELECT doc_id, row_number() OVER (
+         |   ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+         | FROM bmdoc QUALIFY rank <= 10),
+         |h AS (
+         | SELECT count(*)::BIGINT AS k,
+         |  sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |  min(CASE WHEN doc_id % 4 = 3 THEN rank END)::BIGINT AS first_rel
+         | FROM r),
+         |tr AS (SELECT count(*)::BIGINT AS n_relevant FROM documents WHERE doc_id % 4 = 3)
+         |SELECT k, hits, n_relevant,
+         | coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_ppm,
+         | (hits * 1000000 // 10)::BIGINT AS p10_ppm,
+         | (hits * 1000000 // n_relevant)::BIGINT AS r10_ppm
+         |FROM h CROSS JOIN tr""".stripMargin,
     // both rank lists re-derived (bm25 CTEs + cosine top-20 for vec 0),
     // integer floor-div RRF, absent rank = 0
     "x_hybrid_rrf" ->
@@ -2455,6 +2571,40 @@ object TextOps {
         |   AS entropy_micro_nats,
         | (greatest(s_kl, 0) // n_tokens)::BIGINT AS kl_micro_nats
         |FROM g ORDER BY source""".stripMargin,
+    // identical double widening order inside each ln, single
+    // quantization per term, closed-form ln2 tail for absent tokens,
+    // both KL parts clamped at 0 before the truncating division
+    "x_text_jsd" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM toks),
+        |g AS (SELECT t, count(*)::BIGINT AS cnt_g FROM toks GROUP BY t),
+        |s AS (SELECT source, t, count(*)::BIGINT AS cnt_s FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(cnt_s)::BIGINT AS n_s FROM s GROUP BY 1),
+        |terms AS (
+        | SELECT s.source, ns.n_s, s.cnt_s, g.cnt_g, nn.n,
+        |  round(ln(2::DOUBLE * s.cnt_s::DOUBLE * nn.n::DOUBLE /
+        |    (s.cnt_s::DOUBLE * nn.n::DOUBLE + g.cnt_g::DOUBLE * ns.n_s::DOUBLE))
+        |    * 1000000)::BIGINT AS lp_micro,
+        |  round(ln(2::DOUBLE * g.cnt_g::DOUBLE * ns.n_s::DOUBLE /
+        |    (s.cnt_s::DOUBLE * nn.n::DOUBLE + g.cnt_g::DOUBLE * ns.n_s::DOUBLE))
+        |    * 1000000)::BIGINT AS lq_micro
+        | FROM s JOIN g USING (t) JOIN ns USING (source), nn),
+        |p AS (
+        | SELECT source, max(n_s)::BIGINT AS n_tokens, max(n)::BIGINT AS n,
+        |  sum(cnt_s * lp_micro)::BIGINT AS s_p,
+        |  sum(cnt_g * lq_micro)::BIGINT AS s_q,
+        |  sum(cnt_g)::BIGINT AS g_present
+        | FROM terms GROUP BY source)
+        |SELECT source, n_tokens,
+        | (((greatest(s_p, 0) // n_tokens)
+        |   + (greatest(s_q + (n - g_present) * 693147, 0) // n)) // 2)::BIGINT
+        |   AS jsd_micro_nats,
+        | ((((greatest(s_p, 0) // n_tokens)
+        |   + (greatest(s_q + (n - g_present) * 693147, 0) // n)) // 2)
+        |   * 1000000 // 693147)::BIGINT AS jsd_ppm
+        |FROM p ORDER BY source""".stripMargin,
     "x_text_unigram_lm" ->
       s"""WITH toks AS (
          | SELECT doc_id, source,

@@ -713,6 +713,21 @@ class CurationSpec extends AnyFunSuite {
     assert(grid.contains(row.getLong(3)), "argmax location is a real wc value")
   }
 
+  test("shelf packing: whole-doc invariants and dominance over one-doc-per-context") {
+    val rows = Curation.packShelf(spark, TestSpark.sf).collect()
+    assert(rows.length === 3, "one row per candidate context length")
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    rows.foreach { r =>
+      val (l, docs, ctxs, capped, shelf, naive) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(docs === n)
+      assert(ctxs <= docs, "shelving can never need more contexts than docs")
+      assert(ctxs * l >= capped, "allocation covers the capped mass")
+      assert(shelf <= naive, s"L=$l: shelf waste must dominate naive padding")
+      assert(shelf >= 0 && naive <= 1000000L)
+    }
+  }
+
   test("ROUGE-2 recall: bounded, attributed to the true argmax candidate") {
     import org.apache.spark.sql.functions._
     val rows = Curation.rougeOverlap(spark, TestSpark.sf).collect()

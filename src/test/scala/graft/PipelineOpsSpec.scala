@@ -2157,6 +2157,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JSD: bounded by ln2, and the largest source re-derives term-exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.jsdSources(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 693147L,
+        s"${r.getString(0)}: JSD in [0, ln2] micro-nats")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    // brute-force the quantized JSD for the largest source with the
+    // SAME per-term quantization (JVM math.log == Spark's ln)
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = toks.length.toLong
+    val g = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val biggest = toks.groupBy(_._1).view.mapValues(_.length).maxBy(v => (v._2, v._1))._1
+    val sCnt = toks.filter(_._1 == biggest).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nS = sCnt.values.sum
+    var sP = 0L; var sQ = 0L; var gPresent = 0L
+    sCnt.foreach { case (t, cs) =>
+      val cg = g(t)
+      val den = cs.toDouble * n + cg.toDouble * nS
+      sP += cs * math.round(math.log(2.0 * cs * n / den) * 1e6)
+      sQ += cg * math.round(math.log(2.0 * cg * nS / den) * 1e6)
+      gPresent += cg
+    }
+    val expected = (math.max(sP, 0L) / nS + math.max(sQ + (n - gPresent) * 693147L, 0L) / n) / 2
+    val row = rows.find(_.getString(0) == biggest).get
+    assert(row.getLong(2) === expected, s"$biggest: engine JSD must equal the brute-force fold")
+  }
+
+  test("MRR/P@10/R@10: consistent with each other and with the hit census") {
+    val r = TextOps.mrrAt10(spark, sf).collect()
+    assert(r.length === 1)
+    val (k, hits, nRel, mrr, p10, r10) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    assert(k === 10 && hits >= 0 && hits <= 10)
+    assert(p10 === hits * 100000L, "precision@10 is exactly hits/10")
+    assert(r10 === hits * 1000000L / nRel)
+    if (hits > 0) assert(mrr >= 100000L && mrr <= 1000000L,
+      "a hit in the top-10 bounds RR to [1/10, 1]")
+    else assert(mrr === 0L)
+  }
+
   test("curriculum phases: value-ordered quartiles conserve docs and difficulty order") {
     val rows = TextOps.curriculumPhases(spark, sf).collect()
     val phases = rows.map(_.getInt(0)).distinct.sorted
