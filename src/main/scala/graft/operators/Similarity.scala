@@ -430,6 +430,33 @@ object Similarity {
     ivfRerank(assignTo(cents)(base), probeFrame(base, cents, IvfNProbe))
   }
 
+  /** IVF inverted-list balance census — the index-health metric an ANN
+    * serving team watches BEFORE latency does it for them: with nprobe
+    * lists scanned per query, p99 latency is set by the LARGEST probed
+    * list, so a skewed quantizer (one list holding 10× the uniform
+    * share) silently turns an nprobe/K scan fraction into a hot-list
+    * scan. Reports each trained list's population, exact id mass,
+    * corpus share in ppm, and load relative to uniform in percent
+    * (100 = perfectly balanced). Empty lists don't appear — their
+    * absence from the census IS the other imbalance signal.
+    *
+    * Shares [[trainedCentroids]] (and therefore the retrain oracle)
+    * with the IVF query paths: the census audits exactly the index
+    * those queries probe. Scale: one assignment projection (fused
+    * argmin over K codegen'd dot products) + a K-group aggregate.
+    */
+  def ivfListBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val n = base.count()
+    assignTo(cents)(base)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
+      .withColumn("share_ppm", expr(s"n_vecs * 1000000 div ${n}L"))
+      .withColumn("load_pct", expr(s"n_vecs * ${IvfK}L * 100 div ${n}L"))
+      .orderBy("list_id")
+  }
+
   /** The storage-layout form of IVF ANN — the promise in [[ivfTopK]]'s
     * scaladoc made real: the assigned corpus is WRITTEN OUT partitioned
     * by list_id (fingerprint-keyed like [[bucketedLayoutPath]]), and a
@@ -1919,6 +1946,7 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopK _,
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
+    "x_emb_ivf_balance" -> ivfListBalance _,
     "x_sim_topk_ivf_bucketed" -> ivfBucketedTopK _,
     "x_sim_index_incremental" -> ivfIncrementalTopK _,
     "x_stream_index_ingest" -> streamIndexIngest _,
@@ -2740,6 +2768,14 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,
+    // same retrain CTEs; the census reads the final assignment directly
+    "x_emb_ivf_balance" ->
+      s"""WITH $ivfTrainCtes,
+         |nn AS (SELECT count(*)::BIGINT AS n FROM e)
+         |SELECT list_id, count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS id_sum,
+         | (count(*) * 1000000 // (SELECT n FROM nn))::BIGINT AS share_ppm,
+         | (count(*) * $IvfK * 100 // (SELECT n FROM nn))::BIGINT AS load_pct
+         |FROM asgF GROUP BY list_id ORDER BY list_id""".stripMargin,
     // the bucketed layout changes WHERE list rows are read, not what
     // they contain — identical results, same retrain oracle
     "x_sim_topk_ivf_bucketed" -> ivfOracle,

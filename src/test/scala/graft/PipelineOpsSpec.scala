@@ -2157,6 +2157,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF list balance: census covers the corpus and audits the served index") {
+    val rows = Similarity.ivfListBalance(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty && rows.length <= 16, "at most K=16 lists")
+    assert(rows.map(_.getLong(1)).sum === n, "every vector lands in exactly one list")
+    val idTotal = Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("vec_id")).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === idTotal, "id mass conserves across lists")
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) * 1000000L / n)
+      assert(r.getLong(4) === r.getLong(1) * 16L * 100L / n)
+    }
+  }
+
   test("JSD: bounded by ln2, and the largest source re-derives term-exactly") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.jsdSources(spark, sf).collect()
