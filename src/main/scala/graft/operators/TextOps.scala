@@ -1434,6 +1434,42 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Flesch–Kincaid grade-level scoring per source — the classic
+    * readability heuristic quality filters stack next to the Gopher
+    * rules (a corpus drifting toward very low or very high grades is a
+    * boilerplate / gibberish signal the length ratios miss). Committed
+    * integer definition: words = whitespace tokens, sentences =
+    * [.!?]+ runs (min 1), syllables = vowel runs in the lowered text
+    * (the standard cheap proxy; runs can't cross words since spaces
+    * are non-vowels), and the grade in exact milli-units is
+    * `390·W div S + 11800·Syl div W − 15590` — the FK constants scaled
+    * to integers with per-term truncating division, so both engines
+    * fold bit-identically with zero float anywhere.
+    *
+    * Scale: one projection (three codegen'd regex/size expressions per
+    * doc) + a keyed rollup — the cheapest member of the quality
+    * battery.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"),
+        greatest(size(split(lower(trim(col("text"))), "\\s+")), lit(1))
+          .cast("long").as("w"),
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))"), lit(1))
+          .cast("long").as("sents"),
+        expr("cast(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) as bigint)")
+          .as("syl"))
+      .withColumn("grade_milli",
+        expr("390 * w div sents + 11800 * syl div w - 15590"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(grade_milli) div count(1)").as("mean_grade_milli"),
+        min("grade_milli").as("min_grade_milli"),
+        max("grade_milli").as("max_grade_milli"),
+        sum(when(col("grade_milli") > 12000L, 1L).otherwise(0L)).as("n_college"))
+      .orderBy("source")
+  }
+
   private val Ln2Micro = 693147L // round(ln 2 · 1e6) — JSD's upper bound
 
   /** Jensen–Shannon divergence per source vs the corpus unigram
@@ -1878,6 +1914,7 @@ object TextOps {
     "x_text_heavy_hitters" -> heavyHitters _,
     "x_mix_kl" -> mixKl _,
     "x_text_jsd" -> jsdSources _,
+    "x_text_readability" -> readability _,
     "x_text_bigram_lm" -> bigramSurprise _,
     "x_text_pmi" -> pmiCollocations _,
     "x_eval_ndcg" -> ndcgAt10 _,
@@ -2605,6 +2642,23 @@ object TextOps {
         |   + (greatest(s_q + (n - g_present) * 693147, 0) // n)) // 2)
         |   * 1000000 // 693147)::BIGINT AS jsd_ppm
         |FROM p ORDER BY source""".stripMargin,
+    // same committed integer FK definition; per-term truncating divs
+    "x_text_readability" ->
+      """WITH per AS (
+        | SELECT source,
+        |  greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1)::BIGINT AS w,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS sents,
+        |  len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS syl
+        | FROM documents),
+        |g AS (
+        | SELECT source, 390 * w // sents + 11800 * syl // w - 15590 AS grade_milli
+        | FROM per)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | (sum(grade_milli) // count(*))::BIGINT AS mean_grade_milli,
+        | min(grade_milli)::BIGINT AS min_grade_milli,
+        | max(grade_milli)::BIGINT AS max_grade_milli,
+        | sum(CASE WHEN grade_milli > 12000 THEN 1 ELSE 0 END)::BIGINT AS n_college
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "x_text_unigram_lm" ->
       s"""WITH toks AS (
          | SELECT doc_id, source,

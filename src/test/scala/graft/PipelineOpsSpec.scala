@@ -2157,6 +2157,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("readability: per-source census conserves docs and bounds hold") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.readability(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+        s"${r.getString(0)}: min <= mean <= max")
+      assert(r.getLong(5) <= r.getLong(1))
+      // FK floor: grade_milli >= 390*1-15590 + 0 is bounded below
+      assert(r.getLong(3) >= -15590L + 390L)
+    }
+    // one-doc re-derivation with the committed integer definition
+    val d = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .select(col("text")).head.getString(0)
+    val w = math.max(d.trim.toLowerCase.split("\\s+").length, 1).toLong
+    val sents = math.max("[.!?]+".r.findAllIn(d).length, 1).toLong
+    val syl = "[aeiou]+".r.findAllIn(d.toLowerCase).length.toLong
+    val grade = 390L * w / sents + 11800L * syl / w - 15590L
+    val lo = rows.map(_.getLong(3)).min
+    val hi = rows.map(_.getLong(4)).max
+    assert(grade >= lo && grade <= hi, "a re-derived doc grade lies inside the census bounds")
+  }
+
   test("IVF list balance: census covers the corpus and audits the served index") {
     val rows = Similarity.ivfListBalance(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
