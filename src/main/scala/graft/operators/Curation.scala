@@ -348,10 +348,18 @@ object Curation {
 
   /** The raw permuted (doc_id, l, r) frame — the spec asserts
     * bijectivity (distinct (l,r) = distinct doc_id) on it directly. */
-  private[graft] def feistelPermuted(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def feistelPermuted(spark: SparkSession, sfDir: String): DataFrame =
+    feistelPermute(
+      Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+        .select(col("doc_id")))
+
+  /** The permutation expression chain over ANY (doc_id) frame — split
+    * out so the property spec can drive it with arbitrary 64-bit ids
+    * (signs, extremes), not just corpus ids. Pure bit ops throughout:
+    * the arithmetic shift + mask makes the halving sign-safe. */
+  private[graft] def feistelPermute(ids: DataFrame): DataFrame = {
     val M = 4294967295L // 2^32 − 1
-    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
-      .select(col("doc_id"))
+    val docs = ids
       .withColumn("l", expr(s"shiftright(doc_id, 32) & $M"))
       .withColumn("r", expr(s"doc_id & $M"))
     FeistelKeys.foldLeft(docs) { case (df, k) =>
