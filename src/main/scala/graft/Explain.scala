@@ -190,6 +190,8 @@ object Explain {
         "crossJoin of two 1-row eval scalars (dcg × idcg aggregates, TextOps.scala ndcgAt10) — both sides exactly one row"),
       "x_eval_mrr" -> Map("bnlj" ->
         "crossJoin of two 1-row eval scalars (top-10 hit census × corpus relevant count, TextOps.scala mrrAt10) — both sides exactly one row"),
+      "x_eval_ap" -> Map("bnlj" ->
+        "crossJoin of two 1-row eval scalars (ranked-precision sum × corpus relevant count, TextOps.scala apAt10) — both sides exactly one row"),
       "x_text_heaps" -> Map("bnlj" ->
         "crossJoin of two 1-row checkpoint aggregates (occurrence sums x first-occurrence vocab sums, TextOps.scala heapsLaw) — both sides exactly one row"),
       "q11_important_stock" -> Map("bnlj" -> (scalarAttach + " (group-value threshold, Analytics.scala:567)")),

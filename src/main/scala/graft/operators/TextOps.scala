@@ -1093,6 +1093,65 @@ object TextOps {
         expr("hits * 1000000 div n_relevant").as("r10_ppm"))
   }
 
+  /** Average precision @10 of the [[bm25TopDocs]] ranking — the
+    * rank-position-weighted eval that completes the retrieval trio
+    * ([[ndcgAt10]] graded, [[mrrAt10]] first-hit, AP the full ranked
+    * integral): AP = Σ_{relevant k} P@k / min(R, 10), each P@k the
+    * exact integer hits≤k·10⁶ div k. Same binary judgment scheme as
+    * MRR (doc_id ≡ 3 mod 4).
+    *
+    * Scale: the cumulative-hits window runs over the BM25 top-10
+    * aggregate output; the corpus relevant count is the allowlisted
+    * 1-row scalar attach.
+    */
+  def apAt10(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    val ranked = bm25TopDocs(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", (col("doc_id") % 4 === 3).cast("long"))
+      .withColumn("hits_at_k", sum("rel").over(
+        Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("p_at_k_ppm",
+        when(col("rel") === 1, expr("hits_at_k * 1000000 div rank")).otherwise(lit(0L)))
+    val head = ranked.agg(count(lit(1)).as("k"), sum("rel").as("hits"),
+      sum("p_at_k_ppm").as("p_sum_ppm"))
+    val totalRel = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 3)
+      .agg(count(lit(1)).as("n_relevant"))
+    head.crossJoin(broadcast(totalRel))
+      .select(col("k"), col("hits"), col("n_relevant"),
+        expr("p_sum_ppm div least(n_relevant, 10)").as("ap_ppm"))
+  }
+
+  private val MinBurstCf = 5L // a term must recur to have a burst profile
+
+  /** Term burstiness (Church & Gale 1995) — mean occurrences per
+    * CONTAINING document, the boilerplate detector frequency alone
+    * misses: a template fragment appears 40× in each of its few docs
+    * (bursty), a function word once or twice everywhere (flat); both
+    * can share collection frequency. Top-30 by burst_milli =
+    * cf·1000 div df (cf-gated so hapax noise can't rank), with
+    * (burst desc, term asc) a total order for a deterministic cut.
+    *
+    * Scale: cf and df come from ONE (term, doc) aggregate pass
+    * (map-side combine) followed by a term-keyed rollup; the cut is
+    * TakeOrderedAndProject. No distinct buffers: df = count of
+    * (term, doc) groups, cf = their sum.
+    */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = tokenized(spark, sfDir)
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("t")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= MinBurstCf)
+      .withColumn("burst_milli", expr("cf * 1000 div df"))
+      .select(col("t").as("term"), col("cf"), col("df"), col("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("term").asc)
+      .limit(30)
+  }
+
   private val KnDiscount = "0.75" // the standard absolute discount, as a
   // literal string so Spark and DuckDB parse the identical double
 
@@ -1919,6 +1978,8 @@ object TextOps {
     "x_text_pmi" -> pmiCollocations _,
     "x_eval_ndcg" -> ndcgAt10 _,
     "x_eval_mrr" -> mrrAt10 _,
+    "x_eval_ap" -> apAt10 _,
+    "x_text_burstiness" -> burstiness _,
     "x_curriculum_phases" -> curriculumPhases _,
     "x_text_kn_lm" -> knBigramSurprise _,
     "x_text_bm25" -> bm25TopDocs _,
@@ -2375,6 +2436,43 @@ object TextOps {
          | (hits * 1000000 // 10)::BIGINT AS p10_ppm,
          | (hits * 1000000 // n_relevant)::BIGINT AS r10_ppm
          |FROM h CROSS JOIN tr""".stripMargin,
+    // same bm25 CTEs; cumulative hits over the same rank order, each
+    // P@k quantized by truncating division before the sum
+    "x_eval_ap" ->
+      s"""WITH $bm25OracleCtes,
+         |r AS (
+         | SELECT doc_id, row_number() OVER (
+         |   ORDER BY bm25_micro DESC, doc_id ASC) AS rank
+         | FROM bmdoc QUALIFY rank <= 10),
+         |c AS (
+         | SELECT rank, CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS rel,
+         |  sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY rank) AS hits_at_k
+         | FROM r),
+         |h AS (
+         | SELECT count(*)::BIGINT AS k, sum(rel)::BIGINT AS hits,
+         |  sum(CASE WHEN rel = 1 THEN hits_at_k * 1000000 // rank ELSE 0 END)::BIGINT
+         |    AS p_sum_ppm
+         | FROM c),
+         |tr AS (SELECT count(*)::BIGINT AS n_relevant FROM documents WHERE doc_id % 4 = 3)
+         |SELECT k, hits, n_relevant,
+         | (p_sum_ppm // least(n_relevant, 10))::BIGINT AS ap_ppm
+         |FROM h CROSS JOIN tr""".stripMargin,
+    // cf/df from the same (term, doc) grain; total (burst desc, term)
+    // order makes the LIMIT 30 cut deterministic cross-engine
+    "x_text_burstiness" ->
+      """WITH pd AS (
+        | SELECT t, doc_id, count(*)::BIGINT AS c
+        | FROM (SELECT doc_id,
+        |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |       FROM documents)
+        | GROUP BY t, doc_id),
+        |g AS (
+        | SELECT t AS term, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df
+        | FROM pd GROUP BY t)
+        |SELECT term, cf, df, (cf * 1000 // df)::BIGINT AS burst_milli
+        |FROM g WHERE cf >= 5
+        |ORDER BY burst_milli DESC, term ASC LIMIT 30""".stripMargin,
     // both rank lists re-derived (bm25 CTEs + cosine top-20 for vec 0),
     // integer floor-div RRF, absent rank = 0
     "x_hybrid_rrf" ->

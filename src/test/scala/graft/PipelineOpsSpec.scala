@@ -2157,6 +2157,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AP@10 is consistent with MRR and bounded by precision identities") {
+    val ap = TextOps.apAt10(spark, sf).collect()(0)
+    val mrr = TextOps.mrrAt10(spark, sf).collect()(0)
+    val (k, hits, nRel, apPpm) = (ap.getLong(0), ap.getLong(1), ap.getLong(2), ap.getLong(3))
+    assert(k === 10 && hits === mrr.getLong(1) && nRel === mrr.getLong(2))
+    assert(apPpm >= 0 && apPpm <= 1000000L)
+    // AP <= best-possible P@k mass: hits ranked first would give
+    // hits/min(R,10) exactly; any other placement only loses
+    val ideal = hits * 1000000L / math.min(nRel, 10L)
+    assert(apPpm <= ideal, "AP is maximized by front-loading the hits")
+    if (hits > 0) {
+      // the first relevant doc contributes P@r = hits_at_r/r = 1/r = RR
+      assert(apPpm > 0)
+      assert(mrr.getLong(3) > 0)
+    } else assert(apPpm === 0L)
+  }
+
+  test("burstiness: gated, ordered, and each row re-derives cf/df arithmetic") {
+    val rows = TextOps.burstiness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, "cf gate")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        "df bounds: 1 <= df <= cf")
+      assert(r.getLong(3) === r.getLong(1) * 1000L / r.getLong(2))
+      assert(r.getLong(3) >= 1000L, "a term occurs at least once per containing doc")
+    }
+  }
+
   test("readability: per-source census conserves docs and bounds hold") {
     import org.apache.spark.sql.functions._
     val rows = TextOps.readability(spark, sf).collect()
