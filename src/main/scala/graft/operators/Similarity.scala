@@ -1225,6 +1225,46 @@ object Similarity {
     } finally cached.unpersist()
   }
 
+  /** PQ quantization-distortion census — the OTHER index-health gate
+    * next to [[ivfListBalance]]: reconstruction error ‖sv − c(sv)‖² per
+    * subspace is THE PQ quality number (it bounds the ADC score error),
+    * and a subspace whose distortion is an outlier is the one that
+    * needs more bits or an OPQ rotation. Per subvector the error is
+    * `sv·sv + min_j(c_j·c_j − 2·sv·c_j)` — the argmin the encoder
+    * already computes plus one self-dot — quantized ONCE to micro
+    * units (clamped at 0: float association can graze −ε on an exact
+    * zero). Shares [[trainedBooks]] and the retrain oracle with the
+    * ADC query path, so the census audits exactly the shipped codes.
+    *
+    * Scale: one fused projection per subspace branch (the encode
+    * expression + a self-dot) + an M-group aggregate — publish-time
+    * cost, no shuffle beyond the 8-row rollup.
+    */
+  def pqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
+    val base = corpus(spark, sfDir).select("vec_id", "v")
+    val books = trainedBooks(spark, sfDir, base)
+    val sub = subspaceFrame(base)
+    (0 until PqM).map { s =>
+      val scored = books(s).zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0) * dot_product(col("sv"), centroidCol(c))).as("d"),
+          lit(j).as("j"))
+      }
+      sub.filter(col("s") === s)
+        .withColumn("mind", array_min(array(scored: _*)).getField("d"))
+        .withColumn("svsv", dot_product(col("sv"), col("sv")))
+        .withColumn("dist_micro", expr(
+          "greatest(cast(round((svsv + mind) * 1000000) as bigint), cast(0 as bigint))"))
+    }.reduce(_ unionByName _)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(dist_micro) div count(1)").as("mean_dist_micro"),
+        max("dist_micro").as("max_dist_micro"))
+      .orderBy("s")
+  }
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Array[Double]]]]()
 
@@ -1947,6 +1987,7 @@ object Similarity {
     "x_sim_topk_lsh_bucketed" -> lshBucketedTopK _,
     "x_sim_topk_ivf" -> ivfTopK _,
     "x_emb_ivf_balance" -> ivfListBalance _,
+    "x_emb_pq_distortion" -> pqDistortion _,
     "x_sim_topk_ivf_bucketed" -> ivfBucketedTopK _,
     "x_sim_index_incremental" -> ivfIncrementalTopK _,
     "x_stream_index_ingest" -> streamIndexIngest _,
@@ -2132,7 +2173,11 @@ object Similarity {
     * micro-quantized partial dots → ADC top-5. Same cannot-drift
     * argument as [[ivfTrainCtes]], extended subspace-wise.
     */
-  private val pqOracle: String = {
+  /** PQ retrain CTE prefix (raw scan → seeds → subvectors → unrolled
+    * Lloyd steps → final assignment `asgF`), shared by the ADC and
+    * distortion oracles exactly as the Spark side shares trainedBooks.
+    */
+  private val pqTrainCtes: String = {
     def assign(cents: String): String =
       s"""SELECT vec_id, s, list_id FROM (
          |  SELECT b.vec_id, b.s, c.j AS list_id,
@@ -2150,7 +2195,7 @@ object Similarity {
          | SELECT c.s, c.j, coalesce(cl.cvec, c.cvec) AS cvec
          | FROM cents${n - 1} c LEFT JOIN cl$n cl ON cl.s = c.s AND cl.list_id = c.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (
        | SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, v
        | FROM e QUALIFY j < $PqK),
@@ -2164,7 +2209,11 @@ object Similarity {
        | SELECT s, j, v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS cvec
        | FROM seeds, range(0, $PqM) r(s)),
        |$iters,
-       |asgF AS (${assign(s"cents$PqIters")}),
+       |asgF AS (${assign(s"cents$PqIters")})""".stripMargin
+  }
+
+  private val pqOracle: String = {
+    s"""WITH $pqTrainCtes,
        |lut AS (
        | SELECT q.vec_id AS query_id, c.s, c.j,
        |  round(list_dot_product(q.sv, c.cvec) * 1000000)::BIGINT AS pd
@@ -2768,6 +2817,22 @@ object Similarity {
     "x_sim_topk_lsh" -> lshTopKOracle,
     "x_sim_topk_lsh_bucketed" -> lshTopKOracle,
     "x_sim_topk_ivf" -> ivfOracle,
+    // PQ retrain CTEs; distortion from the assigned centroid with the
+    // identical association order (sv·sv + (c·c − 2·sv·c)), clamped
+    // at 0 before aggregation
+    "x_emb_pq_distortion" ->
+      s"""WITH $pqTrainCtes,
+         |d AS (
+         | SELECT a.s,
+         |  greatest(round((list_dot_product(b.sv, b.sv)
+         |    + (list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(b.sv, c.cvec)))
+         |    * 1000000)::BIGINT, 0) AS dist_micro
+         | FROM asgF a JOIN sub b ON b.vec_id = a.vec_id AND b.s = a.s
+         |  JOIN cents$PqIters c ON c.s = a.s AND c.j = a.list_id)
+         |SELECT s, count(*)::BIGINT AS n_vecs,
+         | (sum(dist_micro) // count(*))::BIGINT AS mean_dist_micro,
+         | max(dist_micro)::BIGINT AS max_dist_micro
+         |FROM d GROUP BY s ORDER BY s""".stripMargin,
     // same retrain CTEs; the census reads the final assignment directly
     "x_emb_ivf_balance" ->
       s"""WITH $ivfTrainCtes,

@@ -2211,6 +2211,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grade >= lo && grade <= hi, "a re-derived doc grade lies inside the census bounds")
   }
 
+  test("PQ distortion census: one row per subspace, bounded, full coverage") {
+    val rows = Similarity.pqDistortion(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.sameElements(0 until 8),
+      "all 8 subspaces report")
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, "every vector encoded in every subspace")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(3),
+        s"subspace ${r.getInt(0)}: 0 <= mean <= max")
+    }
+    // the encoder picks the NEAREST code, so mean distortion must be
+    // strictly below the trivial all-zero-centroid bound E[||sv||^2]
+    import org.apache.spark.sql.functions._
+    val meanNorm2 = Tables.embeddings(spark, sf)
+      .select(expr("aggregate(slice(cast(embedding as array<double>), 1, 8), 0.0D, (a, x) -> a + x * x)").as("n2"))
+      .agg(avg("n2")).head.getDouble(0)
+    assert(rows.find(_.getInt(0) == 0).get.getLong(2) < meanNorm2 * 1e6,
+      "quantizing must beat the zero-centroid straw man in subspace 0")
+  }
+
   test("IVF list balance: census covers the corpus and audits the served index") {
     val rows = Similarity.ivfListBalance(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
