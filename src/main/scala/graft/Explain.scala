@@ -211,6 +211,8 @@ object Explain {
         (scalarAttach + " (surprise-cut threshold from Ranks.valueAtRank, TextOps.scala:388 + the kernel's 1-row cut attach)")),
       "x_curriculum_phases" -> Map("bnlj" ->
         (scalarAttach + " (the 1-row quartile-threshold attach from Ranks.valuesAtRanks + the kernel's 3-row cut attach, TextOps.curriculumPhases)")),
+      "x_split_temporal" -> Map("bnlj" ->
+        (scalarAttach + " (the 1-row p80-cutoff attach from Ranks.valueAtRank + the kernel's 1-row cut attach, Curation.temporalSplit)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
       "x_vocab_coverage" -> Map("bnlj" ->
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),

@@ -859,6 +859,48 @@ object Curation {
   // Train / validation / test split
   // ---------------------------------------------------------------- //
 
+  private val TemporalBucketMicros = 3600000000L // 1 h rank-kernel grain
+
+  /** Temporal 80/20 holdout on the event stream — the
+    * forecasting-correct split [[splitTrain]]'s hash split cannot give
+    * you: everything after the exact p80 event time is test, so the
+    * model never trains on the future. The cutoff is a DATA-DERIVED
+    * exact order statistic (the [[graft.operators.Ranks.valueAtRank]]
+    * kernel at rank ⌈0.8n⌉ over event micros — no global sort, no
+    * hard-coded date that rots as the fixture grows).
+    *
+    * The output carries the diagnostic every temporal split needs next
+    * to its counts: PER-ENTITY OVERLAP — users active on both sides of
+    * the cut (inevitable in panel data, invisible in row counts) are
+    * exactly where entity-level memorization can still leak across a
+    * clean time boundary; overlap_ppm is the number to report beside
+    * any "no temporal leakage" claim. Computed distinct-buffer-free:
+    * one (type, user) aggregate with two boolean maxes, then a keyed
+    * rollup.
+    */
+  def temporalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), expr("unix_micros(ts)").as("tm"))
+    val cutRank = ev.agg(count(lit(1)).as("n"))
+      .select(expr("(4 * n + 4) div 5").as("cut_rk"))
+    val thr = Ranks.valueAtRank(ev, "tm", cutRank, TemporalBucketMicros)
+    val tagged = ev.crossJoin(broadcast(thr))
+      .withColumn("is_train", col("tm") <= col("thr"))
+    val counts = tagged.groupBy("event_type").agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+    val users = tagged.groupBy("event_type", "user_id").agg(
+        max(when(col("is_train"), 1).otherwise(0)).as("in_tr"),
+        max(when(!col("is_train"), 1).otherwise(0)).as("in_te"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("in_tr") === 1 && col("in_te") === 1, 1L).otherwise(0L))
+          .as("n_users_overlap"))
+    counts.join(users, "event_type")
+      .withColumn("overlap_ppm", expr("n_users_overlap * 1000000 div n_users"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic 98/1/1 train/val/test assignment by document-id
     * hash: `h(doc_id) mod 100` → <98 train, 98 val, 99 test. The same
     * doc lands in the same split on every engine, retry and corpus
@@ -2377,6 +2419,7 @@ object Curation {
     "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
     "x_split_train" -> splitTrain _,
+    "x_split_temporal" -> temporalSplit _,
     "x_split_leakage_safe" -> leakageSafeSplit _,
     "x_policy_filter" -> policyFilter _,
     "x_outlier_zscore" -> outlierZscore _,
@@ -2997,6 +3040,39 @@ object Curation {
          | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
          | max(shared) AS max_shared
          |FROM shared GROUP BY source ORDER BY source""".stripMargin,
+    // single-window re-derivation of the rank-kernel cutoff (smallest
+    // tm whose cumulative count reaches rank ceil(0.8n)), identical
+    // boolean-max overlap census
+    "x_split_temporal" ->
+      """WITH ev AS (
+        | SELECT event_type, user_id, epoch_us(ts) AS tm FROM events),
+        |nn AS (SELECT count(*) AS n FROM ev),
+        |thr AS (
+        | SELECT tm AS thr FROM (
+        |  SELECT tm, row_number() OVER (ORDER BY tm) AS rk FROM ev)
+        | WHERE rk = (SELECT (4 * n + 4) // 5 FROM nn)),
+        |tagged AS (
+        | SELECT event_type, user_id, tm <= (SELECT thr FROM thr) AS is_train
+        | FROM ev),
+        |c AS (
+        | SELECT event_type,
+        |  sum(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |  sum(CASE WHEN is_train THEN 0 ELSE 1 END)::BIGINT AS n_test
+        | FROM tagged GROUP BY event_type),
+        |u AS (
+        | SELECT event_type, count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN in_tr = 1 AND in_te = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_users_overlap
+        | FROM (
+        |  SELECT event_type, user_id,
+        |   max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_tr,
+        |   max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_te
+        |  FROM tagged GROUP BY event_type, user_id)
+        | GROUP BY event_type)
+        |SELECT c.event_type, c.n_train, c.n_test, u.n_users, u.n_users_overlap,
+        | (u.n_users_overlap * 1000000 // u.n_users)::BIGINT AS overlap_ppm
+        |FROM c JOIN u USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // 2-gram twin of the contamination shingle derivation (same h60,
     // same df-cap + eval classification); best-match pick re-derived
     // with the identical (inter desc, cand_id asc) QUALIFY

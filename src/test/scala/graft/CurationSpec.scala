@@ -713,6 +713,29 @@ class CurationSpec extends AnyFunSuite {
     assert(grid.contains(row.getLong(3)), "argmax location is a real wc value")
   }
 
+  test("temporal split: exact 80/20 cut, no future in train, overlap diagnosed") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.temporalSplit(spark, TestSpark.sf).collect()
+    val ev = Tables.events(spark, TestSpark.sf)
+    val n = ev.count()
+    val nTrain = rows.map(_.getLong(1)).sum
+    val nTest = rows.map(_.getLong(2)).sum
+    assert(nTrain + nTest === n, "the split partitions every event")
+    // cut at rank ceil(0.8n): train holds AT LEAST that many rows
+    // (ties at the cutoff timestamp all land in train), test the rest
+    val cutRank = (4 * n + 4) / 5
+    assert(nTrain >= cutRank, "everything up to the p80 rank is train")
+    assert(nTrain - cutRank < 100, "only cutoff-timestamp ties may exceed the rank")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "overlap can't exceed the user census")
+      assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(3))
+    }
+    // the TIME property itself: max train ts <= min test ts, re-derived
+    val times = ev.select(expr("unix_micros(ts)").as("tm")).collect().map(_.getLong(0)).sorted
+    val thr = times(cutRank.toInt - 1)
+    assert(times.count(_ <= thr) === nTrain, "train census matches the raw timeline cut")
+  }
+
   test("shelf packing: whole-doc invariants and dominance over one-doc-per-context") {
     val rows = Curation.packShelf(spark, TestSpark.sf).collect()
     assert(rows.length === 3, "one row per candidate context length")
