@@ -63,7 +63,7 @@ object BaselineCompare {
     val workDir = "/root/repo/target/graft-work/baseline"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
-    val conf = new Configuration()
+    val conf = spark.sparkContext.hadoopConfiguration
     val widths = Seq(10, 100, 1000, 2000, 3000)
     val numRows = 10000L
     val reps = 21

@@ -2070,19 +2070,13 @@ object Curation {
       s"vacuum audit count ${audit.getLong(0)} != staged ${VacuumOrphans.size} — " +
         "unknown files in orphan set; refusing to delete")
     // distributed delete: each partition removes its own slice.
-    // Ship the SESSION hadoop conf to the executors (SerializableConfiguration
-    // is private[spark], so serialize the entries) — a fresh
+    // Session conf serialized to executors via the shared helper — a fresh
     // Configuration() on the executor loses s3a/hdfs credentials set on
     // the session, and the delete would fail on a non-default filesystem.
-    val confEntries: Array[(String, String)] = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.asScala
-        .map(e => (e.getKey, e.getValue)).toArray
-    }
+    val confEntries = graft.sources.SessionConf.entries(spark)
     orphanFiles.select("path").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val hc = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => hc.set(k, v) }
+        val hc = graft.sources.SessionConf.build(confEntries)
         val pfs = new Path(dir).getFileSystem(hc)
         rows.foreach(r => pfs.delete(
           new Path(java.net.URI.create(r.getString(0))), false))

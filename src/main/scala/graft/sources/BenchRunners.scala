@@ -37,8 +37,8 @@ object BenchRunners {
     * multi-× scheduler outliers that would masquerade as scaling effects.
     */
   private def footerTimesUs(spark: SparkSession, p: String): (Double, Double, Long) = {
-    val conf = new Configuration()
-    val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, p).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = FooterMeta.parquetFiles(conf, p).head
     def once(): (Double, Double, Long) = {
       val t0 = System.nanoTime()
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
@@ -73,7 +73,7 @@ object BenchRunners {
       if (!p.getFileSystem(hconf).exists(p)) return false
       val files = FooterMeta.parquetFiles(hconf, path)
       if (files.isEmpty) return false
-      val conf = new Configuration()
+      val conf = hconf
       var totalRows = 0L
       var fieldCount = -1
       files.foreach { f =>
@@ -226,10 +226,10 @@ object BenchRunners {
       numRows: Long,
       workDir: String): DataFrame = {
     import spark.implicits._
-    val conf = new Configuration()
+    val conf = spark.sparkContext.hadoopConfiguration
     val rows = numColsList.map { nc =>
       val path = s"$workDir/meta_bench_${nc}cols" // shares files with chunksAndPages
-      val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+      val file = FooterMeta.parquetFiles(conf, path).head
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
       try {
         val footer = reader.getFooter
@@ -312,7 +312,8 @@ object BenchRunners {
       // actual row-group count from the footer — evidence the axis varied
       val nRg = {
         val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), new Configuration()))
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new Path(file), spark.sparkContext.hadoopConfiguration))
         try r.getFooter.getBlocks.size() finally r.close()
       }
       (nc, numRows, rg, nRg, ps, stats, writeMs,
@@ -527,8 +528,8 @@ object BenchRunners {
     if (!wideFileMatches(spark, path, nc, numRows))
       ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
         ParquetKnobs.WriteConfig(codec = "snappy"))
-    val conf = new Configuration()
-    val file = FooterMeta.parquetFiles(spark.sparkContext.hadoopConfiguration, path).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = FooterMeta.parquetFiles(conf, path).head
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     val nGroups =
       try reader.getFooter.getBlocks.size
@@ -604,7 +605,7 @@ object BenchRunners {
       pageSizes: Seq[Int],
       workDir: String): DataFrame = {
     import spark.implicits._
-    val conf = new Configuration()
+    val conf = spark.sparkContext.hadoopConfiguration
     val rows = for {
       nc <- numColsList
       rg <- rowGroupSizes

@@ -64,8 +64,11 @@ object FooterMeta {
       val conf = spark.sparkContext.hadoopConfiguration
       paths.flatMap(parquetFiles(conf, _))
     }
+    // session conf serialized to executors — a fresh Configuration() would
+    // drop s3a/hdfs credentials on a real deployment (SessionConf scaladoc)
+    val confEntries = SessionConf.entries(spark)
     spark.createDataset(files).mapPartitions { iter =>
-      val conf = new Configuration()
+      val conf = SessionConf.build(confEntries)
       iter.map { f =>
         val t0 = System.nanoTime()
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
@@ -97,8 +100,9 @@ object FooterMeta {
       val conf = spark.sparkContext.hadoopConfiguration
       paths.flatMap(parquetFiles(conf, _))
     }
+    val confEntries = SessionConf.entries(spark)
     spark.createDataset(files).mapPartitions { iter =>
-      val conf = new Configuration()
+      val conf = SessionConf.build(confEntries)
       iter.flatMap { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
         try {
