@@ -28,6 +28,27 @@ object BenchOps {
       .agg(count(lit(1)).as("n_rows"))
       .select(col("n_rows"), lit(100).as("n_cols"))
 
+  /** K14 — logical-type annotation census over a typed fixture that
+    * exercises the full Parquet logical-type system the reference
+    * models (src/flatbuff_ns.fbs:77-114): DECIMAL on INT32/INT64/FLBA,
+    * TIMESTAMP millis/micros/nanos ± UTC, DATE, TIME, UUID (FLBA 16),
+    * JSON, BSON, INT{8,16,64}±signed, STRING, ENUM, and two
+    * unannotated physicals. The fixture is written once via parquet-mr
+    * (Spark's writer can't emit UUID/JSON/BSON/ENUM); the census
+    * decodes `LogicalTypeAnnotation` distributed across executors and
+    * DuckDB's `parquet_schema()` independently re-derives every field
+    * for the oracle.
+    */
+  def k14LogicalTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val file = s"$workRoot/ltypes/typed.parquet"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    if (!p.getFileSystem(conf).exists(p))
+      ParquetKnobs.writeLogicalTypesFixture(conf, file)
+    FooterMeta.logicalTypes(spark, Seq(file)).toDF()
+      .orderBy("column")
+  }
+
   /** S4 — footer metadata Dataset over every table in sfDir (timings
     * dropped for deterministic rows).
     */
@@ -981,12 +1002,56 @@ object BenchOps {
     "a7_approx_stats" -> a7ApproxStats _,
     "a7_approx_bounds" -> a7ApproxBounds _,
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
+    "k14_logical_types" -> k14LogicalTypes _,
   )
 
   private val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's parquet_schema() is an independent second decoder of the
+    // typed fixture's footer: kind from its logical_type rendering,
+    // precision/scale from its native columns, int bit widths from the
+    // converted type (DuckDB prints bitWidth as a raw byte, unusable),
+    // timestamp/time unit+utc parsed from the logical_type string.
+    // Sentinels (-1/'na'/0) mirror LogicalTypeRow exactly.
+    "k14_logical_types" ->
+      """SELECT regexp_extract(file_name, '[^/]+$') AS file,
+        | name AS "column",
+        | type AS physical,
+        | coalesce(type_length, '0')::INT AS type_length,
+        | CASE WHEN logical_type LIKE 'DecimalType%' THEN 'DECIMAL'
+        |      WHEN logical_type LIKE 'TimestampType%' THEN 'TIMESTAMP'
+        |      WHEN logical_type LIKE 'TimeType%' THEN 'TIME'
+        |      WHEN logical_type LIKE 'DateType%' THEN 'DATE'
+        |      WHEN logical_type LIKE 'UUIDType%' THEN 'UUID'
+        |      WHEN logical_type LIKE 'JsonType%' THEN 'JSON'
+        |      WHEN logical_type LIKE 'BsonType%' THEN 'BSON'
+        |      WHEN logical_type LIKE 'IntType%' THEN 'INT'
+        |      WHEN logical_type LIKE 'StringType%' THEN 'STRING'
+        |      WHEN logical_type LIKE 'EnumType%' THEN 'ENUM'
+        |      ELSE 'NONE' END AS logical,
+        | coalesce("precision", -1)::INT AS "precision",
+        | coalesce("scale", -1)::INT AS "scale",
+        | CASE WHEN logical_type LIKE '%MilliSeconds()%' THEN 'MILLIS'
+        |      WHEN logical_type LIKE '%MicroSeconds()%' THEN 'MICROS'
+        |      WHEN logical_type LIKE '%NanoSeconds()%' THEN 'NANOS'
+        |      ELSE 'na' END AS unit,
+        | CASE WHEN logical_type LIKE 'TimestampType%' OR logical_type LIKE 'TimeType%'
+        |      THEN regexp_extract(logical_type, 'isAdjustedToUTC=(\d)', 1)::INT
+        |      ELSE -1 END AS utc,
+        | CASE converted_type
+        |      WHEN 'INT_8' THEN 8 WHEN 'UINT_8' THEN 8
+        |      WHEN 'INT_16' THEN 16 WHEN 'UINT_16' THEN 16
+        |      WHEN 'INT_32' THEN 32 WHEN 'UINT_32' THEN 32
+        |      WHEN 'INT_64' THEN 64 WHEN 'UINT_64' THEN 64
+        |      ELSE -1 END AS bit_width,
+        | CASE WHEN logical_type LIKE 'IntType%'
+        |      THEN regexp_extract(logical_type, 'isSigned=(\d)', 1)::INT
+        |      ELSE -1 END AS signed
+        |FROM parquet_schema('/root/repo/target/graft-work/ltypes/typed.parquet')
+        |WHERE num_children IS NULL
+        |ORDER BY "column"""".stripMargin,
     // exacts DuckDB-recomputed; both bound flags PINNED TRUE (the
     // oracle-checkable half of each sketch's accuracy contract)
     "a7_approx_bounds" ->

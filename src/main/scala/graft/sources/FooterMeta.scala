@@ -31,6 +31,25 @@ object FooterMeta {
       footer_decode_us: Double,
       schema_build_us: Double)
 
+  /** One row per leaf column with its logical-type annotation (the
+    * reference's full type-system surface, src/flatbuff_ns.fbs:77-114).
+    * Sentinels (-1 / "na") instead of nulls so cross-engine hashing is
+    * exact: precision/scale/bit_width = -1, unit = "na", utc/signed
+    * tri-state -1/0/1.
+    */
+  final case class LogicalTypeRow(
+      file: String,
+      column: String,
+      physical: String,
+      type_length: Int,
+      logical: String,
+      precision: Int,
+      scale: Int,
+      unit: String,
+      utc: Int,
+      bit_width: Int,
+      signed: Int)
+
   /** One row per (row group × column chunk) with statistics (S5). */
   final case class ChunkStatRow(
       path: String,
@@ -123,6 +142,74 @@ object FooterMeta {
                 encodings = chunk.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString("|"),
                 dict_encoded = chunk.getEncodings.asScala.exists(e =>
                   e.toString.contains("DICTIONARY")))
+            }
+          }.toList
+        } finally reader.close()
+      }
+    }
+  }
+
+  /** K14 — logical-type annotation census, one row per leaf column.
+    * Decodes `LogicalTypeAnnotation` off each footer's schema
+    * (distributed, same fan-out shape as [[fileMeta]]); DuckDB's
+    * `parquet_schema()` re-derives every field independently for the
+    * oracle. Normalization matches src/flatbuff_ns.fbs:77-114:
+    * DECIMAL(precision,scale), TIMESTAMP/TIME{unit,utc}, INT{bit_width,
+    * signed}, DATE, UUID, JSON, BSON, STRING, ENUM, NONE.
+    */
+  def logicalTypes(spark: SparkSession, paths: Seq[String]): Dataset[LogicalTypeRow] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import spark.implicits._
+    val files = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(parquetFiles(conf, _))
+    }
+    val confEntries = SessionConf.entries(spark)
+    spark.createDataset(files).mapPartitions { iter =>
+      val conf = SessionConf.build(confEntries)
+      iter.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val fileName = f.substring(f.lastIndexOf('/') + 1)
+          schema.getColumns.asScala.map { cd =>
+            val pt = cd.getPrimitiveType
+            // parquet-mr's enum says BINARY; the format spec (and every
+            // second engine, DuckDB included) says BYTE_ARRAY
+            val physicalName = pt.getPrimitiveTypeName.toString match {
+              case "BINARY" => "BYTE_ARRAY"
+              case x => x
+            }
+            val base = LogicalTypeRow(
+              file = fileName,
+              column = cd.getPath.mkString("."),
+              physical = physicalName,
+              type_length = math.max(0, pt.getTypeLength),
+              logical = "NONE", precision = -1, scale = -1,
+              unit = "na", utc = -1, bit_width = -1, signed = -1)
+            pt.getLogicalTypeAnnotation match {
+              case null => base
+              case d: DecimalLogicalTypeAnnotation =>
+                base.copy(logical = "DECIMAL",
+                  precision = d.getPrecision, scale = d.getScale)
+              case t: TimestampLogicalTypeAnnotation =>
+                base.copy(logical = "TIMESTAMP", unit = t.getUnit.toString,
+                  utc = if (t.isAdjustedToUTC) 1 else 0)
+              case t: TimeLogicalTypeAnnotation =>
+                base.copy(logical = "TIME", unit = t.getUnit.toString,
+                  utc = if (t.isAdjustedToUTC) 1 else 0)
+              case i: IntLogicalTypeAnnotation =>
+                base.copy(logical = "INT", bit_width = i.getBitWidth,
+                  signed = if (i.isSigned) 1 else 0)
+              case _: DateLogicalTypeAnnotation => base.copy(logical = "DATE")
+              case _: UUIDLogicalTypeAnnotation => base.copy(logical = "UUID")
+              case _: JsonLogicalTypeAnnotation => base.copy(logical = "JSON")
+              case _: BsonLogicalTypeAnnotation => base.copy(logical = "BSON")
+              case _: StringLogicalTypeAnnotation => base.copy(logical = "STRING")
+              case _: EnumLogicalTypeAnnotation => base.copy(logical = "ENUM")
+              case other: LogicalTypeAnnotation =>
+                base.copy(logical = other.toString)
             }
           }.toList
         } finally reader.close()

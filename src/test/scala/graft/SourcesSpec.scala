@@ -284,4 +284,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(on.head !== "graft_cbo_lineitem",
       s"CBO must not keep the fact table as the leftmost leaf: $on")
   }
+
+  test("k14: logical-type census decodes the full annotation surface") {
+    val rows = BenchOps.k14LogicalTypes(spark, sf).collect()
+      .map(r => r.getString(1) -> r).toMap
+    def f(c: String, field: String) =
+      rows(c).get(rows(c).schema.fieldIndex(field))
+    // DECIMAL carries precision+scale on all three physicals
+    assert(f("d_i32", "logical") === "DECIMAL" && f("d_i32", "precision") === 9
+      && f("d_i32", "scale") === 2 && f("d_i32", "physical") === "INT32")
+    assert(f("d_flba", "physical") === "FIXED_LEN_BYTE_ARRAY"
+      && f("d_flba", "type_length") === 16 && f("d_flba", "precision") === 38)
+    // TIMESTAMP unit × utc combinations
+    assert(f("ts_ms_utc", "unit") === "MILLIS" && f("ts_ms_utc", "utc") === 1)
+    assert(f("ts_us_local", "unit") === "MICROS" && f("ts_us_local", "utc") === 0)
+    assert(f("ts_ns_utc", "unit") === "NANOS" && f("ts_ns_utc", "utc") === 1)
+    // INT bit width + signedness
+    assert(f("i8", "bit_width") === 8 && f("i8", "signed") === 1)
+    assert(f("u16", "bit_width") === 16 && f("u16", "signed") === 0)
+    assert(f("u64", "bit_width") === 64 && f("u64", "signed") === 0)
+    // the rest of the surface
+    assert(f("uid", "logical") === "UUID" && f("uid", "type_length") === 16)
+    assert(f("js", "logical") === "JSON" && f("js", "physical") === "BYTE_ARRAY")
+    assert(f("dt", "logical") === "DATE")
+    assert(f("t_ms", "logical") === "TIME" && f("t_ms", "unit") === "MILLIS")
+    assert(f("s", "logical") === "STRING" && f("en", "logical") === "ENUM")
+    assert(f("f32", "logical") === "NONE" && f("raw", "logical") === "NONE")
+    // the annotations sit on a real 4-row file (footer-counted: Spark's
+    // own reader has no Catalyst mapping for UUID/ENUM columns)
+    val meta = FooterMeta.fileMeta(spark,
+      Seq("/root/repo/target/graft-work/ltypes/typed.parquet")).collect()
+    assert(meta.head.num_rows === 4 && meta.head.num_columns === 17)
+  }
+
+  test("k14: BSON annotation decodes too (spec-only file — DuckDB can't read it)") {
+    // DuckDB rejects converted type 20, so BSON stays out of the oracled
+    // fixture; the census itself must still decode it
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val file = s"$work/bson_fixture.parquet"
+    val schema = Types.buildMessage()
+      .required(BINARY).as(LTA.bsonType()).named("bs")
+      .named("bson_only")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf).withType(schema)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    try w.write(new SimpleGroupFactory(schema).newGroup()
+      .append("bs", Binary.fromConstantByteArray(Array[Byte](5, 0, 0, 0, 0))))
+    finally w.close()
+    val row = FooterMeta.logicalTypes(spark, Seq(file)).collect().head
+    assert(row.logical === "BSON" && row.physical === "BYTE_ARRAY")
+  }
 }
