@@ -106,11 +106,22 @@ object Similarity {
     * (~60k vectors) the window twin wins on constants: the scored frame
     * is small enough that 5 reducers sorting it cost less than the
     * ObjectHashAggregate's per-row update machinery. This probe scores
-    * a SYNTHETIC deterministic 5M-vector corpus (hash-derived dim-8
-    * vectors, generated in-stage — no I/O, no testdata dependence)
-    * against the same 5 queries: 25M scored rows now have to cross the
+    * a SYNTHETIC deterministic 4M-vector corpus (hash-derived dim-8
+    * vectors, no testdata dependence, materialized once to a
+    * fingerprint-keyed parquet)
+    * against the same 5 queries: 20M scored rows now have to cross the
     * window's exchange into 5 sort reducers, while the aggregate still
-    * ships O(k · tasks · queries) longs. Both formulations run to
+    * ships O(k · tasks · queries) longs. (Round-12 cost cut, probed
+    * empirically: at 2M vectors the formulations land within host noise
+    * of each other — window/agg swung 0.71–1.32 across back-to-back
+    * runs — and at 3M the margin hovered at the 1.3 threshold
+    * (1.26–1.43); 4M is the smallest probe with a robust margin
+    * (1.65–2.04 across three loaded-host runs, vs 1.52–2.12 at 5M).
+    * The rest of the cost comes out of the repeats: the corpus is
+    * generated ONCE into a fingerprint-keyed parquet (write-once,
+    * _SUCCESS-gated) and codegen/JIT warm up on a same-shape 50k-row
+    * file, so each sweep pays exactly two measured 4M-row executions
+    * instead of four 5M ones.) Both formulations run to
     * completion, their (tiny) top-k results are compared for exact
     * equality in-query, and the timings + equality flag are the output
     * row (timing-valued → rows-only; `results_equal` is the
@@ -118,45 +129,65 @@ object Similarity {
     * the aggregate's semantics).
     *
     * Scale note: the window side IS the scale-killer under measurement
-    * here (5 partition keys absorbing a 25M-row exchange — the shape
+    * here (5 partition keys absorbing a 20M-row exchange — the shape
     * [[bruteForceTopK]] tolerates only as ground truth); it is bounded
-    * (25M rows × 24 bytes) and exists to document the crossover, not
+    * (20M rows × 24 bytes) and exists to document the crossover, not
     * to serve queries.
     */
   def aggTopKCrossover(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val n = 5000000L
+    val n = 4000000L
     val dim = 8
-    val synth = spark.range(0L, n, 1L, 64)
+    // corpus generation runs ONCE per (n, dim): hash-derived vectors are
+    // deterministic, so a fingerprint-keyed parquet is the corpus —
+    // sweep repeats then measure SCORING, not 40M hash evaluations
+    def synth(rows: Long, parts: Int) = spark.range(0L, rows, 1L, parts)
       .select(col("id").as("vec_id"),
         array((0 until dim).map(d =>
           (pmod(hash(col("id"), lit(d)).cast("bigint"), lit(1000)) / lit(500.0)) - lit(1.0)): _*).as("v"))
-      .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
-    val q = synth.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = synth.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim_m",
-        round(graft.functions.VectorExpressions.dot_product(col("qv"), col("v"))
-          / (col("qn") * col("nrm")) * 10000).cast("bigint"))
+    def ensure(path: String, rows: Long, parts: Int): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) synth(rows, parts).write.mode("overwrite").parquet(path)
+      path
+    }
+    val base = "/root/repo/target/graft-work/xover"
+    val corpusPath = ensure(s"$base/corpus_${n}_$dim", n, 64)
+    val warmPath = ensure(s"$base/corpus_50000_$dim", 50000L, 8)
+    def forms(path: String): (DataFrame, DataFrame) = {
+      val corpus = spark.read.parquet(path)
+        .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
+      val q = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("sim_m",
+          round(graft.functions.VectorExpressions.dot_product(col("qv"), col("v"))
+            / (col("qn") * col("nrm")) * 10000).cast("bigint"))
+      val aggForm = scored.groupBy("query_id")
+        .agg(graft.functions.TopKPairsNative.topk(col("sim_m"), col("vec_id"), 10).as("nbrs"))
+        .select(col("query_id"), explode(col("nbrs")).as("p"))
+        .select(col("query_id"), col("p._2").as("neighbor_id"), col("p._1").as("sim_m"))
+        .orderBy("query_id", "neighbor_id")
+      val w = Window.partitionBy("query_id").orderBy(col("sim_m").desc, col("vec_id").asc)
+      val winForm = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim_m"))
+        .orderBy("query_id", "neighbor_id")
+      (aggForm, winForm)
+    }
     def run(df: DataFrame): (Seq[(Long, Long, Long)], Double) = {
       val t0 = System.nanoTime()
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       (rows, (System.nanoTime() - t0) / 1e9)
     }
-    val aggForm = scored.groupBy("query_id")
-      .agg(graft.functions.TopKPairsNative.topk(col("sim_m"), col("vec_id"), 10).as("nbrs"))
-      .select(col("query_id"), explode(col("nbrs")).as("p"))
-      .select(col("query_id"), col("p._2").as("neighbor_id"), col("p._1").as("sim_m"))
-      .orderBy("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("sim_m").desc, col("vec_id").asc)
-    val winForm = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim_m"))
-      .orderBy("query_id", "neighbor_id")
-    // warm both plans once (codegen compile), then measure
-    aggForm.write.format("noop").mode("overwrite").save()
-    winForm.write.format("noop").mode("overwrite").save()
+    // codegen + JIT warm on a same-shape 50k file (identical plan
+    // structure → identical generated code); the 5M corpus is read
+    // exactly twice, once per measured formulation
+    val (warmAgg, warmWin) = forms(warmPath)
+    warmAgg.write.format("noop").mode("overwrite").save()
+    warmWin.write.format("noop").mode("overwrite").save()
+    val (aggForm, winForm) = forms(corpusPath)
     val (aggRows, aggSec) = run(aggForm)
     val (winRows, winSec) = run(winForm)
     // Timings go to stderr (plus this run's per-query wall time in the
@@ -2429,7 +2460,7 @@ object Similarity {
     // COMPUTED in-query — pinning it TRUE is the accuracy contract,
     // exactly a7_approx_bounds' pinned-flag discipline.
     "x_sim_topk_agg_xover" ->
-      """SELECT 5000000::BIGINT AS corpus_rows, 8::INT AS dim,
+      """SELECT 4000000::BIGINT AS corpus_rows, 8::INT AS dim,
         | 5::INT AS n_queries, 50::BIGINT AS topk_rows,
         | TRUE AS results_equal""".stripMargin,
     // the WINDOW formulation of the same integer-quantized top-10 —

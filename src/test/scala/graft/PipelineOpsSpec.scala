@@ -1642,9 +1642,9 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("agg-vs-window crossover probe: identical results and a recorded agg win shape") {
     val r = Similarity.aggTopKCrossover(spark, sf).collect().head
     assert(r.getAs[Boolean]("results_equal"),
-      "both formulations must produce identical top-k sets at 5M rows")
+      "both formulations must produce identical top-k sets at 4M rows")
     assert(r.getAs[Long]("topk_rows") === 50L)
-    assert(r.getAs[Long]("corpus_rows") === 5000000L)
+    assert(r.getAs[Long]("corpus_rows") === 4000000L)
   }
 
   test("C4 line filter: drop counts equal the injected slices, reassembly conserves lines") {
