@@ -34,6 +34,20 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // determinism audit support (round-12): SPARK_GRAFT_REPEAT=1 runs
+    // every selected query a SECOND time in this same JVM into
+    // __repeat__/ — tools/determinism.py then hash-compares the two
+    // passes (same-JVM order/seed instability), and comparing two
+    // separate Verify invocations covers the cross-JVM axis.
+    if (sys.env.contains("SPARK_GRAFT_REPEAT")) {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/__repeat__/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] repeat $name failed: ${e.getMessage}")
+        }
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

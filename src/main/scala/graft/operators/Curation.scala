@@ -268,7 +268,8 @@ object Curation {
     * docs — comfortably past any real corpus, unlike a cum_s·n_g
     * cross-product formulation (overflow at n ≈ 3·10⁹).
     *
-    * Scale: one corpus projection + two keyed aggregates; the ECDF
+    * Scale: ONE corpus projection into the (source, wc) model frame;
+    * the global histogram and totals derive from the model; the ECDF
     * frame is the (#sources × distinct wc) grid — a crossJoin of two
     * model-sized aggregates (allowlisted), never corpus-sized — and
     * every window is partitioned by source over that grid. The argmax
@@ -280,12 +281,17 @@ object Curation {
     val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"),
         size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
+    // ONE corpus projection: the (source, wc) histogram is the model
+    // frame (localCheckpointed); the global histogram, per-source
+    // totals, and the corpus total are aggregates OF the model — the
+    // jsdSources discipline, no second or third scan
     val srcW = docs.groupBy("source", "wc").agg(count(lit(1)).as("c_s"))
-    val globW = docs.groupBy("wc").agg(count(lit(1)).as("c_g"))
+      .localCheckpoint()
+    val globW = srcW.groupBy("wc").agg(sum("c_s").as("c_g"))
     val nSrc = srcW.groupBy("source").agg(sum("c_s").as("n_s"))
-    // one exact integer scalar — model-sized, a plan literal the
+    // one exact integer scalar off the model frame, a plan literal the
     // oracle recomputes
-    val n = docs.count()
+    val n = srcW.agg(sum("c_s")).first().getLong(0)
     val grid = nSrc.crossJoin(broadcast(globW))
       .join(srcW, Seq("source", "wc"), "left")
       .na.fill(0L, Seq("c_s"))
@@ -2154,6 +2160,11 @@ object Curation {
     * (how much of the benchmark is reproducible, and from WHERE):
     * recall(e) = |bigrams(e) ∩ bigrams(best c)| / |bigrams(e)| in ppm,
     * with the best candidate attributed by (overlap desc, cand_id asc).
+    * EVERY eval doc gets a row (round-12 contract fix): docs whose kept
+    * bigrams match no corpus doc — and docs with zero kept bigrams at
+    * all (every bigram hot, or a sub-2-token text) — emit
+    * cand_id = −1, inter = 0, rouge2_ppm = 0, so a clean benchmark
+    * reads as explicit zeros rather than silently missing rows.
     *
     * Metric discipline: the score is defined ON the stopword-capped
     * bigram sets (distinct word-2-grams with document frequency ≤
@@ -2190,12 +2201,22 @@ object Curation {
       .join(ex.filter(col("doc_id") % EvalMod =!= 0)
         .withColumnRenamed("doc_id", "cand_id"), "hs")
       .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
-    inter
+    val best = inter
       .withColumn("rk", row_number().over(
         Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
       .filter(col("rk") === 1)
-      .join(den, "eval_id")
-      .withColumn("rouge2_ppm", expr("inter * 1000000 div den"))
+    // the eval-doc UNIVERSE comes from the documents table itself, so
+    // zero-kept-bigram docs (no ex rows survive) still get their row
+    val universe = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id")).distinct()
+    universe
+      .join(den, Seq("eval_id"), "left")
+      .join(best.select("eval_id", "cand_id", "inter"), Seq("eval_id"), "left")
+      .na.fill(0L, Seq("den", "inter"))
+      .na.fill(-1L, Seq("cand_id"))
+      .withColumn("rouge2_ppm",
+        expr("CASE WHEN den > 0 THEN inter * 1000000 div den ELSE 0L END"))
       .select("eval_id", "cand_id", "inter", "den", "rouge2_ppm")
       .orderBy("eval_id")
   }
@@ -3098,11 +3119,21 @@ object Curation {
          | SELECT eval_id, cand_id, inter,
          |  row_number() OVER (PARTITION BY eval_id
          |    ORDER BY inter DESC, cand_id ASC) AS rk
-         | FROM inter QUALIFY rk = 1)
-         |SELECT b.eval_id, b.cand_id, b.inter, d.den,
-         | (b.inter * 1000000 // d.den)::BIGINT AS rouge2_ppm
-         |FROM best b JOIN den d USING (eval_id)
-         |ORDER BY b.eval_id""".stripMargin,
+         | FROM inter QUALIFY rk = 1),
+         |universe AS (
+         | SELECT DISTINCT doc_id AS eval_id FROM documents
+         | WHERE doc_id % $EvalMod = 0)
+         |SELECT u.eval_id,
+         | coalesce(b.cand_id, -1)::BIGINT AS cand_id,
+         | coalesce(b.inter, 0)::BIGINT AS inter,
+         | coalesce(d.den, 0)::BIGINT AS den,
+         | (CASE WHEN coalesce(d.den, 0) > 0
+         |   THEN coalesce(b.inter, 0) * 1000000 // d.den
+         |   ELSE 0 END)::BIGINT AS rouge2_ppm
+         |FROM universe u
+         |LEFT JOIN den d USING (eval_id)
+         |LEFT JOIN best b ON b.eval_id = u.eval_id
+         |ORDER BY u.eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are
     // removed by the exact verify join), so the oracle needs no bloom.

@@ -875,10 +875,12 @@ object TextOps {
     * Ordering (pmi_micro desc, bigram asc) is total — bigram text is
     * unique per row — so the top-30 cut is deterministic cross-engine.
     *
-    * Scale: three keyed aggregates over one exploded bigram stream
-    * (map-side partials); only the count-gated survivors join the two
-    * vocab-sized slot-count frames (shuffled equi-joins — no broadcast
-    * assumption, vocab can be huge at lake scale); the final cut is
+    * Scale: ONE exploded bigram pass into the (w1, w2) model frame
+    * (map-side partials, localCheckpointed); the total and both slot
+    * marginals are aggregates of the model, never corpus re-scans.
+    * Only the count-gated survivors join the two vocab-sized
+    * slot-count frames (shuffled equi-joins — no broadcast assumption,
+    * vocab can be huge at lake scale); the final cut is
     * TakeOrderedAndProject, never a global sort.
     */
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
@@ -888,13 +890,18 @@ object TextOps {
     val pairs = docs.select(explode(expr(
       "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // one exact integer scalar — model-sized, a plan literal the
+    // ONE bigram explode: the (w1, w2) count frame is the model
+    // (localCheckpointed, bigram-vocab-sized); the total, both slot
+    // marginals, and the gated survivors are aggregates OF it — one
+    // corpus pass instead of four (jsdSources discipline)
+    val cxyAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    // one exact integer scalar off the model frame, a plan literal the
     // oracle recomputes
-    val n = pairs.count()
-    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= MinCollocCount)
-    val cx = pairs.groupBy("w1").agg(count(lit(1)).as("c_x"))
-    val cy = pairs.groupBy("w2").agg(count(lit(1)).as("c_y"))
+    val n = cxyAll.agg(sum("c_xy")).first().getLong(0)
+    val cxy = cxyAll.filter(col("c_xy") >= MinCollocCount)
+    val cx = cxyAll.groupBy("w1").agg(sum("c_xy").as("c_x"))
+    val cy = cxyAll.groupBy("w2").agg(sum("c_xy").as("c_y"))
     cxy.join(cx, "w1").join(cy, "w2")
       .withColumn("pmi_micro", expr(
         s"""cast(round((ln(cast(c_xy as double)) + ln(cast(${n}L as double))
@@ -1553,19 +1560,26 @@ object TextOps {
     * before the truncating division (quantization can graze a small
     * negative on a mathematically-nonnegative sum).
     *
-    * Scale: two keyed aggregates over one exploded token stream; the
-    * term frame joins per-source counts to the vocab-sized global
-    * counts by token — a shuffled equi-join, deliberately NOT a
+    * Scale: ONE keyed aggregate over one exploded token stream into
+    * the (source, token) model frame (localCheckpointed); the global
+    * counts, per-source totals, and corpus total are aggregates of the
+    * model. The term frame joins per-source counts to the vocab-sized
+    * global counts by token — a shuffled equi-join, deliberately NOT a
     * broadcast (vocab is corpus-scale at 100 TB).
     */
   def jsdSources(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-    // corpus token total: one exact integer scalar, a plan literal the
-    // oracle recomputes
-    val n = toks.count()
-    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cnt_g"))
+    // ONE tokenize pass: the (source, token) aggregate is the model
+    // frame everything else derives from (localCheckpointed — r11
+    // unigramModel discipline); the corpus total, global counts, and
+    // per-source totals are aggregates OF the model, not re-scans
     val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
+      .localCheckpoint()
+    // corpus token total: one exact integer scalar off the model frame,
+    // a plan literal the oracle recomputes
+    val n = perSrc.agg(sum("cnt_s")).first().getLong(0)
+    val corpus = perSrc.groupBy("t").agg(sum("cnt_s").as("cnt_g"))
     val srcTotals = perSrc.groupBy("source").agg(sum("cnt_s").as("n_s"))
     val den = s"(cast(cnt_s as double) * cast(${n}L as double)" +
       " + cast(cnt_g as double) * cast(n_s as double))"

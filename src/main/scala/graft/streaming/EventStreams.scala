@@ -186,6 +186,18 @@ object EventStreams {
     * composite-ln micro-nat quantization, every term ≥ 0, truncating
     * div) costs nothing per event; the global baseline is the SAME
     * grid summed over days (no second scan of the feed).
+    *
+    * Overflow ceiling (inherited from [[psiDrift]]'s fold, same
+    * arithmetic): the per-term numerator
+    * ((c_w+1)(n+nB) − (cnt_g+1)(n_w+nB)) · ln_micro is O(n_w·n ·
+    * ln_micro) with |ln_micro| up to ~2e7, so the exact-BIGINT fold
+    * holds only to ~10^7–10^8 TOTAL events with visible drift — the
+    * STATE stays (#days × #buckets) however large the feed, but past
+    * that event mass Spark WRAPS the Long product silently while
+    * DuckDB raises on BIGINT overflow (silent cross-engine
+    * divergence). Beyond it the fold must move to per-term division
+    * (divide by (n_w+nB)(n+nB) per term before multiplying, trading
+    * exactness for range) or DECIMAL(38).
     */
   def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)

@@ -2196,8 +2196,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
         s"${r.getString(0)}: min <= mean <= max")
       assert(r.getLong(5) <= r.getLong(1))
-      // FK floor: grade_milli >= 390*1-15590 + 0 is bounded below
-      assert(r.getLong(3) >= -15590L + 390L)
+      // FK floor: every term is >= 0, so grade_milli >= -15590 exactly.
+      // (NOT -15590+390: a punctuation-dense doc like "a.b.c d.e" has
+      // more sentence runs than whitespace tokens, so 390*w div sents
+      // can legitimately be 0 — the +390 assumed sents <= w.)
+      assert(r.getLong(3) >= -15590L)
     }
     // one-doc re-derivation with the committed integer definition
     val d = Tables.documents(spark, sf).orderBy("doc_id").limit(1)

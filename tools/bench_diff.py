@@ -60,7 +60,22 @@ def load(path):
     # values the sweep could not rescue from a sustained slow phase —
     # movers on them are advisory, never regressions
     suspects = set(doc.get("suspects", []))
-    return queries, contended, remedianed, suspects
+    # round-12 floor-map provenance: {name: {epoch, floor_ratio, note?}}
+    provenance = doc.get("provenance", {})
+    return queries, contended, remedianed, suspects, provenance
+
+
+def load_rebaseline():
+    """bench-results/REBASELINE.json: {name: {since, reason}} — the
+    explicit, auditable way to reset a floor after a deliberate
+    algorithmic change (Bench replaces the entry on its next non-suspect
+    sweep; until then diff movers on listed queries are advisory)."""
+    import os
+    p = "bench-results/REBASELINE.json"
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
 
 
 def main():
@@ -93,8 +108,18 @@ def main():
     elif not args.old:
         ap.error("OLD is required unless --best is given")
 
-    old, old_cont, old_remed, old_susp = load(args.old)
-    new, new_cont, new_remed, new_susp = load(args.new)
+    old, old_cont, old_remed, old_susp, old_prov = load(args.old)
+    new, new_cont, new_remed, new_susp, _ = load(args.new)
+    rebaseline = load_rebaseline()
+
+    def prov_note(name):
+        p = old_prov.get(name)
+        if not p:
+            return ""
+        note = f" [{p['note']}]" if p.get("note") else ""
+        return (f"  (floor captured {p.get('epoch', '?')} at host ratio "
+                f"{p.get('floor_ratio', '?')}{note})")
+
     common = sorted(set(old) & set(new))
     movers, advisory = [], []
     for name in common:
@@ -104,7 +129,10 @@ def main():
         ratio = n / o if o > 0 else float("inf")
         if ratio > args.threshold or ratio < 1 / args.threshold:
             if name in old_susp or name in new_susp:
-                advisory.append((ratio, name, o, n))
+                advisory.append((ratio, name, o, n, ""))
+            elif name in rebaseline:
+                advisory.append((ratio, name, o, n,
+                                 f"  [rebaseline pending: {rebaseline[name].get('reason', '?')}]"))
             else:
                 movers.append((ratio, name, o, n))
     movers.sort(reverse=True)
@@ -135,16 +163,17 @@ def main():
     # values are already noise-corrected, so movers on them are real
     for name, note in sorted(new_remed.items()):
         print(f"  remedianed (new side, noise-corrected in-sweep): {name} {note}")
-    for ratio, name, o, n in advisory:
-        print(f"  suspect mover (advisory — flagged suspect in-sweep): "
-              f"{ratio:5.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
+    for ratio, name, o, n, why in advisory:
+        kind = "rebaseline-listed" if why else "flagged suspect in-sweep"
+        print(f"  suspect mover (advisory — {kind}): "
+              f"{ratio:5.2f}x  {name}: {o:.2f}s -> {n:.2f}s{why}{prov_note(name)}")
     if not movers:
         print(f"no non-suspect movers beyond {args.threshold}x (min {args.min_sec}s)")
         return 0
     print(f"\n{len(movers)} movers beyond {args.threshold}x "
           "(re-median these before believing them):")
     for ratio, name, o, n in movers:
-        print(f"  {ratio:5.2f}x  {name}: {o:.2f}s -> {n:.2f}s")
+        print(f"  {ratio:5.2f}x  {name}: {o:.2f}s -> {n:.2f}s{prov_note(name)}")
     if old_cont or new_cont:
         print("NOTE: a contended sweep is involved — movers are advisory")
         return 0
