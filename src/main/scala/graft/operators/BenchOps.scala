@@ -431,6 +431,70 @@ object BenchOps {
   def m4Pushdown(spark: SparkSession, sfDir: String): DataFrame =
     BenchRunners.pushdownBenchmark(spark, PushRows, s"$workRoot/pd")
 
+  private val SkipProbes = 20
+
+  /** X — layout-skipping effectiveness census (SURVEY §4's clustering
+    * axis made measurable): for the SAME 1M-row table written two ways
+    * — range-sorted on the key (the [[m4Pushdown]] file: tight per-
+    * row-group min/max) vs hash-shuffled (every row group spans nearly
+    * the full key range) — count, from FOOTER STATISTICS ALONE, how
+    * many row groups survive min/max pruning for 20 fixed point
+    * probes. This is the number a lake's clustering decision (sort
+    * keys, Z-order, compaction policy) actually moves: survivors ≈
+    * probes on the sorted layout, ≈ probes × all row groups on the
+    * shuffled one. avg_surviving_ppm = surviving row groups per probe
+    * as ppm of the layout's row-group count.
+    *
+    * Scale: the ranges frame is footer-model-sized (one row per row
+    * group — fan-out via [[FooterMeta.chunkRangesLong]]'s distributed
+    * decode); the probe frame is a 20-row constant; their non-equi
+    * join is model × constant (allowlisted BNLJ), never data-sized.
+    * DuckDB re-derives everything from the same footers via
+    * parquet_metadata().
+    */
+  def xLayoutSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sortedPath = BenchRunners.ensurePushdownFile(spark, PushRows, s"$workRoot/pd")
+    val shuffledPath = ensureShuffledFile(spark, PushRows, s"$workRoot/pd")
+    val step = PushRows / SkipProbes
+    val probes = (0 until SkipProbes).map(i => i * step + step / 2)
+    val probeDf = probes.toDF("p")
+    Seq(("range_sorted", sortedPath), ("hash_shuffled", shuffledPath)).map {
+      case (layout, path) =>
+        val ranges = FooterMeta.chunkRangesLong(spark, Seq(path), "k").toDF()
+        val nRg = ranges.count()
+        val surviving = ranges
+          .join(broadcast(probeDf),
+            col("p") >= col("min_v") && col("p") <= col("max_v"))
+          .count()
+        (layout, nRg, SkipProbes.toLong, surviving,
+          surviving * 1000000L / (SkipProbes.toLong * nRg))
+    }.toDF("layout", "n_rowgroups", "n_probes", "surviving_rg", "avg_surviving_ppm")
+      .orderBy("layout")
+  }
+
+  /** The pushdown table re-written in hash-shuffled order with the same
+    * 1 MiB row groups — the anti-clustered control for
+    * [[xLayoutSkipping]]. Write-once (_SUCCESS-gated), deterministic.
+    */
+  private def ensureShuffledFile(
+      spark: SparkSession, numRows: Long, workDir: String): String = {
+    val path = s"$workDir/shuffled_bench_$numRows"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+      val df = spark.range(numRows).selectExpr(
+        "id AS k", "CAST(id % 1000 AS DOUBLE) AS v")
+        .withColumn("h", hash(col("k")))
+        .repartitionByRange(8, col("h"))
+        .sortWithinPartitions("h")
+        .drop("h")
+      ParquetKnobs.write(df, path,
+        ParquetKnobs.WriteConfig(rowGroupBytes = 1024 * 1024))
+    }
+    path
+  }
+
   /** M4 deterministic twin — the filtered results under both pushdown
     * settings (pushdown must never change results), oracle-checked by
     * DuckDB scanning the same file.
@@ -1003,12 +1067,40 @@ object BenchOps {
     "a7_approx_bounds" -> a7ApproxBounds _,
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
     "k14_logical_types" -> k14LogicalTypes _,
+    "x_layout_skipping" -> xLayoutSkipping _,
   )
 
   private val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   val oracles: Map[String, String] = Map(
+    // DuckDB re-derives the pruning census from the same footers:
+    // typed row-group min/max via parquet_metadata(), the same 20
+    // probes, the same truncating-div ppm
+    "x_layout_skipping" -> {
+      val step = PushRows / SkipProbes
+      val probeVals = (0 until SkipProbes)
+        .map(i => s"(${i * step + step / 2})").mkString(", ")
+      s"""WITH probes(p) AS (VALUES $probeVals),
+         |r AS (
+         | SELECT 'range_sorted' AS layout,
+         |  stats_min_value::BIGINT AS mn, stats_max_value::BIGINT AS mx
+         | FROM parquet_metadata('$workRoot/pd/pushdown_bench_$PushRows/*.parquet')
+         | WHERE path_in_schema = 'k'
+         | UNION ALL
+         | SELECT 'hash_shuffled',
+         |  stats_min_value::BIGINT, stats_max_value::BIGINT
+         | FROM parquet_metadata('$workRoot/pd/shuffled_bench_$PushRows/*.parquet')
+         | WHERE path_in_schema = 'k'),
+         |n AS (SELECT layout, count(*)::BIGINT AS n_rowgroups FROM r GROUP BY 1),
+         |s AS (SELECT layout, count(*)::BIGINT AS surviving
+         |      FROM r JOIN probes ON p BETWEEN mn AND mx GROUP BY 1)
+         |SELECT n.layout, n.n_rowgroups, ${SkipProbes}::BIGINT AS n_probes,
+         | coalesce(s.surviving, 0)::BIGINT AS surviving_rg,
+         | (coalesce(s.surviving, 0) * 1000000
+         |   // (${SkipProbes} * n.n_rowgroups))::BIGINT AS avg_surviving_ppm
+         |FROM n LEFT JOIN s USING (layout) ORDER BY layout""".stripMargin
+    },
     // DuckDB's parquet_schema() is an independent second decoder of the
     // typed fixture's footer: kind from its logical_type rendering,
     // precision/scale from its native columns, int bit widths from the

@@ -907,6 +907,46 @@ object Curation {
       .orderBy("event_type")
   }
 
+  private val KFolds = 5
+
+  /** Deterministic k-fold cross-validation assignment (k = 5) by
+    * document-id hash: fold = h(doc_id) mod k, and for each held-out
+    * fold the training set is everything else. The census emits, per
+    * test fold, both sides' doc/token mass and id checksums — the
+    * invariants a CV harness audits before trusting fold metrics:
+    * n_test + n_train = N and test_id_sum + train_id_sum = Σid for
+    * every fold (partition, no overlap, no loss), with the hash making
+    * assignment reproducible across engines, retries and re-shards
+    * (the [[splitTrain]] property, k-way).
+    *
+    * Scale: ONE corpus scan into the k-row fold census
+    * (localCheckpointed); the k train-side complements are the
+    * totals-minus-fold arithmetic on that model frame (a 1-row totals
+    * crossJoin attach — allowlisted), never k corpus scans. A real CV
+    * run materializes fold predicates as scan filters exactly like
+    * [[splitTrain]]'s buckets.
+    */
+  def splitKfold(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .withColumn("fold", (h60("cast(doc_id as string)") % KFolds).cast("int"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("bigint")).as("tokens"),
+        sum("doc_id").as("id_sum"))
+      .localCheckpoint() // k-row model frame, read twice below
+    val tot = per.agg(sum("n_docs").as("t_docs"), sum("tokens").as("t_tokens"),
+      sum("id_sum").as("t_ids"))
+    per.crossJoin(broadcast(tot))
+      .select(col("fold").as("test_fold"),
+        col("n_docs").as("n_test"),
+        (col("t_docs") - col("n_docs")).as("n_train"),
+        col("tokens").as("test_tokens"),
+        (col("t_tokens") - col("tokens")).as("train_tokens"),
+        col("id_sum").as("test_id_sum"),
+        (col("t_ids") - col("id_sum")).as("train_id_sum"))
+      .orderBy("test_fold")
+  }
+
   /** Deterministic 98/1/1 train/val/test assignment by document-id
     * hash: `h(doc_id) mod 100` → <98 train, 98 val, 99 test. The same
     * doc lands in the same split on every engine, retry and corpus
@@ -2221,6 +2261,109 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** Graded BLEU-2 of each eval doc's best-matching corpus doc — the
+    * PRECISION-direction complement of [[rougeOverlap]]'s recall: how
+    * much of the best candidate is benchmark text (candidate =
+    * hypothesis, eval doc = reference), with clipped n-gram counts and
+    * the brevity penalty, i.e. the leakage severity score for the
+    * attributed source rather than the benchmark-coverage score.
+    * p_n = Σ_g min(cnt_hyp(g), cnt_ref(g)) / Σ_g cnt_hyp(g) over
+    * unigrams and bigrams; bp = min(1, e^(1−r/c));
+    * bleu2 = bp · √(p1·p2).
+    *
+    * Pair attribution reuses [[rougeOverlap]]'s banded spine verbatim
+    * (stopword-capped shared-bigram candidates, best by overlap desc /
+    * cand_id asc) — never all-pairs; the clipped-count joins then run
+    * on the RAW token streams of the selected pairs only (pair-bounded
+    * mass). Every eval doc gets a row; unmatched docs emit cand_id=−1
+    * and zeros ([[rougeOverlap]]'s round-12 contract).
+    *
+    * Float discipline: p1/p2/bp are ppm integers (truncating div on
+    * nonnegative operands); bp's single exp and bleu2's single sqrt
+    * are computed on exact-integer-derived doubles in one fixed
+    * operation order and quantized once — no float accumulation
+    * anywhere.
+    */
+  def evalBleu(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+    val ex = docs
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("bgs", array_distinct(
+        graft.functions.TextExpressions.word_ngrams(col("tokens"), 2)))
+      .select(col("doc_id"), explode(col("bgs")).as("s"))
+      .select(col("doc_id"), h60("s").as("hs"))
+    val keptHs = ex.groupBy("hs")
+      .agg(count(lit(1)).as("df"),
+        max(when(col("doc_id") % EvalMod === 0, 1).otherwise(0)).as("ev"))
+      .filter(col("df") <= HotDocFreq && col("ev") === 1)
+      .select("hs")
+    val evalSide = ex.filter(col("doc_id") % EvalMod === 0)
+      .join(keptHs, Seq("hs"), "left_semi")
+    val best = evalSide.withColumnRenamed("doc_id", "eval_id")
+      .join(ex.filter(col("doc_id") % EvalMod =!= 0)
+        .withColumnRenamed("doc_id", "cand_id"), "hs")
+      .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
+      .filter(col("rk") === 1)
+      .select("eval_id", "cand_id")
+      .localCheckpoint() // pair frame (≤ #eval docs rows), read 4× below
+    // raw n-gram count frames, restricted to the selected pair docs
+    val uni = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = docs
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.word_ngrams(col("tokens"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def clipped(counts: DataFrame): DataFrame = {
+      val hyp = best.join(counts.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .select(col("eval_id"), col("cand_id"), col("g"), col("c").as("c_h"))
+      val ref = best.join(counts.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+        .select(col("eval_id"), col("g"), col("c").as("c_r"))
+      val m = hyp.join(ref, Seq("eval_id", "g"), "left")
+        .na.fill(0L, Seq("c_r"))
+        .groupBy("eval_id", "cand_id")
+        .agg(sum(least(col("c_h"), col("c_r"))).as("m"),
+          sum("c_h").as("len_h"))
+      m
+    }
+    val u = clipped(uni).withColumnsRenamed(
+      Map("m" -> "m1", "len_h" -> "len_hyp"))
+    val b2 = clipped(bi).withColumnsRenamed(
+      Map("m" -> "m2", "len_h" -> "bg_hyp"))
+    val refLen = best.join(
+      uni.groupBy("doc_id").agg(sum("c").as("len_ref"))
+        .withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .select("eval_id", "len_ref")
+    val universe = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id")).distinct()
+    universe
+      .join(best, Seq("eval_id"), "left")
+      .join(u.drop("cand_id"), Seq("eval_id"), "left")
+      .join(b2.drop("cand_id"), Seq("eval_id"), "left")
+      .join(refLen, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("m1", "len_hyp", "m2", "bg_hyp", "len_ref"))
+      .na.fill(-1L, Seq("cand_id"))
+      .withColumn("p1_ppm",
+        expr("CASE WHEN len_hyp > 0 THEN m1 * 1000000 div len_hyp ELSE 0L END"))
+      .withColumn("p2_ppm",
+        expr("CASE WHEN bg_hyp > 0 THEN m2 * 1000000 div bg_hyp ELSE 0L END"))
+      .withColumn("bp_ppm", expr(
+        """CASE WHEN len_hyp = 0 THEN 0L
+          | WHEN len_hyp >= len_ref THEN 1000000L
+          | ELSE cast(round(exp(1.0d - cast(len_ref as double)
+          |   / cast(len_hyp as double)) * 1000000) as bigint) END""".stripMargin))
+      .withColumn("bleu2_ppm", expr(
+        """(bp_ppm * cast(floor(sqrt(cast(p1_ppm * p2_ppm as double))) as bigint))
+          | div 1000000""".stripMargin))
+      .select("eval_id", "cand_id", "len_hyp", "len_ref",
+        "p1_ppm", "p2_ppm", "bp_ppm", "bleu2_ppm")
+      .orderBy("eval_id")
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
     contaminationScanGated(spark, sfDir, useBloom = true)
 
@@ -2434,6 +2577,7 @@ object Curation {
     "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
     "x_split_train" -> splitTrain _,
+    "x_split_kfold" -> splitKfold _,
     "x_split_temporal" -> temporalSplit _,
     "x_split_leakage_safe" -> leakageSafeSplit _,
     "x_policy_filter" -> policyFilter _,
@@ -2450,6 +2594,7 @@ object Curation {
     "x_contamination" -> contamination _,
     "x_contamination_bloom" -> contaminationBloom _,
     "x_eval_rouge" -> rougeOverlap _,
+    "x_eval_bleu" -> evalBleu _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
@@ -2741,6 +2886,23 @@ object Curation {
          | sum(n_chars)::BIGINT AS chars,
          | sum(doc_id)::BIGINT AS id_sum
          |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    // same per-fold census + totals-minus-fold complement arithmetic;
+    // the partition/no-loss invariants are the claim, recomputed by
+    // DuckDB from the raw table
+    "x_split_kfold" ->
+      s"""WITH per AS (
+         | SELECT (${h60Sql("doc_id::VARCHAR")} % 5)::INT AS test_fold,
+         |  count(*)::BIGINT AS n_test,
+         |  sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS test_tokens,
+         |  sum(doc_id)::BIGINT AS test_id_sum
+         | FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n_test)::BIGINT AS t_docs,
+         |         sum(test_tokens)::BIGINT AS t_tokens,
+         |         sum(test_id_sum)::BIGINT AS t_ids FROM per)
+         |SELECT test_fold, n_test, (t_docs - n_test)::BIGINT AS n_train,
+         | test_tokens, (t_tokens - test_tokens)::BIGINT AS train_tokens,
+         | test_id_sum, (t_ids - test_id_sum)::BIGINT AS train_id_sum
+         |FROM per CROSS JOIN tot ORDER BY test_fold""".stripMargin,
     "x_policy_filter" ->
       s"""WITH policy(pclass, min_tokens, langs, keep_ppm) AS (VALUES
          |  (0, 64, ['en','de','es','fr','zh'], 1000000),
@@ -3134,6 +3296,92 @@ object Curation {
          |LEFT JOIN den d USING (eval_id)
          |LEFT JOIN best b ON b.eval_id = u.eval_id
          |ORDER BY u.eval_id""".stripMargin,
+    // same pair spine as x_eval_rouge, then clipped unigram/bigram
+    // precisions + brevity penalty on the raw token streams; the one
+    // exp and one sqrt are single fixed-order double ops on
+    // exact-integer inputs, quantized once — identical both engines
+    "x_eval_bleu" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |shd AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         | FROM t),
+         |ex AS (
+         | SELECT doc_id, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, unnest(sh) AS s FROM shd)),
+         |kept AS (
+         | SELECT hs FROM (
+         |  SELECT hs, count(*) AS df,
+         |   max(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END) AS ev
+         |  FROM ex GROUP BY hs)
+         | WHERE df <= $HotDocFreq AND ev = 1),
+         |es AS (SELECT doc_id AS eval_id, hs FROM ex
+         |       WHERE doc_id % $EvalMod = 0 AND hs IN (SELECT hs FROM kept)),
+         |inter AS (
+         | SELECT es.eval_id, c.doc_id AS cand_id, count(*)::BIGINT AS inter
+         | FROM es JOIN ex c USING (hs)
+         | WHERE c.doc_id % $EvalMod <> 0
+         | GROUP BY es.eval_id, c.doc_id),
+         |best AS (
+         | SELECT eval_id, cand_id FROM (
+         |  SELECT eval_id, cand_id,
+         |   row_number() OVER (PARTITION BY eval_id
+         |     ORDER BY inter DESC, cand_id ASC) AS rk
+         |  FROM inter QUALIFY rk = 1)),
+         |uc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+         |bc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id,
+         |              unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |                i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t)
+         |       GROUP BY 1, 2),
+         |u AS (
+         | SELECT b.eval_id, sum(least(h.c, coalesce(r.c, 0)))::BIGINT AS m1,
+         |  sum(h.c)::BIGINT AS len_hyp
+         | FROM best b JOIN uc h ON h.doc_id = b.cand_id
+         | LEFT JOIN uc r ON r.doc_id = b.eval_id AND r.g = h.g
+         | GROUP BY b.eval_id),
+         |b2 AS (
+         | SELECT b.eval_id, sum(least(h.c, coalesce(r.c, 0)))::BIGINT AS m2,
+         |  sum(h.c)::BIGINT AS bg_hyp
+         | FROM best b JOIN bc h ON h.doc_id = b.cand_id
+         | LEFT JOIN bc r ON r.doc_id = b.eval_id AND r.g = h.g
+         | GROUP BY b.eval_id),
+         |rl AS (SELECT doc_id AS eval_id, sum(c)::BIGINT AS len_ref
+         |       FROM uc GROUP BY 1),
+         |universe AS (
+         | SELECT DISTINCT doc_id AS eval_id FROM documents
+         | WHERE doc_id % $EvalMod = 0),
+         |j AS (
+         | SELECT un.eval_id,
+         |  coalesce(b.cand_id, -1)::BIGINT AS cand_id,
+         |  coalesce(u.m1, 0)::BIGINT AS m1,
+         |  coalesce(u.len_hyp, 0)::BIGINT AS len_hyp,
+         |  coalesce(b2.m2, 0)::BIGINT AS m2,
+         |  coalesce(b2.bg_hyp, 0)::BIGINT AS bg_hyp,
+         |  CASE WHEN b.cand_id IS NULL THEN 0
+         |       ELSE coalesce(rl.len_ref, 0) END::BIGINT AS len_ref
+         | FROM universe un
+         | LEFT JOIN best b USING (eval_id)
+         | LEFT JOIN u ON u.eval_id = un.eval_id
+         | LEFT JOIN b2 ON b2.eval_id = un.eval_id
+         | LEFT JOIN rl ON rl.eval_id = un.eval_id),
+         |p AS (
+         | SELECT *,
+         |  CASE WHEN len_hyp > 0 THEN m1 * 1000000 // len_hyp ELSE 0 END::BIGINT AS p1_ppm,
+         |  CASE WHEN bg_hyp > 0 THEN m2 * 1000000 // bg_hyp ELSE 0 END::BIGINT AS p2_ppm,
+         |  (CASE WHEN len_hyp = 0 THEN 0
+         |    WHEN len_hyp >= len_ref THEN 1000000
+         |    ELSE round(exp(1.0 - len_ref::DOUBLE / len_hyp::DOUBLE) * 1000000)
+         |   END)::BIGINT AS bp_ppm
+         | FROM j)
+         |SELECT eval_id, cand_id, len_hyp, len_ref, p1_ppm, p2_ppm, bp_ppm,
+         | ((bp_ppm * floor(sqrt((p1_ppm * p2_ppm)::DOUBLE))::BIGINT)
+         |   // 1000000)::BIGINT AS bleu2_ppm
+         |FROM p ORDER BY eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are
     // removed by the exact verify join), so the oracle needs no bloom.

@@ -149,6 +149,51 @@ object FooterMeta {
     }
   }
 
+  /** One row per row group with the typed min/max of one INT64 column —
+    * the exact inputs min/max pruning consults, surfaced for
+    * clustering-effectiveness analysis (x_layout_skipping).
+    */
+  final case class ChunkRangeRow(
+      path: String,
+      row_group: Int,
+      min_v: Long,
+      max_v: Long,
+      num_rows: Long)
+
+  /** Typed row-group ranges of `column` (must be a statistics-bearing
+    * INT64 leaf). Same distributed fan-out as [[fileMeta]].
+    */
+  def chunkRangesLong(
+      spark: SparkSession, paths: Seq[String], column: String): Dataset[ChunkRangeRow] = {
+    import spark.implicits._
+    val files = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(parquetFiles(conf, _))
+    }
+    val confEntries = SessionConf.entries(spark)
+    spark.createDataset(files).mapPartitions { iter =>
+      val conf = SessionConf.build(confEntries)
+      iter.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (block, rg) =>
+            val chunk = block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $column not found in $f"))
+            chunk.getStatistics match {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                  if s.hasNonNullValue =>
+                ChunkRangeRow(f, rg, s.getMin, s.getMax, block.getRowCount)
+              case other => throw new IllegalArgumentException(
+                s"column $column in $f has no usable INT64 statistics: $other")
+            }
+          }.toList
+        } finally reader.close()
+      }
+    }
+  }
+
   /** K14 — logical-type annotation census, one row per leaf column.
     * Decodes `LogicalTypeAnnotation` off each footer's schema
     * (distributed, same fan-out shape as [[fileMeta]]); DuckDB's

@@ -814,4 +814,56 @@ class CurationSpec extends AnyFunSuite {
       "inverse Feistel must reconstruct every doc_id")
   }
 
+  test("k-fold split: partition invariants hold for every fold") {
+    val rows = Curation.splitKfold(spark, sf).collect()
+    assert(rows.length === 5)
+    val total = Tables.documents(spark, sf).count()
+    val idSum = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).head.getLong(0)
+    rows.foreach { r =>
+      // partition: test + train = whole corpus, for mass AND checksum
+      assert(r.getAs[Long]("n_test") + r.getAs[Long]("n_train") === total)
+      assert(r.getAs[Long]("test_id_sum") + r.getAs[Long]("train_id_sum") === idSum)
+      assert(r.getAs[Long]("n_test") > 0, "every fold must be non-empty")
+    }
+    // folds are disjoint: the per-fold test masses sum to the corpus
+    assert(rows.map(_.getAs[Long]("n_test")).sum === total)
+  }
+
+  test("BLEU-2: bounds, brevity direction, and the zero-match contract") {
+    val rows = Curation.evalBleu(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p1, p2, bp, bleu) = (r.getAs[Long]("p1_ppm"), r.getAs[Long]("p2_ppm"),
+        r.getAs[Long]("bp_ppm"), r.getAs[Long]("bleu2_ppm"))
+      assert(p1 >= 0 && p1 <= 1000000 && p2 >= 0 && p2 <= 1000000)
+      assert(bp >= 0 && bp <= 1000000)
+      // geometric mean of precisions, discounted by bp, stays in range
+      assert(bleu >= 0 && bleu <= 1000000)
+      assert(p2 <= p1 || p1 == 0,
+        "clipped bigram precision can never exceed unigram precision on the same pair")
+      if (r.getAs[Long]("cand_id") == -1L)
+        assert(p1 == 0 && p2 == 0 && bleu == 0, "unmatched docs emit zeros")
+      // bp = 1 exactly when the hypothesis is at least reference length
+      if (r.getAs[Long]("len_hyp") >= r.getAs[Long]("len_ref")
+        && r.getAs[Long]("len_hyp") > 0)
+        assert(bp === 1000000L)
+    }
+  }
+
+  test("layout skipping: sorted layout prunes, shuffled layout cannot") {
+    val rows = graft.operators.BenchOps.xLayoutSkipping(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sorted = rows("range_sorted")
+    val shuffled = rows("hash_shuffled")
+    // sorted: each point probe survives in ~1 row group
+    assert(sorted.getAs[Long]("surviving_rg") <= 2 * sorted.getAs[Long]("n_probes"),
+      "range-sorted row groups must prune to ~1 per probe")
+    // shuffled: hash order makes every row group span ~the full domain
+    assert(shuffled.getAs[Long]("avg_surviving_ppm") > 900000L,
+      "hash-shuffled row groups must be unprunable")
+    assert(sorted.getAs[Long]("avg_surviving_ppm")
+      < shuffled.getAs[Long]("avg_surviving_ppm") / 4,
+      "clustering must move the pruning census by at least 4x")
+  }
 }
