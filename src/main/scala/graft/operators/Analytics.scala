@@ -1561,10 +1561,13 @@ object Analytics {
     * `all_direct` exactly (merge ≡ sketching the union), which the
     * spec and the twin's oracle shape pin.
     *
-    * Rows-only at the gate (DuckDB's HLL is a different
-    * implementation, so no cross-engine estimate oracle exists);
-    * [[a12CardExact]] is the fully-oracled exact twin at the same
-    * grain.
+    * Fully oracled since round 12: DuckDB's HLL is a different
+    * implementation so no cross-engine RECOMPUTE exists, but the
+    * estimates are deterministic (register max-merge is order- and
+    * partition-insensitive — proven bit-identical same-JVM and
+    * cross-JVM in DETERMINISM.md), so the oracle literal-pins the
+    * expected estimates keyed by the exact events row count.
+    * [[a12CardExact]] remains the exact twin at the same grain.
     */
   def a12HllUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -1903,6 +1906,115 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // Round-12 twin widening (r11 verdict task 8): the HLL estimates are
+    // DETERMINISTIC (register max-merge is order/partition-insensitive;
+    // proven bit-identical same-JVM and cross-JVM in DETERMINISM.md), so
+    // the expected estimates are literal-pinned per dataset, keyed by the
+    // exact events row count DuckDB recomputes. A testdata regeneration
+    // or a sketch regression reddens this gate loudly; re-capture via
+    // SPARK_GRAFT_ONLY=a12_card_sketch runs at the three SFs.
+    "a12_card_sketch" ->
+      s"""WITH n AS (SELECT count(*)::BIGINT AS c FROM events),
+         |pins(c, scope, est_users) AS (VALUES
+         |  (1000, 'all_direct', 15),
+         |  (1000, 'all_merged', 15),
+         |  (1000, 'day_2024-01-01', 15),
+         |  (1000, 'day_2024-01-02', 14),
+         |  (1000, 'day_2024-01-03', 14),
+         |  (1000, 'day_2024-01-04', 11),
+         |  (1000, 'day_2024-01-05', 11),
+         |  (1000, 'day_2024-01-06', 15),
+         |  (1000, 'day_2024-01-07', 14),
+         |  (1000, 'day_2024-01-08', 14),
+         |  (1000, 'day_2024-01-09', 13),
+         |  (1000, 'day_2024-01-10', 15),
+         |  (1000, 'day_2024-01-11', 15),
+         |  (1000, 'day_2024-01-12', 15),
+         |  (1000, 'day_2024-01-13', 14),
+         |  (1000, 'day_2024-01-14', 13),
+         |  (1000, 'day_2024-01-15', 11),
+         |  (1000, 'day_2024-01-16', 11),
+         |  (1000, 'day_2024-01-17', 15),
+         |  (1000, 'day_2024-01-18', 13),
+         |  (1000, 'day_2024-01-19', 12),
+         |  (1000, 'day_2024-01-20', 14),
+         |  (1000, 'day_2024-01-21', 13),
+         |  (1000, 'day_2024-01-22', 15),
+         |  (1000, 'day_2024-01-23', 12),
+         |  (1000, 'day_2024-01-24', 13),
+         |  (1000, 'day_2024-01-25', 11),
+         |  (1000, 'day_2024-01-26', 11),
+         |  (1000, 'day_2024-01-27', 12),
+         |  (1000, 'day_2024-01-28', 13),
+         |  (1000, 'day_2024-01-29', 14),
+         |  (1000, 'day_2024-01-30', 14),
+         |  (10000, 'all_direct', 150),
+         |  (10000, 'all_merged', 150),
+         |  (10000, 'day_2024-01-01', 134),
+         |  (10000, 'day_2024-01-02', 138),
+         |  (10000, 'day_2024-01-03', 128),
+         |  (10000, 'day_2024-01-04', 136),
+         |  (10000, 'day_2024-01-05', 132),
+         |  (10000, 'day_2024-01-06', 129),
+         |  (10000, 'day_2024-01-07', 125),
+         |  (10000, 'day_2024-01-08', 135),
+         |  (10000, 'day_2024-01-09', 136),
+         |  (10000, 'day_2024-01-10', 133),
+         |  (10000, 'day_2024-01-11', 132),
+         |  (10000, 'day_2024-01-12', 135),
+         |  (10000, 'day_2024-01-13', 141),
+         |  (10000, 'day_2024-01-14', 131),
+         |  (10000, 'day_2024-01-15', 129),
+         |  (10000, 'day_2024-01-16', 130),
+         |  (10000, 'day_2024-01-17', 135),
+         |  (10000, 'day_2024-01-18', 138),
+         |  (10000, 'day_2024-01-19', 133),
+         |  (10000, 'day_2024-01-20', 136),
+         |  (10000, 'day_2024-01-21', 134),
+         |  (10000, 'day_2024-01-22', 131),
+         |  (10000, 'day_2024-01-23', 135),
+         |  (10000, 'day_2024-01-24', 135),
+         |  (10000, 'day_2024-01-25', 137),
+         |  (10000, 'day_2024-01-26', 131),
+         |  (10000, 'day_2024-01-27', 140),
+         |  (10000, 'day_2024-01-28', 129),
+         |  (10000, 'day_2024-01-29', 135),
+         |  (10000, 'day_2024-01-30', 133),
+         |  (100000, 'all_direct', 1500),
+         |  (100000, 'all_merged', 1500),
+         |  (100000, 'day_2024-01-01', 1338),
+         |  (100000, 'day_2024-01-02', 1324),
+         |  (100000, 'day_2024-01-03', 1329),
+         |  (100000, 'day_2024-01-04', 1338),
+         |  (100000, 'day_2024-01-05', 1356),
+         |  (100000, 'day_2024-01-06', 1340),
+         |  (100000, 'day_2024-01-07', 1323),
+         |  (100000, 'day_2024-01-08', 1344),
+         |  (100000, 'day_2024-01-09', 1341),
+         |  (100000, 'day_2024-01-10', 1349),
+         |  (100000, 'day_2024-01-11', 1340),
+         |  (100000, 'day_2024-01-12', 1334),
+         |  (100000, 'day_2024-01-13', 1342),
+         |  (100000, 'day_2024-01-14', 1327),
+         |  (100000, 'day_2024-01-15', 1325),
+         |  (100000, 'day_2024-01-16', 1349),
+         |  (100000, 'day_2024-01-17', 1309),
+         |  (100000, 'day_2024-01-18', 1336),
+         |  (100000, 'day_2024-01-19', 1327),
+         |  (100000, 'day_2024-01-20', 1317),
+         |  (100000, 'day_2024-01-21', 1341),
+         |  (100000, 'day_2024-01-22', 1335),
+         |  (100000, 'day_2024-01-23', 1348),
+         |  (100000, 'day_2024-01-24', 1337),
+         |  (100000, 'day_2024-01-25', 1341),
+         |  (100000, 'day_2024-01-26', 1344),
+         |  (100000, 'day_2024-01-27', 1329),
+         |  (100000, 'day_2024-01-28', 1329),
+         |  (100000, 'day_2024-01-29', 1347),
+         |  (100000, 'day_2024-01-30', 1344))
+         |SELECT scope, est_users::BIGINT AS est_users
+         |FROM pins JOIN n ON pins.c = n.c
+         |ORDER BY scope""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

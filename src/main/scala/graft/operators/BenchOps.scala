@@ -874,8 +874,10 @@ object BenchOps {
 
   /** A7 — sketch aggregates: the bounded-memory versions of
     * count-distinct and percentile that replace the exact forms at
-    * 100 TB (approximate → rows-only check; exact twins are oracle'd
-    * in s1/a4).
+    * 100 TB. Fully oracled since round 12 via dataset-keyed literal
+    * pins (both sketches proved bit-identical same-JVM and cross-JVM,
+    * DETERMINISM.md); exact twins in s1/a4, error-bound twin
+    * [[a7ApproxBounds]].
     */
   def a7ApproxStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).agg(
@@ -1074,6 +1076,22 @@ object BenchOps {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   val oracles: Map[String, String] = Map(
+    // Round-12 twin widening (r11 verdict task 8): HLL++ register
+    // merges AND approx_percentile's summary merges proved
+    // bit-identical same-JVM and cross-JVM (DETERMINISM.md), so the
+    // sketch outputs are literal-pinned per dataset, keyed by the exact
+    // lineitem row count DuckDB recomputes. A testdata regen or sketch
+    // regression reddens the gate; re-capture at the three SFs via
+    // SPARK_GRAFT_ONLY=a7_approx_stats.
+    "a7_approx_stats" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS c FROM lineitem),
+        |pins(c, approx_orders, p50) AS (VALUES
+        |  (6000, 1379, 52736.15),
+        |  (60000, 14206, 53020.59),
+        |  (600000, 144569, 52922.03))
+        |SELECT approx_orders::BIGINT AS approx_orders,
+        | p50::DOUBLE AS approx_p50_price, n.c::BIGINT AS n_rows
+        |FROM pins JOIN n ON pins.c = n.c""".stripMargin,
     // DuckDB re-derives the pruning census from the same footers:
     // typed row-group min/max via parquet_metadata(), the same 20
     // probes, the same truncating-div ppm
