@@ -402,58 +402,14 @@ object Bench {
     // — so a deliberate algorithmic slowdown is auditable, not
     // suppressed as a permanent phantom regression.
     locally {
-      val suspectSet = suspects.toSet
       val content =
         if (Files.exists(bestPath)) Files.readString(bestPath) else ""
-      val existing: Map[String, Double] = {
-        val (qs, sf) = BenchNoise.parseReference(content)
-        if (new java.io.File(sf).getName == sfBase) qs else Map.empty
-      }
-      val oldProv: Map[String, String] =
-        """"([A-Za-z0-9_]+)":(\{"epoch":[^}]*\})""".r
-          .findAllMatchIn(content).map(m => m.group(1) -> m.group(2)).toMap
-      val rebaseline: Map[String, (String, String)] = {
-        val p = Paths.get("bench-results/REBASELINE.json")
-        if (!Files.exists(p)) Map.empty
-        else """"([A-Za-z0-9_]+)":\s*\{"since":\s*"([^"]+)",\s*"reason":\s*"([^"]+)"\}""".r
-          .findAllMatchIn(Files.readString(p))
-          .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
-      }
-      val epochNow = java.time.LocalDate.now().toString
-      def prov(note: Option[String]): String =
-        s"""{"epoch":"$epochNow","floor_ratio":${f"$baselineVsBest%.2f"}""" +
-          note.map(r => s""","note":${jq(r)}""").getOrElse("") + "}"
-      def epochOf(pv: String): String =
-        "\"epoch\":\"([^\"]+)\"".r.findFirstMatchIn(pv).map(_.group(1)).getOrElse("")
-      val merged: Seq[(String, Double, String)] =
-        (existing.keySet ++ finalResults.map(_._1)).toSeq.sorted.flatMap { n =>
-          val cand = finalResults.collectFirst {
-            case (`n`, v) if v >= 0 && !suspectSet(n) => v }
-          // entries carried over from before provenance existed keep an
-          // explicit unknown marker — stamping them with TODAY's sweep
-          // conditions would fabricate capture history
-          val kept = oldProv.getOrElse(n,
-            """{"epoch":"","floor_ratio":-1,"note":"pre-r12 capture, provenance unknown"}""")
-          val reset = rebaseline.get(n).filter { case (since, _) =>
-            // ISO dates compare lexicographically; an empty recorded
-            // epoch (pre-provenance entry) always resets
-            cand.isDefined && epochOf(kept) < since }
-          (existing.get(n), cand) match {
-            case (_, Some(c)) if reset.isDefined =>
-              Some((n, c, prov(Some(s"rebaselined: ${reset.get._2}"))))
-            case (Some(e), Some(c)) =>
-              Some(if (c < e) (n, c, prov(None)) else (n, e, kept))
-            case (Some(e), None) => Some((n, e, kept))
-            case (None, Some(c)) => Some((n, c, prov(None)))
-            case _               => None
-          }
-        }
-      val bestQs = merged.map { case (k, v, _) => jq(k) + ":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val provQs = merged.map { case (k, _, p) => jq(k) + ":" + p }
-        .mkString("{", ",", "}")
-      Files.writeString(bestPath,
-        s"""{"metric":"best_floor","unit":"sec","sf":"$sfBase","queries":$bestQs,"provenance":$provQs}""" + "\n")
+      val rbPath = Paths.get("bench-results/REBASELINE.json")
+      val rbContent =
+        if (Files.exists(rbPath)) Some(Files.readString(rbPath)) else None
+      Files.writeString(bestPath, BenchNoise.mergeFloorMap(
+        content, rbContent, sfBase, finalResults, suspects.toSet,
+        java.time.LocalDate.now().toString, baselineVsBest) + "\n")
     }
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the
@@ -487,6 +443,84 @@ object Bench {
   * happens to run contended.
   */
 private[graft] object BenchNoise {
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Pure floor-map min-merge with per-entry provenance (round-12).
+    *
+    * Each floor entry records WHEN it was captured and how quiet the
+    * host was (the sweep's floor ratio at capture) — a floor stamped
+    * at ratio 1.8 is a soft upper bound a quiet window will cut, and
+    * tools/bench_diff.py prints exactly that. Entries predating the
+    * provenance format keep an explicit unknown marker: stamping them
+    * with TODAY's sweep conditions would fabricate capture history.
+    *
+    * `rebaselineContent` (bench-results/REBASELINE.json,
+    * {name: {since, reason}}) resets a floor without hand-editing the
+    * map: when an entry's capture epoch predates `since`, the next
+    * NON-SUSPECT sweep value replaces the old min (stamped with the
+    * reason), after which min-merge resumes — a deliberate algorithmic
+    * slowdown is auditable, never suppressed as a permanent phantom
+    * regression. Suspect-flagged and errored values never enter the
+    * map ([[graft.Bench]] r11 rule, unchanged).
+    */
+  def mergeFloorMap(
+      oldContent: String,
+      rebaselineContent: Option[String],
+      sfBase: String,
+      finalResults: Seq[(String, Double)],
+      suspectSet: Set[String],
+      epochNow: String,
+      floorRatio: Double): String = {
+    val existing: Map[String, Double] = {
+      val (qs, sf) = parseReference(oldContent)
+      if (new java.io.File(sf).getName == sfBase) qs else Map.empty
+    }
+    val oldProv: Map[String, String] =
+      """"([A-Za-z0-9_]+)":(\{"epoch":[^}]*\})""".r
+        .findAllMatchIn(oldContent).map(m => m.group(1) -> m.group(2)).toMap
+    val rebaseline: Map[String, (String, String)] = rebaselineContent match {
+      case None => Map.empty
+      case Some(s) =>
+        """"([A-Za-z0-9_]+)":\s*\{"since":\s*"([^"]+)",\s*"reason":\s*"([^"]+)"\}""".r
+          .findAllMatchIn(s).map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+    }
+    def prov(note: Option[String]): String =
+      s"""{"epoch":"$epochNow","floor_ratio":${f"$floorRatio%.2f"}""" +
+        note.map(r => s""","note":${jq(r)}""").getOrElse("") + "}"
+    def epochOf(pv: String): String =
+      "\"epoch\":\"([^\"]+)\"".r.findFirstMatchIn(pv).map(_.group(1)).getOrElse("")
+    val merged: Seq[(String, Double, String)] =
+      (existing.keySet ++ finalResults.map(_._1)).toSeq.sorted.flatMap { n =>
+        val cand = finalResults.collectFirst {
+          case (`n`, v) if v >= 0 && !suspectSet(n) => v }
+        val kept = oldProv.getOrElse(n,
+          """{"epoch":"","floor_ratio":-1,"note":"pre-r12 capture, provenance unknown"}""")
+        val reset = rebaseline.get(n).filter { case (since, _) =>
+          // ISO dates compare lexicographically; an empty recorded
+          // epoch (pre-provenance entry) always resets
+          cand.isDefined && epochOf(kept) < since }
+        (existing.get(n), cand) match {
+          case (_, Some(c)) if reset.isDefined =>
+            Some((n, c, prov(Some(s"rebaselined: ${reset.get._2}"))))
+          case (Some(e), Some(c)) =>
+            Some(if (c < e) (n, c, prov(None)) else (n, e, kept))
+          case (Some(e), None) => Some((n, e, kept))
+          case (None, Some(c)) => Some((n, c, prov(None)))
+          case _               => None
+        }
+      }
+    val bestQs = merged.map { case (k, v, _) => jq(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val provQs = merged.map { case (k, _, p) => jq(k) + ":" + p }
+      .mkString("{", ",", "}")
+    s"""{"metric":"best_floor","unit":"sec","sf":"$sfBase","queries":$bestQs,"provenance":$provQs}"""
+  }
 
   /** Hard ceiling on in-sweep re-medians: with a same-scale reference
     * the mover rule bounds the set naturally, but with drift-only

@@ -90,4 +90,70 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(!BenchNoise.stillSuspect(2.0, None))        // no reference row
     assert(!BenchNoise.stillSuspect(-1.0, Some(1.0)))  // failed query, not a timing
   }
+
+  // ---- round-12 floor-map merge: provenance + re-baseline ----
+
+  private def floors(json: String): Map[String, Double] =
+    BenchNoise.parseReference(json)._1
+
+  private def provOf(json: String, name: String): String =
+    (s""""$name":(\\{"epoch":[^}]*\\})""").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+
+  test("mergeFloorMap: min-merge stamps new captures, keeps old provenance otherwise") {
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
+      """"queries":{"a":0.500,"b":0.300},""" +
+      """"provenance":{"a":{"epoch":"2026-08-01","floor_ratio":1.10},"b":{"epoch":"2026-08-02","floor_ratio":1.30}}}"""
+    val out = BenchNoise.mergeFloorMap(old, None, "sf0.1",
+      Seq("a" -> 0.400, "b" -> 0.350, "c" -> 0.200), Set.empty,
+      "2026-08-16", 1.05)
+    assert(floors(out) === Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.2))
+    // a improved -> stamped with this sweep's epoch + ratio
+    assert(provOf(out, "a").contains("\"epoch\":\"2026-08-16\"")
+      && provOf(out, "a").contains("1.05"))
+    // b did not improve -> original capture history preserved
+    assert(provOf(out, "b").contains("\"epoch\":\"2026-08-02\"")
+      && provOf(out, "b").contains("1.30"))
+    // c is new -> stamped now
+    assert(provOf(out, "c").contains("\"epoch\":\"2026-08-16\""))
+  }
+
+  test("mergeFloorMap: suspects and errors never enter; carried entries keep unknown marker") {
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1","queries":{"a":0.500}}"""
+    val out = BenchNoise.mergeFloorMap(old, None, "sf0.1",
+      Seq("a" -> 0.100, "err" -> -1.0), Set("a"), "2026-08-16", 1.00)
+    // a's 0.100 was suspect-flagged -> old floor kept
+    assert(floors(out) === Map("a" -> 0.5))
+    // pre-provenance carried entry gets the explicit unknown marker
+    assert(provOf(out, "a").contains("provenance unknown"))
+    assert(!out.contains("\"err\""))
+  }
+
+  test("mergeFloorMap: re-baseline replaces a stale floor once, then min resumes") {
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
+      """"queries":{"a":0.200},""" +
+      """"provenance":{"a":{"epoch":"2026-08-01","floor_ratio":1.00}}}"""
+    val rb = Some("""{"a": {"since": "2026-08-15", "reason": "algorithm deliberately widened"}}""")
+    // sweep value HIGHER than the old floor: without re-baseline it
+    // would read as a permanent regression; with it, it replaces
+    val out1 = BenchNoise.mergeFloorMap(old, rb, "sf0.1",
+      Seq("a" -> 0.600), Set.empty, "2026-08-16", 1.00)
+    assert(floors(out1) === Map("a" -> 0.6))
+    assert(provOf(out1, "a").contains("rebaselined: algorithm deliberately widened"))
+    // next sweep: entry's epoch (2026-08-16) now postdates since -> plain min
+    val out2 = BenchNoise.mergeFloorMap(out1, rb, "sf0.1",
+      Seq("a" -> 0.900), Set.empty, "2026-08-17", 1.00)
+    assert(floors(out2) === Map("a" -> 0.6), "re-baseline must fire exactly once")
+    // and a suspect-flagged sweep never triggers the reset
+    val out3 = BenchNoise.mergeFloorMap(old, rb, "sf0.1",
+      Seq("a" -> 0.700), Set("a"), "2026-08-16", 1.00)
+    assert(floors(out3) === Map("a" -> 0.2))
+  }
+
+  test("mergeFloorMap: a different-scale old map is ignored, not merged") {
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.001","queries":{"a":0.100}}"""
+    val out = BenchNoise.mergeFloorMap(old, None, "sf0.1",
+      Seq("a" -> 0.300), Set.empty, "2026-08-16", 1.00)
+    assert(floors(out) === Map("a" -> 0.3))
+  }
 }
