@@ -215,8 +215,10 @@ object Explain {
         (scalarAttach + " (the 1-row p80-cutoff attach from Ranks.valueAtRank + the kernel's 1-row cut attach, Curation.temporalSplit)")),
       "x_split_kfold" -> Map("bnlj" ->
         (scalarAttach + " (the 1-row fold-totals aggregate attached to the k-row fold census, Curation.splitKfold)")),
-      "x_layout_skipping" -> Map("bnlj" ->
-        "non-equi join of the 20-row constant probe frame against the footer-model-sized row-group ranges frame (one row per row group) — model × constant, never data-sized (BenchOps.xLayoutSkipping)"),
+      // x_layout_skipping needs no entry: its probe × ranges non-equi
+      // join (20-row constant × footer-model-sized — bounded) runs in
+      // intermediate count() actions; the registered query's final plan
+      // is the 2-row census LocalTableScan the lint walks.
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
       "x_vocab_coverage" -> Map("bnlj" ->
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),
