@@ -134,6 +134,8 @@ object Similarity {
     * (20M rows × 24 bytes) and exists to document the crossover, not
     * to serve queries.
     */
+  @volatile private var xoverWarmed = false
+
   def aggTopKCrossover(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -182,11 +184,16 @@ object Similarity {
       (rows, (System.nanoTime() - t0) / 1e9)
     }
     // codegen + JIT warm on a same-shape 50k file (identical plan
-    // structure → identical generated code); the 5M corpus is read
-    // exactly twice, once per measured formulation
-    val (warmAgg, warmWin) = forms(warmPath)
-    warmAgg.write.format("noop").mode("overwrite").save()
-    warmWin.write.format("noop").mode("overwrite").save()
+    // structure → identical generated code); the 4M corpus is read
+    // exactly twice, once per measured formulation. Warmup is
+    // per-JVM (codegen/JIT compile is what it exists for), so bench
+    // repeats 2..n skip it and time only the measured pair.
+    if (!xoverWarmed) {
+      val (warmAgg, warmWin) = forms(warmPath)
+      warmAgg.write.format("noop").mode("overwrite").save()
+      warmWin.write.format("noop").mode("overwrite").save()
+      xoverWarmed = true
+    }
     val (aggForm, winForm) = forms(corpusPath)
     val (aggRows, aggSec) = run(aggForm)
     val (winRows, winSec) = run(winForm)
