@@ -2221,6 +2221,28 @@ object Curation {
     * candidate-bounded pair frame.
     */
   def rougeOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val (universe, den, best) = evalPairSpine(spark, sfDir)
+    universe
+      .join(den, Seq("eval_id"), "left")
+      .join(best, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("den", "inter"))
+      .na.fill(-1L, Seq("cand_id"))
+      .withColumn("rouge2_ppm",
+        expr("CASE WHEN den > 0 THEN inter * 1000000 div den ELSE 0L END"))
+      .select("eval_id", "cand_id", "inter", "den", "rouge2_ppm")
+      .orderBy("eval_id")
+  }
+
+  /** Shared pair-attribution spine of [[rougeOverlap]] and [[evalBleu]]:
+    * stopword-capped shared-bigram candidate banding (df ≤
+    * [[HotDocFreq]], eval-member shingles only — never all-pairs),
+    * best candidate per eval doc by (overlap desc, cand_id asc).
+    * Returns (eval-doc universe from the documents table itself — so
+    * zero-kept-bigram docs still get their output row; kept-bigram
+    * denominator per eval doc; best (eval_id, cand_id, inter) frame).
+    */
+  private def evalPairSpine(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ex = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
@@ -2237,28 +2259,18 @@ object Curation {
       .join(keptHs, Seq("hs"), "left_semi")
     val den = evalSide.groupBy("doc_id").agg(count(lit(1)).as("den"))
       .withColumnRenamed("doc_id", "eval_id")
-    val inter = evalSide.withColumnRenamed("doc_id", "eval_id")
+    val best = evalSide.withColumnRenamed("doc_id", "eval_id")
       .join(ex.filter(col("doc_id") % EvalMod =!= 0)
         .withColumnRenamed("doc_id", "cand_id"), "hs")
       .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
-    val best = inter
       .withColumn("rk", row_number().over(
         Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
       .filter(col("rk") === 1)
-    // the eval-doc UNIVERSE comes from the documents table itself, so
-    // zero-kept-bigram docs (no ex rows survive) still get their row
+      .select("eval_id", "cand_id", "inter")
     val universe = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .filter(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_id")).distinct()
-    universe
-      .join(den, Seq("eval_id"), "left")
-      .join(best.select("eval_id", "cand_id", "inter"), Seq("eval_id"), "left")
-      .na.fill(0L, Seq("den", "inter"))
-      .na.fill(-1L, Seq("cand_id"))
-      .withColumn("rouge2_ppm",
-        expr("CASE WHEN den > 0 THEN inter * 1000000 div den ELSE 0L END"))
-      .select("eval_id", "cand_id", "inter", "den", "rouge2_ppm")
-      .orderBy("eval_id")
+    (universe, den, best)
   }
 
   /** Graded BLEU-2 of each eval doc's best-matching corpus doc — the
@@ -2285,28 +2297,9 @@ object Curation {
     * anywhere.
     */
   def evalBleu(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
-    val ex = docs
-      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("bgs", array_distinct(
-        graft.functions.TextExpressions.word_ngrams(col("tokens"), 2)))
-      .select(col("doc_id"), explode(col("bgs")).as("s"))
-      .select(col("doc_id"), h60("s").as("hs"))
-    val keptHs = ex.groupBy("hs")
-      .agg(count(lit(1)).as("df"),
-        max(when(col("doc_id") % EvalMod === 0, 1).otherwise(0)).as("ev"))
-      .filter(col("df") <= HotDocFreq && col("ev") === 1)
-      .select("hs")
-    val evalSide = ex.filter(col("doc_id") % EvalMod === 0)
-      .join(keptHs, Seq("hs"), "left_semi")
-    val best = evalSide.withColumnRenamed("doc_id", "eval_id")
-      .join(ex.filter(col("doc_id") % EvalMod =!= 0)
-        .withColumnRenamed("doc_id", "cand_id"), "hs")
-      .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
-      .filter(col("rk") === 1)
+    val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
+    val best = spineBest
       .select("eval_id", "cand_id")
       .localCheckpoint() // pair frame (≤ #eval docs rows), read 4× below
     // raw n-gram count frames, restricted to the selected pair docs
@@ -2338,8 +2331,6 @@ object Curation {
       uni.groupBy("doc_id").agg(sum("c").as("len_ref"))
         .withColumnRenamed("doc_id", "eval_id"), "eval_id")
       .select("eval_id", "len_ref")
-    val universe = docs.filter(col("doc_id") % EvalMod === 0)
-      .select(col("doc_id").as("eval_id")).distinct()
     universe
       .join(best, Seq("eval_id"), "left")
       .join(u.drop("cand_id"), Seq("eval_id"), "left")
