@@ -49,6 +49,24 @@ object BenchOps {
       .orderBy("column")
   }
 
+  /** K15 — parquet field-ID round-trip census: write IDs through the
+    * writer, read them back distributed, and have DuckDB's independent
+    * decoder confirm every ID (plus the no-ID sentinel). Field IDs are
+    * the rename-stable column identity Iceberg/Delta column mapping
+    * resolves by, so a 100 TB lake's schema-evolution story rests on
+    * this exact round-trip. Spark ALSO resolves by field ID when
+    * `spark.sql.parquet.fieldId.read.enabled` is on; the census proves
+    * the footer carries what that resolution needs.
+    */
+  def k15FieldIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val file = s"$workRoot/ltypes/fieldids.parquet"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    if (!p.getFileSystem(conf).exists(p))
+      ParquetKnobs.writeFieldIdFixture(conf, file)
+    FooterMeta.fieldIds(spark, Seq(file)).toDF().orderBy("column")
+  }
+
   /** S4 — footer metadata Dataset over every table in sfDir (timings
     * dropped for deterministic rows).
     */
@@ -1069,6 +1087,7 @@ object BenchOps {
     "a7_approx_bounds" -> a7ApproxBounds _,
     "m5_metadata_sidecar" -> m5MetadataSidecar _,
     "k14_logical_types" -> k14LogicalTypes _,
+    "k15_field_ids" -> k15FieldIds _,
     "x_layout_skipping" -> xLayoutSkipping _,
   )
 
@@ -1119,6 +1138,15 @@ object BenchOps {
          |   // (${SkipProbes} * n.n_rowgroups))::BIGINT AS avg_surviving_ppm
          |FROM n LEFT JOIN s USING (layout) ORDER BY layout""".stripMargin
     },
+    // DuckDB re-reads the same footer's field_id column; the no-ID
+    // column pins the -1 sentinel path
+    "k15_field_ids" ->
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file,
+         | name AS "column",
+         | coalesce(field_id, -1)::INT AS field_id
+         |FROM parquet_schema('$workRoot/ltypes/fieldids.parquet')
+         |WHERE num_children IS NULL
+         |ORDER BY "column"""".stripMargin,
     // DuckDB's parquet_schema() is an independent second decoder of the
     // typed fixture's footer: kind from its logical_type rendering,
     // precision/scale from its native columns, int bit widths from the

@@ -194,6 +194,38 @@ object FooterMeta {
     }
   }
 
+  /** One row per leaf column with its Parquet field ID (K15) — the
+    * rename-stable column identity every field-id-resolved table
+    * format (Iceberg/Delta column mapping) keys on. -1 = no ID.
+    */
+  final case class FieldIdRow(file: String, column: String, field_id: Int)
+
+  /** Field-ID census of `paths` (same distributed fan-out as
+    * [[fileMeta]]).
+    */
+  def fieldIds(spark: SparkSession, paths: Seq[String]): Dataset[FieldIdRow] = {
+    import spark.implicits._
+    val files = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(parquetFiles(conf, _))
+    }
+    val confEntries = SessionConf.entries(spark)
+    spark.createDataset(files).mapPartitions { iter =>
+      val conf = SessionConf.build(confEntries)
+      iter.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          val fileName = f.substring(f.lastIndexOf('/') + 1)
+          reader.getFooter.getFileMetaData.getSchema.getColumns.asScala.map { cd =>
+            val id = cd.getPrimitiveType.getId
+            FieldIdRow(fileName, cd.getPath.mkString("."),
+              if (id == null) -1 else id.intValue())
+          }.toList
+        } finally reader.close()
+      }
+    }
+  }
+
   /** K14 — logical-type annotation census, one row per leaf column.
     * Decodes `LogicalTypeAnnotation` off each footer's schema
     * (distributed, same fan-out shape as [[fileMeta]]); DuckDB's

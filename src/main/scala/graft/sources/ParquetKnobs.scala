@@ -74,6 +74,49 @@ object ParquetKnobs {
   /** Codecs usable in this build (writer paths that must not fail). */
   val codecs: Seq[String] = allCodecs.filter(codecAvailable)
 
+  /** Field-ID fixture (k15): columns carrying explicit Parquet field
+    * IDs — the identity a column keeps across RENAMES in every
+    * field-id-resolved table format (Iceberg/Delta column mapping).
+    * parquet-mr sets them via `Types...id(n)`; one column deliberately
+    * has none (the -1 sentinel path). Spark's writer only emits IDs
+    * from struct-field metadata, so the fixture goes through the
+    * example API like [[writeLogicalTypesFixture]].
+    */
+  def writeFieldIdFixture(conf: Configuration, file: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.Types
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.hadoop.ParquetFileWriter
+
+    val schema = Types.buildMessage()
+      .required(INT64).id(1).named("order_key")
+      .required(BINARY).id(2).named("status")
+      .required(DOUBLE).id(100).named("total")
+      .required(INT32).named("no_id")
+      .named("fieldids")
+    val writeConf = new Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, writeConf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(file), writeConf))
+      .withConf(writeConf)
+      .withType(schema)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try {
+      (0 until 3).foreach { i =>
+        writer.write(factory.newGroup()
+          .append("order_key", 1000L + i)
+          .append("status", Binary.fromString(if (i % 2 == 0) "O" else "F"))
+          .append("total", 10.5 * (i + 1))
+          .append("no_id", i))
+      }
+    } finally writer.close()
+  }
+
   /** Typed fixture covering the full Parquet logical-type annotation
     * system the reference's metadata plane models
     * (src/flatbuff_ns.fbs:77-114: DecimalType{precision,scale},

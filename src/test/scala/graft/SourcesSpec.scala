@@ -317,6 +317,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(meta.head.num_rows === 4 && meta.head.num_columns === 17)
   }
 
+  test("k15: field IDs round-trip through the writer and the no-ID sentinel holds") {
+    val rows = BenchOps.k15FieldIds(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(rows === Map(
+      "order_key" -> 1, "status" -> 2, "total" -> 100, "no_id" -> -1))
+  }
+
   test("k14: BSON annotation decodes too (spec-only file — DuckDB can't read it)") {
     // DuckDB rejects converted type 20, so BSON stays out of the oracled
     // fixture; the census itself must still decode it
