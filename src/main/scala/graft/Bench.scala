@@ -481,20 +481,19 @@ private[graft] object BenchNoise {
       val (qs, sf) = parseReference(oldContent)
       if (new java.io.File(sf).getName == sfBase) qs else Map.empty
     }
-    val oldProv: Map[String, String] =
-      """"([A-Za-z0-9_]+)":(\{"epoch":[^}]*\})""".r
-        .findAllMatchIn(oldContent).map(m => m.group(1) -> m.group(2)).toMap
+    val oldProv: Map[String, String] = parseProvenance(oldContent)
     val rebaseline: Map[String, (String, String)] = rebaselineContent match {
       case None => Map.empty
       case Some(s) =>
-        """"([A-Za-z0-9_]+)":\s*\{"since":\s*"([^"]+)",\s*"reason":\s*"([^"]+)"\}""".r
-          .findAllMatchIn(s).map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+        objectEntries(s, 0).flatMap { case (name, obj) =>
+          strField(obj, "since").map(since =>
+            name -> (since, strField(obj, "reason").getOrElse("?")))
+        }.toMap
     }
-    def prov(note: Option[String]): String =
-      s"""{"epoch":"$epochNow","floor_ratio":${f"$floorRatio%.2f"}""" +
+    def prov(note: Option[String], epoch: String = epochNow): String =
+      s"""{"epoch":"$epoch","floor_ratio":${f"$floorRatio%.2f"}""" +
         note.map(r => s""","note":${jq(r)}""").getOrElse("") + "}"
-    def epochOf(pv: String): String =
-      "\"epoch\":\"([^\"]+)\"".r.findFirstMatchIn(pv).map(_.group(1)).getOrElse("")
+    def epochOf(pv: String): String = strField(pv, "epoch").getOrElse("")
     val merged: Seq[(String, Double, String)] =
       (existing.keySet ++ finalResults.map(_._1)).toSeq.sorted.flatMap { n =>
         val cand = finalResults.collectFirst {
@@ -503,11 +502,17 @@ private[graft] object BenchNoise {
           """{"epoch":"","floor_ratio":-1,"note":"pre-r12 capture, provenance unknown"}""")
         val reset = rebaseline.get(n).filter { case (since, _) =>
           // ISO dates compare lexicographically; an empty recorded
-          // epoch (pre-provenance entry) always resets
-          cand.isDefined && epochOf(kept) < since }
+          // epoch (pre-provenance entry) always resets. A query with
+          // no prior floor has nothing to reset — first capture is a
+          // plain stamp (ADVICE r12: no spurious "rebaselined:" mark).
+          existing.contains(n) && cand.isDefined && epochOf(kept) < since }
         (existing.get(n), cand) match {
           case (_, Some(c)) if reset.isDefined =>
-            Some((n, c, prov(Some(s"rebaselined: ${reset.get._2}"))))
+            // stamp max(now, since): a future-dated `since` would
+            // otherwise keep epoch < since and re-fire every sweep,
+            // silently disabling min-merge (ADVICE r12)
+            val stamp = Seq(epochNow, reset.get._1).max
+            Some((n, c, prov(Some(s"rebaselined: ${reset.get._2}"), stamp)))
           case (Some(e), Some(c)) =>
             Some(if (c < e) (n, c, prov(None)) else (n, e, kept))
           case (Some(e), None) => Some((n, e, kept))
@@ -520,6 +525,113 @@ private[graft] object BenchNoise {
     val provQs = merged.map { case (k, _, p) => jq(k) + ":" + p }
       .mkString("{", ",", "}")
     s"""{"metric":"best_floor","unit":"sec","sf":"$sfBase","queries":$bestQs,"provenance":$provQs}"""
+  }
+
+  /** Balanced `{...}` starting at `start`, respecting string literals
+    * (escaped quotes included) so a '}' or '{' INSIDE a note string can
+    * never truncate the match — the r12 regex did exactly that (ADVICE
+    * r12: an unterminated note carried into the next BENCH_BEST write).
+    * Returns (raw object text, index just past it). No JSON library in
+    * the unmanaged classpath, hence the hand scanner.
+    */
+  private def scanObject(s: String, start: Int): Option[(String, Int)] = {
+    if (start >= s.length || s.charAt(start) != '{') return None
+    var i = start; var depth = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(start, i + 1), i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** JSON string literal at s(start) == '"' → (decoded value, index past
+    * the closing quote). Handles \" \\ \uXXXX and passes other escapes
+    * through verbatim.
+    */
+  private def scanString(s: String, start: Int): Option[(String, Int)] = {
+    if (start >= s.length || s.charAt(start) != '"') return None
+    val sb = new StringBuilder
+    var i = start + 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case '"'  => sb += '"';  i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'u' if i + 6 <= s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => sb += other; i += 2
+          }
+        case '"' => return Some((sb.toString, i + 1))
+        case c   => sb += c; i += 1
+      }
+    }
+    None
+  }
+
+  /** ("key", raw object value) pairs of the object starting at `start`
+    * — only object-valued entries are yielded (the provenance and
+    * REBASELINE maps are exactly that shape).
+    */
+  private def objectEntries(s: String, start: Int): Seq[(String, String)] = {
+    val at = s.indexOf('{', start)
+    if (at < 0) return Seq.empty
+    scanObject(s, at) match {
+      case None => Seq.empty
+      case Some((obj, _)) =>
+        val out = Seq.newBuilder[(String, String)]
+        var i = 1 // inside the outer '{'
+        while (i < obj.length - 1) {
+          if (obj.charAt(i) == '"') {
+            scanString(obj, i) match {
+              case Some((name, after)) =>
+                var j = after
+                while (j < obj.length && (obj.charAt(j) == ' ' || obj.charAt(j) == ':')) j += 1
+                scanObject(obj, j) match {
+                  case Some((v, next)) => out += name -> v; i = next
+                  case None            => i = after
+                }
+              case None => i += 1
+            }
+          } else i += 1
+        }
+        out.result()
+    }
+  }
+
+  /** Decoded string field of a single raw JSON object (first match). */
+  private def strField(obj: String, field: String): Option[String] = {
+    val key = "\"" + field + "\":"
+    val at = obj.indexOf(key)
+    if (at < 0) None
+    else {
+      var i = at + key.length
+      while (i < obj.length && obj.charAt(i) == ' ') i += 1
+      scanString(obj, i).map(_._1)
+    }
+  }
+
+  /** {name → raw provenance object} of a BENCH_BEST record's
+    * "provenance" map, parsed with the string-aware scanner (empty for
+    * pre-r12 records without one).
+    */
+  private[graft] def parseProvenance(content: String): Map[String, String] = {
+    val key = "\"provenance\":"
+    val at = content.indexOf(key)
+    if (at < 0) Map.empty
+    else objectEntries(content, at + key.length).toMap
   }
 
   /** Hard ceiling on in-sweep re-medians: with a same-scale reference

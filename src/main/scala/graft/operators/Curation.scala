@@ -291,7 +291,7 @@ object Curation {
     val nSrc = srcW.groupBy("source").agg(sum("c_s").as("n_s"))
     // one exact integer scalar off the model frame, a plan literal the
     // oracle recomputes
-    val n = srcW.agg(sum("c_s")).first().getLong(0)
+    val n = srcW.agg(coalesce(sum("c_s"), lit(0L))).first().getLong(0)
     val grid = nSrc.crossJoin(broadcast(globW))
       .join(srcW, Seq("source", "wc"), "left")
       .na.fill(0L, Seq("c_s"))

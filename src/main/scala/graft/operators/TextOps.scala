@@ -482,7 +482,7 @@ object TextOps {
     // extraction (like IVF centroids), becomes a plan literal that the
     // oracle recomputes identically as a subquery. Σ cnt over the
     // model ≡ the corpus token count, without touching the corpus.
-    val total = model.agg(sum("cnt")).first().getLong(0)
+    val total = model.agg(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
     model
       .withColumn("micro_nats",
         expr(s"cast(round((ln(cast($total as double)) - ln(cast(cnt as double))) * 1000000) as bigint)"))
@@ -898,7 +898,7 @@ object TextOps {
       .localCheckpoint()
     // one exact integer scalar off the model frame, a plan literal the
     // oracle recomputes
-    val n = cxyAll.agg(sum("c_xy")).first().getLong(0)
+    val n = cxyAll.agg(coalesce(sum("c_xy"), lit(0L))).first().getLong(0)
     val cxy = cxyAll.filter(col("c_xy") >= MinCollocCount)
     val cx = cxyAll.groupBy("w1").agg(sum("c_xy").as("c_x"))
     val cy = cxyAll.groupBy("w2").agg(sum("c_xy").as("c_y"))
@@ -1578,7 +1578,7 @@ object TextOps {
       .localCheckpoint()
     // corpus token total: one exact integer scalar off the model frame,
     // a plan literal the oracle recomputes
-    val n = perSrc.agg(sum("cnt_s")).first().getLong(0)
+    val n = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
     val corpus = perSrc.groupBy("t").agg(sum("cnt_s").as("cnt_g"))
     val srcTotals = perSrc.groupBy("source").agg(sum("cnt_s").as("n_s"))
     val den = s"(cast(cnt_s as double) * cast(${n}L as double)" +

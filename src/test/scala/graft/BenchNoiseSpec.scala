@@ -97,8 +97,7 @@ class BenchNoiseSpec extends AnyFunSuite {
     BenchNoise.parseReference(json)._1
 
   private def provOf(json: String, name: String): String =
-    (s""""$name":(\\{"epoch":[^}]*\\})""").r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    BenchNoise.parseProvenance(json).getOrElse(name, "")
 
   test("mergeFloorMap: min-merge stamps new captures, keeps old provenance otherwise") {
     val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
@@ -148,6 +147,48 @@ class BenchNoiseSpec extends AnyFunSuite {
     val out3 = BenchNoise.mergeFloorMap(old, rb, "sf0.1",
       Seq("a" -> 0.700), Set("a"), "2026-08-16", 1.00)
     assert(floors(out3) === Map("a" -> 0.2))
+  }
+
+  test("mergeFloorMap: a note containing '}' round-trips without truncation") {
+    val rb = Some("""{"a": {"since": "2026-08-15", "reason": "widened {band: 7} and a \"quoted\" cause"}}""")
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
+      """"queries":{"a":0.200},""" +
+      """"provenance":{"a":{"epoch":"2026-08-01","floor_ratio":1.00}}}"""
+    val out1 = BenchNoise.mergeFloorMap(old, rb, "sf0.1",
+      Seq("a" -> 0.600), Set.empty, "2026-08-16", 1.00)
+    // the note carries the brace and the escaped quote intact
+    assert(provOf(out1, "a").contains("{band: 7}".replace("{", "\\u007b") )
+      || provOf(out1, "a").contains("{band: 7}"),
+      s"note lost content: ${provOf(out1, "a")}")
+    assert(provOf(out1, "a").contains("\\\"quoted\\\""))
+    // and the NEXT merge re-parses that provenance without corruption:
+    // the r12 regex truncated at the note's '}' and produced invalid
+    // JSON here (ADVICE r12)
+    val out2 = BenchNoise.mergeFloorMap(out1, rb, "sf0.1",
+      Seq("a" -> 0.900, "b" -> 0.100), Set.empty, "2026-08-17", 1.00)
+    assert(floors(out2) === Map("a" -> 0.6, "b" -> 0.1))
+    assert(provOf(out2, "a").contains("\"epoch\":\"2026-08-16\""),
+      "reset must have fired exactly once, preserving the stamped epoch")
+  }
+
+  test("mergeFloorMap: future-dated since fires once (stamped at since), no prior floor = plain stamp") {
+    val rb = Some("""{"a": {"since": "2026-09-01", "reason": "pre-announced change"},""" +
+      """ "brandnew": {"since": "2026-08-01", "reason": "never existed"}}""")
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
+      """"queries":{"a":0.200},""" +
+      """"provenance":{"a":{"epoch":"2026-08-01","floor_ratio":1.00}}}"""
+    val out1 = BenchNoise.mergeFloorMap(old, rb, "sf0.1",
+      Seq("a" -> 0.600, "brandnew" -> 0.300), Set.empty, "2026-08-16", 1.00)
+    assert(floors(out1) === Map("a" -> 0.6, "brandnew" -> 0.3))
+    // future-dated since: epoch stamped at max(now, since) so the reset
+    // provably fires once instead of every sweep (ADVICE r12)
+    assert(provOf(out1, "a").contains("\"epoch\":\"2026-09-01\""))
+    val out2 = BenchNoise.mergeFloorMap(out1, rb, "sf0.1",
+      Seq("a" -> 0.900), Set.empty, "2026-08-17", 1.00)
+    assert(floors(out2)("a") === 0.6, "future-dated reset must not re-fire")
+    // a query with no prior floor entry gets a plain first-capture
+    // stamp, never a spurious "rebaselined:" note (ADVICE r12)
+    assert(!provOf(out1, "brandnew").contains("rebaselined"))
   }
 
   test("mergeFloorMap: a different-scale old map is ignored, not merged") {

@@ -128,9 +128,18 @@ def main():
             continue
         ratio = n / o if o > 0 else float("inf")
         if ratio > args.threshold or ratio < 1 / args.threshold:
+            # a rebaseline entry demotes movers only while the reset is
+            # still PENDING — mirror Bench.mergeFloorMap's rule: the reset
+            # fires when the floor's capture epoch predates `since` (a
+            # missing/empty epoch is always pending). Once the stamp shows
+            # epoch >= since the reset already happened, and movers on the
+            # query are real regressions again.
+            pending = (name in rebaseline and
+                       old_prov.get(name, {}).get("epoch", "")
+                       < rebaseline[name].get("since", ""))
             if name in old_susp or name in new_susp:
                 advisory.append((ratio, name, o, n, ""))
-            elif name in rebaseline:
+            elif pending:
                 advisory.append((ratio, name, o, n,
                                  f"  [rebaseline pending: {rebaseline[name].get('reason', '?')}]"))
             else:

@@ -36,6 +36,15 @@ def frame(con, path, name, oracled):
     ).fetchall()]
     keep = cols if oracled else [c for c in cols if not TIMING.search(c)]
     dropped = sorted(set(cols) - set(keep))
+    if not keep:
+        # every column is a timing column (possible for a rows-only
+        # bench harness query): compare row counts only instead of
+        # emitting "SELECT  FROM ..." — a syntax error that would abort
+        # the whole audit (ADVICE r12)
+        rows = con.execute(
+            f"SELECT count(*) FROM parquet_scan('{path}/{name}/*.parquet')"
+        ).fetchall()
+        return ["__rowcount_only__"], dropped, rows
     sel = ", ".join(f'"{c}"' for c in keep)
     order = ", ".join(f'"{c}"' for c in keep)
     rows = con.execute(
