@@ -204,31 +204,50 @@ object Curation {
     * is quantized ONCE to integer micro-nats; (p'−q') rides as the
     * exact integer cross-difference, so psi_micro_nats =
     * Σ[((c_s+1)(n+B) − (c_g+1)(n_s+B)) · ln_micro] div ((n_s+B)(n+B))
-    * is a pure BIGINT fold. Every term is ≥ 0 (sign(p'−q') =
+    * is a pure integer fold. Every term is ≥ 0 (sign(p'−q') =
     * sign(ln(p'/q')); rounding can only zero a term, never flip it),
-    * so the truncating div agrees across engines. Overflow bound: the
-    * per-term numerator ((c_s+1)(n+B) − (c_g+1)(n_s+B)) · ln_micro is
-    * O(n² · ln_micro) with ln_micro up to ~2e7, so it stays inside
-    * Long.MaxValue only to n ≈ 10^5–10^6 docs — NOT 10^9. Past that,
-    * Spark WRAPS silently while DuckDB raises on BIGINT overflow (a
-    * silent cross-engine divergence); the fold must move to per-term
-    * division or DECIMAL(38) before the corpus reaches that size.
+    * so the truncating div agrees across engines. Overflow bound
+    * (r13): the cross-difference and the term product ride in
+    * DECIMAL(38,0) — exact 128-bit integer arithmetic on both engines
+    * (Spark Decimal, DuckDB HUGEINT). The term magnitude is bounded by
+    * (n+B)² · ln_micro ≤ n² · 2·10⁷, which stays inside 10³⁸ up to
+    * n ≈ 2·10¹⁵ events — six orders past the old silent-Long-wrap
+    * ceiling at n ≈ 10⁵–10⁶, and past any single-table corpus this
+    * engine will meet (10¹² docs × 10³ sources · buckets terms still
+    * sums to < 10³⁰). [[PsiFoldSpec]] drives the fold with synthetic
+    * ≥10⁹-event counts against an exact BigInt re-computation.
     *
-    * Scale: one corpus projection + two keyed aggregates; the term
-    * frame is the CONSTANT (#sources × #buckets) grid (a crossJoin of
-    * two model-sized aggregates — allowlisted), never corpus-sized.
+    * Scale: ONE corpus projection + keyed aggregate materializes the
+    * (source × bucket) count grid (model-sized, localCheckpointed);
+    * the global histogram, per-source totals, and the corpus total are
+    * aggregates OF the grid — the corpus is never re-scanned (mixKl
+    * discipline, swept r13: this was 3 corpus passes). The term frame
+    * is the CONSTANT (#sources × #buckets) grid (a crossJoin of two
+    * model-sized aggregates — allowlisted), never corpus-sized.
     */
   def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+    val srcB = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"),
         size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("wc"))
       .withColumn("b", (length(bin(col("wc"))) - 1).cast("int"))
-    val glob = docs.groupBy("b").agg(count(lit(1)).as("cnt_g"))
-    val srcB = docs.groupBy("source", "b").agg(count(lit(1)).as("cnt_s"))
+      .groupBy("source", "b").agg(count(lit(1)).as("cnt_s"))
+    psiFold(srcB)
+  }
+
+  /** The PSI fold over a (source, b, cnt_s) count grid — factored from
+    * [[psiDrift]] so [[PsiFoldSpec]] can drive it with synthetic
+    * ≥10⁹-event counts (proving the DECIMAL(38) arithmetic where the
+    * old BIGINT fold silently wrapped). The grid must be model-sized;
+    * it is localCheckpointed here so its consumers never replay the
+    * upstream corpus scan.
+    */
+  private[graft] def psiFold(srcBRaw: DataFrame): DataFrame = {
+    val srcB = srcBRaw.localCheckpoint()
+    val glob = srcB.groupBy("b").agg(sum("cnt_s").as("cnt_g"))
     val nSrc = srcB.groupBy("source").agg(sum("cnt_s").as("n_s"))
-    // two exact integer scalars — model-sized, plan literals the
-    // oracle recomputes
-    val n = docs.count()
+    // two exact integer scalars off the model frame — plan literals
+    // the oracle recomputes
+    val n = srcB.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
     val nBuckets = glob.count()
     val terms = nSrc.crossJoin(broadcast(glob))
       .join(srcB, Seq("source", "b"), "left")
@@ -237,11 +256,15 @@ object Curation {
         s"""cast(round((ln(cast(cnt_s + 1 as double)) - ln(cast(n_s + $nBuckets as double))
            | - ln(cast(cnt_g + 1 as double)) + ln(cast(${n + nBuckets}L as double))) * 1000000)
            | as bigint)""".stripMargin))
-      .withColumn("term", ((col("cnt_s") + 1L) * lit(n + nBuckets)
-        - (col("cnt_g") + 1L) * (col("n_s") + lit(nBuckets))) * col("ln_micro"))
+      // DECIMAL(38,0) = exact int128 on both engines (DuckDB HUGEINT):
+      // product magnitudes ≤ n²·2e7 ≈ 1e38 at n = 2e15 — no Long wrap
+      .withColumn("term", expr(
+        s"""(cast(cnt_s + 1 as decimal(20,0)) * ${n + nBuckets}L
+           | - cast(cnt_g + 1 as decimal(20,0)) * (n_s + $nBuckets)) * ln_micro"""
+          .stripMargin))
     terms.groupBy("source")
       .agg(max("n_s").as("n_docs"), count(lit(1)).as("n_buckets"),
-        expr(s"sum(term) div (max(n_s + $nBuckets) * ${n + nBuckets}L)")
+        expr(s"sum(term) div (cast(max(n_s) + $nBuckets as decimal(20,0)) * ${n + nBuckets}L)")
           .as("psi_micro_nats"))
       .withColumn("band",
         when(col("psi_micro_nats") < 100000L, "stable")
@@ -3029,8 +3052,8 @@ object Curation {
         | FROM t),
         |p AS (
         | SELECT source, max(n_s)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
-        |  (sum(((cnt_s + 1) * (n + nb) - (cnt_g + 1) * (n_s + nb)) * ln_micro)
-        |   // (max(n_s + nb) * max(n + nb)))::BIGINT AS psi_micro_nats
+        |  (sum(((cnt_s + 1)::HUGEINT * (n + nb) - (cnt_g + 1)::HUGEINT * (n_s + nb)) * ln_micro)
+        |   // (max(n_s + nb)::HUGEINT * max(n + nb)))::BIGINT AS psi_micro_nats
         | FROM t2 GROUP BY source)
         |SELECT source, n_docs, n_buckets, psi_micro_nats,
         | CASE WHEN psi_micro_nats < 100000 THEN 'stable'

@@ -486,10 +486,15 @@ object Similarity {
   def ivfListBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val base = corpus(spark, sfDir)
     val cents = trainedCentroids(spark, sfDir, base)
-    val n = base.count()
-    assignTo(cents)(base)
+    // ONE assignment pass materializes the K-row census; the corpus
+    // total is an aggregate OF the census (Σ n_vecs ≡ n), not a second
+    // corpus count() job (mixKl discipline, swept here r13)
+    val census = assignTo(cents)(base)
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
+      .localCheckpoint()
+    val n = census.agg(coalesce(sum("n_vecs"), lit(0L))).first().getLong(0)
+    census
       .withColumn("share_ppm", expr(s"n_vecs * 1000000 div ${n}L"))
       .withColumn("load_pct", expr(s"n_vecs * ${IvfK}L * 100 div ${n}L"))
       .orderBy("list_id")

@@ -837,11 +837,17 @@ object TextOps {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, concat(t[i], ' ', t[i + 1]) as bg))"))
         .as("p"))
       .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    // ONE corpus aggregate materializes the bigram model (Zipf-bounded
+    // types, not tokens — small at any corpus scale); the w1 marginal
+    // and the vocab size are aggregates OF the model, not corpus
+    // re-scans (the kneserNey/mixKl discipline, swept here r13: this
+    // was 3 tokenize passes for the model alone).
     val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = bigrams.select(col("w1")).distinct().count()
-    val model = c2
       .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
+      .localCheckpoint()
+    val c1 = c2.groupBy(col("mw1").as("w1")).agg(sum("c2").as("c1"))
+    val vocab = c2.select(col("mw1")).distinct().count()
+    val model = c2
       .join(c1, col("mw1") === c1("w1"))
       .withColumn("micro_nats",
         expr(s"cast(round((ln(cast(c1 + $vocab as double)) - ln(cast(c2 + 1 as double))) * 1000000) as bigint)"))
@@ -1465,20 +1471,24 @@ object TextOps {
     * clamped at 0 before the integer division so truncation semantics
     * agree cross-engine.
     *
-    * Scale: two keyed aggregations over the token stream (map-side
-    * combined) produce the model frames — corpus distribution
-    * O(vocab), per-source O(sources × vocab) — and the scoring join
-    * broadcasts both model sides; the token stream itself is never
-    * joined row-to-row. Same shape as the LM scorers.
+    * Scale: ONE keyed aggregation over the token stream (map-side
+    * combined) materializes the per-source model frame
+    * (O(sources × vocab), localCheckpointed); the corpus distribution,
+    * per-source totals, and the corpus total are all aggregates OF the
+    * model — the token stream is tokenized exactly once, never
+    * replayed (jsdSources discipline). The scoring join broadcasts
+    * both model sides; the token stream itself is never joined
+    * row-to-row. Same shape as the LM scorers.
     */
   def mixKl(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-    // corpus token total: one exact integer scalar — model-sized
-    // extraction, becomes a plan literal the oracle recomputes
-    val total = toks.count()
-    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cnt_c"))
     val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
+      .localCheckpoint()
+    // corpus token total: one exact integer scalar off the model frame,
+    // a plan literal the oracle recomputes
+    val total = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
+    val corpus = perSrc.groupBy("t").agg(sum("cnt_s").as("cnt_c"))
     val srcTotals = perSrc.groupBy("source").agg(sum("cnt_s").cast("long").as("t_s"))
     val terms = perSrc
       .join(broadcast(corpus), "t")

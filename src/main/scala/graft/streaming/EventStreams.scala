@@ -187,17 +187,14 @@ object EventStreams {
     * div) costs nothing per event; the global baseline is the SAME
     * grid summed over days (no second scan of the feed).
     *
-    * Overflow ceiling (inherited from [[psiDrift]]'s fold, same
+    * Overflow bound (inherited from [[psiDrift]]'s r13 fold, same
     * arithmetic): the per-term numerator
-    * ((c_w+1)(n+nB) − (cnt_g+1)(n_w+nB)) · ln_micro is O(n_w·n ·
-    * ln_micro) with |ln_micro| up to ~2e7, so the exact-BIGINT fold
-    * holds only to ~10^7–10^8 TOTAL events with visible drift — the
-    * STATE stays (#days × #buckets) however large the feed, but past
-    * that event mass Spark WRAPS the Long product silently while
-    * DuckDB raises on BIGINT overflow (silent cross-engine
-    * divergence). Beyond it the fold must move to per-term division
-    * (divide by (n_w+nB)(n+nB) per term before multiplying, trading
-    * exactness for range) or DECIMAL(38).
+    * ((c_w+1)(n+nB) − (cnt_g+1)(n_w+nB)) · ln_micro rides in
+    * DECIMAL(38,0) — exact int128 on both engines — bounded by
+    * n² · 2·10⁷, inside 10³⁸ up to n ≈ 2·10¹⁵ total events (the old
+    * BIGINT fold wrapped silently past ~10⁷–10⁸). The STATE stays
+    * (#days × #buckets) however large the feed. [[PsiFoldSpec]]
+    * exercises the shared arithmetic at ≥10⁹-event mass.
     */
   def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
@@ -238,11 +235,15 @@ object EventStreams {
         s"""cast(round((ln(cast(c_w + 1 as double)) - ln(cast(n_w + $nB as double))
            | - ln(cast(cnt_g + 1 as double)) + ln(cast(${n + nB}L as double))) * 1000000)
            | as bigint)""".stripMargin))
-      .withColumn("term", ((col("c_w") + 1L) * lit(n + nB)
-        - (col("cnt_g") + 1L) * (col("n_w") + lit(nB))) * col("ln_micro"))
+      // DECIMAL(38,0) = exact int128 (psiDrift r13 discipline): no
+      // silent Long wrap past ~1e8 events
+      .withColumn("term", expr(
+        s"""(cast(c_w + 1 as decimal(20,0)) * ${n + nB}L
+           | - cast(cnt_g + 1 as decimal(20,0)) * (n_w + $nB)) * ln_micro"""
+          .stripMargin))
     terms.groupBy("day")
       .agg(max("n_w").as("n_events"), count(lit(1)).as("n_buckets"),
-        expr(s"sum(term) div (max(n_w + $nB) * ${n + nB}L)")
+        expr(s"sum(term) div (cast(max(n_w) + $nB as decimal(20,0)) * ${n + nB}L)")
           .as("psi_micro_nats"))
       .withColumn("band",
         when(col("psi_micro_nats") < 100000L, "stable")
@@ -1675,8 +1676,8 @@ object EventStreams {
         | FROM t),
         |p AS (
         | SELECT day, max(n_w)::BIGINT AS n_events, count(*)::BIGINT AS n_buckets,
-        |  (sum(((c_w + 1) * (n + nb) - (cnt_g + 1) * (n_w + nb)) * ln_micro)
-        |   // (max(n_w + nb) * max(n + nb)))::BIGINT AS psi_micro_nats
+        |  (sum(((c_w + 1)::HUGEINT * (n + nb) - (cnt_g + 1)::HUGEINT * (n_w + nb)) * ln_micro)
+        |   // (max(n_w + nb)::HUGEINT * max(n + nb)))::BIGINT AS psi_micro_nats
         | FROM t2 GROUP BY day)
         |SELECT day, n_events, n_buckets, psi_micro_nats,
         | CASE WHEN psi_micro_nats < 100000 THEN 'stable'
