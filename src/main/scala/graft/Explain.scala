@@ -164,6 +164,50 @@ object Explain {
     }
   }
 
+  /** Captures the QueryExecution of EVERY SQL action the session runs —
+    * including intermediate driver actions (count(), first(),
+    * localCheckpoint materializations) a query executes while
+    * ASSEMBLING its final frame — so the scale lint walks what
+    * actually executed instead of only the final plan, which a
+    * driver-assembled census frame would otherwise hide (r12 verdict:
+    * x_layout_skipping's probe join used to run in intermediate
+    * count() actions the lint never saw).
+    *
+    * Write actions ("save", "command", ...) are captured but excluded
+    * from [[drainReadPlans]]: write-once fixture builds are one-shot
+    * harness costs whose layout-control shapes (repartition(1) into a
+    * single bench file, generated LocalTableScans) are the SUBJECT
+    * under measurement, not a query's execution strategy — and they
+    * run only on a cold fixture cache, so linting them would make
+    * findings depend on which run happened to build the fixture.
+    */
+  private[graft] final class PlanCapture
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.spark.sql.execution.QueryExecution)]()
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      buf.add((funcName, qe))
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+    private val WriteActions =
+      Set("save", "command", "insertInto", "saveAsTable", "start")
+    /** Read-action QueryExecutions captured since the last drain (the
+      * caller flushes the listener bus first — deliveries are async).
+      */
+    def drainReadPlans(): Seq[org.apache.spark.sql.execution.QueryExecution] = {
+      val out = Seq.newBuilder[org.apache.spark.sql.execution.QueryExecution]
+      var e = buf.poll()
+      while (e != null) {
+        if (!WriteActions(e._1)) out += e._2
+        e = buf.poll()
+      }
+      out.result()
+    }
+  }
+
   /** Justified exceptions: query → (finding kind → why it is safe at
     * 100 TB). Every entry must argue CORPUS-INDEPENDENCE (a constant-
     * size frame however big the corpus) — "small at test scale" is not
@@ -174,7 +218,12 @@ object Explain {
     * bound ABOVE the spec's sf0.001 (e.g. a memory-sink scan that
     * holds 10k rows at sf0.01 but 800 at sf0.001) — the spec skips the
     * staleness check for those, and the `--lint` CLI stays FLAG-free
-    * at every scale.
+    * at every scale. A justification starting with `[intermediate]`
+    * covers a finding that fires in a CAPTURED INTERMEDIATE action
+    * plan rather than the registered query's final plan (r13: the
+    * lint walks both); those whose triggering action is fixture-cache
+    * dependent (runs only on a cold work dir) are also
+    * staleness-exempt, marked `[intermediate-cold]`.
     */
   private[graft] val scaleLintAllow: Map[String, Map[String, String]] = {
     val scalarAttach =
@@ -215,10 +264,11 @@ object Explain {
         (scalarAttach + " (the 1-row p80-cutoff attach from Ranks.valueAtRank + the kernel's 1-row cut attach, Curation.temporalSplit)")),
       "x_split_kfold" -> Map("bnlj" ->
         (scalarAttach + " (the 1-row fold-totals aggregate attached to the k-row fold census, Curation.splitKfold)")),
-      // x_layout_skipping needs no entry: its probe × ranges non-equi
-      // join (20-row constant × footer-model-sized — bounded) runs in
-      // intermediate count() actions; the registered query's final plan
-      // is the 2-row census LocalTableScan the lint walks.
+      "x_layout_skipping" -> Map("bnlj" ->
+        ("non-equi join of the 20-row CONSTANT probe frame against the footer-model-sized " +
+          "row-group range frame (one row per row group of two fixed 1M-row files — corpus-" +
+          "independent; BenchOps.xLayoutSkipping r13: restructured into this query's own " +
+          "executed plan so the lint walks it, replacing the intermediate-count bypass)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
       "x_vocab_coverage" -> Map("bnlj" ->
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),
@@ -232,20 +282,36 @@ object Explain {
         ("the brute-force shape with the attribute predicate applied FIRST: 5 broadcast query " +
           "vectors × the FILTERED corpus (label pushed to the scan, spec-asserted); the scale " +
           "path composes the same pre-filter with the bucketed variants")),
-      // x_emb_matryoshka needs no entry: its per-prefix brute-force
-      // ranking (the allowlisted 5-broadcast-query BNLJ baseline
-      // shape) runs inside the eager localCheckpoint, so the
-      // inspected plan is only the 100-row recall join/aggregate
+      "x_emb_matryoshka" -> Map("bnlj" ->
+        ("[intermediate] the per-prefix brute-force ranking (the allowlisted 5-broadcast-query " +
+          "BNLJ baseline shape) runs inside the eager localCheckpoint; the r13 capture lints " +
+          "that materialization plan — the final plan is only the 100-row recall join/aggregate")),
+      "x_emb_binary_hamming" -> Map("bnlj" ->
+        ("[intermediate] the brute-force Hamming/cosine baseline scoring (5 broadcast query " +
+          "vectors × corpus, Similarity.binaryHammingRecall) runs inside the eager " +
+          "localCheckpoint the two rankings share; the scale path is multi-index Hamming")),
+      "x_emb_mih" -> Map("bnlj" ->
+        ("[intermediate] the recall ground-truth side re-runs the brute-force baseline " +
+          "(5 broadcast query vectors × corpus) inside its localCheckpoint, exactly like " +
+          "x_emb_binary_hamming; the MEASURED retrieval is the pigeonhole word equi-join")),
+      "x_emb_pagerank" -> Map("bnlj" ->
+        ("[intermediate] crossJoin of the 1-ROW dangling-mass aggregate onto the rank frame " +
+          "inside each iteration's localCheckpoint (Similarity.pagerankFrames) — a map-side " +
+          "scalar attach per iteration, constant-size build however big the graph")),
+      "x_sim_topk_agg_xover" -> Map("bnlj" ->
+        ("[intermediate] the DELIBERATE crossover probe times the brute-force scored frame " +
+          "(5 broadcast query vectors × the 4M probe corpus) under both downstream forms; " +
+          "the BNLJ is the measurement subject, bounded by the fixed probe corpus")),
+      "x_mmr_rerank" -> Map("bnlj" ->
+        ("[intermediate] the brute-force candidate-pool build (the allowlisted " +
+          "5-broadcast-query BNLJ shape) runs inside the eager localCheckpoint; the final " +
+          "plan is only the O(queries·K²) greedy re-rank")),
       "x_hybrid_rrf" -> Map("bnlj" ->
         "broadcast side is the 1-ROW query-vector frame (vec_id = 0) attached to the corpus scan — a map-side scalar attach; both rank lists come from bounded TopKPairs aggregates, no window"),
       "x_emb_margin" -> Map("bnlj" ->
         (scalarAttach + " (corpus mean margin for the self-calibrating ambiguity cut, Similarity.assignmentMargin)")),
       "x_emb_outliers" -> Map("bnlj" ->
         (scalarAttach + " (p95 d² threshold from Ranks.valueAtRank, Similarity.embOutliers + the kernel's 1-row cut attach)")),
-      // x_mmr_rerank needs no entry: its brute-force pool build (the
-      // allowlisted 5-broadcast-query BNLJ shape) runs inside the
-      // eager localCheckpoint, so the inspected plan is only the
-      // O(queries·K²) greedy re-rank
       "x_sim_recall" -> Map("bnlj" ->
         "recall gate re-runs the brute-force baseline as ground truth (5 broadcast query vectors); the measured approximate paths are bucketed"),
       "x_graph_triangles" -> Map("bnlj" ->

@@ -463,12 +463,16 @@ object BenchOps {
     * shuffled one. avg_surviving_ppm = surviving row groups per probe
     * as ppm of the layout's row-group count.
     *
-    * Scale: the ranges frame is footer-model-sized (one row per row
-    * group — fan-out via [[FooterMeta.chunkRangesLong]]'s distributed
-    * decode); the probe frame is a 20-row constant; their non-equi
-    * join is model × constant (allowlisted BNLJ), never data-sized.
-    * DuckDB re-derives everything from the same footers via
-    * parquet_metadata().
+    * Scale: ONE distributed plan (r13 — the census used to run its
+    * joins in intermediate count() actions and register a
+    * driver-assembled 2-row frame, hiding the joins from the scale
+    * lint): both layouts' footer-range frames union under a layout
+    * tag (footer-model-sized — one row per row group — and
+    * localCheckpointed so the row-group census and the probe join
+    * share one decode); the probe frame is a 20-row constant; their
+    * non-equi join is model × constant (allowlisted BNLJ in THIS
+    * query's executed plan), never data-sized. DuckDB re-derives
+    * everything from the same footers via parquet_metadata().
     */
   def xLayoutSkipping(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -477,17 +481,24 @@ object BenchOps {
     val step = PushRows / SkipProbes
     val probes = (0 until SkipProbes).map(i => i * step + step / 2)
     val probeDf = probes.toDF("p")
-    Seq(("range_sorted", sortedPath), ("hash_shuffled", shuffledPath)).map {
-      case (layout, path) =>
-        val ranges = FooterMeta.chunkRangesLong(spark, Seq(path), "k").toDF()
-        val nRg = ranges.count()
-        val surviving = ranges
-          .join(broadcast(probeDf),
-            col("p") >= col("min_v") && col("p") <= col("max_v"))
-          .count()
-        (layout, nRg, SkipProbes.toLong, surviving,
-          surviving * 1000000L / (SkipProbes.toLong * nRg))
-    }.toDF("layout", "n_rowgroups", "n_probes", "surviving_rg", "avg_surviving_ppm")
+    val ranges = Seq(("range_sorted", sortedPath), ("hash_shuffled", shuffledPath))
+      .map { case (layout, path) =>
+        FooterMeta.chunkRangesLong(spark, Seq(path), "k").toDF()
+          .select(lit(layout).as("layout"), col("min_v"), col("max_v"))
+      }
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    val rgCounts = ranges.groupBy("layout").agg(count(lit(1)).as("n_rowgroups"))
+    val surv = ranges
+      .join(broadcast(probeDf),
+        col("p") >= col("min_v") && col("p") <= col("max_v"))
+      .groupBy("layout").agg(count(lit(1)).as("surviving_rg"))
+    rgCounts.join(surv, Seq("layout"), "left")
+      .na.fill(0L, Seq("surviving_rg"))
+      .select(col("layout"), col("n_rowgroups"),
+        lit(SkipProbes.toLong).as("n_probes"), col("surviving_rg"),
+        expr(s"surviving_rg * 1000000 div (${SkipProbes}L * n_rowgroups)")
+          .as("avg_surviving_ppm"))
       .orderBy("layout")
   }
 
