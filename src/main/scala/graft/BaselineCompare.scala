@@ -60,7 +60,7 @@ object BaselineCompare {
   def main(args: Array[String]): Unit = {
     val outCsv = "bench-results/baseline_footer_decode.csv"
     val outMd = "BASELINE_COMPARE.md"
-    val workDir = "/root/repo/target/graft-work/baseline"
+    val workDir = s"${graft.WorkDirs.rootActive}/baseline"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     val conf = spark.sparkContext.hadoopConfiguration

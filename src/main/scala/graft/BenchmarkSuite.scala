@@ -13,7 +13,8 @@ import graft.sources.BenchRunners
   */
 object BenchmarkSuite {
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.length > 0) args(0) else "/root/repo/target/bench-results"
+    val outDir = if (args.length > 0) args(0)
+      else s"${System.getProperty("user.dir")}/target/bench-results"
     val scale = if (args.length > 1) args(1) else "small"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, BenchOps, Bucketing, Curation, Dedup, Multimodal, Similarity, Skew, TextOps, ZOrder}
 import graft.streaming.EventStreams
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
   * `queries` maps every implemented operator from SURVEY.md §2 to a
   * (spark, sfDir) => DataFrame; `oracleSql` carries the matching DuckDB

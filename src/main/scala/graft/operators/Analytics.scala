@@ -1181,7 +1181,7 @@ object Analytics {
     import org.apache.hadoop.fs.Path
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/orders.parquet")
-    val out = s"/root/repo/target/graft-work/dpp/orders_by_status_" +
+    val out = s"${graft.WorkDirs.rootActive}/dpp/orders_by_status_" +
       s"${new java.io.File(sfDir).getName}_$fp"
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/_SUCCESS")))

@@ -20,7 +20,7 @@ object BenchOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Scratch space for generated files (inside the repo tree, gitignored). */
-  private val workRoot = "/root/repo/target/graft-work"
+  private def workRoot: String = graft.WorkDirs.rootActive
 
   /** G1 — wide-table generation summary (reads nothing, generates N×M). */
   def g1WideGen(spark: SparkSession, sfDir: String): DataFrame =
@@ -1165,7 +1165,7 @@ object BenchOps {
     // timestamp/time unit+utc parsed from the logical_type string.
     // Sentinels (-1/'na'/0) mirror LogicalTypeRow exactly.
     "k14_logical_types" ->
-      """SELECT regexp_extract(file_name, '[^/]+$') AS file,
+      raw"""SELECT regexp_extract(file_name, '[^/]+$$') AS file,
         | name AS "column",
         | type AS physical,
         | coalesce(type_length, '0')::INT AS type_length,
@@ -1198,7 +1198,7 @@ object BenchOps {
         | CASE WHEN logical_type LIKE 'IntType%'
         |      THEN regexp_extract(logical_type, 'isSigned=(\d)', 1)::INT
         |      ELSE -1 END AS signed
-        |FROM parquet_schema('/root/repo/target/graft-work/ltypes/typed.parquet')
+        |FROM parquet_schema('$workRoot/ltypes/typed.parquet')
         |WHERE num_children IS NULL
         |ORDER BY "column"""".stripMargin,
     // exacts DuckDB-recomputed; both bound flags PINNED TRUE (the

@@ -1280,7 +1280,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val dir = s"/root/repo/target/graft-work/backfill_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/backfill_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     val dayFile = new Path(s"$dir/_REVISED_DAY")
     if (!fs.exists(dayFile)) {
@@ -1568,7 +1568,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
-    val dir = s"/root/repo/target/graft-work/wap_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/wap_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$dir/_DONE"))) {
       fs.delete(new Path(dir), true)
@@ -1727,7 +1727,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val dir = s"/root/repo/target/graft-work/incr_agg_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/incr_agg_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     val ev = Tables.events(spark, sfDir)
       .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
@@ -1811,7 +1811,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
-    val dir = s"/root/repo/target/graft-work/snapshots_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/snapshots_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$dir/_SNAPSHOTTED"))) {
       fs.delete(new Path(dir), true)
@@ -2070,7 +2070,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val dir = s"/root/repo/target/graft-work/partevo_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/partevo_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$dir/_PARTEVO"))) {
       fs.delete(new Path(dir), true)
@@ -2492,7 +2492,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
-    val dir = s"/root/repo/target/graft-work/schema_evo_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/schema_evo_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$dir/_STAGED"))) {
       fs.delete(new Path(dir), true)
@@ -2539,7 +2539,7 @@ object Curation {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/documents.parquet")
-    val dir = s"/root/repo/target/graft-work/compact_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/compact_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$dir/_STAGED"))) {
       fs.delete(new Path(dir), true)

@@ -418,7 +418,7 @@ object Dedup {
   private[graft] def clusterModelDir(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    s"/root/repo/target/graft-work/dedup/clusters_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
+    s"${graft.WorkDirs.rootActive}/dedup/clusters_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
   }
 
   /** Build-if-absent gate for the cluster model: `clusters/` is written
@@ -1271,7 +1271,7 @@ object Dedup {
   private[graft] def baseIndexDir(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    s"/root/repo/target/graft-work/dedup/base_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
+    s"${graft.WorkDirs.rootActive}/dedup/base_${new java.io.File(sfDir).getName}_${fp}_${hashFamily(spark)}"
   }
 
   private def ensureBaseIndex(spark: SparkSession, sfDir: String,

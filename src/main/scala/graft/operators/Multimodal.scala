@@ -207,7 +207,7 @@ object Multimodal {
   private[graft] def mediaFilesDir(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/documents.parquet")
-    s"/root/repo/target/graft-work/media/ingest_${new java.io.File(sfDir).getName}_$fp"
+    s"${graft.WorkDirs.rootActive}/media/ingest_${new java.io.File(sfDir).getName}_$fp"
   }
 
   /** File-based media ingestion — the path media actually arrives by

@@ -154,7 +154,7 @@ object Similarity {
       if (!fs.exists(p)) synth(rows, parts).write.mode("overwrite").parquet(path)
       path
     }
-    val base = "/root/repo/target/graft-work/xover"
+    val base = s"${graft.WorkDirs.rootActive}/xover"
     val corpusPath = ensure(s"$base/corpus_${n}_$dim", n, 64)
     val warmPath = ensure(s"$base/corpus_50000_$dim", 50000L, 8)
     def forms(path: String): (DataFrame, DataFrame) = {
@@ -512,7 +512,7 @@ object Similarity {
   private[graft] def ivfLayoutPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    s"/root/repo/target/graft-work/ann/ivf_mf_${new java.io.File(sfDir).getName}_$fp"
+    s"${graft.WorkDirs.rootActive}/ann/ivf_mf_${new java.io.File(sfDir).getName}_$fp"
   }
 
   def ivfBucketedTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -560,7 +560,7 @@ object Similarity {
   private[graft] def ivfIncrPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    s"/root/repo/target/graft-work/ann/ivf_incr_${new java.io.File(sfDir).getName}_$fp"
+    s"${graft.WorkDirs.rootActive}/ann/ivf_incr_${new java.io.File(sfDir).getName}_$fp"
   }
 
   /** The 20 % ingest-batch convention shared with `x_dedup_incremental`. */
@@ -822,7 +822,7 @@ object Similarity {
   private[graft] def bucketedLayoutPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    s"/root/repo/target/graft-work/ann/banded_mf_${new java.io.File(sfDir).getName}_$fp"
+    s"${graft.WorkDirs.rootActive}/ann/banded_mf_${new java.io.File(sfDir).getName}_$fp"
   }
 
   /** Writer tasks per bucketed-layout write: each bucket directory ends
@@ -955,7 +955,7 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
-    val out = s"/root/repo/target/graft-work/ann/knn_edges_${new java.io.File(sfDir).getName}_$fp"
+    val out = s"${graft.WorkDirs.rootActive}/ann/knn_edges_${new java.io.File(sfDir).getName}_$fp"
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$out/_SUCCESS")))
       knnScored(spark, sfDir).select("src", "dst")

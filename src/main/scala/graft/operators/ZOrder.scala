@@ -90,7 +90,7 @@ object ZOrder {
   def zOrderedOrdersPath(spark: SparkSession, sfDir: String): String = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/orders.parquet")
-    val out = s"/root/repo/target/graft-work/zorder/orders_${new java.io.File(sfDir).getName}_$fp"
+    val out = s"${graft.WorkDirs.rootActive}/zorder/orders_${new java.io.File(sfDir).getName}_$fp"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")))

@@ -355,7 +355,7 @@ object EventStreams {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_late_$fp"
+    val stageDir = s"${graft.WorkDirs.rootActive}/stream/events_late_$fp"
     val stage = new Path(stageDir)
     val fs = stage.getFileSystem(conf)
     if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
@@ -439,7 +439,7 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
     val stageDir = stagedAppendDir(spark, sfDir)
-    val outDir = s"/root/repo/target/graft-work/stream/events_filesink_$fp"
+    val outDir = s"${graft.WorkDirs.rootActive}/stream/events_filesink_$fp"
     val fs = new Path(outDir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$outDir/_DONE"))) {
       fs.delete(new Path(outDir), true)
@@ -479,7 +479,7 @@ object EventStreams {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_append_$fp"
+    val stageDir = s"${graft.WorkDirs.rootActive}/stream/events_append_$fp"
     val stage = new Path(stageDir)
     val fs = stage.getFileSystem(conf)
     if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
@@ -534,7 +534,7 @@ object EventStreams {
       .filter(col("event_type") === "click")
     dropStaleSinks(spark)
     val outDir =
-      s"/root/repo/target/graft-work/stream/asof_out_${counter.incrementAndGet()}"
+      s"${graft.WorkDirs.rootActive}/stream/asof_out_${counter.incrementAndGet()}"
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
@@ -1324,7 +1324,7 @@ object EventStreams {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_outer_$fp"
+    val stageDir = s"${graft.WorkDirs.rootActive}/stream/events_outer_$fp"
     val stage = new Path(stageDir)
     val fs = stage.getFileSystem(conf)
     if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
@@ -1418,8 +1418,8 @@ object EventStreams {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_upsert_stage_$fp"
-    val outDir = s"/root/repo/target/graft-work/stream/events_upsert_$fp"
+    val stageDir = s"${graft.WorkDirs.rootActive}/stream/events_upsert_stage_$fp"
+    val outDir = s"${graft.WorkDirs.rootActive}/stream/events_upsert_$fp"
     val fs = new Path(outDir).getFileSystem(conf)
     if (!fs.exists(new Path(s"$stageDir/_STAGED"))) {
       fs.delete(new Path(stageDir), true)
@@ -1466,7 +1466,7 @@ object EventStreams {
       afterApply: Long => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sfDir/events.parquet")
-    val stageDir = s"/root/repo/target/graft-work/stream/events_upsert_stage_$fp"
+    val stageDir = s"${graft.WorkDirs.rootActive}/stream/events_upsert_stage_$fp"
     val src = normTs(spark.readStream
       .schema(rawSchema(rawTsType(spark, sfDir)))
       .option("maxFilesPerTrigger", "1")
