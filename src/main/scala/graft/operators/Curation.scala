@@ -2404,6 +2404,52 @@ object Curation {
       corpus.filter(graft.functions.BloomGate.mightContainLong(bloom, col("hs"))).count())
   }
 
+  private val NoveltyN = 13
+
+  /** N-gram novelty profile — the GPT-3-style decontamination census
+    * (Brown et al. 2020, Appendix C measure 13-gram train/eval
+    * overlap): for each source's held-out eval docs (the
+    * doc_id ≡ 0 mod [[EvalMod]] split the contamination family also
+    * uses), what fraction of their DISTINCT 13-grams never occurs
+    * anywhere in the train split — the novelty a benchmark score can
+    * actually claim. Reported per source as exact integer ppm
+    * (novelty_ppm = (test − overlapping)·10⁶ div test).
+    *
+    * Grain choice: distinct 13-gram HASHES per (source, eval split),
+    * not instances — the decontamination question is "is this n-gram
+    * available to memorize", not "how often was it retyped"; h60
+    * collisions are the same 2⁻⁶⁰ risk the dedup family carries
+    * (collision-sensitive: verified at 3 SFs).
+    *
+    * Scale: gram extraction is the contamination spine's shape (the
+    * codegen'd [[graft.functions.TextExpressions.WordNGrams]] kernel at
+    * n=13, array_distinct before the explode bounds per-doc fan-out);
+    * both splits reduce to DISTINCT hash sets (map-side combined), and
+    * the overlap is ONE hash equi-join — shuffled on a fixed-width
+    * 64-bit key, the canonical decontamination join at any corpus
+    * size. No windows, no non-equi joins, no driver state.
+    */
+  def noveltyNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.TextExpressions.word_ngrams(col("tokens"), NoveltyN))).as("g"))
+      .select(col("doc_id"), col("source"), h60("g").as("hs"))
+    val train = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .select("hs").distinct()
+    val test = grams.filter(col("doc_id") % EvalMod === 0)
+      .select("source", "hs").distinct()
+    test.join(train.withColumn("seen", lit(1L)), Seq("hs"), "left")
+      .na.fill(0L, Seq("seen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test_ngrams"), sum("seen").as("n_overlapping"))
+      .select(col("source"), col("n_test_ngrams"), col("n_overlapping"),
+        expr("(n_test_ngrams - n_overlapping) * 1000000 div n_test_ngrams")
+          .as("novelty_ppm"))
+      .orderBy("source")
+  }
+
   private def contaminationScanGated(
       spark: SparkSession, sfDir: String, useBloom: Boolean): DataFrame = {
     val ex = contaminationShingles(spark, sfDir)
@@ -2606,6 +2652,7 @@ object Curation {
     "x_merge_upsert" -> mergeUpsert _,
     "k9_snapshot_read" -> snapshotVersions _,
     "x_contamination" -> contamination _,
+    "x_novelty_ngram" -> noveltyNgram _,
     "x_contamination_bloom" -> contaminationBloom _,
     "x_eval_rouge" -> rougeOverlap _,
     "x_eval_bleu" -> evalBleu _,
@@ -3231,6 +3278,27 @@ object Curation {
          | sum(CASE WHEN shared >= $ContaminationMin THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
          | max(shared) AS max_shared
          |FROM shared GROUP BY source ORDER BY source""".stripMargin,
+    // identical 13-gram windows (max(len-13,0)+1, short-doc tail =
+    // whole doc), identical h60 hashing, same distinct-set grain on
+    // both splits; truncating // == div on the nonnegative ppm
+    "x_novelty_ngram" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - ${NoveltyN - 1}, 1) + 1),
+         |    i -> array_to_string(toks[i:i+${NoveltyN - 1}], ' '))) AS gs
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |ex AS (
+         | SELECT doc_id, source, ${h60Sql("g")} AS hs
+         | FROM (SELECT doc_id, source, unnest(gs) AS g FROM t)),
+         |train AS (SELECT DISTINCT hs FROM ex WHERE doc_id % $EvalMod <> 0),
+         |test AS (SELECT DISTINCT source, hs FROM ex WHERE doc_id % $EvalMod = 0),
+         |j AS (
+         | SELECT test.source, CASE WHEN train.hs IS NULL THEN 0 ELSE 1 END AS seen
+         | FROM test LEFT JOIN train USING (hs))
+         |SELECT source, count(*)::BIGINT AS n_test_ngrams, sum(seen)::BIGINT AS n_overlapping,
+         | ((count(*) - sum(seen)) * 1000000 // count(*))::BIGINT AS novelty_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // single-window re-derivation of the rank-kernel cutoff (smallest
     // tm whose cumulative count reaches rank ceil(0.8n)), identical
     // boolean-max overlap census

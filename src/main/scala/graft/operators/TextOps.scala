@@ -749,18 +749,7 @@ object TextOps {
     * when used as a gate.
     */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val (w1, w2, w3) = ClfWeights
-    val wsum = w1 + w2 + w3
-    val perDoc = padded(spark, sfDir)
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .select(
-        col("source"),
-        expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("f_uniq"),
-        expr("""(1000000 * ((length(padded) - length(replace(padded, ' the ', ''))) div 5))
-               | div size(toks)""".stripMargin).as("f_stop"),
-        expr("cast(least(size(toks), 256) as bigint) * 3906").as("f_len"))
-      .withColumn("score",
-        expr(s"($w1 * f_uniq + $w2 * f_stop + $w3 * f_len) div $wsum"))
+    val perDoc = clfScores(spark, sfDir)
     perDoc.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -769,6 +758,69 @@ object TextOps {
         min("score").as("min_score"),
         max("score").as("max_score"))
       .orderBy("source")
+  }
+
+  /** Per-doc (doc_id, source, score) of the linear quality head —
+    * shared by [[qualityClassifier]] (per-source rollup) and
+    * [[qualityCalibration]] (reliability bins vs the Gopher label).
+    */
+  private def clfScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w1, w2, w3) = ClfWeights
+    val wsum = w1 + w2 + w3
+    padded(spark, sfDir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(
+        col("doc_id"), col("source"),
+        expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)").as("f_uniq"),
+        expr("""(1000000 * ((length(padded) - length(replace(padded, ' the ', ''))) div 5))
+               | div size(toks)""".stripMargin).as("f_stop"),
+        expr("cast(least(size(toks), 256) as bigint) * 3906").as("f_len"))
+      .withColumn("score",
+        expr(s"($w1 * f_uniq + $w2 * f_stop + $w3 * f_len) div $wsum"))
+  }
+
+  /** Calibration census for the quality-classifier family —
+    * reliability bins + expected calibration error (Guo et al. 2017),
+    * in exact integer ppm: the classifier's micro-unit score plays the
+    * predicted confidence that a doc is high-quality, the
+    * independently-derived Gopher all-rules pass plays the reference
+    * label, and the census reports, per score decile, the doc count,
+    * mean predicted confidence, empirical pass rate, and |gap|, plus
+    * the N-weighted ECE — the number that says whether the head's
+    * scores can be USED as probabilities (mixing weights, acceptance
+    * thresholds) or only as a ranking.
+    *
+    * Float discipline: score and pass are both exact integers already;
+    * conf_ppm = Σscore div n, acc_ppm = pass·10⁶ div n, ECE =
+    * Σ n_b·gap_b div N — truncating division on nonnegative operands
+    * throughout, bit-identical cross-engine.
+    *
+    * Scale: two corpus projections (the score pass and the Gopher
+    * flag pass) joined once on doc_id — a co-partitioned fixed-width
+    * equi-join — then a ≤10-group aggregate; the ECE attach is a
+    * window over the 10-row POST-AGGREGATE bin frame (constant-size
+    * single partition, the rank-kernel shape), never corpus-sized.
+    */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = gopherFlags(spark, sfDir)
+      .select(col("doc_id"),
+        (col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop")).as("pass"))
+    val bins = clfScores(spark, sfDir)
+      .join(labels, "doc_id")
+      .withColumn("bin", expr("cast(least(greatest(score, 0) div 100000, 9) as int)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("score").as("conf_sum"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        expr("conf_sum div n_docs").as("conf_ppm"),
+        expr("n_pos * 1000000 div n_docs").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    bins
+      .withColumn("ece_ppm",
+        expr("sum(n_docs * gap_ppm) over () div sum(n_docs) over ()"))
+      .orderBy("bin")
   }
 
   private val VocabTopK = 128 // largest coverage bucket (powers of 2)
@@ -1724,7 +1776,7 @@ object TextOps {
           + max(when(col("t") === "and", 1L).otherwise(0L))
           + max(when(col("t") === "to", 1L).otherwise(0L))
           + max(when(col("t") === "of", 1L).otherwise(0L))).as("stop_hits"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         col("wc").between(50L, 100000L).as("r_wc"),
         (lit(3L) * col("wc") <= col("charsum") &&
           col("charsum") <= lit(10L) * col("wc")).as("r_mwl"),
@@ -2009,6 +2061,7 @@ object TextOps {
     "x_text_bm25" -> bm25TopDocs _,
     "x_hybrid_rrf" -> hybridRrf _,
     "x_quality_classifier" -> qualityClassifier _,
+    "x_quality_calibration" -> qualityCalibration _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
@@ -2207,7 +2260,7 @@ object TextOps {
       |   + max(CASE WHEN t = 'of' THEN 1 ELSE 0 END) AS stop_hits
       | FROM tok GROUP BY doc_id, source),
       |flags AS (
-      | SELECT source,
+      | SELECT doc_id, source,
       |  wc BETWEEN 50 AND 100000 AS r_wc,
       |  3 * wc <= charsum AND charsum <= 10 * wc AS r_mwl,
       |  10 * n_sym <= wc AS r_sym,
@@ -2657,6 +2710,41 @@ object TextOps {
          | sum(score)::BIGINT AS score_sum,
          | min(score) AS min_score, max(score) AS max_score
          |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // identical classifier features + Gopher flags joined per doc;
+    // every ppm is a truncating division of nonnegative integers so
+    // // == div throughout, and the ECE window runs over the same
+    // 10-row bin frame on both engines
+    "x_quality_calibration" ->
+      s"""WITH $gopherOracleCtes,
+         |f AS (
+         | SELECT doc_id,
+         |  (1000000 * len(list_distinct(toks))) // len(toks) AS f_uniq,
+         |  (1000000 * ((strlen(padded) - strlen(replace(padded, ' the ', ''))) // 5))
+         |    // len(toks) AS f_stop,
+         |  least(len(toks), 256) * 3906 AS f_len
+         | FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |        ' ' || lower(text) || ' ' AS padded FROM documents)),
+         |clf AS (SELECT doc_id,
+         |  (${ClfWeights._1}*f_uniq + ${ClfWeights._2}*f_stop + ${ClfWeights._3}*f_len)
+         |    // ${ClfWeights._1 + ClfWeights._2 + ClfWeights._3} AS score FROM f),
+         |j AS (
+         | SELECT clf.score,
+         |  flags.r_wc AND flags.r_mwl AND flags.r_sym AND flags.r_alpha AND flags.r_stop AS pass
+         | FROM clf JOIN flags USING (doc_id)),
+         |b AS (
+         | SELECT least(greatest(score, 0) // 100000, 9)::INT AS bin,
+         |  count(*)::BIGINT AS n_docs, sum(score) AS conf_sum,
+         |  sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pos
+         | FROM j GROUP BY 1),
+         |b2 AS (
+         | SELECT bin, n_docs,
+         |  (conf_sum // n_docs)::BIGINT AS conf_ppm,
+         |  (n_pos * 1000000 // n_docs)::BIGINT AS acc_ppm
+         | FROM b),
+         |b3 AS (SELECT *, abs(conf_ppm - acc_ppm)::BIGINT AS gap_ppm FROM b2)
+         |SELECT bin, n_docs, conf_ppm, acc_ppm, gap_ppm,
+         | (sum(n_docs * gap_ppm) OVER () // sum(n_docs) OVER ())::BIGINT AS ece_ppm
+         |FROM b3 ORDER BY bin""".stripMargin,
     "x_vocab_coverage" ->
       s"""WITH toks AS (
          | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
