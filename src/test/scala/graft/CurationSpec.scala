@@ -127,7 +127,7 @@ class CurationSpec extends AnyFunSuite {
 
   test("dq expectations: injected violations are detected, clean checks stay green") {
     import org.apache.spark.sql.functions._
-    val dir = "/root/repo/target/graft-work/dq_corrupt"
+    val dir = s"${graft.WorkDirs.rootActive}/dq_corrupt"
     // clone the sf layout, corrupting only orders: one duplicated key,
     // one negative price, one null date, one dangling custkey
     Seq("customer", "lineitem", "documents", "events").foreach { t =>
@@ -257,7 +257,7 @@ class CurationSpec extends AnyFunSuite {
     // directory-level proof: corrupt stays staged, clean was renamed out
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sf/documents.parquet")
-    val dir = s"/root/repo/target/graft-work/wap_$fp"
+    val dir = s"${graft.WorkDirs.rootActive}/wap_$fp"
     val fs = new Path(dir).getFileSystem(conf)
     assert(fs.exists(new Path(s"$dir/stage/batch_corrupt")))
     assert(!fs.exists(new Path(s"$dir/stage/batch_clean")))

@@ -566,7 +566,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // reference run (also stages the half-files the hook reads)
     val reference = EventStreams.streamUpsert(spark, sf).collect().map(_.toString).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
-    val outDir = "/root/repo/target/graft-work/stream/events_upsert_crash"
+    val outDir = s"${graft.WorkDirs.rootActive}/stream/events_upsert_crash"
     val fs = new Path(outDir).getFileSystem(conf)
     fs.delete(new Path(outDir), true)
     // crash AFTER the v0 sink write but BEFORE Spark commits batch 0 —
@@ -631,7 +631,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // IDENTICAL snapshot (v1 = f(v0, batch1) is deterministic)
     val conf = spark.sparkContext.hadoopConfiguration
     val fp = graft.sources.LayoutCache.fingerprint(conf, s"$sf/events.parquet")
-    val outDir = s"/root/repo/target/graft-work/stream/events_upsert_$fp"
+    val outDir = s"${graft.WorkDirs.rootActive}/stream/events_upsert_$fp"
     val before = spark.read.parquet(s"$outDir/v1").collect().map(_.toString).sorted.toSeq
     EventStreams.upsertApplyBatch(spark, outDir,
       ev.filter(col("event_id") % 2 === 1), 1L)
@@ -1151,7 +1151,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fromFiles.length === fromMemory.length)
     assert(fromFiles.map(_.toString).toSeq === fromMemory.map(_.toString).toSeq,
       "the durable sink must hold exactly the append-mode rows")
-    val sinkDirs = new java.io.File("/root/repo/target/graft-work/stream")
+    val sinkDirs = new java.io.File(s"${graft.WorkDirs.rootActive}/stream")
       .listFiles.filter(_.getName.startsWith("events_filesink_"))
     assert(sinkDirs.exists(d => new java.io.File(d, "data/_spark_metadata").exists),
       "FileStreamSink must write its transactional commit log")

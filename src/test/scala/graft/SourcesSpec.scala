@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
-  private val work = "/root/repo/target/graft-test"
+  private val work = s"${System.getProperty("user.dir")}/target/graft-test"
 
   test("wide generator: N float columns named col_i, M rows, values in range") {
     val df = WideTableGen.wide(spark, 25, 1000L, seed = 7)
@@ -244,7 +244,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1L && r.getLong(4) === 0L && r.getLong(5) === 123456L)
     // load the filter itself: present keys can NEVER be rejected, and
     // absent keys must reject at ~FPP (deterministic file -> stable)
-    val dir = "/root/repo/target/graft-work/bloom/bloom_knob_200000"
+    val dir = s"${graft.WorkDirs.rootActive}/bloom/bloom_knob_200000"
     val conf = spark.sparkContext.hadoopConfiguration
     val part = new Path(dir).getFileSystem(conf).listStatus(new Path(dir))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).minBy(_.getName)
@@ -313,7 +313,7 @@ class SourcesSpec extends AnyFunSuite {
     // the annotations sit on a real 4-row file (footer-counted: Spark's
     // own reader has no Catalyst mapping for UUID/ENUM columns)
     val meta = FooterMeta.fileMeta(spark,
-      Seq("/root/repo/target/graft-work/ltypes/typed.parquet")).collect()
+      Seq(s"${graft.WorkDirs.rootActive}/ltypes/typed.parquet")).collect()
     assert(meta.head.num_rows === 4 && meta.head.num_columns === 17)
   }
 
@@ -350,5 +350,37 @@ class SourcesSpec extends AnyFunSuite {
     finally w.close()
     val row = FooterMeta.logicalTypes(spark, Seq(file)).collect().head
     assert(row.logical === "BSON" && row.physical === "BYTE_ARRAY")
+  }
+
+  test("k14: INT96 physical type decodes too (spec-only file — deprecated type, no annotation)") {
+    // INT96 (src/flatbuff_ns.fbs:12) is deprecated with no logical
+    // annotation and parquet-mr's example API still writes it as a
+    // 12-byte value; like BSON it stays out of the oracled fixture
+    // (Spark's own INT96 path is a timestamp coercion, not a census
+    // subject) but the footer census must decode the physical type
+    import org.apache.parquet.example.data.simple.{NanoTime, SimpleGroupFactory}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.Types
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val file = s"$work/int96_fixture.parquet"
+    val schema = Types.buildMessage()
+      .required(INT96).named("ts96")
+      .named("int96_only")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf).withType(schema)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    try w.write(new SimpleGroupFactory(schema).newGroup()
+      .append("ts96", new NanoTime(2460000, 43200L * 1000 * 1000 * 1000)))
+    finally w.close()
+    val row = FooterMeta.logicalTypes(spark, Seq(file)).collect().head
+    assert(row.physical === "INT96",
+      s"footer census must surface the deprecated physical type, got ${row.physical}")
+    assert(row.logical === "NONE", "INT96 carries no logical annotation")
   }
 }

@@ -24,7 +24,7 @@ class WriterRoundTripSpec extends AnyFunSuite {
       stats <- Gen.choose(0, 2)
       seed <- Gen.choose(0L, 1000L)
     } yield (cols, rows, codec, rgRows, page, dict, stats, seed)
-    val path = "/root/repo/target/graft-test/prop_roundtrip"
+    val path = s"${System.getProperty("user.dir")}/target/graft-test/prop_roundtrip"
     val prop = Prop.forAll(gen) {
       case (cols, rows, codec, rgRows, page, dict, stats, seed) =>
         // rand(seed) is deterministic per (partition, offset), so the
