@@ -214,18 +214,26 @@ object Dedup {
     * generation ([[minhashVerifiedPairs]]) and the batch-vs-base join
     * ([[incrementalDedup]]).
     */
-  private def bandedBuckets(docs: DataFrame): DataFrame = {
+  /** Per-doc MinHash signature (doc_id, m0..m15) — the model frame the
+    * banding, and (r13) the estimator-calibration census, both read.
+    */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr(baseHash(docs.sparkSession, "s")).as("h"))
     val minAggs = affine.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $P")).as(s"m$i") }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private def bandedFromSigs(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(j => expr(bucketExpr(j))): _*))
         .as(Seq("band", "bucket")))
-  }
+
+  private def bandedBuckets(docs: DataFrame): DataFrame =
+    bandedFromSigs(minhashSignatures(docs))
 
   /** All verified candidate pairs with exact Jaccard (no limit) — the
     * edge set shared by [[minhashLsh]] (top-20 view) and
@@ -257,11 +265,17 @@ object Dedup {
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .select("doc_a", "doc_b", "jaccard")
+      // the exact-integer twin of the rounded double: Jaccard in ppm
+      // via truncating division, for the integer-disciplined censuses
+      .withColumn("jacc_ppm", expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000" +
+          " div size(array_union(sh_a, sh_b))"))
+      .select("doc_a", "doc_b", "jaccard", "jacc_ppm")
   }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashVerifiedPairs(spark, sfDir)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
@@ -297,6 +311,95 @@ object Dedup {
         coalesce(col("n_edges"), lit(0L)).as("n_edges"),
         coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
       .orderBy("threshold_pct")
+  }
+
+  /** Cross-source duplication-leakage matrix — WHO copies from WHOM:
+    * the verified near-dup edge set (jaccard ≥ 0.7, the same rounded-
+    * double literal cut as [[thresholdSweep]]) attributed to unordered
+    * source pairs, with the mean exact-integer Jaccard per cell. The
+    * governance census a licensing / provenance review reads before a
+    * mixing run: a hot off-diagonal cell means one source's mass is
+    * another's content wearing a different label (double-counted in
+    * mixing weights, leaked across any source-keyed split).
+    *
+    * Scale: rides ONE [[minhashVerifiedPairs]] run (banded candidate
+    * generation, never all-pairs); the source attach is two doc_id
+    * equi-joins against a 2-column projection, and the matrix is at
+    * most (#sources choose 2)+#sources rows. Integer discipline: the
+    * cell mean is Σ jacc_ppm div n on the exact truncating-division
+    * ppm, not the rounded double.
+    */
+  def sourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    minhashVerifiedPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.7)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jacc_ppm"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_edges"),
+        expr("sum(jacc_ppm) div count(1)").as("mean_jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** MinHash estimator calibration census — [[graft.operators.Similarity]]'s
+    * PQ-distortion discipline applied to the dedup index: for every
+    * banded candidate pair, the signature-match estimate
+    * (n_match·10⁶ div 16) against the exact shingle Jaccard, grouped
+    * by match count. The |bias| per cell is the number that says
+    * whether 16 hashes are enough at the operating threshold, BEFORE a
+    * production run trusts the bands to prune: a hot bias at the
+    * band-trigger counts means the LSH is promoting pairs the verify
+    * join will mostly reject (wasted verification) or — worse at the
+    * top — estimating high on pairs it never candidates.
+    *
+    * Scale: candidate pairs only (banded, never all-pairs); signatures
+    * ride the localCheckpointed model frame ([[minhashSignatures]],
+    * O(docs × 16) — computed once for banding AND scoring), the exact
+    * side reuses the verified-pairs semi-join shape, and the census is
+    * a ≤17-group aggregate.
+    */
+  def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val sigs = minhashSignatures(docs).localCheckpoint()
+    val banded = bandedFromSigs(sigs)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // exact side: the verified-pairs semi-join shape — only candidate
+    // docs carry shingle arrays into the join
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+    pairs
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match", nMatch)
+      .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("exact_ppm", expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000" +
+          " div size(array_union(sh_a, sh_b))"))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(exact_ppm) div count(1)").as("mean_exact_ppm"))
+      .withColumn("est_ppm",
+        expr(s"cast(n_match as bigint) * 1000000 div $NumHashes"))
+      .withColumn("bias_ppm", abs(col("est_ppm") - col("mean_exact_ppm")))
+      .select("n_match", "n_pairs", "est_ppm", "mean_exact_ppm", "bias_ppm")
+      .orderBy("n_match")
   }
 
   /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A|, the metric
@@ -1452,6 +1555,8 @@ object Dedup {
     "x_dedup_url" -> urlDedup _,
     "x_dedup_minhash" -> minhashLsh _,
     "x_dedup_threshold_sweep" -> thresholdSweep _,
+    "x_dedup_source_matrix" -> sourceMatrix _,
+    "x_dedup_minhash_calibration" -> minhashCalibration _,
     "x_dedup_containment" -> containmentPairs _,
     "x_dedup_keep_best" -> keepBestApply _,
     "x_dedup_minhash_fast" -> minhashLshFast _,
@@ -1626,6 +1731,39 @@ object Dedup {
          | coalesce(nd.n_docs_affected, 0)::BIGINT AS n_docs_affected
          |FROM th LEFT JOIN ne USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
          |ORDER BY threshold_pct""".stripMargin,
+    // same banded pairs + rounded-double 0.7 cut as the sweep; the
+    // cell mean folds the exact truncating-division ppm (// == div on
+    // nonnegative operands)
+    "x_dedup_source_matrix" ->
+      s"""WITH $minhashOracleCtes,
+         |e AS (
+         | SELECT p.doc_a, p.doc_b,
+         |  (len(list_intersect(ta.sh, tb.sh)) * 1000000 // len(list_distinct(ta.sh || tb.sh)))::BIGINT AS jacc_ppm
+         | FROM pairs p JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b
+         | WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.7),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         | greatest(sa.source, sb.source) AS source_b,
+         | count(*)::BIGINT AS n_edges,
+         | (sum(jacc_ppm) // count(*))::BIGINT AS mean_jaccard_ppm
+         |FROM e JOIN s sa ON sa.doc_id = e.doc_a JOIN s sb ON sb.doc_id = e.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical signatures (the sig CTE's m0..m15), identical banded
+    // candidate pairs, exact ppm Jaccard; ≤17 census rows
+    "x_dedup_minhash_calibration" ->
+      s"""WITH $minhashOracleCtes,
+         |m AS (
+         | SELECT p.doc_a, p.doc_b,
+         |  (${(0 until 16).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_match,
+         |  (len(list_intersect(ta.sh, tb.sh)) * 1000000 // len(list_distinct(ta.sh || tb.sh)))::BIGINT AS exact_ppm
+         | FROM pairs p
+         | JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b
+         | JOIN t ta ON ta.doc_id = p.doc_a JOIN t tb ON tb.doc_id = p.doc_b)
+         |SELECT n_match::INT AS n_match, count(*)::BIGINT AS n_pairs,
+         | (n_match * 1000000 // 16)::BIGINT AS est_ppm,
+         | (sum(exact_ppm) // count(*))::BIGINT AS mean_exact_ppm,
+         | abs(n_match * 1000000 // 16 - sum(exact_ppm) // count(*))::BIGINT AS bias_ppm
+         |FROM m GROUP BY n_match ORDER BY n_match""".stripMargin,
     // recomputes the messy-URL derivation and the canonicalization
     // regexp chain verbatim (all patterns anchored/greedy-to-end, so
     // no 'g' flag divergence is possible)

@@ -4,8 +4,9 @@ import graft.operators.{Curation, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Properties of the r13 census pair the DuckDB oracle can't see:
-  * bound/consistency invariants and a hand re-derivation of ECE.
+/** Properties of the r13 censuses the DuckDB oracle can't see:
+  * bound/consistency invariants, a hand re-derivation of ECE, the
+  * LSH band guarantee, and cross-census edge-count agreement.
   */
 class QualityCensusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -61,5 +62,38 @@ class QualityCensusSpec extends AnyFunSuite {
     val eces = rows.map(_.getAs[Long]("ece_ppm")).distinct
     assert(eces === Seq(expected),
       s"ece_ppm must be the single weighted-gap fold, got $eces vs $expected")
+  }
+
+  test("minhashCalibration: the band guarantee (candidates share >=4 components) and ppm identities") {
+    val rows = graft.operators.Dedup.registry("x_dedup_minhash_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nm = r.getAs[Int]("n_match")
+      // an LSH candidate pair collided on some band = its 4 signature
+      // components there are equal — the structural floor the census
+      // must never dip under
+      assert(nm >= 4 && nm <= 16, s"band guarantee violated: n_match=$nm")
+      assert(r.getAs[Long]("est_ppm") === nm.toLong * 1000000L / 16L)
+      val exact = r.getAs[Long]("mean_exact_ppm")
+      assert(exact >= 0 && exact <= 1000000L)
+      assert(r.getAs[Long]("bias_ppm") ===
+        math.abs(r.getAs[Long]("est_ppm") - exact))
+    }
+  }
+
+  test("sourceMatrix: unordered cells, ppm floor at the 0.7 cut, and edge total = sweep@70") {
+    val cells = graft.operators.Dedup.registry("x_dedup_source_matrix")(spark, sf).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      assert(c.getAs[String]("source_a") <= c.getAs[String]("source_b"),
+        "cells must be unordered pairs (source_a <= source_b)")
+      // round(j,6) >= 0.7 implies exact ppm >= 699999
+      assert(c.getAs[Long]("mean_jaccard_ppm") >= 699999L)
+    }
+    val total = cells.map(_.getAs[Long]("n_edges")).sum
+    val sweep70 = graft.operators.Dedup.registry("x_dedup_threshold_sweep")(spark, sf)
+      .collect().find(_.getAs[Int]("threshold_pct") == 70).get.getAs[Long]("n_edges")
+    assert(total === sweep70,
+      s"matrix must partition exactly the >=0.7 edge set ($total vs sweep $sweep70)")
   }
 }
