@@ -854,6 +854,56 @@ object Curation {
       .orderBy("source")
   }
 
+  /** One multiplicative-weights step of DoReMi-style domain
+    * reweighting (Xie et al. 2023, "Doremi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining"): per-source EXCESS loss —
+    * here the token-weighted cross-entropy under the corpus unigram
+    * model, minus the easiest source's — drives w'_s ∝ exp(η·excess_s)
+    * from uniform, renormalized to exact ppm. The census a mixing run
+    * reads to shift budget toward the domains the reference model
+    * finds hardest, next to [[mixTemperature]]'s size-based and
+    * [[graft.operators.TextOps.mixKl]]'s divergence-based weights.
+    *
+    * Float discipline: the model surprise ln(N) − ln(cnt_c) is
+    * quantized ONCE to integer micro-nats (mixKl's term), the
+    * cross-entropy is an exact BIGINT fold (Σ cnt_s·ln_micro div n_s;
+    * bound: n·2·10⁷ inside Long to ~4·10¹¹ tokens), and exp — the one
+    * new transcendental — is quantized ONCE per source to integer
+    * micro-units after the step-size clamp (η = 1, excess capped at
+    * 10 nats, DoReMi's clipping analog; exp(10)·10⁶ ≈ 2.2·10¹⁰ keeps
+    * the renormalization products inside Long). Truncating divisions
+    * on nonnegative operands only.
+    *
+    * Scale: the mixKl one-pass shape — one tokenize+aggregate into the
+    * localCheckpointed per-source model, the corpus model derived from
+    * it, one broadcast model join; the update itself runs on the
+    * S-row census via unpartitioned windows over a POST-AGGREGATE
+    * frame (constant-size, the rank-kernel shape).
+    */
+  def mixDoremi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
+      .localCheckpoint()
+    val n = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
+    val corpus = perSrc.groupBy("t").agg(sum("cnt_s").as("cnt_c"))
+    val h = perSrc.join(broadcast(corpus), "t")
+      .withColumn("ln_micro", expr(
+        s"cast(round((ln(cast(${n}L as double)) - ln(cast(cnt_c as double))) * 1000000) as bigint)"))
+      .groupBy("source")
+      .agg(sum("cnt_s").as("n_tokens"),
+        expr("sum(cnt_s * ln_micro) div sum(cnt_s)").as("h_micro_nats"))
+    val w = Window.partitionBy(lit(0))
+    h.withColumn("excess_micro_nats",
+        least(col("h_micro_nats") - min("h_micro_nats").over(w), lit(10000000L)))
+      .withColumn("e_weight", expr(
+        "cast(round(exp(cast(excess_micro_nats as double) / 1000000) * 1000000) as bigint)"))
+      .withColumn("weight_ppm", expr("e_weight * 1000000 div sum(e_weight) over ()"))
+      .select("source", "n_tokens", "h_micro_nats", "excess_micro_nats", "weight_ppm")
+      .orderBy("source")
+  }
+
   /** Epoch-weighted amplification: repeat each document `epochs(source)`
     * times (here 1–3, derived deterministically from the source id) —
     * the multi-epoch sampling a training mix applies to high-value
@@ -2636,6 +2686,7 @@ object Curation {
     "x_mix_temperature" -> mixTemperature _,
     "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
+    "x_mix_doremi" -> mixDoremi _,
     "x_split_train" -> splitTrain _,
     "x_split_kfold" -> splitKfold _,
     "x_split_temporal" -> temporalSplit _,
@@ -2870,6 +2921,31 @@ object Curation {
          | ((w0_ppm * (${AnnealEpochs - 1} - epoch) + w1_ppm * epoch) // ${AnnealEpochs - 1})::BIGINT AS frac_ppm,
          | (($AnnealBudget * ((w0_ppm * (${AnnealEpochs - 1} - epoch) + w1_ppm * epoch) // ${AnnealEpochs - 1})) // 1000000)::BIGINT AS quota_docs
          |FROM w, e ORDER BY epoch, source""".stripMargin,
+    // identical micro-nat model term, exact BIGINT cross-entropy fold,
+    // the same 10-nat clamp, and exp quantized once per source; ppm
+    // renormalization is truncating division on nonnegative operands
+    "x_mix_doremi" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |per_src AS (SELECT source, t, count(*)::BIGINT AS cnt_s FROM toks GROUP BY 1, 2),
+        |c AS (SELECT t, sum(cnt_s)::BIGINT AS cnt_c FROM per_src GROUP BY t),
+        |nn AS (SELECT sum(cnt_s)::BIGINT AS n FROM per_src),
+        |h AS (
+        | SELECT source, sum(cnt_s)::BIGINT AS n_tokens,
+        |  (sum(cnt_s * round((ln((SELECT n FROM nn)::DOUBLE) - ln(cnt_c::DOUBLE)) * 1000000)::BIGINT)
+        |   // sum(cnt_s))::BIGINT AS h_micro_nats
+        | FROM per_src JOIN c USING (t) GROUP BY source),
+        |ex AS (
+        | SELECT source, n_tokens, h_micro_nats,
+        |  least(h_micro_nats - min(h_micro_nats) OVER (), 10000000)::BIGINT AS excess_micro_nats
+        | FROM h),
+        |ew AS (
+        | SELECT *, round(exp(excess_micro_nats::DOUBLE / 1000000) * 1000000)::BIGINT AS e_weight
+        | FROM ex)
+        |SELECT source, n_tokens, h_micro_nats, excess_micro_nats,
+        | (e_weight * 1000000 // sum(e_weight) OVER ())::BIGINT AS weight_ppm
+        |FROM ew ORDER BY source""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH rates AS (
          | SELECT source, count(*) AS c,

@@ -96,4 +96,24 @@ class QualityCensusSpec extends AnyFunSuite {
     assert(total === sweep70,
       s"matrix must partition exactly the >=0.7 edge set ($total vs sweep $sweep70)")
   }
+
+  test("mixDoremi: anchor at zero excess, monotone weights, and the ppm normalization bound") {
+    val rows = Curation.registry("x_mix_doremi")(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("excess_micro_nats")
+      assert(ex >= 0 && ex <= 10000000L, "excess must be clamped to [0, 10] nats")
+    }
+    // the easiest source anchors the update: excess 0 → e_weight 1e6
+    assert(rows.count(_.getAs[Long]("excess_micro_nats") == 0L) >= 1)
+    // multiplicative weights are monotone in excess
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_micro_nats"))
+      .map(_.getAs[Long]("weight_ppm"))
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      "weight_ppm must be non-decreasing in excess loss")
+    // truncating renormalization: sums to 1e6 minus at most one ulp per source
+    val s = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length,
+      s"weights must renormalize to ppm (got $s)")
+  }
 }
