@@ -190,10 +190,13 @@ object BaselineCompare {
     md.append(s"\nWithin-2× gate: ${f"${r2._5 / 15.8}%.2f"}× at 2000 cols, " +
       s"${f"${r3._5 / 22.8}%.2f"}× at 3000 cols " +
       s"(gate ${if (r2._5 / 15.8 <= 2.0 && r3._5 / 22.8 <= 2.0) "PASSES" else "FAILS"}).\n\n")
+    val maxSpread = math.max(r2._5 / r2._8, r3._5 / r3._8)
     md.append(s"Noise check: median/min spread at the gate widths = " +
       f"${r2._5 / r2._8}%.2f× @2000, ${r3._5 / r3._8}%.2f× @3000 — " +
       (if (contended)
         "**CONTENDED** (spread >1.75×: scheduler noise inflated the medians; re-run on a quiet box before trusting the ratios).\n\n"
+      else if (maxSpread > 1.2)
+        "mixed (the min is trustworthy — cross-check it against the best-floor line below — but the medians carried scheduler noise; read the median ratios as upper bounds).\n\n"
       else
         "quiet (a constant workload's median hugging its min means the sampling window was uncontended).\n\n"))
     val bf2 = histFloors.getOrElse(2000, r2._8)
