@@ -1318,6 +1318,57 @@ object Curation {
       .orderBy("level")
   }
 
+  private val DiversityL = 3L
+
+  /** l-diversity audit over [[kAnonymity]]'s generalization ladder
+    * (Machanavajjhala et al. 2006, "l-Diversity: Privacy Beyond
+    * k-Anonymity"): k-anonymity stops counting group SIZE, but a
+    * group of 500 rows that all share one sensitive value still leaks
+    * it — distinct l-diversity requires ≥ l distinct sensitive values
+    * per quasi-identifier group. Sensitive attribute: the account
+    * balance band, derived in exact integer cents — round(bal·100) is
+    * quantized ONCE (the stored doubles carry 2-decimal values, so the
+    * round lands the same integer on both engines), then
+    * (cents + 100000) div 100000, the shift keeping the truncating
+    * division on nonnegative operands. Per QI level: group count,
+    * groups below l, rows in those groups, and the minimum diversity.
+    *
+    * Scale: the corpus shuffles ONCE into the finest (nation,
+    * segment, band) group table (model-sized: ≤ 25·5·11 rows);
+    * every coarser level is an aggregate OVER that tiny frame — no
+    * second corpus pass, and the nation dim joins broadcast. The
+    * coarsening monotonicity the spec pins (min diversity can only
+    * grow as groups merge) is the release-or-generalize loop's
+    * termination argument.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .withColumn("band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("band"), col("n"))
+      .localCheckpoint() // model-sized; read once per ladder level
+    val l = lit(DiversityL)
+    def level(name: String, keys: Seq[String]): DataFrame =
+      base.groupBy(keys.map(col): _*)
+        .agg(countDistinct("band").as("div"), sum("n").as("rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("div") < l, 1L).otherwise(0L)).as("groups_below_l"),
+          sum(when(col("div") < l, col("rows")).otherwise(0L)).as("rows_at_risk"),
+          min("div").as("min_diversity"))
+        .withColumn("level", lit(name))
+        .select("level", "n_groups", "groups_below_l", "rows_at_risk",
+          "min_diversity")
+    level("l1_nation_segment", Seq("c_nationkey", "c_mktsegment"))
+      .unionByName(level("l2_region_segment", Seq("n_regionkey", "c_mktsegment")))
+      .unionByName(level("l3_segment", Seq("c_mktsegment")))
+      .orderBy("level")
+  }
+
   // ---------------------------------------------------------------- //
   // Dynamic partition overwrite (backfill)
   // ---------------------------------------------------------------- //
@@ -2428,6 +2479,62 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** SQuAD-style token-overlap F1 of each eval doc's best-matching
+    * corpus doc (Rajpurkar et al. 2016 §6.1) — the symmetric
+    * completion of the pair-eval triptych: [[rougeOverlap]] scores
+    * recall, [[evalBleu]] precision, this the harmonic mean. Token
+    * multiset overlap m = Σ_g min(cnt_cand(g), cnt_eval(g)) over raw
+    * unigrams of the selected pair only; P = m/len_cand,
+    * R = m/len_eval, and F1 collapses to the EXACT integer form
+    * 2·m·10⁶ div (len_cand + len_eval) — no transcendentals at all,
+    * every column a truncating division on nonnegative Longs.
+    *
+    * Pair attribution reuses [[evalPairSpine]] verbatim (banded
+    * shared-bigram candidates, never all-pairs); the count joins run
+    * on the raw token streams of the selected pairs only
+    * (pair-bounded mass, the [[evalBleu]] shape). Every eval doc gets
+    * a row; unmatched docs emit cand_id=−1 and zeros.
+    */
+  def evalF1(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+    val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
+    val best = spineBest
+      .select("eval_id", "cand_id")
+      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+    val uni = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val hyp = best.join(uni.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .select(col("eval_id"), col("g"), col("c").as("c_h"))
+    val ref = best.join(uni.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .select(col("eval_id"), col("g"), col("c").as("c_r"))
+    val m = hyp.join(ref, Seq("eval_id", "g"), "left")
+      .na.fill(0L, Seq("c_r"))
+      .groupBy("eval_id")
+      .agg(sum(least(col("c_h"), col("c_r"))).as("m1"),
+        sum("c_h").as("len_cand"))
+    val refLen = best.join(
+      uni.groupBy("doc_id").agg(sum("c").as("len_eval"))
+        .withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .select("eval_id", "len_eval")
+    universe
+      .join(best, Seq("eval_id"), "left")
+      .join(m, Seq("eval_id"), "left")
+      .join(refLen, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("m1", "len_cand", "len_eval"))
+      .na.fill(-1L, Seq("cand_id"))
+      .withColumn("p_ppm",
+        expr("CASE WHEN len_cand > 0 THEN m1 * 1000000 div len_cand ELSE 0L END"))
+      .withColumn("r_ppm",
+        expr("CASE WHEN len_eval > 0 THEN m1 * 1000000 div len_eval ELSE 0L END"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN len_cand + len_eval > 0
+          | THEN 2 * m1 * 1000000 div (len_cand + len_eval) ELSE 0L END""".stripMargin))
+      .select("eval_id", "cand_id", "m1", "len_cand", "len_eval",
+        "p_ppm", "r_ppm", "f1_ppm")
+      .orderBy("eval_id")
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
     contaminationScanGated(spark, sfDir, useBloom = true)
 
@@ -2674,6 +2781,7 @@ object Curation {
     "x_sample_priority_grouped" -> groupPrioritySample _,
     "x_sample_priority_agg" -> groupPriorityAgg _,
     "x_k_anonymity" -> kAnonymity _,
+    "x_l_diversity" -> lDiversity _,
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
     "x_psi_drift" -> psiDrift _,
@@ -2707,6 +2815,7 @@ object Curation {
     "x_contamination_bloom" -> contaminationBloom _,
     "x_eval_rouge" -> rougeOverlap _,
     "x_eval_bleu" -> evalBleu _,
+    "x_eval_f1" -> evalF1 _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
@@ -2827,6 +2936,39 @@ object Curation {
          | sum(CASE WHEN gn < $AnonK THEN 1 ELSE 0 END)::BIGINT,
          | sum(CASE WHEN gn < $AnonK THEN gn ELSE 0 END)::BIGINT,
          | min(gn)::BIGINT FROM l3g
+         |ORDER BY level""".stripMargin,
+    // identical band derivation (shifted nonnegative integer division
+    // over exact cents) and the same model-sized rollup base
+    "x_l_diversity" ->
+      s"""WITH base AS (
+         | SELECT n_regionkey, c_nationkey, c_mktsegment,
+         |  (round(c_acctbal * 100)::BIGINT + 100000) // 100000 AS band,
+         |  count(*)::BIGINT AS n
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY 1, 2, 3, 4),
+         |l1 AS (SELECT c_nationkey, c_mktsegment,
+         |        count(DISTINCT band)::BIGINT AS div, sum(n)::BIGINT AS rows
+         |       FROM base GROUP BY 1, 2),
+         |l2 AS (SELECT n_regionkey, c_mktsegment,
+         |        count(DISTINCT band)::BIGINT AS div, sum(n)::BIGINT AS rows
+         |       FROM base GROUP BY 1, 2),
+         |l3 AS (SELECT c_mktsegment,
+         |        count(DISTINCT band)::BIGINT AS div, sum(n)::BIGINT AS rows
+         |       FROM base GROUP BY 1)
+         |SELECT 'l1_nation_segment' AS level, count(*)::BIGINT AS n_groups,
+         | sum(CASE WHEN div < $DiversityL THEN 1 ELSE 0 END)::BIGINT AS groups_below_l,
+         | sum(CASE WHEN div < $DiversityL THEN rows ELSE 0 END)::BIGINT AS rows_at_risk,
+         | min(div)::BIGINT AS min_diversity FROM l1
+         |UNION ALL
+         |SELECT 'l2_region_segment', count(*)::BIGINT,
+         | sum(CASE WHEN div < $DiversityL THEN 1 ELSE 0 END)::BIGINT,
+         | sum(CASE WHEN div < $DiversityL THEN rows ELSE 0 END)::BIGINT,
+         | min(div)::BIGINT FROM l2
+         |UNION ALL
+         |SELECT 'l3_segment', count(*)::BIGINT,
+         | sum(CASE WHEN div < $DiversityL THEN 1 ELSE 0 END)::BIGINT,
+         | sum(CASE WHEN div < $DiversityL THEN rows ELSE 0 END)::BIGINT,
+         | min(div)::BIGINT FROM l3
          |ORDER BY level""".stripMargin,
     "x_dq_expectations" ->
       """WITH checks AS (
@@ -3540,6 +3682,70 @@ object Curation {
          | ((bp_ppm * floor(sqrt((p1_ppm * p2_ppm)::DOUBLE))::BIGINT)
          |   // 1000000)::BIGINT AS bleu2_ppm
          |FROM p ORDER BY eval_id""".stripMargin,
+    // same pair spine as x_eval_rouge/x_eval_bleu, then the SQuAD
+    // token-overlap F1 in its exact integer form
+    // 2·m·10⁶ // (len_cand + len_eval) — no transcendentals
+    "x_eval_f1" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |shd AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         | FROM t),
+         |ex AS (
+         | SELECT doc_id, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, unnest(sh) AS s FROM shd)),
+         |kept AS (
+         | SELECT hs FROM (
+         |  SELECT hs, count(*) AS df,
+         |   max(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END) AS ev
+         |  FROM ex GROUP BY hs)
+         | WHERE df <= $HotDocFreq AND ev = 1),
+         |es AS (SELECT doc_id AS eval_id, hs FROM ex
+         |       WHERE doc_id % $EvalMod = 0 AND hs IN (SELECT hs FROM kept)),
+         |inter AS (
+         | SELECT es.eval_id, c.doc_id AS cand_id, count(*)::BIGINT AS inter
+         | FROM es JOIN ex c USING (hs)
+         | WHERE c.doc_id % $EvalMod <> 0
+         | GROUP BY es.eval_id, c.doc_id),
+         |best AS (
+         | SELECT eval_id, cand_id FROM (
+         |  SELECT eval_id, cand_id,
+         |   row_number() OVER (PARTITION BY eval_id
+         |     ORDER BY inter DESC, cand_id ASC) AS rk
+         |  FROM inter QUALIFY rk = 1)),
+         |uc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+         |m AS (
+         | SELECT b.eval_id, sum(least(h.c, coalesce(r.c, 0)))::BIGINT AS m1,
+         |  sum(h.c)::BIGINT AS len_cand
+         | FROM best b JOIN uc h ON h.doc_id = b.cand_id
+         | LEFT JOIN uc r ON r.doc_id = b.eval_id AND r.g = h.g
+         | GROUP BY b.eval_id),
+         |rl AS (SELECT doc_id AS eval_id, sum(c)::BIGINT AS len_eval
+         |       FROM uc GROUP BY 1),
+         |universe AS (
+         | SELECT DISTINCT doc_id AS eval_id FROM documents
+         | WHERE doc_id % $EvalMod = 0),
+         |j AS (
+         | SELECT un.eval_id,
+         |  coalesce(b.cand_id, -1)::BIGINT AS cand_id,
+         |  coalesce(m.m1, 0)::BIGINT AS m1,
+         |  coalesce(m.len_cand, 0)::BIGINT AS len_cand,
+         |  CASE WHEN b.cand_id IS NULL THEN 0
+         |       ELSE coalesce(rl.len_eval, 0) END::BIGINT AS len_eval
+         | FROM universe un
+         | LEFT JOIN best b USING (eval_id)
+         | LEFT JOIN m ON m.eval_id = un.eval_id
+         | LEFT JOIN rl ON rl.eval_id = un.eval_id)
+         |SELECT eval_id, cand_id, m1, len_cand, len_eval,
+         | (CASE WHEN len_cand > 0 THEN m1 * 1000000 // len_cand ELSE 0 END)::BIGINT AS p_ppm,
+         | (CASE WHEN len_eval > 0 THEN m1 * 1000000 // len_eval ELSE 0 END)::BIGINT AS r_ppm,
+         | (CASE WHEN len_cand + len_eval > 0
+         |   THEN 2 * m1 * 1000000 // (len_cand + len_eval) ELSE 0 END)::BIGINT AS f1_ppm
+         |FROM j ORDER BY eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are
     // removed by the exact verify join), so the oracle needs no bloom.

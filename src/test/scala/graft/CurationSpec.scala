@@ -117,6 +117,44 @@ class CurationSpec extends AnyFunSuite {
       s"nation lookup must broadcast, got ${joins.map(_.nodeName)}")
   }
 
+  test("l-diversity: generalizing monotonically grows sensitive diversity") {
+    val rows = Curation.lDiversity(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l1_nation_segment", "l2_region_segment", "l3_segment"))
+    val nGroups = rows.map(_.getLong(1))
+    val risk = rows.map(_.getLong(3))
+    val minDiv = rows.map(_.getLong(4))
+    // a coarse group's diversity bounds every fine subgroup's from
+    // above, so risk shrinks and the min diversity grows as QI merge
+    assert(risk(0) >= risk(1) && risk(1) >= risk(2),
+      s"rows_at_risk must fall along the ladder: ${risk.toSeq}")
+    assert(minDiv(0) <= minDiv(1) && minDiv(1) <= minDiv(2),
+      s"min diversity must grow along the ladder: ${minDiv.toSeq}")
+    assert(nGroups(0) >= nGroups(1) && nGroups(1) >= nGroups(2))
+    assert(nGroups(2) === 5L, "5 market segments at the fully generalized level")
+    // bands span at most (999999 + 100000) div 100000 − 0 + 1 = 12 values
+    assert(minDiv.forall(d => d >= 1 && d <= 12))
+  }
+
+  test("l-diversity: ladder internal consistency against a re-derivation") {
+    // independent re-derivation of the finest level straight off the
+    // table: distinct bands per (nation, segment) group
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, sf)
+      .withColumn("band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+    val fine = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct("band").as("div"), count(lit(1)).as("rows"))
+      .collect()
+    val l1 = Curation.lDiversity(spark, sf).collect()
+      .find(_.getString(0) == "l1_nation_segment").get
+    assert(l1.getLong(1) === fine.length.toLong)
+    assert(l1.getLong(2) === fine.count(_.getAs[Long]("div") < 3L).toLong)
+    assert(l1.getLong(3) ===
+      fine.filter(_.getAs[Long]("div") < 3L).map(_.getAs[Long]("rows")).sum)
+    assert(l1.getLong(4) === fine.map(_.getAs[Long]("div")).min)
+  }
+
   test("dq expectations: clean corpus passes all ten checks") {
     val rows = Curation.dqExpectations(spark, sf).collect()
     assert(rows.length === 10)
@@ -848,6 +886,37 @@ class CurationSpec extends AnyFunSuite {
       if (r.getAs[Long]("len_hyp") >= r.getAs[Long]("len_ref")
         && r.getAs[Long]("len_hyp") > 0)
         assert(bp === 1000000L)
+    }
+  }
+
+  test("token F1: harmonic-mean bounds, spine agreement with BLEU, zero-match contract") {
+    val rows = Curation.evalF1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m1, lc, le) = (r.getAs[Long]("m1"),
+        r.getAs[Long]("len_cand"), r.getAs[Long]("len_eval"))
+      val (p, rr, f1) = (r.getAs[Long]("p_ppm"), r.getAs[Long]("r_ppm"),
+        r.getAs[Long]("f1_ppm"))
+      assert(p >= 0 && p <= 1000000 && rr >= 0 && rr <= 1000000)
+      // clipped overlap can never exceed either side's length
+      assert(m1 <= lc && m1 <= le || lc == 0,
+        "clipped token overlap is bounded by both lengths")
+      // floor is monotone, so the harmonic mean's min/max envelope
+      // survives the ppm truncation exactly
+      assert(f1 >= math.min(p, rr) && f1 <= math.max(p, rr),
+        s"F1 must sit between P and R (p=$p r=$rr f1=$f1)")
+      if (r.getAs[Long]("cand_id") == -1L)
+        assert(m1 == 0 && lc == 0 && le == 0 && f1 == 0,
+          "unmatched docs emit zeros")
+    }
+    // same spine as BLEU: identical pair attribution and unigram masses
+    val bleu = Curation.evalBleu(spark, sf).collect()
+      .map(r => r.getAs[Long]("eval_id") -> r).toMap
+    rows.foreach { r =>
+      val b = bleu(r.getAs[Long]("eval_id"))
+      assert(r.getAs[Long]("cand_id") === b.getAs[Long]("cand_id"))
+      assert(r.getAs[Long]("len_cand") === b.getAs[Long]("len_hyp"))
+      assert(r.getAs[Long]("len_eval") === b.getAs[Long]("len_ref"))
     }
   }
 
