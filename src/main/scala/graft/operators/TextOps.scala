@@ -823,6 +823,58 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** Spearman rank agreement between the engine's two independent
+    * quality signals — the linear classifier head ([[clfScores]]) and
+    * the unigram-LM surprise filter ([[surprisePerDoc]]) — per source:
+    * do the cheap head and the perplexity-style filter RANK documents
+    * the same way (the fastText-vs-LM agreement question a CCNet-style
+    * pipeline answers before trusting either as its gate)?
+    * [[qualityCalibration]] asks whether the head's scores are usable
+    * as probabilities; this asks whether they are usable as an ORDER.
+    *
+    * Ranks are tie-broken deterministically by (value, doc_id) on both
+    * engines — distinct integer ranks, not average ranks, so
+    * ρ = 1 − 6·Σd² / (n(n²−1)) is EXACT integer arithmetic end to end.
+    * Surprise ranks DESCEND (high surprise = low quality) so that
+    * agreement between the signals reads as positive ρ. The Σd² fold
+    * and the ρ division run in DECIMAL(38,0) (DuckDB HUGEINT) — exact
+    * to ~3·10¹⁰ docs per source (6·10⁶·n³/3 ≤ 10³⁸); the reported
+    * mean_d2 = Σd² div n is a BIGINT (exact to ~3·10⁹ docs/source,
+    * bound documented rather than silently wrapped). ρ itself is a
+    * truncating division of nonnegative operands subtracted from 10⁶.
+    *
+    * Scale: the two per-doc score frames join once on (doc_id, source)
+    * — fixed-width co-partitioned equi-join — and the rank windows
+    * partition BY SOURCE (the [[graft.operators.Curation.quantileNorm]]
+    * shape; a skewed mega-source would take the
+    * [[Ranks.valuesAtRanksBy]] bucketed construction instead, at the
+    * cost of tie-broken exactness).
+    */
+  def qualityRankCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = clfScores(spark, sfDir).select("doc_id", "source", "score")
+    val lm = surprisePerDoc(spark, sfDir)
+    val j = head.join(lm, Seq("doc_id", "source"))
+    val byHead = Window.partitionBy("source")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val byLm = Window.partitionBy("source")
+      .orderBy(col("avg_micro_nats").desc, col("doc_id").asc)
+    j.withColumn("r1", row_number().over(byHead).cast("long"))
+      .withColumn("r2", row_number().over(byLm).cast("long"))
+      .withColumn("d2", expr("cast((r1 - r2) * (r1 - r2) as decimal(38,0))"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("d2").as("sum_d2"))
+      .select(col("source"), col("n_docs"),
+        expr("cast(sum_d2 div n_docs as bigint)").as("mean_d2"),
+        expr(
+          """CASE WHEN n_docs > 1 THEN
+            | 1000000L - cast((cast(6000000 as decimal(38,0)) * sum_d2)
+            |   div (cast(n_docs as decimal(38,0))
+            |        * (cast(n_docs as decimal(38,0)) * n_docs - 1)) as bigint)
+            | ELSE 1000000L END""".stripMargin).as("rho_micro"))
+      .orderBy("source")
+  }
+
   private val VocabTopK = 128 // largest coverage bucket (powers of 2)
 
   /** Tokenizer-prep vocabulary induction: corpus word frequencies,
@@ -2062,6 +2114,7 @@ object TextOps {
     "x_hybrid_rrf" -> hybridRrf _,
     "x_quality_classifier" -> qualityClassifier _,
     "x_quality_calibration" -> qualityCalibration _,
+    "x_quality_rank_corr" -> qualityRankCorr _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
@@ -2745,6 +2798,52 @@ object TextOps {
          |SELECT bin, n_docs, conf_ppm, acc_ppm, gap_ppm,
          | (sum(n_docs * gap_ppm) OVER () // sum(n_docs) OVER ())::BIGINT AS ece_ppm
          |FROM b3 ORDER BY bin""".stripMargin,
+    // identical classifier + unigram-surprise per-doc scores, identical
+    // (value, doc_id) tie-broken ranks; Σd² and the ρ division run in
+    // HUGEINT (Spark DECIMAL(38,0)) — exact on both engines
+    "x_quality_rank_corr" ->
+      s"""WITH f AS (
+         | SELECT doc_id, source,
+         |  (1000000 * len(list_distinct(toks))) // len(toks) AS f_uniq,
+         |  (1000000 * ((strlen(padded) - strlen(replace(padded, ' the ', ''))) // 5))
+         |    // len(toks) AS f_stop,
+         |  least(len(toks), 256) * 3906 AS f_len
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |        ' ' || lower(text) || ' ' AS padded FROM documents)),
+         |clf AS (SELECT doc_id, source,
+         |  (${ClfWeights._1}*f_uniq + ${ClfWeights._2}*f_stop + ${ClfWeights._3}*f_len)
+         |    // ${ClfWeights._1 + ClfWeights._2 + ClfWeights._3} AS score FROM f),
+         |toks AS (
+         | SELECT doc_id, source,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         | FROM documents),
+         |model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |scored AS (
+         | SELECT t, round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1000000)::BIGINT AS micro_nats
+         | FROM model, tot),
+         |per_doc AS (
+         | SELECT doc_id, source, sum(micro_nats) // count(*) AS avg_micro_nats
+         | FROM toks JOIN scored USING (t) GROUP BY doc_id, source),
+         |r AS (
+         | SELECT clf.source,
+         |  row_number() OVER (PARTITION BY clf.source
+         |    ORDER BY clf.score ASC, clf.doc_id ASC) AS r1,
+         |  row_number() OVER (PARTITION BY clf.source
+         |    ORDER BY p.avg_micro_nats DESC, clf.doc_id ASC) AS r2
+         | FROM clf JOIN per_doc p ON clf.doc_id = p.doc_id AND clf.source = p.source),
+         |agg AS (
+         | SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(((r1 - r2) * (r1 - r2))::HUGEINT) AS sum_d2
+         | FROM r GROUP BY source)
+         |SELECT source, n_docs,
+         | (sum_d2 // n_docs)::BIGINT AS mean_d2,
+         | (CASE WHEN n_docs > 1 THEN
+         |   1000000 - (6000000::HUGEINT * sum_d2)
+         |     // (n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1))
+         |  ELSE 1000000 END)::BIGINT AS rho_micro
+         |FROM agg ORDER BY source""".stripMargin,
     "x_vocab_coverage" ->
       s"""WITH toks AS (
          | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t

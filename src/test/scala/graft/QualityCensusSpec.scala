@@ -116,4 +116,60 @@ class QualityCensusSpec extends AnyFunSuite {
     assert(s <= 1000000L && s > 1000000L - rows.length,
       s"weights must renormalize to ppm (got $s)")
   }
+
+  test("qualityRankCorr: rho bounds, mass partition, and a full Scala re-derivation") {
+    val rows = TextOps.registry("x_quality_rank_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total,
+      "the signal join must keep every document (both scores are total functions)")
+    rows.foreach { r =>
+      val rho = r.getAs[Long]("rho_micro")
+      assert(rho >= -1000000L && rho <= 1000000L, s"rho out of range: $rho")
+      assert(r.getAs[Long]("mean_d2") >= 0L)
+    }
+    // exact re-derivation: collect both per-doc scores and fold the
+    // tie-broken Spearman by hand (the spec-side second opinion the
+    // oracle shares CTEs with and therefore cannot give)
+    val head = graft.Tables.fanOut(spark, graft.Tables.documents(spark, sf), col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .select(col("doc_id"), col("source"),
+        (expr("(1000000 * cast(size(array_distinct(toks)) as bigint)) div size(toks)") * 3L
+          + expr("""(1000000 * ((length(padded) - length(replace(padded, ' the ', ''))) div 5))
+                   | div size(toks)""".stripMargin) * 2L
+          + expr("cast(least(size(toks), 256) as bigint) * 3906") * 1L).as("w"))
+      .withColumn("score", expr("w div 6"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("score"))).toSeq
+    val docsDF = graft.Tables.fanOut(spark, graft.Tables.documents(spark, sf), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val model = docsDF.groupBy("t").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalToks = model.values.sum
+    val surprise = docsDF.collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (k, toks) =>
+        val micros = toks.map(t =>
+          math.round((math.log(totalToks.toDouble) - math.log(model(t.getString(2)).toDouble)) * 1e6))
+        k -> micros.sum / micros.length // truncating div on nonnegative
+      }
+    val expected = head.groupBy(_._2).map { case (src, ds) =>
+      val r1 = ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val r2 = ds.sortBy(d => (-surprise((d._1, src)), d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val n = ds.length.toLong
+      val sumD2 = ds.map(d => { val dd = r1(d._1) - r2(d._1); BigInt(dd) * BigInt(dd) }).sum
+      val rho = if (n > 1) 1000000L - (BigInt(6000000) * sumD2 / (BigInt(n) * (BigInt(n) * n - 1))).toLong
+                else 1000000L
+      src -> (n, (sumD2 / n).toLong, rho)
+    }
+    rows.foreach { r =>
+      val (n, md2, rho) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("mean_d2") === md2)
+      assert(r.getAs[Long]("rho_micro") === rho, s"source ${r.getString(0)}")
+    }
+  }
 }
