@@ -1926,6 +1926,73 @@ object Similarity {
       .orderBy("community")
   }
 
+  // k = out-degree + 1: every vertex of the kNN-3 graph has undirected
+  // degree ≥ 3 by construction, so k ≤ 3 never peels anything; k = 4
+  // peels exactly the vertices that earn no EXTRA in-edges — the real
+  // density question on this graph. (On the test corpora the 4-core is
+  // EMPTY — itself the honest finding: a kNN-3 graph has no dense
+  // backbone unless near-dup cliques push degrees past k; the census's
+  // value is the peeling PROFILE, how fast density collapses.)
+  private val KCoreK = 4
+  private val KCoreRounds = 6
+
+  /** k-core decomposition by synchronous peeling (Seidman 1983;
+    * Batagelj–Zaveršnik's iterative form) over the UNDIRECTED kNN
+    * graph: each round removes every vertex whose degree AMONG
+    * SURVIVORS is < k, until fixpoint — what remains is the k-core,
+    * the graph's densely-embedded backbone. Next to
+    * [[labelPropagation]]'s communities this is the density censor: a
+    * near-dup cluster survives peeling, a chain of incidental
+    * neighbors does not — the census a curation run reads to size
+    * "how much of my similarity graph is structurally dense" before
+    * trusting cluster-level dedup.
+    *
+    * Determinism: peeling is a monotone set operation (the survivor
+    * set after each round is a pure function of the edge set — no
+    * tie-breaks, no ordering sensitivity), so a FIXED [[KCoreRounds]]
+    * rounds produce identical censuses on any engine or partitioning;
+    * rounds after the fixpoint emit n_removed = 0 rows (the committed
+    * convergence witness — the spec asserts the last round is one).
+    *
+    * Scale: the edge list stages once to scratch parquet
+    * ([[knnEdgesOnDisk]], the LPA discipline) so each round's plan is
+    * a bounded edge-sized scan, not a re-derived LSH self-join; each
+    * round is two fixed-width semi-joins (edges × survivor set) + one
+    * degree aggregate, all equi-joins on vec_id; the survivor frame
+    * localCheckpoints per round (constant plan depth). The census is
+    * a UNION of per-round 1-row aggregates — a distributed plan end
+    * to end, never a driver-assembled frame.
+    */
+  def kCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = knnEdgesOnDisk(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("nb"))
+      .union(und.select(col("b").as("v"), col("a").as("nb")))
+      .localCheckpoint()
+    var active = corpus(spark, sfDir).select(col("vec_id").as("v"))
+      .localCheckpoint()
+    var census: DataFrame = null
+    for (r <- 1 to KCoreRounds) {
+      val deg = adj
+        .join(active, "v")
+        .join(active.select(col("v").as("nb")), "nb")
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= KCoreK).select("v")
+        .localCheckpoint()
+      val row = active.agg(count(lit(1)).as("n_before"))
+        .crossJoin(next.agg(count(lit(1)).as("n_after"),
+          coalesce(sum("v"), lit(0L)).as("survivor_id_sum")))
+        .select(lit(r.toLong).as("round"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_removed"),
+          col("n_after"), col("survivor_id_sum"))
+      census = if (census == null) row else census.unionByName(row)
+      active = next
+    }
+    census.orderBy("round")
+  }
+
   private val MmrPool = 20 // candidate pool per query (the re-rank input)
   private val MmrK = 8     // selections per query; λ = 0.7 as 7/3 tenths
 
@@ -2017,6 +2084,7 @@ object Similarity {
     "x_emb_knn_graph" -> knnGraph _,
     "x_graph_triangles" -> knnTriangles _,
     "x_graph_lpa" -> labelPropagation _,
+    "x_graph_kcore" -> kCore _,
     "x_emb_outliers" -> embOutliers _,
     "x_emb_margin" -> assignmentMargin _,
     "x_emb_pagerank" -> embPagerank _,
@@ -2798,6 +2866,50 @@ object Similarity {
          |SELECT lbl AS community, count(*) AS n_members,
          | sum(vec_id)::BIGINT AS member_id_sum, min(vec_id)::BIGINT AS min_member
          |FROM l$LpaIters GROUP BY lbl ORDER BY community""".stripMargin
+    },
+    // the same undirected knn adjacency as x_graph_lpa, then
+    // KCoreRounds unrolled peeling rounds — pure set operations, no
+    // tie-breaks, so the census matches the Spark loop exactly
+    "x_graph_kcore" -> {
+      val rounds = (1 to KCoreRounds).map { i =>
+        s"""deg$i AS (
+           | SELECT adj.v, count(*) AS deg
+           | FROM adj
+           |  JOIN a${i - 1} av ON av.v = adj.v
+           |  JOIN a${i - 1} an ON an.v = adj.nb
+           | GROUP BY adj.v),
+           |a$i AS MATERIALIZED (
+           | SELECT v FROM deg$i WHERE deg >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      val censusRows = (1 to KCoreRounds).map { i =>
+        s"""SELECT ${i}::BIGINT AS round,
+           | (SELECT count(*) FROM a${i - 1})::BIGINT AS n_before,
+           | ((SELECT count(*) FROM a${i - 1}) - (SELECT count(*) FROM a$i))::BIGINT AS n_removed,
+           | (SELECT count(*) FROM a$i)::BIGINT AS n_after,
+           | (SELECT coalesce(sum(v), 0) FROM a$i)::BIGINT AS survivor_id_sum"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $lshOracleCtes,
+         |gpairs AS (
+         | SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+         |kscored AS (
+         | SELECT p.src, p.dst,
+         |  round(list_cosine_similarity(es.v, ed.v), 4) AS sim
+         | FROM gpairs p JOIN e es ON es.vec_id = p.src JOIN e ed ON ed.vec_id = p.dst),
+         |knn AS (
+         | SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM kscored)
+         | WHERE rk <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn),
+         |adj AS MATERIALIZED (
+         | SELECT a AS v, b AS nb FROM und UNION ALL SELECT b AS v, a AS nb FROM und),
+         |a0 AS (SELECT vec_id AS v FROM e),
+         |$rounds
+         |$censusRows
+         |ORDER BY round""".stripMargin
     },
     // the same knn edge derivation, then PrIters unrolled integer
     // PageRank iterations — every step BIGINT floor-division, so the

@@ -1724,6 +1724,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === expected, "community census must match the single-node replay")
   }
 
+  test("k-core census matches a plain-Scala peeling replay and telescopes") {
+    val und = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    var active = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = (1 to 6).map { r =>
+      val deg = und.toSeq
+        .filter(e => active(e._1) && active(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+      val next = deg.filter(_._2 >= 4L).keySet
+      val row = (r.toLong, active.size.toLong, (active.size - next.size).toLong,
+        next.size.toLong, next.toSeq.sum)
+      active = next
+      row
+    }
+    val got = Similarity.kCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === expected, "k-core census must match the single-node peeling replay")
+    // telescoping: each round starts where the previous ended, and the
+    // fixed budget reaches the fixpoint (the convergence witness)
+    got.sliding(2).foreach { case Seq(a, b) => assert(b._2 === a._4) }
+    assert(got.last._3 === 0L,
+      "the last committed round must be a fixpoint witness (n_removed = 0)")
+    assert(got.head._3 > 0L,
+      "k = out-degree + 1 must actually peel (a no-op census would hide a dead k)")
+  }
+
   test("MMR rerank: 8 distinct picks per query, top-1 first, diversity changes the set") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
     assert(rows.length === 40, "5 queries x 8 steps")
