@@ -2535,6 +2535,71 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** chrF (Popović 2015) of each eval doc's best-matching corpus doc —
+    * the CHARACTER-level leg of the pair-eval family ([[rougeOverlap]]
+    * recall / [[evalBleu]] precision / [[evalF1]] harmonic mean are
+    * all word-token metrics; chrF survives tokenization differences
+    * and sub-word edits they miss). Pooled character {1,2,3}-gram
+    * clipped overlap (grams tagged by n so orders never cross-match;
+    * docs shorter than n contribute their whole-text gram, the
+    * [[graft.functions.TextExpressions.word_ngrams]] short-doc
+    * convention), and the β=2 F-score collapses to the EXACT integer
+    * form chrF = (1+β²)m / (β²·len_ref + len_hyp) =
+    * 5·m·10⁶ div (4·len_ref + len_hyp) — no transcendentals, every
+    * column a truncating division on nonnegative Longs. Text grain is
+    * lower(trim(text)) INCLUDING spaces (word-boundary signal; the
+    * corpus is ASCII so both engines count the same characters).
+    *
+    * Pair attribution reuses [[evalPairSpine]] verbatim; the char
+    * explode touches ONLY the selected pairs' text (pair-bounded mass,
+    * ~3·n_chars rows per matched doc). Every eval doc gets a row;
+    * unmatched docs emit cand_id=−1 and zeros.
+    */
+  def evalChrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), lower(trim(col("text"))).as("txt"))
+    val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
+    val best = spineBest
+      .select("eval_id", "cand_id")
+      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+    val grams = docs.select(col("doc_id"), expr(
+      """explode(flatten(transform(array(1, 2, 3), n ->
+        | transform(sequence(1, greatest(length(txt) - n + 1, 1)),
+        |   i -> named_struct('n', n, 'g', substring(txt, i, n))))))""".stripMargin).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val hyp = best.join(grams.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .select(col("eval_id"), col("n"), col("g"), col("c").as("c_h"))
+    val ref = best.join(grams.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .select(col("eval_id"), col("n"), col("g"), col("c").as("c_r"))
+    val m = hyp.join(ref, Seq("eval_id", "n", "g"), "left")
+      .na.fill(0L, Seq("c_r"))
+      .groupBy("eval_id")
+      .agg(sum(least(col("c_h"), col("c_r"))).as("m"),
+        sum("c_h").as("len_hyp_grams"))
+    val refLen = best.join(
+      grams.groupBy("doc_id").agg(sum("c").as("len_ref_grams"))
+        .withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .select("eval_id", "len_ref_grams")
+    universe
+      .join(best, Seq("eval_id"), "left")
+      .join(m, Seq("eval_id"), "left")
+      .join(refLen, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("m", "len_hyp_grams", "len_ref_grams"))
+      .na.fill(-1L, Seq("cand_id"))
+      .withColumn("p_ppm", expr(
+        "CASE WHEN len_hyp_grams > 0 THEN m * 1000000 div len_hyp_grams ELSE 0L END"))
+      .withColumn("r_ppm", expr(
+        "CASE WHEN len_ref_grams > 0 THEN m * 1000000 div len_ref_grams ELSE 0L END"))
+      .withColumn("chrf_ppm", expr(
+        """CASE WHEN 4 * len_ref_grams + len_hyp_grams > 0
+          | THEN 5 * m * 1000000 div (4 * len_ref_grams + len_hyp_grams)
+          | ELSE 0L END""".stripMargin))
+      .select("eval_id", "cand_id", "m", "len_hyp_grams", "len_ref_grams",
+        "p_ppm", "r_ppm", "chrf_ppm")
+      .orderBy("eval_id")
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
     contaminationScanGated(spark, sfDir, useBloom = true)
 
@@ -2816,6 +2881,7 @@ object Curation {
     "x_eval_rouge" -> rougeOverlap _,
     "x_eval_bleu" -> evalBleu _,
     "x_eval_f1" -> evalF1 _,
+    "x_eval_chrf" -> evalChrf _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
@@ -3745,6 +3811,78 @@ object Curation {
          | (CASE WHEN len_eval > 0 THEN m1 * 1000000 // len_eval ELSE 0 END)::BIGINT AS r_ppm,
          | (CASE WHEN len_cand + len_eval > 0
          |   THEN 2 * m1 * 1000000 // (len_cand + len_eval) ELSE 0 END)::BIGINT AS f1_ppm
+         |FROM j ORDER BY eval_id""".stripMargin,
+    // same pair spine, then pooled character {1,2,3}-gram clipped
+    // overlap (grams tagged by n) and the exact integer β=2 F-score
+    // 5·m·10⁶ // (4·len_ref + len_hyp)
+    "x_eval_chrf" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |  lower(trim(text)) AS txt FROM documents),
+         |shd AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         | FROM t),
+         |ex AS (
+         | SELECT doc_id, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, unnest(sh) AS s FROM shd)),
+         |kept AS (
+         | SELECT hs FROM (
+         |  SELECT hs, count(*) AS df,
+         |   max(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END) AS ev
+         |  FROM ex GROUP BY hs)
+         | WHERE df <= $HotDocFreq AND ev = 1),
+         |es AS (SELECT doc_id AS eval_id, hs FROM ex
+         |       WHERE doc_id % $EvalMod = 0 AND hs IN (SELECT hs FROM kept)),
+         |inter AS (
+         | SELECT es.eval_id, c.doc_id AS cand_id, count(*)::BIGINT AS inter
+         | FROM es JOIN ex c USING (hs)
+         | WHERE c.doc_id % $EvalMod <> 0
+         | GROUP BY es.eval_id, c.doc_id),
+         |best AS (
+         | SELECT eval_id, cand_id FROM (
+         |  SELECT eval_id, cand_id,
+         |   row_number() OVER (PARTITION BY eval_id
+         |     ORDER BY inter DESC, cand_id ASC) AS rk
+         |  FROM inter QUALIFY rk = 1)),
+         |gc AS (
+         | SELECT doc_id, (x).n AS n, (x).g AS g, count(*)::BIGINT AS c
+         | FROM (
+         |  SELECT doc_id, unnest(flatten(list_transform([1, 2, 3], n ->
+         |    list_transform(range(1, greatest(strlen(txt) - n + 1, 1) + 1),
+         |      i -> {'n': n, 'g': substr(txt, i::INT, n)})))) AS x
+         |  FROM t)
+         | GROUP BY 1, 2, 3),
+         |m AS (
+         | SELECT b.eval_id, sum(least(h.c, coalesce(r.c, 0)))::BIGINT AS m,
+         |  sum(h.c)::BIGINT AS len_hyp_grams
+         | FROM best b JOIN gc h ON h.doc_id = b.cand_id
+         | LEFT JOIN gc r ON r.doc_id = b.eval_id AND r.n = h.n AND r.g = h.g
+         | GROUP BY b.eval_id),
+         |rl AS (SELECT doc_id AS eval_id, sum(c)::BIGINT AS len_ref_grams
+         |       FROM gc GROUP BY 1),
+         |universe AS (
+         | SELECT DISTINCT doc_id AS eval_id FROM documents
+         | WHERE doc_id % $EvalMod = 0),
+         |j AS (
+         | SELECT un.eval_id,
+         |  coalesce(b.cand_id, -1)::BIGINT AS cand_id,
+         |  coalesce(m.m, 0)::BIGINT AS m,
+         |  coalesce(m.len_hyp_grams, 0)::BIGINT AS len_hyp_grams,
+         |  CASE WHEN b.cand_id IS NULL THEN 0
+         |       ELSE coalesce(rl.len_ref_grams, 0) END::BIGINT AS len_ref_grams
+         | FROM universe un
+         | LEFT JOIN best b USING (eval_id)
+         | LEFT JOIN m ON m.eval_id = un.eval_id
+         | LEFT JOIN rl ON rl.eval_id = un.eval_id)
+         |SELECT eval_id, cand_id, m, len_hyp_grams, len_ref_grams,
+         | (CASE WHEN len_hyp_grams > 0 THEN m * 1000000 // len_hyp_grams ELSE 0 END)::BIGINT AS p_ppm,
+         | (CASE WHEN len_ref_grams > 0 THEN m * 1000000 // len_ref_grams ELSE 0 END)::BIGINT AS r_ppm,
+         | (CASE WHEN 4 * len_ref_grams + len_hyp_grams > 0
+         |   THEN 5 * m * 1000000 // (4 * len_ref_grams + len_hyp_grams)
+         |   ELSE 0 END)::BIGINT AS chrf_ppm
          |FROM j ORDER BY eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are

@@ -920,6 +920,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chrF: F-beta envelope, clipped bounds, spine agreement, zero-match contract") {
+    val rows = Curation.evalChrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lh, lr) = (r.getAs[Long]("m"),
+        r.getAs[Long]("len_hyp_grams"), r.getAs[Long]("len_ref_grams"))
+      val (p, rr, f) = (r.getAs[Long]("p_ppm"), r.getAs[Long]("r_ppm"),
+        r.getAs[Long]("chrf_ppm"))
+      assert(m <= lh && m <= lr || lh == 0,
+        "clipped gram overlap is bounded by both pooled lengths")
+      assert(p >= 0 && p <= 1000000 && rr >= 0 && rr <= 1000000)
+      // the weighted harmonic mean sits between P and R; floor is
+      // monotone so the envelope survives ppm truncation exactly
+      assert(f >= math.min(p, rr) && f <= math.max(p, rr),
+        s"chrF must sit between P and R (p=$p r=$rr f=$f)")
+      assert(f === (if (4 * lr + lh > 0) 5 * m * 1000000L / (4 * lr + lh) else 0L),
+        "chrf_ppm must be the committed integer identity")
+      if (r.getAs[Long]("cand_id") == -1L)
+        assert(m == 0 && lh == 0 && lr == 0 && f == 0, "unmatched docs emit zeros")
+    }
+    // same spine as F1/BLEU: identical pair attribution
+    val f1 = Curation.evalF1(spark, sf).collect()
+      .map(r => r.getAs[Long]("eval_id") -> r.getAs[Long]("cand_id")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === f1(r.getAs[Long]("eval_id")))
+    }
+  }
+
   test("layout skipping: sorted layout prunes, shuffled layout cannot") {
     val rows = graft.operators.BenchOps.xLayoutSkipping(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
