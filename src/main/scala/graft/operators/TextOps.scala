@@ -875,6 +875,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  // dimension ladder for the hashing-trick census (powers of 4)
+  private val HashDims = Seq(256L, 1024L, 4096L, 16384L, 65536L)
+
+  /** Feature-hashing (hashing-trick) collision census (Weinberger et
+    * al. 2009): before shrinking a classifier/embedding feature space
+    * to 2^k hashed buckets, measure what each dimension choice costs —
+    * per dim: vocabulary types, occupied buckets, types sharing a
+    * bucket, the worst bucket load, and the TOKEN-MASS ppm that lands
+    * in shared buckets (mass-weighted collisions are what move a
+    * linear head, not type counts; cf. [[vocabCoverage]]'s head-mass
+    * view). The bucket is the 60-bit md5 prefix mod dim — nonnegative,
+    * so `%` agrees across engines.
+    *
+    * Scale: ONE tokenize+aggregate into the Zipf-bounded (token, cnt)
+    * model frame, localCheckpointed; the ladder explodes the MODEL
+    * (|dims|·|vocab| rows — model-sized, corpus-independent), never
+    * the corpus. Exact integer arithmetic throughout; the one
+    * division is truncating on nonnegative operands.
+    */
+  def featureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = tokenized(spark, sfDir)
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"))
+      .localCheckpoint()
+    val perBucket = model
+      .select(explode(array(HashDims.map(lit): _*)).as("dim"),
+        col("h"), col("cnt"))
+      .withColumn("b", col("h") % col("dim"))
+      .groupBy("dim", "b")
+      .agg(count(lit(1)).as("types"), sum("cnt").as("mass"))
+    perBucket.groupBy("dim")
+      .agg(
+        sum("types").as("n_types"),
+        count(lit(1)).as("n_occupied"),
+        sum(when(col("types") >= 2, col("types")).otherwise(0L)).as("n_collided_types"),
+        max("types").as("max_bucket_types"),
+        sum(when(col("types") >= 2, col("mass")).otherwise(0L)).as("collided_mass"),
+        sum("mass").as("total_mass"))
+      .withColumn("collided_mass_ppm",
+        expr("collided_mass * 1000000 div total_mass"))
+      .select("dim", "n_types", "n_occupied", "n_collided_types",
+        "max_bucket_types", "collided_mass_ppm")
+      .orderBy("dim")
+  }
+
   private val VocabTopK = 128 // largest coverage bucket (powers of 2)
 
   /** Tokenizer-prep vocabulary induction: corpus word frequencies,
@@ -2115,6 +2160,7 @@ object TextOps {
     "x_quality_classifier" -> qualityClassifier _,
     "x_quality_calibration" -> qualityCalibration _,
     "x_quality_rank_corr" -> qualityRankCorr _,
+    "x_text_feature_hashing" -> featureHashing _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
@@ -2844,6 +2890,28 @@ object TextOps {
          |     // (n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1))
          |  ELSE 1000000 END)::BIGINT AS rho_micro
          |FROM agg ORDER BY source""".stripMargin,
+    // same (token, cnt) model + 60-bit md5 prefix; the ladder explodes
+    // the model, and every column is exact integer arithmetic
+    "x_text_feature_hashing" ->
+      s"""WITH model AS (
+         | SELECT t, count(*)::BIGINT AS cnt,
+         |  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+         | FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |       FROM documents)
+         | GROUP BY t),
+         |lad AS (
+         | SELECT dim, h % dim AS b, cnt
+         | FROM model, (SELECT unnest([${HashDims.mkString(", ")}]) AS dim)),
+         |pb AS (
+         | SELECT dim, b, count(*)::BIGINT AS types, sum(cnt)::BIGINT AS mass
+         | FROM lad GROUP BY dim, b)
+         |SELECT dim, sum(types)::BIGINT AS n_types,
+         | count(*)::BIGINT AS n_occupied,
+         | sum(CASE WHEN types >= 2 THEN types ELSE 0 END)::BIGINT AS n_collided_types,
+         | max(types)::BIGINT AS max_bucket_types,
+         | (sum(CASE WHEN types >= 2 THEN mass ELSE 0 END) * 1000000
+         |   // sum(mass))::BIGINT AS collided_mass_ppm
+         |FROM pb GROUP BY dim ORDER BY dim""".stripMargin,
     "x_vocab_coverage" ->
       s"""WITH toks AS (
          | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t

@@ -172,4 +172,30 @@ class QualityCensusSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rho_micro") === rho, s"source ${r.getString(0)}")
     }
   }
+
+  test("featureHashing: ladder refinement monotonicities and the type-mass anchors") {
+    val rows = TextOps.registry("x_text_feature_hashing")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dim"))
+    assert(rows.map(_.getAs[Long]("dim")).toSeq === Seq(256L, 1024L, 4096L, 16384L, 65536L))
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .agg(countDistinct("t")).head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") === vocab,
+        "every ladder step hashes the whole vocabulary")
+      assert(r.getAs[Long]("n_occupied") <= math.min(r.getAs[Long]("dim"), vocab))
+      assert(r.getAs[Long]("n_collided_types") <= vocab)
+      assert(r.getAs[Long]("collided_mass_ppm") >= 0
+        && r.getAs[Long]("collided_mass_ppm") <= 1000000L)
+    }
+    // powers of 4: each dim divides the next, so buckets REFINE —
+    // occupancy grows, worst load and collisions shrink (theorems, not
+    // tendencies)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_occupied") >= a.getAs[Long]("n_occupied"))
+      assert(b.getAs[Long]("max_bucket_types") <= a.getAs[Long]("max_bucket_types"))
+      assert(b.getAs[Long]("n_collided_types") <= a.getAs[Long]("n_collided_types"))
+      assert(b.getAs[Long]("collided_mass_ppm") <= a.getAs[Long]("collided_mass_ppm"))
+    }
+  }
 }
