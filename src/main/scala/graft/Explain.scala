@@ -243,6 +243,10 @@ object Explain {
         "crossJoin of two 1-row eval scalars (ranked-precision sum × corpus relevant count, TextOps.scala apAt10) — both sides exactly one row"),
       "x_text_heaps" -> Map("bnlj" ->
         "crossJoin of two 1-row checkpoint aggregates (occurrence sums x first-occurrence vocab sums, TextOps.scala heapsLaw) — both sides exactly one row"),
+      "x_graph_kcore" -> Map("bnlj" ->
+        "per-round crossJoin of two 1-row census aggregates (survivor count before × after, Similarity.kCore) — both sides exactly one row, once per fixed peeling round"),
+      "x_emb_ivf_recall_curve" -> Map("bnlj" ->
+        "per-ladder-step crossJoin of two 1-row census aggregates (probe cost × hit count, Similarity.ivfRecallCurve) — both sides exactly one row, once per nprobe step"),
       "q11_important_stock" -> Map("bnlj" -> (scalarAttach + " (group-value threshold, Analytics.scala:567)")),
       "q22_idle_customers" -> Map("bnlj" -> (scalarAttach + " (global mean balance, Analytics.scala:478)")),
       "u3_intersect_except" -> Map("bnlj" ->

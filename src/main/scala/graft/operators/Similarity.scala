@@ -468,6 +468,63 @@ object Similarity {
     ivfRerank(assignTo(cents)(base), probeFrame(base, cents, IvfNProbe))
   }
 
+  // nprobe ladder; the last step probes every IvfK list, making
+  // recall ≡ 10⁶ a THEOREM the spec pins (full probe = brute force
+  // under the identical rounded-sim, id-tie-broken rerank)
+  private val RecallNProbes = Seq(1, 2, 4, 8, 16)
+
+  /** IVF recall-vs-cost curve — THE tuning census of an IVF index:
+    * for each nprobe in [[RecallNProbes]], recall@5 against the exact
+    * top-5 AND the probed-vector mass (the cost a serving team
+    * actually pays; [[ivfListBalance]] explains its skew). The curve
+    * answers "how many lists must I probe for the recall I need"
+    * before the index ships — [[simRecall]] reports the one deployed
+    * config, this the whole frontier.
+    *
+    * Two exactness theorems ride the construction (both spec-pinned):
+    * `argmin_n` prefixes nest, so candidate sets — and with the
+    * identical (rounded sim desc, id asc) tie-break, recall — are
+    * MONOTONE in nprobe; and nprobe = [[IvfK]] probes every list,
+    * collapsing the rerank to brute force: recall ≡ 10⁶ exactly.
+    *
+    * Scale: the assignment frame computes ONCE (localCheckpointed,
+    * read by all ladder steps + the population census); each step is
+    * the [[ivfTopK]] plan — a broadcast of the ≤ queries·nprobe probe
+    * frame against the assigned corpus, candidate mass ~nprobe/K of
+    * the corpus per query. The census output is |ladder| rows.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus(spark, sfDir)
+    val cents = trainedCentroids(spark, sfDir, base)
+    val asg = assignTo(cents)(base).localCheckpoint()
+    val pops = asg.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint() // K-row model
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val exact5 = bruteForceTopK(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      .localCheckpoint() // ≤ 25 rows, read once per ladder step
+    val steps = RecallNProbes.map { np =>
+      val probes = probeFrame(base, cents, np)
+      val cost = probes.select("query_id", "list_id")
+        .join(broadcast(pops), Seq("list_id"), "left")
+        .na.fill(0L, Seq("n_vecs"))
+        .agg(countDistinct("query_id").as("n_queries"),
+          coalesce(sum("n_vecs"), lit(0L)).as("probed_vecs"))
+      val hits = ivfRerank(asg, probes)
+        .join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
+        .na.fill(0L, Seq("hit"))
+        .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      cost.crossJoin(hits)
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("probed_vecs"), col("n_hits"),
+          expr("n_hits * 1000000 div (5 * n_queries)").as("recall_ppm"))
+    }
+    steps.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** IVF inverted-list balance census — the index-health metric an ANN
     * serving team watches BEFORE latency does it for them: with nprobe
     * lists scanned per query, p99 latency is set by the LARGEST probed
@@ -2103,6 +2160,7 @@ object Similarity {
     "x_sim_index_incremental" -> ivfIncrementalTopK _,
     "x_stream_index_ingest" -> streamIndexIngest _,
     "x_sim_recall" -> simRecall _,
+    "x_emb_ivf_recall_curve" -> ivfRecallCurve _,
     "x_emb_matryoshka" -> matryoshkaRecall _,
     "x_emb_binary_hamming" -> binaryHammingRecall _,
     "x_emb_mih" -> multiIndexHamming _,
@@ -3060,6 +3118,60 @@ object Similarity {
          |FROM appx a LEFT JOIN exact5 x
          | ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
          |GROUP BY a.method, a.query_id ORDER BY a.method, a.query_id""".stripMargin,
+    // same trained index + probe ordering as x_sim_recall, one ladder
+    // step per nprobe; recall and probed mass are exact integers
+    "x_emb_ivf_recall_curve" -> {
+      val steps = RecallNProbes.map { np =>
+        s"""ip$np AS (
+           | SELECT q.vec_id AS query_id, c.j AS list_id
+           | FROM e q CROSS JOIN cents$IvfIters c WHERE q.vec_id < 5
+           | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |   ORDER BY list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.v, c.cvec), c.j) <= $np),
+           |cost$np AS (
+           | SELECT count(DISTINCT p.query_id)::BIGINT AS n_queries,
+           |  coalesce(sum(nv.n_vecs), 0)::BIGINT AS probed_vecs
+           | FROM ip$np p LEFT JOIN nv ON nv.list_id = p.list_id),
+           |isc$np AS (
+           | SELECT p.query_id, a.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(eq.v, en.v), 4) AS sim
+           | FROM ip$np p JOIN asgF a ON a.list_id = p.list_id
+           |  AND a.vec_id <> p.query_id
+           |  JOIN e eq ON eq.vec_id = p.query_id JOIN e en ON en.vec_id = a.vec_id),
+           |top$np AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM isc$np)
+           | WHERE rk <= 5),
+           |hits$np AS (
+           | SELECT coalesce(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_hits
+           | FROM top$np t LEFT JOIN exact5 x
+           |  ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = RecallNProbes.map { np =>
+        s"""SELECT ${np}::BIGINT AS nprobe,
+           | (SELECT n_queries FROM cost$np) AS n_queries,
+           | (SELECT probed_vecs FROM cost$np) AS probed_vecs,
+           | (SELECT n_hits FROM hits$np) AS n_hits,
+           | ((SELECT n_hits FROM hits$np) * 1000000
+           |   // (5 * (SELECT n_queries FROM cost$np)))::BIGINT AS recall_ppm"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ivfTrainCtes,
+         |nv AS (SELECT list_id, count(*)::BIGINT AS n_vecs FROM asgF GROUP BY list_id),
+         |xp AS (
+         | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v, n.v), 4) AS sim
+         | FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5),
+         |exact5 AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM xp)
+         | WHERE rk <= 5),
+         |$steps
+         |$rows
+         |ORDER BY nprobe""".stripMargin
+    },
     "x_dedup_semantic" ->
       s"""WITH $ivfTrainCtes,
          |pairs AS (

@@ -1754,6 +1754,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       "k = out-degree + 1 must actually peel (a no-op census would hide a dead k)")
   }
 
+  test("IVF recall curve: nested-probe monotonicity, full-probe anchor, deployed-config agreement") {
+    val rows = Similarity.ivfRecallCurve(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === 5L)
+      assert(r.getAs[Long]("recall_ppm") >= 0 && r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // argmin_n prefixes nest -> candidate sets nest -> with the shared
+    // tie-break, recall and probed mass are monotone in nprobe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("recall_ppm") >= a.getAs[Long]("recall_ppm"),
+        s"recall must be monotone in nprobe (${a.getLong(0)} -> ${b.getLong(0)})")
+      assert(b.getAs[Long]("probed_vecs") >= a.getAs[Long]("probed_vecs"))
+    }
+    // nprobe = IvfK probes every list: the rerank IS brute force
+    assert(rows.last.getAs[Long]("recall_ppm") === 1000000L,
+      "full probe must recall the exact top-5 exactly")
+    // the deployed config (nprobe = 4) must agree with x_sim_recall's ivf row
+    val deployed = Similarity.simRecall(spark, sf).collect()
+      .filter(_.getString(0) == "ivf").map(_.getAs[Long]("n_hit")).sum
+    assert(rows.find(_.getLong(0) == 4L).get.getAs[Long]("n_hits") === deployed)
+  }
+
   test("MMR rerank: 8 distinct picks per query, top-1 first, diversity changes the set") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
     assert(rows.length === 40, "5 queries x 8 steps")
