@@ -875,6 +875,69 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Cohen's κ between the two quality GATES — the classifier head's
+    * threshold decision ([[clfScores]] ≥ [[ClfThreshold]]) vs the
+    * Gopher all-rules pass — per source: chance-corrected DECISION
+    * agreement, completing the signal-audit triptych
+    * ([[qualityCalibration]]: scores as probabilities;
+    * [[qualityRankCorr]]: scores as an order; this: the final binary
+    * keep decisions). κ = (p_o − p_e)/(1 − p_e) over the 2×2 cell
+    * counts, in the all-integer form
+    * κ = (n·(a+d) − E) / (n² − E) with E = (a+b)(a+c) + (c+d)(b+d).
+    *
+    * Float discipline: the numerator CAN be negative (raters worse
+    * than chance), and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — so κ is computed on the ABSOLUTE value
+    * and re-signed explicitly, making the truncation direction
+    * engine-independent. The products run in DECIMAL(38,0) (DuckDB
+    * HUGEINT): exact to n ≈ 10¹⁶ docs per source. Degenerate raters
+    * (p_e = 1: both constant) emit κ = 0 by convention, guarded on
+    * both engines.
+    *
+    * Scale: the two per-doc flag projections join once on doc_id
+    * (fixed-width equi-join, the [[qualityCalibration]] shape), then
+    * an S-row aggregate; the κ arithmetic runs on the S-row census.
+    */
+  def qualityKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = gopherFlags(spark, sfDir)
+      .select(col("doc_id"),
+        (col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop")).as("gopher_pass"))
+    val cells = clfScores(spark, sfDir)
+      .withColumn("clf_pass", col("score") >= ClfThreshold)
+      .join(labels, "doc_id")
+      .groupBy("source")
+      .agg(
+        sum(when(col("clf_pass") && col("gopher_pass"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("clf_pass") && !col("gopher_pass"), 1L).otherwise(0L)).as("n_clf_only"),
+        sum(when(!col("clf_pass") && col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_only"),
+        sum(when(!col("clf_pass") && !col("gopher_pass"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("n_docs",
+        col("n_both") + col("n_clf_only") + col("n_gopher_only") + col("n_neither"))
+    cells
+      .withColumn("po_ppm",
+        expr("(n_both + n_neither) * 1000000 div n_docs"))
+      .withColumn("e_raw", expr(
+        """cast(n_both + n_clf_only as decimal(38,0)) * (n_both + n_gopher_only)
+          | + cast(n_gopher_only + n_neither as decimal(38,0)) * (n_clf_only + n_neither)"""
+          .stripMargin))
+      .withColumn("pe_ppm", expr(
+        "cast(e_raw * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)"))
+      .withColumn("kappa_num", expr(
+        "cast(n_docs as decimal(38,0)) * (n_both + n_neither) - e_raw"))
+      .withColumn("kappa_den", expr(
+        "cast(n_docs as decimal(38,0)) * n_docs - e_raw"))
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN kappa_den = 0 THEN 0L
+          | WHEN kappa_num >= 0
+          |  THEN cast(kappa_num * 1000000 div kappa_den as bigint)
+          | ELSE -cast((-kappa_num) * 1000000 div kappa_den as bigint) END"""
+          .stripMargin))
+      .select("source", "n_docs", "n_both", "n_clf_only", "n_gopher_only",
+        "n_neither", "po_ppm", "pe_ppm", "kappa_ppm")
+      .orderBy("source")
+  }
+
   // dimension ladder for the hashing-trick census (powers of 4)
   private val HashDims = Seq(256L, 1024L, 4096L, 16384L, 65536L)
 
@@ -2161,6 +2224,7 @@ object TextOps {
     "x_quality_calibration" -> qualityCalibration _,
     "x_quality_rank_corr" -> qualityRankCorr _,
     "x_text_feature_hashing" -> featureHashing _,
+    "x_quality_kappa" -> qualityKappa _,
     "x_vocab_coverage" -> vocabCoverage _,
     "x_filter_funnel" -> filterFunnel _,
     "x_text_repetition" -> repetition _,
@@ -2890,6 +2954,53 @@ object TextOps {
          |     // (n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1))
          |  ELSE 1000000 END)::BIGINT AS rho_micro
          |FROM agg ORDER BY source""".stripMargin,
+    // identical classifier threshold + Gopher all-rules label; the 2x2
+    // cells, E, and κ run in HUGEINT with κ computed on the absolute
+    // numerator and re-signed (floor-vs-trunc parity on negatives)
+    "x_quality_kappa" ->
+      s"""WITH $gopherOracleCtes,
+         |f AS (
+         | SELECT doc_id, source,
+         |  (1000000 * len(list_distinct(toks))) // len(toks) AS f_uniq,
+         |  (1000000 * ((strlen(padded) - strlen(replace(padded, ' the ', ''))) // 5))
+         |    // len(toks) AS f_stop,
+         |  least(len(toks), 256) * 3906 AS f_len
+         | FROM (SELECT doc_id, source,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |        ' ' || lower(text) || ' ' AS padded FROM documents)),
+         |clf AS (SELECT doc_id, source,
+         |  ((${ClfWeights._1}*f_uniq + ${ClfWeights._2}*f_stop + ${ClfWeights._3}*f_len)
+         |    // ${ClfWeights._1 + ClfWeights._2 + ClfWeights._3}) >= $ClfThreshold AS clf_pass
+         | FROM f),
+         |j AS (
+         | SELECT clf.source, clf.clf_pass,
+         |  flags.r_wc AND flags.r_mwl AND flags.r_sym AND flags.r_alpha AND flags.r_stop AS gopher_pass
+         | FROM clf JOIN flags USING (doc_id)),
+         |cells AS (
+         | SELECT source,
+         |  sum(CASE WHEN clf_pass AND gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         |  sum(CASE WHEN clf_pass AND NOT gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_clf_only,
+         |  sum(CASE WHEN NOT clf_pass AND gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher_only,
+         |  sum(CASE WHEN NOT clf_pass AND NOT gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_neither
+         | FROM j GROUP BY source),
+         |k AS (
+         | SELECT *,
+         |  (n_both + n_clf_only + n_gopher_only + n_neither)::BIGINT AS n_docs,
+         |  ((n_both + n_clf_only)::HUGEINT * (n_both + n_gopher_only)
+         |   + (n_gopher_only + n_neither)::HUGEINT * (n_clf_only + n_neither)) AS e_raw
+         | FROM cells),
+         |k2 AS (
+         | SELECT *,
+         |  n_docs::HUGEINT * (n_both + n_neither) - e_raw AS kappa_num,
+         |  n_docs::HUGEINT * n_docs - e_raw AS kappa_den
+         | FROM k)
+         |SELECT source, n_docs, n_both, n_clf_only, n_gopher_only, n_neither,
+         | ((n_both + n_neither) * 1000000 // n_docs)::BIGINT AS po_ppm,
+         | (e_raw * 1000000 // (n_docs::HUGEINT * n_docs))::BIGINT AS pe_ppm,
+         | (CASE WHEN kappa_den = 0 THEN 0
+         |       WHEN kappa_num >= 0 THEN kappa_num * 1000000 // kappa_den
+         |       ELSE -((-kappa_num) * 1000000 // kappa_den) END)::BIGINT AS kappa_ppm
+         |FROM k2 ORDER BY source""".stripMargin,
     // same (token, cnt) model + 60-bit md5 prefix; the ladder explodes
     // the model, and every column is exact integer arithmetic
     "x_text_feature_hashing" ->

@@ -173,6 +173,43 @@ class QualityCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityKappa: cell partition, integer identities, and cross-census agreement") {
+    val rows = TextOps.registry("x_quality_kappa")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total,
+      "the 2x2 cells must partition the corpus")
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_clf_only"),
+        r.getAs[Long]("n_gopher_only"), r.getAs[Long]("n_neither"))
+      val n = r.getAs[Long]("n_docs")
+      assert(a + b + c + d === n)
+      // the emitted ratios are the committed integer identities
+      assert(r.getAs[Long]("po_ppm") === (a + d) * 1000000L / n)
+      val e = BigInt(a + b) * BigInt(a + c) + BigInt(c + d) * BigInt(b + d)
+      assert(BigInt(r.getAs[Long]("pe_ppm")) === e * 1000000 / (BigInt(n) * n))
+      val num = BigInt(n) * (a + d) - e
+      val den = BigInt(n) * n - e
+      val kappa =
+        if (den == 0) BigInt(0)
+        else if (num >= 0) num * 1000000 / den
+        else -((-num) * 1000000 / den)
+      assert(BigInt(r.getAs[Long]("kappa_ppm")) === kappa)
+      assert(r.getAs[Long]("kappa_ppm") >= -1000000L
+        && r.getAs[Long]("kappa_ppm") <= 1000000L)
+    }
+    // cross-census: total Gopher passes must agree with the calibration
+    // bins' positive mass (same join, different grouping)
+    val calibPos = TextOps.registry("x_quality_calibration")(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_docs") * r.getAs[Long]("acc_ppm")).sum
+    val kappaPos = rows
+      .map(r => r.getAs[Long]("n_both") + r.getAs[Long]("n_gopher_only")).sum
+    // acc_ppm is truncating per bin: the bin-mass product under-counts
+    // by < 1 doc per bin
+    assert(math.abs(calibPos - kappaPos * 1000000L) < 10 * 1000000L,
+      s"gopher-positive mass must agree across censuses ($calibPos vs ${kappaPos * 1000000L})")
+  }
+
   test("featureHashing: ladder refinement monotonicities and the type-mass anchors") {
     val rows = TextOps.registry("x_text_feature_hashing")(spark, sf).collect()
       .sortBy(_.getAs[Long]("dim"))
