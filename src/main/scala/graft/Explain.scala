@@ -245,8 +245,6 @@ object Explain {
         "crossJoin of two 1-row checkpoint aggregates (occurrence sums x first-occurrence vocab sums, TextOps.scala heapsLaw) — both sides exactly one row"),
       "x_graph_kcore" -> Map("bnlj" ->
         "per-round crossJoin of two 1-row census aggregates (survivor count before × after, Similarity.kCore) — both sides exactly one row, once per fixed peeling round"),
-      "x_emb_ivf_recall_curve" -> Map("bnlj" ->
-        "per-ladder-step crossJoin of two 1-row census aggregates (probe cost × hit count, Similarity.ivfRecallCurve) — both sides exactly one row, once per nprobe step"),
       "q11_important_stock" -> Map("bnlj" -> (scalarAttach + " (group-value threshold, Analytics.scala:567)")),
       "q22_idle_customers" -> Map("bnlj" -> (scalarAttach + " (global mean balance, Analytics.scala:478)")),
       "u3_intersect_except" -> Map("bnlj" ->
@@ -318,6 +316,10 @@ object Explain {
         (scalarAttach + " (p95 d² threshold from Ranks.valueAtRank, Similarity.embOutliers + the kernel's 1-row cut attach)")),
       "x_sim_recall" -> Map("bnlj" ->
         "recall gate re-runs the brute-force baseline as ground truth (5 broadcast query vectors); the measured approximate paths are bucketed"),
+      "x_emb_ivf_recall_curve" -> Map("bnlj" ->
+        ("the exact-top-5 ground truth re-runs the brute-force baseline (the allowlisted " +
+          "5-broadcast-query BNLJ shape, x_sim_recall's justification); the measured ladder " +
+          "itself is one ranked-probe equi-join plan — no per-step re-plan, no crossJoin")),
       "x_graph_triangles" -> Map("bnlj" ->
         "crossJoins of three 1-row count aggregates (degree stats, edge count, triangle count) into the single summary row — constant-size builds"),
       "x_multimodal_cdc" -> Map("bnlj" ->

@@ -487,11 +487,21 @@ object Similarity {
     * MONOTONE in nprobe; and nprobe = [[IvfK]] probes every list,
     * collapsing the rerank to brute force: recall ≡ 10⁶ exactly.
     *
-    * Scale: the assignment frame computes ONCE (localCheckpointed,
-    * read by all ladder steps + the population census); each step is
-    * the [[ivfTopK]] plan — a broadcast of the ≤ queries·nprobe probe
-    * frame against the assigned corpus, candidate mass ~nprobe/K of
-    * the corpus per query. The census output is |ladder| rows.
+    * ONE distributed plan for the whole ladder (not a plan per step):
+    * `argmin_n` emits list ids in ASCENDING distance order, so the
+    * nprobe-prefix of the FULL ranked probe frame IS probeFrame(np) —
+    * each candidate carries its earliest probe rank (one corpus-side
+    * equi-join + one reduce), and the ladder memberships explode as
+    * np = 2^k for k ∈ [ceil(log2(rank+1)), 4] via
+    * explode(sequence(…)) + shiftleft — plain codegen'd expressions,
+    * no lambda, no per-step re-plan, no crossJoin. Per-np top-5 is a
+    * (np, query)-partitioned rank over candidate·|ladder| rows.
+    *
+    * Scale: the assignment frame computes ONCE (localCheckpointed);
+    * candidate mass per query is ~the FULL-probe list mass (the
+    * np=K step needs it regardless — the ladder adds a ≤5× row fanout
+    * on the reduced candidate set, not extra corpus passes); the
+    * census output is |ladder| rows.
     */
   def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -499,30 +509,70 @@ object Similarity {
     val cents = trainedCentroids(spark, sfDir, base)
     val asg = assignTo(cents)(base).localCheckpoint()
     val pops = asg.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
-      .localCheckpoint() // K-row model
-    val w = Window.partitionBy("query_id")
+    val maxNp = RecallNProbes.max // = IvfK: the full probe
+    val probes = probeFrameRanked(base, cents, maxNp)
+      .localCheckpoint() // queries·K rows; read by cost AND candidates
+    // np = 2^k memberships of a probe rank r: k ≥ ceil(log2(r+1)),
+    // i.e. k0 = 0 for r = 0 else length(bin(r)) — integer arithmetic,
+    // no lambda (transform/filter would fall out of codegen)
+    val npOf = (rankCol: String) => Seq(
+      expr(s"explode(sequence(CASE WHEN $rankCol = 0 THEN 0 ELSE length(bin($rankCol)) END, 4))").as("k"))
+    val cost = probes.select(col("query_id"), col("list_id"), col("prank"))
+      .join(broadcast(pops), Seq("list_id"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+      .select(col("query_id"), col("n_vecs"), npOf("prank").head)
+      .withColumn("nprobe", expr("shiftleft(1L, cast(k as int))"))
+      .groupBy("nprobe")
+      .agg(countDistinct("query_id").as("n_queries"),
+        sum("n_vecs").as("probed_vecs"))
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val candMin = asg.join(
+        broadcast(probes.select("query_id", "prank", "list_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(min("prank").as("mrank"))
+    val scored = candMin
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), npOf("mrank").head)
+      .withColumn("nprobe", expr("shiftleft(1L, cast(k as int))"))
+    val w5 = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val wx = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     val exact5 = bruteForceTopK(spark, sfDir)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      .localCheckpoint() // ≤ 25 rows, read once per ladder step
-    val steps = RecallNProbes.map { np =>
-      val probes = probeFrame(base, cents, np)
-      val cost = probes.select("query_id", "list_id")
-        .join(broadcast(pops), Seq("list_id"), "left")
-        .na.fill(0L, Seq("n_vecs"))
-        .agg(countDistinct("query_id").as("n_queries"),
-          coalesce(sum("n_vecs"), lit(0L)).as("probed_vecs"))
-      val hits = ivfRerank(asg, probes)
-        .join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
-        .na.fill(0L, Seq("hit"))
-        .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
-      cost.crossJoin(hits)
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
-          col("probed_vecs"), col("n_hits"),
-          expr("n_hits * 1000000 div (5 * n_queries)").as("recall_ppm"))
-    }
-    steps.reduce(_ unionByName _).orderBy("nprobe")
+    val hits = scored.withColumn("rk", row_number().over(w5))
+      .filter(col("rk") <= 5)
+      .join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy("nprobe").agg(sum("hit").as("n_hits"))
+    cost.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div (5 * n_queries)"))
+      .select("nprobe", "n_queries", "probed_vecs", "n_hits", "recall_ppm")
+      .orderBy("nprobe")
+  }
+
+  /** [[probeFrame]] with the probe ORDER kept: (query_id, prank,
+    * list_id) where prank is the position in [[ArgminN]]'s ascending-
+    * distance output — the nprobe-prefix property [[ivfRecallCurve]]
+    * rides.
+    */
+  private def probeFrameRanked(
+      base: DataFrame, cents: Seq[Array[Double]], nprobe: Int): DataFrame = {
+    val dists = array(cents.zipWithIndex.map { case (cent, _) =>
+      val c2 = cent.map(x => x * x).sum
+      lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+        .dot_product(col("v"), centroidCol(cent))
+    }: _*)
+    base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        posexplode(graft.functions.VectorExpressions.argmin_n(dists, nprobe))
+          .as(Seq("prank", "list_id")))
   }
 
   /** IVF inverted-list balance census — the index-health metric an ANN
