@@ -2357,6 +2357,16 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** The doc ids a selected pair frame touches (both sides, distinct)
+    * — the semi-join build that keeps the pair metrics' raw-text
+    * explodes PAIR-BOUNDED instead of corpus-wide ([[evalBleu]],
+    * [[evalF1]], [[evalChrf]]). ≤ 2·#eval-docs rows, broadcast.
+    */
+  private def pairDocIds(best: DataFrame): DataFrame =
+    best.select(col("cand_id").as("doc_id"))
+      .unionByName(best.select(col("eval_id").as("doc_id")))
+      .distinct()
+
   /** Shared pair-attribution spine of [[rougeOverlap]] and [[evalBleu]]:
     * stopword-capped shared-bigram candidate banding (df ≤
     * [[HotDocFreq]], eval-member shingles only — never all-pairs),
@@ -2426,11 +2436,14 @@ object Curation {
     val best = spineBest
       .select("eval_id", "cand_id")
       .localCheckpoint() // pair frame (≤ #eval docs rows), read 4× below
-    // raw n-gram count frames, restricted to the selected pair docs
-    val uni = docs
+    // raw n-gram count frames, restricted to the selected pair docs —
+    // semi-joined BEFORE the explode so the aggregate is pair-bounded,
+    // not corpus-wide (r13: this was the claim; now it's the plan)
+    val pairDocs = docs.join(broadcast(pairDocIds(best)), Seq("doc_id"), "left_semi")
+    val uni = pairDocs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val bi = docs
+    val bi = pairDocs
       .withColumn("tokens", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.word_ngrams(col("tokens"), 2)).as("g"))
@@ -2501,7 +2514,7 @@ object Curation {
     val best = spineBest
       .select("eval_id", "cand_id")
       .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
-    val uni = docs
+    val uni = docs.join(broadcast(pairDocIds(best)), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val hyp = best.join(uni.withColumnRenamed("doc_id", "cand_id"), "cand_id")
@@ -2562,7 +2575,11 @@ object Curation {
     val best = spineBest
       .select("eval_id", "cand_id")
       .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
-    val grams = docs.select(col("doc_id"), expr(
+    // pair-bounded mass FOR REAL: semi-join the corpus to the selected
+    // pair docs BEFORE the character explode — without this the gram
+    // aggregate runs corpus-wide and only the join discards it
+    val grams = docs.join(broadcast(pairDocIds(best)), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(
       """explode(flatten(transform(array(1, 2, 3), n ->
         | transform(sequence(1, greatest(length(txt) - n + 1, 1)),
         |   i -> named_struct('n', n, 'g', substring(txt, i, n))))))""".stripMargin).as("x"))
