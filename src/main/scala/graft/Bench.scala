@@ -516,7 +516,18 @@ private[graft] object BenchNoise {
           case (Some(e), Some(c)) =>
             Some(if (c < e) (n, c, prov(None)) else (n, e, kept))
           case (Some(e), None) => Some((n, e, kept))
-          case (None, Some(c)) => Some((n, c, prov(None)))
+          case (None, Some(c)) if floorRatio <= 1.5 =>
+            Some((n, c, prov(None)))
+          case (None, Some(_)) =>
+            // FIRST capture of a brand-new query in a noisy window
+            // (sentinel baseline >1.5× the historical floor): skip it.
+            // A new query has no reference, so the suspect rule can't
+            // protect it, and a cold-JVM first stamp then poisons its
+            // own correction — every honest later reading moves >1.5×
+            // vs the bogus floor and is flagged suspect (r13: chrF's
+            // first capture recorded 16 s vs a 1.3 s honest floor).
+            // Leave the entry absent for the first quiet window.
+            None
           case _               => None
         }
       }

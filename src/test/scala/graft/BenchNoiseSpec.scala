@@ -117,6 +117,24 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(provOf(out, "c").contains("\"epoch\":\"2026-08-16\""))
   }
 
+  test("mergeFloorMap: a noisy window cannot stamp a brand-new query's first floor") {
+    val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1",""" +
+      """"queries":{"a":0.500},""" +
+      """"provenance":{"a":{"epoch":"2026-08-01","floor_ratio":1.10}}}"""
+    // floorRatio 1.60: existing entries still min-merge (the suspect
+    // rule protects them), but the new query "c" has no reference to
+    // protect it — its first capture must wait for a quiet window
+    // (r13: chrF's cold first stamp recorded 16 s vs a 1.3 s floor and
+    // then poisoned its own correction)
+    val noisy = BenchNoise.mergeFloorMap(old, None, "sf0.1",
+      Seq("a" -> 0.400, "c" -> 16.0), Set.empty, "2026-08-16", 1.60)
+    assert(floors(noisy) === Map("a" -> 0.4))
+    // same capture in a quiet window: the first stamp lands
+    val quiet = BenchNoise.mergeFloorMap(old, None, "sf0.1",
+      Seq("a" -> 0.400, "c" -> 1.3), Set.empty, "2026-08-16", 1.05)
+    assert(floors(quiet) === Map("a" -> 0.4, "c" -> 1.3))
+  }
+
   test("mergeFloorMap: suspects and errors never enter; carried entries keep unknown marker") {
     val old = """{"metric":"best_floor","unit":"sec","sf":"sf0.1","queries":{"a":0.500}}"""
     val out = BenchNoise.mergeFloorMap(old, None, "sf0.1",
