@@ -934,6 +934,71 @@ object Curation {
       .orderBy("source")
   }
 
+  private val UnimaxEpochCap = 2L // ≤ 2 epochs of any source (UniMax N)
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a token budget B (= one corpus epoch
+    * here) as UNIFORMLY as possible across sources, but never take
+    * more than [[UnimaxEpochCap]] epochs of any source — the mixing
+    * rule that fixes temperature sampling's over-duplication of small
+    * sources. The paper's sequential waterfill has the exact closed
+    * form this query computes: sort sources by cap ascending, find the
+    * first rank r* whose cap exceeds the even share of what remains
+    * (`cap_r·(S−r+1) > B − prefix_{r−1}`, an exact integer
+    * comparison), give every source below r* its full cap, and every
+    * source at or above r* the flat share
+    * `(B − prefix_{r*−1}) div (S − r* + 1)` (caps ascending ⟹ the
+    * share clears every remaining cap; the ≤ S−1-token div remainder
+    * stays unallocated). epochs_ppm splits the scale as
+    * `(a div n)·10⁶ + (a mod n)·10⁶ div n`, keeping products inside
+    * int64 to ~9·10¹² tokens per source.
+    *
+    * Scale: ONE corpus tokenize into the S-row per-source model frame
+    * (map-side combined, localCheckpointed); the waterfill runs on
+    * that frame with unpartitioned windows (S ≤ thousands — the
+    * mixTemperature shape); r* and the share are model-frame scalars
+    * collected as plan literals. The corpus itself never re-scans.
+    */
+  def mixUnimax(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * UnimaxEpochCap)
+      .localCheckpoint() // model frame: one row per source
+    val budget = sizes.agg(coalesce(sum("n_tokens"), lit(0L))).first().getLong(0)
+    val nSrc = sizes.count()
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = sizes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(sum("cap_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cross = ranked
+      .filter(col("cap_tokens") * (lit(nSrc) - col("rk") + 1) >
+        lit(budget) - col("prefix"))
+      .orderBy("rk").limit(1)
+      .select(col("rk"),
+        expr(s"(${budget}L - prefix) div (${nSrc}L - rk + 1)").as("share"))
+      .collect()
+    // cap = 2·size and B = Σsize ⟹ Σcap = 2B > B, so a crossing always
+    // exists; the guard covers a budget ≥ Σcap re-parameterization
+    val (rStar, share) =
+      if (cross.isEmpty) (nSrc + 1, 0L)
+      else (cross(0).getLong(0), cross(0).getLong(1))
+    ranked
+      .withColumn("alloc_tokens",
+        when(col("rk") < rStar, col("cap_tokens")).otherwise(lit(share)))
+      .withColumn("capped", when(col("rk") < rStar, 1L).otherwise(0L))
+      .withColumn("epochs_ppm", expr(
+        """(alloc_tokens div n_tokens) * 1000000
+          | + ((alloc_tokens % n_tokens) * 1000000) div n_tokens""".stripMargin))
+      .select("source", "n_tokens", "cap_tokens", "alloc_tokens", "capped",
+        "epochs_ppm")
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- //
   // Train / validation / test split
   // ---------------------------------------------------------------- //
@@ -1363,6 +1428,81 @@ object Curation {
         .withColumn("level", lit(name))
         .select("level", "n_groups", "groups_below_l", "rows_at_risk",
           "min_diversity")
+    level("l1_nation_segment", Seq("c_nationkey", "c_mktsegment"))
+      .unionByName(level("l2_region_segment", Seq("n_regionkey", "c_mktsegment")))
+      .unionByName(level("l3_segment", Seq("c_mktsegment")))
+      .orderBy("level")
+  }
+
+  private val TClosenessPpm = 200000L // t = 0.2 in exact ppm
+
+  /** t-closeness audit over the [[kAnonymity]] generalization ladder
+    * (Li et al. 2007, "t-Closeness: Privacy Beyond k-Anonymity and
+    * l-Diversity"): [[lDiversity]] counts DISTINCT sensitive values,
+    * but a group whose value distribution is merely skewed toward one
+    * band still leaks — t-closeness bounds the Earth Mover's Distance
+    * between each QI group's sensitive distribution and the corpus
+    * distribution. For an ORDERED attribute (the same balance band as
+    * l-diversity) EMD has the closed form
+    * `Σ_j |Σ_{b≤j} (p_b − q_b)| / (m − 1)` over the m-band universe.
+    *
+    * Float discipline: both distributions are quantized ONCE to
+    * integer ppm at the band grain — p_ppm = cnt·10⁶ div n_g,
+    * q_ppm = gcnt·10⁶ div N — then the cumulative differences, their
+    * absolute sum, and the final div (m−1) are exact BIGINT folds with
+    * truncating division on nonnegative operands only. The per-term
+    * truncation deviates from the real EMD by < m·(m+1) ppm ≈ 10⁻⁴ —
+    * bit-identical cross-engine, which is what the hash gate needs.
+    * Long bound: cnt·10⁶ ≤ N·10⁶ keeps every product inside int64 to
+    * N ≈ 9·10¹² rows, far past any per-table row count at 100 TB.
+    *
+    * Scale: the corpus shuffles ONCE into the finest (nation, segment,
+    * band) model frame (≤ 25·5·12 rows, localCheckpointed); every
+    * ladder level is an aggregate OVER that frame, the band universe
+    * attaches by broadcast cross join (≤ 12 rows), and the per-group
+    * cumulative runs in a window partitioned by the QI keys. N and m
+    * are model-frame scalars collected as plan literals (the
+    * jsdSources discipline — never a second corpus pass).
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, sfDir)
+      .withColumn("band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("band"), col("n"))
+      .localCheckpoint() // model-sized; read once per ladder level
+    val total = base.agg(coalesce(sum("n"), lit(0L))).first().getLong(0)
+    val universe = base.groupBy("band").agg(sum("n").as("gcnt"))
+      .withColumn("q_ppm", expr(s"gcnt * 1000000 div ${total}L"))
+      .select("band", "q_ppm")
+      .localCheckpoint() // the m-band reference distribution
+    val mMinus1 = math.max(universe.count() - 1L, 1L)
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val g = base.groupBy((keys :+ "band").map(col): _*).agg(sum("n").as("cnt"))
+      val tot = g.groupBy(keys.map(col): _*).agg(sum("cnt").as("ng"))
+      val emd = tot.crossJoin(broadcast(universe))
+        .join(g, keys :+ "band", "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("d_ppm", expr("cnt * 1000000 div ng") - col("q_ppm"))
+        .withColumn("cum", sum("d_ppm").over(
+          Window.partitionBy(keys.map(col): _*).orderBy("band")))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(abs(col("cum"))).as("sabs"))
+        .select(expr(s"sabs div ${mMinus1}L").as("emd_ppm"))
+      emd.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("emd_ppm") > TClosenessPpm, 1L).otherwise(0L))
+            .as("groups_above_t"),
+          max("emd_ppm").as("max_emd_ppm"),
+          expr("sum(emd_ppm) div count(1)").as("mean_emd_ppm"))
+        .withColumn("level", lit(name))
+        .select("level", "n_groups", "groups_above_t", "max_emd_ppm",
+          "mean_emd_ppm")
+    }
     level("l1_nation_segment", Seq("c_nationkey", "c_mktsegment"))
       .unionByName(level("l2_region_segment", Seq("n_regionkey", "c_mktsegment")))
       .unionByName(level("l3_segment", Seq("c_mktsegment")))
@@ -2864,6 +3004,7 @@ object Curation {
     "x_sample_priority_agg" -> groupPriorityAgg _,
     "x_k_anonymity" -> kAnonymity _,
     "x_l_diversity" -> lDiversity _,
+    "x_t_closeness" -> tCloseness _,
     "x_dq_expectations" -> dqExpectations _,
     "x_dq_drift" -> dqDrift _,
     "x_psi_drift" -> psiDrift _,
@@ -2877,6 +3018,7 @@ object Curation {
     "x_mix_anneal" -> annealMix _,
     "x_mix_epochs" -> mixEpochs _,
     "x_mix_doremi" -> mixDoremi _,
+    "x_mix_unimax" -> mixUnimax _,
     "x_split_train" -> splitTrain _,
     "x_split_kfold" -> splitKfold _,
     "x_split_temporal" -> temporalSplit _,
@@ -3053,6 +3195,72 @@ object Curation {
          | sum(CASE WHEN div < $DiversityL THEN rows ELSE 0 END)::BIGINT,
          | min(div)::BIGINT FROM l3
          |ORDER BY level""".stripMargin,
+    // identical band grain and ppm quantization (both distributions
+    // divided ONCE, cumulative/abs/final folds all exact BIGINT with
+    // truncating division on nonnegative operands)
+    "x_t_closeness" ->
+      s"""WITH base AS (
+         | SELECT n_regionkey, c_nationkey, c_mktsegment,
+         |  (round(c_acctbal * 100)::BIGINT + 100000) // 100000 AS band,
+         |  count(*)::BIGINT AS n
+         | FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT sum(n)::BIGINT AS total FROM base),
+         |uni AS (SELECT band,
+         |         (sum(n) * 1000000 // (SELECT total FROM tot))::BIGINT AS q_ppm
+         |        FROM base GROUP BY band),
+         |m1 AS (SELECT greatest(count(*) - 1, 1)::BIGINT AS m FROM uni),
+         |l1g AS (SELECT c_nationkey, c_mktsegment, band, sum(n)::BIGINT AS cnt
+         |        FROM base GROUP BY 1, 2, 3),
+         |l1t AS (SELECT c_nationkey, c_mktsegment, sum(cnt)::BIGINT AS ng
+         |        FROM l1g GROUP BY 1, 2),
+         |l1c AS (SELECT t.c_nationkey, t.c_mktsegment,
+         |         sum((coalesce(g.cnt, 0) * 1000000 // t.ng) - u.q_ppm)
+         |          OVER (PARTITION BY t.c_nationkey, t.c_mktsegment
+         |                ORDER BY u.band) AS cum
+         |        FROM l1t t CROSS JOIN uni u
+         |        LEFT JOIN l1g g ON g.c_nationkey = t.c_nationkey
+         |         AND g.c_mktsegment = t.c_mktsegment AND g.band = u.band),
+         |l1e AS (SELECT (sum(abs(cum)) // (SELECT m FROM m1))::BIGINT AS emd_ppm
+         |        FROM l1c GROUP BY c_nationkey, c_mktsegment),
+         |l2g AS (SELECT n_regionkey, c_mktsegment, band, sum(n)::BIGINT AS cnt
+         |        FROM base GROUP BY 1, 2, 3),
+         |l2t AS (SELECT n_regionkey, c_mktsegment, sum(cnt)::BIGINT AS ng
+         |        FROM l2g GROUP BY 1, 2),
+         |l2c AS (SELECT t.n_regionkey, t.c_mktsegment,
+         |         sum((coalesce(g.cnt, 0) * 1000000 // t.ng) - u.q_ppm)
+         |          OVER (PARTITION BY t.n_regionkey, t.c_mktsegment
+         |                ORDER BY u.band) AS cum
+         |        FROM l2t t CROSS JOIN uni u
+         |        LEFT JOIN l2g g ON g.n_regionkey = t.n_regionkey
+         |         AND g.c_mktsegment = t.c_mktsegment AND g.band = u.band),
+         |l2e AS (SELECT (sum(abs(cum)) // (SELECT m FROM m1))::BIGINT AS emd_ppm
+         |        FROM l2c GROUP BY n_regionkey, c_mktsegment),
+         |l3g AS (SELECT c_mktsegment, band, sum(n)::BIGINT AS cnt
+         |        FROM base GROUP BY 1, 2),
+         |l3t AS (SELECT c_mktsegment, sum(cnt)::BIGINT AS ng FROM l3g GROUP BY 1),
+         |l3c AS (SELECT t.c_mktsegment,
+         |         sum((coalesce(g.cnt, 0) * 1000000 // t.ng) - u.q_ppm)
+         |          OVER (PARTITION BY t.c_mktsegment ORDER BY u.band) AS cum
+         |        FROM l3t t CROSS JOIN uni u
+         |        LEFT JOIN l3g g ON g.c_mktsegment = t.c_mktsegment
+         |         AND g.band = u.band),
+         |l3e AS (SELECT (sum(abs(cum)) // (SELECT m FROM m1))::BIGINT AS emd_ppm
+         |        FROM l3c GROUP BY c_mktsegment)
+         |SELECT 'l1_nation_segment' AS level, count(*)::BIGINT AS n_groups,
+         | sum(CASE WHEN emd_ppm > $TClosenessPpm THEN 1 ELSE 0 END)::BIGINT
+         |  AS groups_above_t,
+         | max(emd_ppm)::BIGINT AS max_emd_ppm,
+         | (sum(emd_ppm) // count(*))::BIGINT AS mean_emd_ppm FROM l1e
+         |UNION ALL
+         |SELECT 'l2_region_segment', count(*)::BIGINT,
+         | sum(CASE WHEN emd_ppm > $TClosenessPpm THEN 1 ELSE 0 END)::BIGINT,
+         | max(emd_ppm)::BIGINT, (sum(emd_ppm) // count(*))::BIGINT FROM l2e
+         |UNION ALL
+         |SELECT 'l3_segment', count(*)::BIGINT,
+         | sum(CASE WHEN emd_ppm > $TClosenessPpm THEN 1 ELSE 0 END)::BIGINT,
+         | max(emd_ppm)::BIGINT, (sum(emd_ppm) // count(*))::BIGINT FROM l3e
+         |ORDER BY level""".stripMargin,
     "x_dq_expectations" ->
       """WITH checks AS (
         | SELECT 'customer' AS tbl, 'domain_c_mktsegment' AS "check",
@@ -3171,6 +3379,45 @@ object Curation {
         |SELECT source, n_tokens, h_micro_nats, excess_micro_nats,
         | (e_weight * 1000000 // sum(e_weight) OVER ())::BIGINT AS weight_ppm
         |FROM ew ORDER BY source""".stripMargin,
+    // same closed-form waterfill: caps sorted ascending, first rank
+    // whose cap exceeds the even share of the remaining budget, flat
+    // integer share for everything at or above it; epochs_ppm uses the
+    // same two-term int64-safe scale split
+    "x_mix_unimax" ->
+      s"""WITH sizes AS (
+         | SELECT source,
+         |  sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+         | FROM documents GROUP BY source),
+         |b AS (SELECT sum(n_tokens)::BIGINT AS b FROM sizes),
+         |s AS (SELECT count(*)::BIGINT AS s FROM sizes),
+         |ranked AS (
+         | SELECT source, n_tokens,
+         |  (n_tokens * $UnimaxEpochCap)::BIGINT AS cap_tokens,
+         |  row_number() OVER (ORDER BY n_tokens * $UnimaxEpochCap, source)::BIGINT AS rk,
+         |  coalesce(sum(n_tokens * $UnimaxEpochCap) OVER (
+         |    ORDER BY n_tokens * $UnimaxEpochCap, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+         | FROM sizes),
+         |xing AS (
+         | SELECT rk,
+         |  (((SELECT b FROM b) - prefix)
+         |   // ((SELECT s FROM s) - rk + 1))::BIGINT AS share
+         | FROM ranked
+         | WHERE cap_tokens * ((SELECT s FROM s) - rk + 1)
+         |  > (SELECT b FROM b) - prefix
+         | ORDER BY rk LIMIT 1),
+         |alloc AS (
+         | SELECT source, n_tokens, cap_tokens,
+         |  (CASE WHEN rk < coalesce((SELECT rk FROM xing), (SELECT s FROM s) + 1)
+         |   THEN cap_tokens
+         |   ELSE coalesce((SELECT share FROM xing), 0) END)::BIGINT AS alloc_tokens,
+         |  (CASE WHEN rk < coalesce((SELECT rk FROM xing), (SELECT s FROM s) + 1)
+         |   THEN 1 ELSE 0 END)::BIGINT AS capped
+         | FROM ranked)
+         |SELECT source, n_tokens, cap_tokens, alloc_tokens, capped,
+         | ((alloc_tokens // n_tokens) * 1000000
+         |  + ((alloc_tokens % n_tokens) * 1000000) // n_tokens)::BIGINT AS epochs_ppm
+         |FROM alloc ORDER BY source""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH rates AS (
          | SELECT source, count(*) AS c,

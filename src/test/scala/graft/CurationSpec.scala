@@ -155,6 +155,117 @@ class CurationSpec extends AnyFunSuite {
     assert(l1.getLong(4) === fine.map(_.getAs[Long]("div")).min)
   }
 
+  test("t-closeness: EMD bounds and convexity along the QI ladder") {
+    val rows = Curation.tCloseness(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l1_nation_segment", "l2_region_segment", "l3_segment"))
+    val nGroups = rows.map(_.getLong(1))
+    val maxEmd = rows.map(_.getLong(3))
+    val meanEmd = rows.map(_.getLong(4))
+    assert(nGroups(0) >= nGroups(1) && nGroups(1) >= nGroups(2))
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "mean EMD cannot exceed max EMD")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L,
+        "normalized EMD lives in [0, 1] ppm")
+    }
+    // EMD(·, q) is jointly convex, and every coarse group is a mixture
+    // of its fine subgroups, so the worst-group distance can only fall
+    // along the ladder (±m·(m+1) ppm integer-truncation slack)
+    val slack = 200L
+    assert(maxEmd(1) <= maxEmd(0) + slack,
+      s"region-level max EMD must not exceed nation-level: ${maxEmd.toSeq}")
+    assert(maxEmd(2) <= maxEmd(1) + slack,
+      s"segment-level max EMD must not exceed region-level: ${maxEmd.toSeq}")
+    assert(meanEmd.forall(_ >= 0L))
+  }
+
+  test("t-closeness: fully-generalized level re-derives in plain Scala") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, sf)
+      .withColumn("band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+      .select("c_mktsegment", "band")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = cust.length.toLong
+    val bands = cust.map(_._2).distinct.sorted
+    val mMinus1 = math.max(bands.length - 1L, 1L)
+    val qPpm = bands.map { b =>
+      b -> cust.count(_._2 == b).toLong * 1000000L / total
+    }.toMap
+    val emds = cust.groupBy(_._1).map { case (_, rows) =>
+      val ng = rows.length.toLong
+      var cum = 0L
+      var sabs = 0L
+      bands.foreach { b =>
+        val cnt = rows.count(_._2 == b).toLong
+        cum += cnt * 1000000L / ng - qPpm(b)
+        sabs += math.abs(cum)
+      }
+      sabs / mMinus1
+    }.toSeq
+    val l3 = Curation.tCloseness(spark, sf).collect()
+      .find(_.getString(0) == "l3_segment").get
+    assert(l3.getLong(1) === emds.length.toLong)
+    assert(l3.getLong(2) === emds.count(_ > 200000L).toLong)
+    assert(l3.getLong(3) === emds.max)
+    assert(l3.getLong(4) === emds.sum / emds.length)
+  }
+
+  test("unimax: waterfill conservation, caps, and the flat share") {
+    val rows = Curation.mixUnimax(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    val budget = rows.map(_.getLong(1)).sum // B = one corpus epoch
+    val alloc = rows.map(_.getLong(3))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "allocation can never exceed the cap")
+      assert(r.getLong(2) === r.getLong(1) * 2L, "cap = 2 epochs of the source")
+      if (r.getLong(4) === 1L)
+        assert(r.getLong(3) === r.getLong(2), "capped sources take the full cap")
+      assert(r.getLong(5) <= 2000000L, "nobody exceeds the epoch cap in ppm")
+      if (r.getLong(4) === 1L)
+        assert(r.getLong(5) === 2000000L, "capped = exactly 2 epochs")
+    }
+    val uncapped = rows.filter(_.getLong(4) === 0L)
+    assert(uncapped.nonEmpty, "cap = 2·size with B = Σsize must bind somewhere")
+    assert(uncapped.map(_.getLong(3)).distinct.length === 1,
+      "every uncapped source gets the same flat share")
+    val share = uncapped.head.getLong(3)
+    val cappedMax = rows.filter(_.getLong(4) === 1L).map(_.getLong(2))
+    if (cappedMax.nonEmpty)
+      assert(share >= cappedMax.max,
+        "the water level clears every consumed cap")
+    assert(alloc.sum <= budget, "allocations never exceed the budget")
+    assert(budget - alloc.sum < uncapped.length.toLong,
+      "only the flat-share div remainder goes unallocated")
+  }
+
+  test("unimax: closed form matches an independent sequential waterfill") {
+    val rows = Curation.mixUnimax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    val budget = rows.map(_._2).sum
+    // the paper's sequential algorithm, caps ascending: each source in
+    // turn takes min(cap, remaining div sources_left) — with the flat
+    // share frozen at the first crossing, as the closed form computes
+    val byCap = rows.map { case (s, n, _) => (s, n, n * 2L) }
+      .sortBy { case (s, _, cap) => (cap, s) }
+    var remaining = budget
+    var k = byCap.length.toLong
+    var frozenShare = -1L
+    val expected = byCap.map { case (s, _, cap) =>
+      val a =
+        if (frozenShare >= 0L) frozenShare
+        else if (cap * k <= remaining) cap
+        else { frozenShare = remaining / k; frozenShare }
+      remaining -= a; k -= 1
+      s -> a
+    }.toMap
+    rows.foreach { case (s, _, a) =>
+      assert(a === expected(s), s"allocation mismatch for $s")
+    }
+  }
+
   test("dq expectations: clean corpus passes all ten checks") {
     val rows = Curation.dqExpectations(spark, sf).collect()
     assert(rows.length === 10)
