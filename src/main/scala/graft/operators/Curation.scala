@@ -1476,12 +1476,18 @@ object Curation {
       .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"),
         col("band"), col("n"))
       .localCheckpoint() // model-sized; read once per ladder level
-    val total = base.agg(coalesce(sum("n"), lit(0L))).first().getLong(0)
-    val universe = base.groupBy("band").agg(sum("n").as("gcnt"))
-      .withColumn("q_ppm", expr(s"gcnt * 1000000 div ${total}L"))
-      .select("band", "q_ppm")
-      .localCheckpoint() // the m-band reference distribution
-    val mMinus1 = math.max(universe.count() - 1L, 1L)
+    // the m-band reference distribution: ONE model-frame collect (≤ 12
+    // rows) yields the universe, N, and m together — q_ppm quantized
+    // with the same Long truncating division the oracle uses
+    val uniRows = base.groupBy("band").agg(sum("n").as("gcnt"))
+      .orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = uniRows.map(_._2).sum
+    val mMinus1 = math.max(uniRows.length - 1L, 1L)
+    import spark.implicits._
+    val universe = uniRows.toSeq
+      .map { case (band, gcnt) => (band, gcnt * 1000000L / total) }
+      .toDF("band", "q_ppm")
     def level(name: String, keys: Seq[String]): DataFrame = {
       val g = base.groupBy((keys :+ "band").map(col): _*).agg(sum("n").as("cnt"))
       val tot = g.groupBy(keys.map(col): _*).agg(sum("cnt").as("ng"))

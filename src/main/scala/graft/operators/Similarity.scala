@@ -2121,12 +2121,17 @@ object Similarity {
     *
     * Scale: one brute-force-baseline corpus pass builds the pool (the
     * allowlisted 5-broadcast-query shape; the bucketed probes compose
-    * here unchanged), after which EVERYTHING runs on O(queries·K²)
-    * rows — corpus-independent. The greedy loop is [[MmrK]] tiny
-    * keyed joins/aggregates, localCheckpoint'ed per step so the plan
-    * stays flat; candidate pools and pairwise sims checkpoint once.
-    * No collect anywhere — selection state lives in a DataFrame keyed
-    * by query_id.
+    * here unchanged), after which the ENTIRE greedy trajectory runs
+    * inside ONE `groupBy(query_id)` aggregation:
+    * [[graft.functions.MmrGreedyAgg]] folds each query's ≤[[MmrPool]]
+    * (id, sim, vector, norm) rows and replays the exact integer greedy
+    * (identical sim_m/psim_m quantization, identical
+    * (score desc, id asc) argmax) per group. The former shape — K−1
+    * sequential join+argmax stages, each localCheckpointed to keep the
+    * plan flat — was K global BARRIERS over the whole query set; this
+    * is one shuffle that co-locates each query's pool, embarrassingly
+    * parallel at 10⁶ queries, with O(pool·dims) state per partial.
+    * No collect anywhere.
     */
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2140,42 +2145,14 @@ object Similarity {
       .filter(col("rk") <= MmrPool)
       .select(col("query_id"), col("vec_id").as("cand_id"), col("sim"),
         col("v"), col("nrm"))
-      .localCheckpoint()
-    val cands = pool.select(col("query_id"), col("cand_id"), col("sim"),
-      expr("cast(round(sim * 10000) as bigint)").as("sim_m"))
-      .localCheckpoint()
-    val a = pool.select(col("query_id"), col("cand_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = pool.select(col("query_id"), col("cand_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val pairs = a.join(b, Seq("query_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("query_id"), col("a_id"), col("b_id"),
-        round(dot("av", "bv") / (col("an") * col("bn")) * 10000)
-          .cast("bigint").as("psim_m"))
-      .localCheckpoint()
-    def argmax(df: DataFrame, step: Int): DataFrame = df
-      .groupBy("query_id")
-      .agg(max(struct(col("score_m").as("s"), (-col("cand_id")).as("neg"),
-        col("cand_id").as("cand_id"), col("sim").as("sim"))).as("m"))
-      .select(col("query_id"), lit(step.toLong).as("step"),
-        col("m.cand_id").as("neighbor_id"), col("m.sim").as("sim"),
-        col("m.s").as("score_m"))
-    var selected = argmax(
-      cands.withColumn("score_m", lit(7L) * col("sim_m")), 1)
-      .localCheckpoint()
-    for (j <- 2 to MmrK) {
-      val selIds = selected.select(col("query_id"), col("neighbor_id").as("cand_id"))
-      val pen = cands
-        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
-        .join(pairs.withColumnRenamed("a_id", "cand_id"), Seq("query_id", "cand_id"))
-        .join(selIds.withColumnRenamed("cand_id", "b_id"), Seq("query_id", "b_id"))
-        .groupBy("query_id", "cand_id", "sim", "sim_m")
-        .agg(max("psim_m").as("pen_m"))
-        .withColumn("score_m", lit(7L) * col("sim_m") - lit(3L) * col("pen_m"))
-      selected = selected.union(argmax(pen, j)).localCheckpoint()
-    }
-    selected.orderBy("query_id", "step")
+    pool.groupBy("query_id")
+      .agg(graft.functions.MmrGreedy.greedy(
+        col("cand_id"), col("sim"), col("v"), col("nrm"), MmrK).as("sel"))
+      .select(col("query_id"), explode(col("sel")).as("s"))
+      .select(col("query_id"), col("s.step").as("step"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.sim").as("sim"),
+        col("s.score_m").as("score_m"))
+      .orderBy("query_id", "step")
   }
 
   val registry: Map[String, Q] = Map(

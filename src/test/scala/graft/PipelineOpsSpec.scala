@@ -1799,6 +1799,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(changed, "MMR selection must differ from plain top-8 somewhere")
   }
 
+  test("MMR rerank plans as ONE greedy aggregation, not K join barriers") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val df = Similarity.mmrRerank(spark, sf)
+    df.collect() // finalize AQE
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "the greedy trajectory must fold inside MmrGreedyAgg")
+    // corpus fanOut ×2 + pool window + output sort; the greedy agg
+    // itself adds NONE (partial+final reuse the window's partitioning)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 4,
+      s"fanOut x2 + pool window + output sort only, got $shuffles")
+    // the whole selection is one aggregation: no join may appear after
+    // the pool is built except the broadcast query attach
+    val joins = nodes.filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.forall(_.nodeName.contains("Broadcast")),
+      s"only the query-vector broadcast may join, got ${joins.map(_.nodeName)}")
+  }
+
   test("CCNet buckets tertile every language and order surprise head < tail") {
     val rows = TextOps.ccnetBuckets(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum === Tables.documents(spark, sf).count(),
