@@ -2763,6 +2763,61 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** Character edit distance (Levenshtein) of each eval doc vs its
+    * best-matching corpus doc — the ALIGNMENT-COST leg of the
+    * pair-eval family ([[rougeOverlap]] recall, [[evalBleu]]
+    * precision, [[evalF1]] harmonic mean, [[evalChrf]] char-gram F are
+    * all bag-of-gram metrics; edit distance is the only one that sees
+    * ORDER — a candidate with identical gram bags but scrambled text
+    * scores 10⁶ on all four and near-worst here). TER-style score:
+    * edit_ppm = edits·10⁶ div len_eval (can exceed 10⁶ when the
+    * candidate is longer than the reference, as TER does).
+    *
+    * Parity discipline: both engines implement CLASSIC unit-cost
+    * Levenshtein (insert/delete/substitute = 1; Spark
+    * `levenshtein(l, r)`, DuckDB `levenshtein(s1, s2)`) over the
+    * identical lower(trim(text)) grain — the distance is an exact
+    * integer, no quantization anywhere. Unmatched eval docs take
+    * cand_id = −1 with the empty-string candidate, so edits =
+    * len_eval and edit_ppm = 10⁶ fall out of the SAME formula (the
+    * maximal-distance contract, not rouge's zeros — distance to
+    * nothing is everything).
+    *
+    * Scale: pair attribution reuses [[evalPairSpine]] verbatim (banded
+    * candidates, never all-pairs); the corpus semi-joins down to the
+    * selected pair docs BEFORE any text moves ([[evalChrf]]'s
+    * pair-bounded-mass discipline), then ONE codegen'd levenshtein
+    * projection per pair row — O(#eval docs × len²) character work
+    * total, corpus-independent.
+    */
+  def evalEdit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
+    val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
+    val best = spineBest
+      .select("eval_id", "cand_id")
+      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+    // eval texts from the eval SPLIT (universe grain — an unmatched
+    // eval doc is absent from the pair frame but still needs its text);
+    // candidate texts pair-bounded via the selected-doc semi-join
+    val evalTx = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("tx").as("t_eval"))
+    val candTx = docs.join(broadcast(pairDocIds(best)), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cand_id"), col("tx").as("t_cand"))
+    universe
+      .join(best, Seq("eval_id"), "left")
+      .na.fill(-1L, Seq("cand_id"))
+      .join(broadcast(evalTx), Seq("eval_id"))
+      .join(broadcast(candTx), Seq("cand_id"), "left")
+      .withColumn("t_cand", coalesce(col("t_cand"), lit("")))
+      .withColumn("edits", levenshtein(col("t_eval"), col("t_cand")).cast("long"))
+      .withColumn("len_eval", length(col("t_eval")).cast("long"))
+      .withColumn("len_cand", length(col("t_cand")).cast("long"))
+      .withColumn("edit_ppm", expr("edits * 1000000 div greatest(len_eval, 1L)"))
+      .select("eval_id", "cand_id", "edits", "len_eval", "len_cand", "edit_ppm")
+      .orderBy("eval_id")
+  }
+
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame =
     contaminationScanGated(spark, sfDir, useBloom = true)
 
@@ -3047,6 +3102,7 @@ object Curation {
     "x_eval_bleu" -> evalBleu _,
     "x_eval_f1" -> evalF1 _,
     "x_eval_chrf" -> evalChrf _,
+    "x_eval_edit" -> evalEdit _,
     "x_emb_quantize" -> quantizeEmbeddings _,
     "x_incr_agg" -> incrAgg _,
     "x_scd2_dim" -> scd2Dim _,
@@ -4153,6 +4209,58 @@ object Curation {
          | (CASE WHEN 4 * len_ref_grams + len_hyp_grams > 0
          |   THEN 5 * m * 1000000 // (4 * len_ref_grams + len_hyp_grams)
          |   ELSE 0 END)::BIGINT AS chrf_ppm
+         |FROM j ORDER BY eval_id""".stripMargin,
+    // same pair spine, then classic unit-cost Levenshtein on the
+    // identical lower(trim(text)) grain — exact integers end to end;
+    // unmatched docs distance the empty string (edit_ppm = 10^6)
+    "x_eval_edit" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |shd AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS sh
+         | FROM t),
+         |ex AS (
+         | SELECT doc_id, ${h60Sql("s")} AS hs
+         | FROM (SELECT doc_id, unnest(sh) AS s FROM shd)),
+         |kept AS (
+         | SELECT hs FROM (
+         |  SELECT hs, count(*) AS df,
+         |   max(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END) AS ev
+         |  FROM ex GROUP BY hs)
+         | WHERE df <= $HotDocFreq AND ev = 1),
+         |es AS (SELECT doc_id AS eval_id, hs FROM ex
+         |       WHERE doc_id % $EvalMod = 0 AND hs IN (SELECT hs FROM kept)),
+         |inter AS (
+         | SELECT es.eval_id, c.doc_id AS cand_id, count(*)::BIGINT AS inter
+         | FROM es JOIN ex c USING (hs)
+         | WHERE c.doc_id % $EvalMod <> 0
+         | GROUP BY es.eval_id, c.doc_id),
+         |best AS (
+         | SELECT eval_id, cand_id FROM (
+         |  SELECT eval_id, cand_id,
+         |   row_number() OVER (PARTITION BY eval_id
+         |     ORDER BY inter DESC, cand_id ASC) AS rk
+         |  FROM inter QUALIFY rk = 1)),
+         |universe AS (
+         | SELECT DISTINCT doc_id AS eval_id FROM documents
+         | WHERE doc_id % $EvalMod = 0),
+         |txt AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+         |j AS (
+         | SELECT un.eval_id, coalesce(b.cand_id, -1)::BIGINT AS cand_id,
+         |  e.tx AS t_eval, coalesce(c.tx, '') AS t_cand
+         | FROM universe un
+         | LEFT JOIN best b USING (eval_id)
+         | JOIN txt e ON e.doc_id = un.eval_id
+         | LEFT JOIN txt c ON c.doc_id = b.cand_id)
+         |SELECT eval_id, cand_id,
+         | levenshtein(t_eval, t_cand)::BIGINT AS edits,
+         | length(t_eval)::BIGINT AS len_eval,
+         | length(t_cand)::BIGINT AS len_cand,
+         | ((levenshtein(t_eval, t_cand)::BIGINT * 1000000)
+         |   // greatest(length(t_eval), 1))::BIGINT AS edit_ppm
          |FROM j ORDER BY eval_id""".stripMargin,
     // Same derivation as x_contamination minus the hot-shingle cap: the
     // bloom is invisible to the result (prune-only; false positives are

@@ -155,6 +155,47 @@ class CurationSpec extends AnyFunSuite {
     assert(l1.getLong(4) === fine.map(_.getAs[Long]("div")).min)
   }
 
+  test("eval edit distance: universe coverage, metric bounds, DP re-derivation") {
+    val rows = Curation.evalEdit(spark, sf).collect()
+    val evalIds = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 97 = 0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === evalIds,
+      "every eval doc gets exactly one row")
+    rows.foreach { r =>
+      val (edits, le, lc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(edits >= math.abs(le - lc) && edits <= math.max(le, lc),
+        s"Levenshtein bounds violated for eval ${r.getLong(0)}")
+      if (r.getLong(1) === -1L) {
+        assert(lc === 0L && edits === le,
+          "unmatched docs distance the empty string")
+        if (le > 0) assert(r.getLong(5) === 1000000L)
+      }
+    }
+    // independent classic-DP re-derivation for every matched pair
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val txt = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("lower(trim(text))").as("tx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getLong(1) >= 0L).foreach { r =>
+      assert(r.getLong(2) === lev(txt(r.getLong(0)), txt(r.getLong(1))),
+        s"edit distance mismatch for pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("t-closeness: EMD bounds and convexity along the QI ladder") {
     val rows = Curation.tCloseness(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ===
