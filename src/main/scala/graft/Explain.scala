@@ -272,6 +272,15 @@ object Explain {
           "independent; BenchOps.xLayoutSkipping r13: restructured into this query's own " +
           "executed plan so the lint walks it, replacing the intermediate-count bypass)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
+      "x_mix_unimax" -> Map("global-window" ->
+        ("waterfill rank/prefix windows run over the localCheckpointed S-row per-source " +
+          "model frame (ONE row per source however big the corpus — the mixTemperature " +
+          "shape); the checkpoint truncates the lineage, so the aggregate beneath is " +
+          "invisible to hasAggBelow (Curation.mixUnimax)")),
+      "x_t_closeness" -> Map("bnlj" ->
+        ("broadcast crossJoin of the ≤12-row band-universe frame onto the QI-group model " +
+          "frame (nations × segments rows, corpus-independent — both sides bounded by " +
+          "attribute cardinality, Curation.tCloseness)")),
       "x_vocab_coverage" -> Map("bnlj" ->
         "non-equi join of two CONSTANT frames — the 8-row k-grid × the VocabTopK-row ranked vocab — plus a 1-row total attach (TextOps.scala:583-588)"),
       "x_sim_topk_bruteforce" -> Map("bnlj" ->

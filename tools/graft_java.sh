@@ -22,7 +22,7 @@ OPENS=(
 )
 ARGS=()
 for p in "${OPENS[@]}"; do ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
-exec java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+exec java -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
   "${ARGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   "-Xmx$XMX" "$@"
