@@ -342,7 +342,10 @@ object Explain {
       "x_stream_drift" -> Map("bnlj" ->
         "crossJoin of two model-sized aggregates off the already-aggregated sink grid — the #days frame × the #value-buckets frame (≈ days × log2(max value micros) rows however large the feed, EventStreams.streamDrift)"),
       "x_stream_ann" -> Map("large-local-relation" -> memorySink),
-      "x_stream_perplexity" -> Map("large-local-relation" -> memorySink),
+      // r13-opt: the sink now holds per-DOC aggregates (complete-mode
+      // in-stream aggregation), so it only crosses the row bound above
+      // sf0.001 (~500 docs there, 5k at sf0.1)
+      "x_stream_perplexity" -> Map("large-local-relation" -> ("[scale-dependent] " + memorySink)),
       "x_stream_window_sliding" -> Map("large-local-relation" -> memorySink),
       // the same memory-sink harness scans, but their outputs only
       // cross the row bound above sf0.001 (sink size scales with the

@@ -2535,19 +2535,36 @@ object Curation {
         max(when(col("doc_id") % EvalMod === 0, 1).otherwise(0)).as("ev"))
       .filter(col("df") <= HotDocFreq && col("ev") === 1)
       .select("hs")
-    val evalSide = ex.filter(col("doc_id") % EvalMod === 0)
-      .join(keptHs, Seq("hs"), "left_semi")
+    // The kept-shingle posting frame for ALL docs, checkpointed
+    // (r13-opt, guide §1.2/§2.4): den and best both consume it, and
+    // the downstream pair metrics replay the spine once more — without
+    // the checkpoint each consumer subtree re-runs the corpus
+    // tokenize+bigram explode (3–5 executions per query; exchange
+    // reuse recovered only the identical aggregates). Pinning is
+    // scale-safe: kept shingles are eval-present AND df ≤
+    // [[HotDocFreq]], so the block is ≤ #eval-bigrams × (1 +
+    // HotDocFreq) rows of (doc_id, hs) — benchmark-bounded, never
+    // corpus-bounded — and the two unavoidable corpus passes (df
+    // census + posting semi-join) now run exactly once.
+    // The candidate side's kept-filter is semantically free: best's
+    // equi-join on hs already restricts candidates to the eval side's
+    // kept shingles, so joining exk(eval) with exk(cand) is identical
+    // to the old evalSide ⨝ raw-candidate join.
+    val exk = ex.join(keptHs, Seq("hs"), "left_semi").localCheckpoint()
+    val evalSide = exk.filter(col("doc_id") % EvalMod === 0)
     val den = evalSide.groupBy("doc_id").agg(count(lit(1)).as("den"))
       .withColumnRenamed("doc_id", "eval_id")
     val best = evalSide.withColumnRenamed("doc_id", "eval_id")
-      .join(ex.filter(col("doc_id") % EvalMod =!= 0)
+      .join(exk.filter(col("doc_id") % EvalMod =!= 0)
         .withColumnRenamed("doc_id", "cand_id"), "hs")
       .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("inter"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("eval_id").orderBy(col("inter").desc, col("cand_id").asc)))
       .filter(col("rk") === 1)
       .select("eval_id", "cand_id", "inter")
-    val universe = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
+    // no fanOut: universe only projects+distincts eval doc ids — the
+    // repartition was a pure extra shuffle ahead of distinct's own
+    val universe = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_id")).distinct()
     (universe, den, best)

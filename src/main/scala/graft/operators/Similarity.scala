@@ -1312,31 +1312,56 @@ object Similarity {
   private val PqK = 16      // codes per subspace → 4 bits/code
   private val PqIters = 2
 
-  /** (vec_id, s, sv): each vector split into [[PqM]] contiguous
-    * subvectors — the PQ decomposition. `slice` is 1-based.
+  /** Single-pass PQ encode (r13-opt): ONE projection computes every
+    * subspace's argmin code — plus its distance and subvector, for the
+    * training/distortion consumers — and ONE posexplode unrolls the
+    * [[PqM]] entries into (s, code, mind, sv) rows.
+    *
+    * This replaces the previous shape of [[PqM]] union branches, each
+    * of which re-scanned the input and re-ran the subspace explode
+    * before filtering to its own `s` (guide §2.4 "remove shuffles/
+    * passes outright" applied to scans: 8 parquet scans + 8 Generates
+    * and a ~0.5 MB formatted plan PER CONSUMER collapse to 1 scan +
+    * 1 Generate; the codebook literals appear once instead of once
+    * per branch, so Catalyst analysis/optimization cost drops ~8×).
+    * Floats and tie-breaks are untouched — `slice` over the same
+    * 1-based bounds, the same c² − 2·sv·c struct argmin with the code
+    * index tie-break — so codes, distances and subvectors are
+    * bit-identical to the union form and every PQ oracle stays green.
+    *
+    * Carries every column of `frame` except `v` alongside. `fields`
+    * picks which of code/mind/sv each consumer pays for — the serving
+    * paths need only `code`, the distortion census only `mind`+`sv`,
+    * training `code`+`sv` — so no consumer evaluates the 16-centroid
+    * argmin (or materializes subvectors) it will immediately project
+    * away.
     */
-  private[graft] def subspaceFrame(base: DataFrame): DataFrame =
-    base.select(col("vec_id"),
-        explode(array((0 until PqM).map(lit): _*)).as("s"), col("v"))
-      .withColumn("sv", expr(s"slice(v, s * $PqSubDim + 1, $PqSubDim)"))
-      .drop("v")
-
-  /** Per-subspace argmin code assignment (same (distance, code)
-    * tiebreak discipline as [[assignTo]]); one plan branch per
-    * subspace with that subspace's codebook inlined as literals.
-    */
-  private[graft] def encodePq(books: Map[Int, Seq[Array[Double]]])(sub: DataFrame): DataFrame =
-    (0 until PqM).map { s =>
-      val scored = books(s).zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct(
-          (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
-            .dot_product(col("sv"), centroidCol(c))).as("d"),
-          lit(j).as("j"))
+  private[graft] def encodedSubspaces(
+      books: Map[Int, Seq[Array[Double]]],
+      fields: Seq[String] = Seq("code"))(frame: DataFrame): DataFrame = {
+    val entries = (0 until PqM).map { s =>
+      val sv = expr(s"slice(v, ${s * PqSubDim} + 1, $PqSubDim)")
+      lazy val m = {
+        val scored = books(s).zipWithIndex.map { case (c, j) =>
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (lit(c2) - lit(2.0) * graft.functions.VectorExpressions
+              .dot_product(sv, centroidCol(c))).as("d"),
+            lit(j).as("j"))
+        }
+        array_min(array(scored: _*))
       }
-      sub.filter(col("s") === s)
-        .withColumn("code", array_min(array(scored: _*)).getField("j"))
-    }.reduce(_ unionByName _)
+      struct(fields.map {
+        case "code" => m.getField("j").as("code")
+        case "mind" => m.getField("d").as("mind")
+        case "sv"   => sv.as("sv")
+      }: _*)
+    }
+    val others = frame.columns.filterNot(_ == "v").map(col).toSeq
+    frame
+      .select(others :+ posexplode(array(entries: _*)).as(Seq("s", "x")): _*)
+      .select(others ++ (col("s") +: fields.map(f => col(s"x.$f").as(f))): _*)
+  }
 
   /** Per-subspace Lloyd training with the [[IvfQ]] exact-integer mean
     * discipline; seeds are the subvectors of the same md5-ordered
@@ -1354,9 +1379,8 @@ object Similarity {
       var books: Map[Int, Seq[Array[Double]]] = (0 until PqM).map { s =>
         s -> seedVecs.map(v => v.slice(s * PqSubDim, (s + 1) * PqSubDim)).toSeq
       }.toMap
-      val sub = subspaceFrame(cached)
       for (_ <- 1 to PqIters) {
-        val rows = encodePq(books)(sub)
+        val rows = encodedSubspaces(books, Seq("code", "sv"))(cached)
           .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
           .select(col("s"), col("code"), col("pos"),
             expr(s"cast(round(x * $IvfQ) as bigint)").as("xi"))
@@ -1386,28 +1410,18 @@ object Similarity {
     * zero). Shares [[trainedBooks]] and the retrain oracle with the
     * ADC query path, so the census audits exactly the shipped codes.
     *
-    * Scale: one fused projection per subspace branch (the encode
-    * expression + a self-dot) + an M-group aggregate — publish-time
-    * cost, no shuffle beyond the 8-row rollup.
+    * Scale: ONE fused projection (the single-pass [[encodedSubspaces]]
+    * encode + a self-dot per subspace entry) + an M-group aggregate —
+    * publish-time cost, no shuffle beyond the 8-row rollup.
     */
   def pqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.dot_product
     val base = corpus(spark, sfDir).select("vec_id", "v")
     val books = trainedBooks(spark, sfDir, base)
-    val sub = subspaceFrame(base)
-    (0 until PqM).map { s =>
-      val scored = books(s).zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct(
-          (lit(c2) - lit(2.0) * dot_product(col("sv"), centroidCol(c))).as("d"),
-          lit(j).as("j"))
-      }
-      sub.filter(col("s") === s)
-        .withColumn("mind", array_min(array(scored: _*)).getField("d"))
-        .withColumn("svsv", dot_product(col("sv"), col("sv")))
-        .withColumn("dist_micro", expr(
-          "greatest(cast(round((svsv + mind) * 1000000) as bigint), cast(0 as bigint))"))
-    }.reduce(_ unionByName _)
+    encodedSubspaces(books, Seq("mind", "sv"))(base)
+      .withColumn("svsv", dot_product(col("sv"), col("sv")))
+      .withColumn("dist_micro", expr(
+        "greatest(cast(round((svsv + mind) * 1000000) as bigint), cast(0 as bigint))"))
       .groupBy("s")
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist_micro) div count(1)").as("mean_dist_micro"),
@@ -1472,7 +1486,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = corpus(spark, sfDir).select("vec_id", "v")
     val books = trainedBooks(spark, sfDir, base)
-    val encoded = encodePq(books)(subspaceFrame(base)).select("vec_id", "s", "code")
+    val encoded = encodedSubspaces(books)(base).select("vec_id", "s", "code")
     // model-sized query extraction: the 5 gated query vectors
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
       .map(r => r.getAs[Number]("vec_id").longValue() -> r.getSeq[Double](1).toArray)
@@ -1517,13 +1531,9 @@ object Similarity {
     val base = corpus(spark, sfDir)
     val cents = trainedCentroids(spark, sfDir, base)
     val books = trainedBooks(spark, sfDir, base.select("vec_id", "v"))
-    val assigned = assignTo(cents)(base)
-    val sub = assigned
-      .select(col("vec_id"), col("list_id"),
-        explode(array((0 until PqM).map(lit): _*)).as("s"), col("v"))
-      .withColumn("sv", expr(s"slice(v, s * $PqSubDim + 1, $PqSubDim)"))
-      .drop("v")
-    val encoded = encodePq(books)(sub).select("vec_id", "list_id", "s", "code")
+    val assigned = assignTo(cents)(base).select("vec_id", "list_id", "v")
+    val encoded = encodedSubspaces(books)(assigned)
+      .select("vec_id", "list_id", "s", "code")
     val probes = probeFrame(base, cents, IvfNProbe)
       .select("query_id", "list_id").distinct()
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
@@ -1595,12 +1605,8 @@ object Similarity {
         col("v"), element_at(centTable, col("list_id") + 1)))
       .select(col("vec_id"), col("list_id"), col("rv").as("v"))
     val rbooks = trainedResidBooks(spark, sfDir, resid.select("vec_id", "v"))
-    val sub = resid
-      .select(col("vec_id"), col("list_id"),
-        explode(array((0 until PqM).map(lit): _*)).as("s"), col("v"))
-      .withColumn("sv", expr(s"slice(v, s * $PqSubDim + 1, $PqSubDim)"))
-      .drop("v")
-    val encoded = encodePq(rbooks)(sub).select("vec_id", "list_id", "s", "code")
+    val encoded = encodedSubspaces(rbooks)(resid)
+      .select("vec_id", "list_id", "s", "code")
     val probes = probeFrame(base, cents, IvfNProbe)
       .select("query_id", "list_id").distinct()
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
