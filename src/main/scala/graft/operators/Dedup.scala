@@ -235,30 +235,45 @@ object Dedup {
   private def bandedBuckets(docs: DataFrame): DataFrame =
     bandedFromSigs(minhashSignatures(docs))
 
-  /** All verified candidate pairs with exact Jaccard (no limit) — the
-    * edge set shared by [[minhashLsh]] (top-20 view) and
-    * [[nearDupClusters]] (cluster formation).
+  /** (candidate pairs, candidate shingle carry) of the banded LSH
+    * self-join — both localCheckpointed (r13-opt, guide §2.4): pairs
+    * is consumed three times per consumer (the verify join + twice in
+    * candIds' union) and shCand twice (the doc_a/doc_b attach joins —
+    * different join keys, so no exchange is reusable between them),
+    * and every un-checkpointed copy re-ran the shingle→minhash→band
+    * lineage; AQE's stage reuse only dedupes the identical banded
+    * exchanges of the self-join itself. The pinned blocks are the
+    * banding-bounded edge frame and the candidate-bounded shingle
+    * carry — the established model-sized-edge-frame checkpoint class,
+    * never full corpus text.
+    *
+    * Exact-verify discipline unchanged: the corpus is semi-joined down
+    * to candidate doc_ids before any shingle array moves, so the
+    * corpus side is never broadcast and never shuffled in full.
     */
-  private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(spark, sfDir)
-    val banded = bandedBuckets(docs)
+  private def bandedCandidates(docs: DataFrame, banded: DataFrame)
+      : (DataFrame, DataFrame) = {
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact-verify join: the corpus is first semi-joined down to the
-    // candidate doc_ids, so only candidate rows carry shingle arrays —
-    // the corpus side is never broadcast and never shuffled in full.
-    // (The candidate-id set is bounded by the banding selectivity, so
-    // AQE may legitimately broadcast *it*; what must not happen at
-    // 100 TB is a broadcast or full shuffle of doc→shingles, and the
-    // semi-join guarantees that.)
+      .localCheckpoint()
     val sh = docs.select(col("doc_id"), col("shingles"))
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    (pairs, shCand)
+  }
+
+  /** All verified candidate pairs with exact Jaccard (no limit) — the
+    * edge set shared by [[minhashLsh]] (top-20 view) and
+    * [[nearDupClusters]] (cluster formation).
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val (pairs, shCand) = bandedCandidates(docs, bandedBuckets(docs))
     pairs
       .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -364,13 +379,9 @@ object Dedup {
   def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir)
     val sigs = minhashSignatures(docs).localCheckpoint()
-    val banded = bandedFromSigs(sigs)
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // exact side: the shared banded-candidate spine (pairs + shingle
+    // carry both checkpointed — r13-opt, see [[bandedCandidates]])
+    val (pairs, shCand) = bandedCandidates(docs, bandedFromSigs(sigs))
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
     val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -378,12 +389,6 @@ object Dedup {
     val nMatch = (0 until NumHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    // exact side: the verified-pairs semi-join shape — only candidate
-    // docs carry shingle arrays into the join
-    val sh = docs.select(col("doc_id"), col("shingles"))
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
     pairs
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_match", nMatch)
@@ -425,17 +430,7 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir)
-    val banded = bandedBuckets(docs)
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = docs.select(col("doc_id"), col("shingles"))
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val (pairs, shCand) = bandedCandidates(docs, bandedBuckets(docs))
     pairs
       .join(shCand.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shCand.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -1287,18 +1282,23 @@ object Dedup {
   def embeddingCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.dot_product
     val banded = Similarity.bandedCorpus(spark, sfDir)
+    // pairs ×3 / eCand ×2 consumers below — the [[bandedCandidates]]
+    // checkpoint discipline (r13-opt): pin the collision-bounded edge
+    // frame and the candidate-bounded vector carry instead of
+    // re-running the banded self-join per consumer subtree
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+      .localCheckpoint()
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
     val candIds = pairs.select(col("id_a").as("vec_id"))
       .union(pairs.select(col("id_b").as("vec_id"))).distinct()
-    val eCand = e.join(candIds, Seq("vec_id"), "left_semi")
+    val eCand = e.join(candIds, Seq("vec_id"), "left_semi").localCheckpoint()
     pairs
       .join(eCand.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(eCand.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
