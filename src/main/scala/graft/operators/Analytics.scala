@@ -506,13 +506,6 @@ object Analytics {
     */
   def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val supply = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("""floor(cast(round(l_extendedprice * 100) as bigint)
-               |  * (100 - cast(round(l_discount * 100) as bigint)) * 100
-               |  / l_quantity)""".stripMargin).as("cost_u"))
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min("cost_u").as("supply_cost_u"))
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
@@ -522,6 +515,27 @@ object Analytics {
     val p = Tables.part(spark, sfDir)
       .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_name"))
+    // r13-opt (guide §2.3 "shuffle fewer bytes" / §3.2 semi-join
+    // pre-filter): the 1-in-300 part slice and the 1-region supplier
+    // set used to join ABOVE the (partkey, suppkey) aggregate, so the
+    // aggregate shuffled every supply pair of the corpus; the two
+    // broadcast semi-joins push that selectivity below the exchange.
+    // Grouping keys are the join keys, so per-group minima are
+    // untouched — the downstream inner joins already restricted the
+    // output to exactly these keys. Map-side agg carried ~0 reduction
+    // here (the grain IS the group key), making the pre-filter the
+    // whole win: the agg exchange now moves ~0.3% of the rows.
+    val supply = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("""floor(cast(round(l_extendedprice * 100) as bigint)
+               |  * (100 - cast(round(l_discount * 100) as bigint)) * 100
+               |  / l_quantity)""".stripMargin).as("cost_u"))
+      .join(broadcast(p.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eligSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cost_u").as("supply_cost_u"))
     val elig = supply
       .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))

@@ -798,10 +798,16 @@ object Similarity {
     * (deterministic hyperplane literals) and the identical orientation.
     */
   def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // und ×3 consumers (deg, the orientation join, the edge census)
+    // and orient ×3 (both wedge sides + the closing probe) — each
+    // un-checkpointed copy re-ran the scan→distinct→degree-join chain
+    // per subtree; both frames are edge-sized (r13-opt, the
+    // bandedCandidates checkpoint discipline)
     val und = knnEdgesOnDisk(spark, sfDir)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -812,6 +818,7 @@ object Similarity {
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("w"),
       when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint()
     // wedges at the apex: unordered out-neighbor pairs, ordered by rank
     val e1 = orient.select(col("u"), col("w").as("x"), col("dw").as("dx"))
     val e2 = orient.select(col("u"), col("w").as("y"), col("dw").as("dy"))
@@ -1079,19 +1086,23 @@ object Similarity {
       nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     var pr = nodes.withColumn("pr", lit(PrScale / n))
-    for (_ <- 1 to PrIters) {
+    for (it <- 1 to PrIters) {
       val dang = pr.join(outdeg, pr("vec_id") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
       val contribs = pr.join(edges, pr("vec_id") === edges("src"))
         .join(outdeg, "src")
         .select(col("dst"), expr("pr div odeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
-      pr = nodes.join(contribs, nodes("vec_id") === contribs("dst"), "left")
+      val next = nodes.join(contribs, nodes("vec_id") === contribs("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("vec_id"),
           (lit(3 * PrScale / (20 * n)) +
             expr(s"(17 * (coalesce(s, 0L) + dang div ${n}L)) div 20")).as("pr"))
-        .localCheckpoint()
+      // Every round checkpoints — including the last (r13-opt probed
+      // skipping it: the caller's orderBy RANGE-SAMPLES its child, so
+      // an un-checkpointed final round executes twice and measured
+      // +25%; "consumed once" is false under any sort/range sink).
+      pr = next.localCheckpoint()
     }
     pr.select(col("vec_id"), col("pr"))
   }
@@ -2019,7 +2030,7 @@ object Similarity {
     var lbl = corpus(spark, sfDir).select(col("vec_id"))
       .withColumn("lbl", col("vec_id"))
       .localCheckpoint()
-    for (_ <- 1 to LpaIters) {
+    for (it <- 1 to LpaIters) {
       val counts = adj
         .join(lbl.select(col("vec_id").as("nb"), col("lbl")), "nb")
         .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
@@ -2027,6 +2038,9 @@ object Similarity {
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("neg"),
           col("lbl").as("l"))).as("m"))
         .select(col("v").as("vec_id"), col("m.l").as("new_lbl"))
+      // every round checkpoints — the final rollup ends in an orderBy
+      // whose range sampling re-executes an un-checkpointed last round
+      // (the pagerankFrames r13-opt lesson)
       lbl = lbl.join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
@@ -2092,6 +2106,9 @@ object Similarity {
         .join(active, "v")
         .join(active.select(col("v").as("nb")), "nb")
         .groupBy("v").agg(count(lit(1)).as("deg"))
+      // every round checkpoints — the census ends in an orderBy whose
+      // range sampling re-executes an un-checkpointed last round (the
+      // pagerankFrames r13-opt lesson: measured +20% when skipped)
       val next = deg.filter(col("deg") >= KCoreK).select("v")
         .localCheckpoint()
       val row = active.agg(count(lit(1)).as("n_before"))
