@@ -2175,9 +2175,16 @@ object TextOps {
       .filter(col("pos") >= WinnowWindow - 1) // full windows only
       .select(col("doc_id"), expr(s"sel div $WinnowHashMod").as("h"))
       .distinct()
+      // fps ×2 consumers (the df census + the keep join) and kept ×3
+      // (self-join both sides + perDoc) — checkpoint both so the
+      // 3-gram md5 + winnow-window chain runs once, not 4-5× per
+      // subtree (r13-opt, the bandedCandidates discipline; both frames
+      // are winnow-selected fingerprint sets, far below token mass)
+      .localCheckpoint()
     val kept = fps.join(
       fps.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= WinnowDfCap),
       "h")
+      .localCheckpoint()
     val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
