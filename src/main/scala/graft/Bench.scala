@@ -422,16 +422,48 @@ object Bench {
     // BENCH_LOCAL.json).
     val budget = 1700
     val fmt = (v: Double) => if (v < 0) "-1" else f"$v%.3f"
+    // Digest-entry ordering (r14 contract hardening): the r13 slowest-
+    // first digest silently dropped queries that got FASTER, which the
+    // driver's round-over-round compare then reported as
+    // `dropped_from_bench` — a correctness red flag for what was
+    // actually the round's best news. The digest now carries the
+    // previous full sweep's digest keys FIRST (bench-results/
+    // DIGEST_KEYS.txt, written below), so a query the driver saw last
+    // round can never vanish from the window just because it improved;
+    // remaining budget fills slowest-first as before. The full
+    // per-query map is unchanged in target/bench.json +
+    // bench-results/BENCH_FULL.json.
+    val keysPath = Paths.get("bench-results/DIGEST_KEYS.txt")
+    val priorKeys: Set[String] =
+      if (Files.exists(keysPath))
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(Files.lines(keysPath).iterator).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val bySlowest = finalResults.sortBy { case (_, v) => -v }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"floor_ratio":${f"$baselineVsBest%.2f"},"remedianed_n":${reMedianNote.size},"suspects":$suspJson,"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
-    val entries = bySlowest.map { case (k, v) => jq(k) + ":" + fmt(v) }
+    val ordered = bySlowest.filter(e => priorKeys(e._1)) ++
+      bySlowest.filterNot(e => priorKeys(e._1))
+    val entries = ordered.map { case (k, v) => (k, jq(k) + ":" + fmt(v)) }
     var kept = entries.length
+    // digest-local suspects: only names the digest itself carries — a
+    // suspect flag on an omitted query is dead weight in the driver's
+    // byte-budgeted window (the FULL suspect list is in the full map);
+    // r13's digest spent ~800 bytes flagging 30 omitted queries.
     def digest(n: Int): String = {
+      val names = entries.take(n).map(_._1).toSet
+      val sj = suspects.filter(names).map(jq).mkString("[", ",", "]")
+      val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"floor_ratio":${f"$baselineVsBest%.2f"},"remedianed_n":${reMedianNote.size},"suspects":$sj,"suspects_total":${suspects.size},"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
       val omitted = if (n < entries.length)
         s""","omitted":${entries.length - n}""" else ""
-      head + entries.take(n).mkString(",") + "}" + omitted + "}"
+      head + entries.take(n).map(_._2).mkString(",") + "}" + omitted + "}"
     }
     while (kept > 1 && digest(kept).length > budget) kept -= 1
+    // persist this digest's key set for the next sweep's priority list
+    // — full sweeps only (a SPARK_GRAFT_BENCH_ONLY subset would shrink
+    // the carry-set and reintroduce phantom drops)
+    if (only.isEmpty)
+      Files.writeString(keysPath,
+        entries.take(kept).map(_._1).mkString("", "\n", "\n"))
     println(digest(kept))
     spark.stop()
   }

@@ -143,11 +143,26 @@ object Explain {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      walkPlans(p).drop(1).exists {
-        case _: BaseAggregateExec => true
-        case _ => false
+    // Sees THROUGH registered checkpoints (r14): a localCheckpoint
+    // truncates the plan to an RDD scan, which used to blind this to
+    // the aggregate beneath a pinned model frame (the r13 allowlist
+    // entry for x_mix_unimax existed only for that) — the [[Ckpt]]
+    // registry keeps each pin's pre-checkpoint executed plan, so the
+    // walk continues below the scan instead of accumulating
+    // justifications for findings that aren't real.
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def any(pl: org.apache.spark.sql.execution.SparkPlan, dropSelf: Boolean): Boolean = {
+        val nodes = walkPlans(pl)
+        (if (dropSelf) nodes.drop(1) else nodes).exists {
+          case _: BaseAggregateExec => true
+          case r: org.apache.spark.sql.execution.RDDScanExec if seen.add(r.rdd.id) =>
+            Ckpt.preCheckpointPlan(r.rdd.id).exists(any(_, dropSelf = false))
+          case _ => false
+        }
       }
+      any(p, dropSelf = true)
+    }
     walkPlans(plan).flatMap {
       case w: WindowExec if w.partitionSpec.forall(_.foldable) && !hasAggBelow(w) =>
         Some(("global-window",
@@ -272,11 +287,10 @@ object Explain {
           "independent; BenchOps.xLayoutSkipping r13: restructured into this query's own " +
           "executed plan so the lint walks it, replacing the intermediate-count bypass)")),
       "x_skew_profile" -> Map("bnlj" -> (scalarAttach + " (corpus total for skew ratios, Skew.scala:72)")),
-      "x_mix_unimax" -> Map("global-window" ->
-        ("waterfill rank/prefix windows run over the localCheckpointed S-row per-source " +
-          "model frame (ONE row per source however big the corpus — the mixTemperature " +
-          "shape); the checkpoint truncates the lineage, so the aggregate beneath is " +
-          "invisible to hasAggBelow (Curation.mixUnimax)")),
+      // (r14: the x_mix_unimax global-window entry is GONE — hasAggBelow
+      // now walks through registered checkpoints via Ckpt, so the
+      // waterfill windows over the checkpointed per-source model frame
+      // are recognized as post-aggregate and the finding no longer fires)
       "x_t_closeness" -> Map("bnlj" ->
         ("broadcast crossJoin of the ≤12-row band-universe frame onto the QI-group model " +
           "frame (nations × segments rows, corpus-independent — both sides bounded by " +

@@ -255,6 +255,114 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Fused IVF(+residual) PQ encode kernel (r14-opt): coarse argmin
+    * assignment, optional residual subtraction, and all [[graft.operators.Similarity]]
+    * PqM subspace argmin codes in ONE pass over the vector — replacing
+    * the assignTo projection (K×d literal centroids), the vec_sub
+    * projection (a 64-double allocation per row), and the
+    * encodedSubspaces projection (M×PqK×subDim literal codebooks, M
+    * slice allocations per row). The models ride as reference objects
+    * instead of thousands of literal expression nodes, so the analyzed
+    * plan collapses from ~3k nodes to one and per-task codegen stays
+    * tiny.
+    *
+    * Float parity is EXACT by construction (oracle hash-checked):
+    *  - coarse d_j = c2_j − 2.0·Σᵢ v_i·c_i, summed index order — the
+    *    assignTo struct-argmin; ties keep the lower j (strict <, j
+    *    ascending), matching array_min's (d, j) struct ordering.
+    *  - residual element (v_i − cent_i) then ·b_i then += — identical
+    *    IEEE sequence to vec_sub followed by dot_product.
+    *  - subspace d = bc2_sj − 2.0·Σ sv·b, same argmin tie-break as the
+    *    encodedSubspaces struct array_min.
+    */
+  def ivfPqEncode(
+      v: ArrayData,
+      cents: Array[Array[Double]], c2: Array[Double],
+      books: Array[Array[Array[Double]]], bc2: Array[Array[Double]],
+      subDim: Int, residual: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    var listId = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+      val d = c2(j) - 2.0 * acc
+      if (listId < 0 || d < bestD) { listId = j; bestD = d }
+      j += 1
+    }
+    val cent: Array[Double] = if (residual && listId >= 0) cents(listId) else null
+    val m = books.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val bs = books(s)
+      val off = s * subDim
+      var best = -1
+      var bd = 0.0
+      var k = 0
+      while (k < bs.length) {
+        val b = bs(k)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x =
+            if (cent == null) v.getDouble(off + i)
+            else v.getDouble(off + i) - cent(off + i)
+          acc += x * b(i)
+          i += 1
+        }
+        val d = bc2(s)(k) - 2.0 * acc
+        if (best < 0 || d < bd) { best = k; bd = d }
+        k += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](listId, new GenericArrayData(codes)))
+  }
+
+  case class IvfPqEncode(
+      child: Expression,
+      cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]],
+      subDim: Int,
+      residual: Boolean) extends UnaryExpression {
+    private lazy val centsArr: Array[Array[Double]] = cents.toArray
+    private lazy val c2Arr: Array[Double] = centsArr.map(_.map(x => x * x).sum)
+    private lazy val booksArr: Array[Array[Array[Double]]] = books.map(_.toArray).toArray
+    private lazy val bc2Arr: Array[Array[Double]] =
+      booksArr.map(_.map(_.map(x => x * x).sum))
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list_id", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("codes",
+          ArrayType(IntegerType, containsNull = false), nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      VectorExpressions.ivfPqEncode(v.asInstanceOf[ArrayData],
+        centsArr, c2Arr, booksArr, bc2Arr, subDim, residual)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("pqCents", centsArr, "double[][]")
+      val c2Ref = ctx.addReferenceObj("pqC2", c2Arr, "double[]")
+      val booksRef = ctx.addReferenceObj("pqBooks", booksArr, "double[][][]")
+      val bc2Ref = ctx.addReferenceObj("pqBc2", bc2Arr, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.ivfPqEncode($c, $centsRef, $c2Ref, " +
+          s"$booksRef, $bc2Ref, $subDim, $residual)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    // the model arrays are reference objects, not literal subtrees —
+    // print their shape, not 150 JVM array toStrings per plan node
+    override def toString: String =
+      s"ivf_pq_encode($child, K=${cents.length}, M=${books.length}, " +
+        s"subDim=$subDim, residual=$residual)"
+    override def sql: String =
+      s"ivf_pq_encode(${child.sql}, K=${cents.length}, M=${books.length})"
+  }
+
   /** Column API. Inputs must already be array<double> (cast upstream —
     * keeping the cast visible in the plan preserves oracle parity with
     * the DOUBLE[] cast on the DuckDB side).
@@ -275,4 +383,8 @@ object VectorExpressions {
     GraftColumnBridge.column(ArgminN(GraftColumnBridge.expression(a), n))
   def vec_sub(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecSub(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def ivf_pq_encode(v: Column, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]], subDim: Int, residual: Boolean): Column =
+    GraftColumnBridge.column(IvfPqEncode(
+      GraftColumnBridge.expression(v), cents, books, subDim, residual))
 }

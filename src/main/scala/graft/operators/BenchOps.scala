@@ -487,7 +487,7 @@ object BenchOps {
           .select(lit(layout).as("layout"), col("min_v"), col("max_v"))
       }
       .reduce(_ unionByName _)
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("BenchOps.layoutSkipping.ranges"))
     val rgCounts = ranges.groupBy("layout").agg(count(lit(1)).as("n_rowgroups"))
     val surv = ranges
       .join(broadcast(probeDf),

@@ -242,7 +242,7 @@ object Curation {
     * upstream corpus scan.
     */
   private[graft] def psiFold(srcBRaw: DataFrame): DataFrame = {
-    val srcB = srcBRaw.localCheckpoint()
+    val srcB = srcBRaw.transform(graft.Ckpt.pin("Curation.psiFold.srcB"))
     val glob = srcB.groupBy("b").agg(sum("cnt_s").as("cnt_g"))
     val nSrc = srcB.groupBy("source").agg(sum("cnt_s").as("n_s"))
     // two exact integer scalars off the model frame — plan literals
@@ -309,7 +309,7 @@ object Curation {
     // totals, and the corpus total are aggregates OF the model — the
     // jsdSources discipline, no second or third scan
     val srcW = docs.groupBy("source", "wc").agg(count(lit(1)).as("c_s"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Curation.ksDrift.srcW"))
     val globW = srcW.groupBy("wc").agg(sum("c_s").as("c_g"))
     val nSrc = srcW.groupBy("source").agg(sum("c_s").as("n_s"))
     // one exact integer scalar off the model frame, a plan literal the
@@ -885,7 +885,7 @@ object Curation {
     val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
     val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Curation.mixDoremi.perSrc"))
     val n = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
     val corpus = perSrc.groupBy("t").agg(sum("cnt_s").as("cnt_c"))
     val h = perSrc.join(broadcast(corpus), "t")
@@ -967,7 +967,8 @@ object Curation {
         size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
       .groupBy("source").agg(sum("tk").as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * UnimaxEpochCap)
-      .localCheckpoint() // model frame: one row per source
+      // model frame: one row per source
+      .transform(graft.Ckpt.pin("Curation.mixUnimax.sizes"))
     val budget = sizes.agg(coalesce(sum("n_tokens"), lit(0L))).first().getLong(0)
     val nSrc = sizes.count()
     val w = Window.orderBy(col("cap_tokens"), col("source"))
@@ -1071,7 +1072,8 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+")).cast("bigint")).as("tokens"),
         sum("doc_id").as("id_sum"))
-      .localCheckpoint() // k-row model frame, read twice below
+      // k-row model frame, read twice below
+      .transform(graft.Ckpt.pin("Curation.splitKfold.per"))
     val tot = per.agg(sum("n_docs").as("t_docs"), sum("tokens").as("t_tokens"),
       sum("id_sum").as("t_ids"))
     per.crossJoin(broadcast(tot))
@@ -1416,7 +1418,8 @@ object Curation {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"),
         col("band"), col("n"))
-      .localCheckpoint() // model-sized; read once per ladder level
+      // model-sized; read once per ladder level
+      .transform(graft.Ckpt.pin("Curation.lDiversity.base"))
     val l = lit(DiversityL)
     def level(name: String, keys: Seq[String]): DataFrame =
       base.groupBy(keys.map(col): _*)
@@ -1475,7 +1478,8 @@ object Curation {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_regionkey"), col("c_nationkey"), col("c_mktsegment"),
         col("band"), col("n"))
-      .localCheckpoint() // model-sized; read once per ladder level
+      // model-sized; read once per ladder level
+      .transform(graft.Ckpt.pin("Curation.tCloseness.base"))
     // the m-band reference distribution: ONE model-frame collect (≤ 12
     // rows) yields the universe, N, and m together — q_ppm quantized
     // with the same Long truncating division the oracle uses
@@ -2550,7 +2554,8 @@ object Curation {
     // equi-join on hs already restricts candidates to the eval side's
     // kept shingles, so joining exk(eval) with exk(cand) is identical
     // to the old evalSide ⨝ raw-candidate join.
-    val exk = ex.join(keptHs, Seq("hs"), "left_semi").localCheckpoint()
+    val exk = ex.join(keptHs, Seq("hs"), "left_semi")
+      .transform(graft.Ckpt.pin("Curation.evalPairSpine.exk"))
     val evalSide = exk.filter(col("doc_id") % EvalMod === 0)
     val den = evalSide.groupBy("doc_id").agg(count(lit(1)).as("den"))
       .withColumnRenamed("doc_id", "eval_id")
@@ -2598,7 +2603,8 @@ object Curation {
     val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
     val best = spineBest
       .select("eval_id", "cand_id")
-      .localCheckpoint() // pair frame (≤ #eval docs rows), read 4× below
+      // pair frame (≤ #eval docs rows), read 4× below
+      .transform(graft.Ckpt.pin("Curation.evalBleu.best"))
     // raw n-gram count frames, restricted to the selected pair docs —
     // semi-joined BEFORE the explode so the aggregate is pair-bounded,
     // not corpus-wide (r13: this was the claim; now it's the plan)
@@ -2676,7 +2682,8 @@ object Curation {
     val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
     val best = spineBest
       .select("eval_id", "cand_id")
-      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+      // pair frame (≤ #eval docs rows), read 3× below
+      .transform(graft.Ckpt.pin("Curation.evalF1.best"))
     val uni = docs.join(broadcast(pairDocIds(best)), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -2737,7 +2744,8 @@ object Curation {
     val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
     val best = spineBest
       .select("eval_id", "cand_id")
-      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+      // pair frame (≤ #eval docs rows), read 3× below
+      .transform(graft.Ckpt.pin("Curation.evalChrf.best"))
     // pair-bounded mass FOR REAL: semi-join the corpus to the selected
     // pair docs BEFORE the character explode — without this the gram
     // aggregate runs corpus-wide and only the join discards it
@@ -2813,7 +2821,8 @@ object Curation {
     val (universe, _, spineBest) = evalPairSpine(spark, sfDir)
     val best = spineBest
       .select("eval_id", "cand_id")
-      .localCheckpoint() // pair frame (≤ #eval docs rows), read 3× below
+      // pair frame (≤ #eval docs rows), read 3× below
+      .transform(graft.Ckpt.pin("Curation.evalEdit.best"))
     // eval texts from the eval SPLIT (universe grain — an unmatched
     // eval doc is absent from the pair frame but still needs its text);
     // candidate texts pair-bounded via the selected-doc semi-join

@@ -245,7 +245,9 @@ object Dedup {
     * exchanges of the self-join itself. The pinned blocks are the
     * banding-bounded edge frame and the candidate-bounded shingle
     * carry — the established model-sized-edge-frame checkpoint class,
-    * never full corpus text.
+    * never full corpus text. Pins go through [[graft.Ckpt]] (r14): the
+    * next invocation releases this generation's blocks, and the
+    * cluster-model build releases them at artifact-write exit.
     *
     * Exact-verify discipline unchanged: the corpus is semi-joined down
     * to candidate doc_ids before any shingle array moves, so the
@@ -259,11 +261,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Dedup.bandedCandidates.pairs"))
     val sh = docs.select(col("doc_id"), col("shingles"))
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .transform(graft.Ckpt.pin("Dedup.bandedCandidates.shCand"))
     (pairs, shCand)
   }
 
@@ -309,7 +312,8 @@ object Dedup {
     */
   def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val j = minhashVerifiedPairs(spark, sfDir).localCheckpoint()
+    val j = minhashVerifiedPairs(spark, sfDir)
+      .transform(graft.Ckpt.pin("Dedup.thresholdSweep.verified"))
     val e = j.select(
       explode(array(lit(70), lit(80), lit(90))).as("threshold_pct"),
       col("doc_a"), col("doc_b"), col("jaccard"))
@@ -378,7 +382,8 @@ object Dedup {
     */
   def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(spark, sfDir)
-    val sigs = minhashSignatures(docs).localCheckpoint()
+    val sigs = minhashSignatures(docs)
+      .transform(graft.Ckpt.pin("Dedup.minhashCalibration.sigs"))
     // exact side: the shared banded-candidate spine (pairs + shingle
     // carry both checkpointed — r13-opt, see [[bandedCandidates]])
     val (pairs, shCand) = bandedCandidates(docs, bandedFromSigs(sigs))
@@ -612,7 +617,14 @@ object Dedup {
       .orderBy("source")
   }
 
-  private def buildClusterModel(spark: SparkSession, sfDir: String, dir: String): Unit = {
+  private def buildClusterModel(spark: SparkSession, sfDir: String, dir: String): Unit =
+    // the build fully materializes into the on-disk artifact, so every
+    // checkpoint pinned while assembling it (the banded-candidate
+    // spine) is released at exit — nothing outlives the call
+    // (PipelineOpsSpec asserts the storage release)
+    graft.Ckpt.scoped { buildClusterModelInner(spark, sfDir, dir) }
+
+  private def buildClusterModelInner(spark: SparkSession, sfDir: String, dir: String): Unit = {
     // Cache the ONE-DIRECTIONAL edge set and materialize it before
     // deriving the bidirectional view: a union of two projections of an
     // UNCACHED frame executes the whole shingle→band→verify lineage
@@ -1292,13 +1304,14 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Dedup.embeddingCosineLsh.pairs"))
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v")))
     val candIds = pairs.select(col("id_a").as("vec_id"))
       .union(pairs.select(col("id_b").as("vec_id"))).distinct()
-    val eCand = e.join(candIds, Seq("vec_id"), "left_semi").localCheckpoint()
+    val eCand = e.join(candIds, Seq("vec_id"), "left_semi")
+      .transform(graft.Ckpt.pin("Dedup.embeddingCosineLsh.eCand"))
     pairs
       .join(eCand.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(eCand.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

@@ -507,11 +507,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = corpus(spark, sfDir)
     val cents = trainedCentroids(spark, sfDir, base)
-    val asg = assignTo(cents)(base).localCheckpoint()
+    val asg = assignTo(cents)(base)
+      .transform(graft.Ckpt.pin("Similarity.ivfRecallCurve.asg"))
     val pops = asg.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
     val maxNp = RecallNProbes.max // = IvfK: the full probe
     val probes = probeFrameRanked(base, cents, maxNp)
-      .localCheckpoint() // queries·K rows; read by cost AND candidates
+      // queries·K rows; read by cost AND candidates
+      .transform(graft.Ckpt.pin("Similarity.ivfRecallCurve.probes"))
     // np = 2^k memberships of a probe rank r: k ≥ ceil(log2(r+1)),
     // i.e. k0 = 0 for r = 0 else length(bin(r)) — integer arithmetic,
     // no lambda (transform/filter would fall out of codegen)
@@ -599,7 +601,7 @@ object Similarity {
     val census = assignTo(cents)(base)
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.ivfListBalance.census"))
     val n = census.agg(coalesce(sum("n_vecs"), lit(0L))).first().getLong(0)
     census
       .withColumn("share_ppm", expr(s"n_vecs * 1000000 div ${n}L"))
@@ -807,7 +809,7 @@ object Similarity {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.knnTriangles.und"))
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -818,7 +820,7 @@ object Similarity {
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("w"),
       when(aFirst, col("db")).otherwise(col("da")).as("dw"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.knnTriangles.orient"))
     // wedges at the apex: unordered out-neighbor pairs, ordered by rank
     val e1 = orient.select(col("u"), col("w").as("x"), col("dw").as("dx"))
     val e2 = orient.select(col("u"), col("w").as("y"), col("dw").as("dy"))
@@ -1086,7 +1088,7 @@ object Similarity {
       nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
     var pr = nodes.withColumn("pr", lit(PrScale / n))
-    for (it <- 1 to PrIters) {
+    for (_ <- 1 to PrIters) {
       val dang = pr.join(outdeg, pr("vec_id") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
       val contribs = pr.join(edges, pr("vec_id") === edges("src"))
@@ -1102,7 +1104,10 @@ object Similarity {
       // skipping it: the caller's orderBy RANGE-SAMPLES its child, so
       // an un-checkpointed final round executes twice and measured
       // +25%; "consumed once" is false under any sort/range sink).
-      pr = next.localCheckpoint()
+      // same-site pin: materializing round N+1 releases round N's
+      // blocks (the fixpointLabels cache/unpersist discipline) — only
+      // the final round is consumed after the loop
+      pr = next.transform(graft.Ckpt.pin("Similarity.pagerankFrames.pr"))
     }
     pr.select(col("vec_id"), col("pr"))
   }
@@ -1497,7 +1502,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = corpus(spark, sfDir).select("vec_id", "v")
     val books = trainedBooks(spark, sfDir, base)
-    val encoded = encodedSubspaces(books)(base).select("vec_id", "s", "code")
+    // r14-opt: one fused codegen'd expression computes all PqM codes
+    // (guide §1.2 step 2 / §2.4) — the codebooks ride as reference
+    // objects instead of M×PqK×subDim literal nodes, same codes
+    val encoded = base
+      .select(col("vec_id"), graft.functions.VectorExpressions.ivf_pq_encode(
+        col("v"), Nil, (0 until PqM).map(books), PqSubDim, residual = false).as("e"))
+      .select(col("vec_id"), posexplode(col("e.codes")).as(Seq("s", "code")))
     // model-sized query extraction: the 5 gated query vectors
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
       .map(r => r.getAs[Number]("vec_id").longValue() -> r.getSeq[Double](1).toArray)
@@ -1542,9 +1553,15 @@ object Similarity {
     val base = corpus(spark, sfDir)
     val cents = trainedCentroids(spark, sfDir, base)
     val books = trainedBooks(spark, sfDir, base.select("vec_id", "v"))
-    val assigned = assignTo(cents)(base).select("vec_id", "list_id", "v")
-    val encoded = encodedSubspaces(books)(assigned)
-      .select("vec_id", "list_id", "s", "code")
+    // r14-opt: coarse argmin + all PqM codes in ONE fused expression
+    // (see [[graft.functions.VectorExpressions.IvfPqEncode]]) — the
+    // assignTo and encode projections collapse, and centroids/codebooks
+    // become reference objects instead of ~2k literal nodes
+    val encoded = base
+      .select(col("vec_id"), graft.functions.VectorExpressions.ivf_pq_encode(
+        col("v"), cents, (0 until PqM).map(books), PqSubDim, residual = false).as("e"))
+      .select(col("vec_id"), col("e.list_id").as("list_id"),
+        posexplode(col("e.codes")).as(Seq("s", "code")))
     val probes = probeFrame(base, cents, IvfNProbe)
       .select("query_id", "list_id").distinct()
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
@@ -1575,9 +1592,12 @@ object Similarity {
     * function of the same input file: same fingerprint staleness).
     */
   private[graft] def trainedResidBooks(spark: SparkSession, sfDir: String,
-      residBase: DataFrame): Map[Int, Seq[Array[Double]]] = {
+      residBase: => DataFrame): Map[Int, Seq[Array[Double]]] = {
     val fp = graft.sources.LayoutCache.fingerprint(
       spark.sparkContext.hadoopConfiguration, s"$sfDir/embeddings.parquet")
+    // by-name residBase (r14): on the memoized warm path the residual
+    // frame is never even constructed — its plan carries the K×d
+    // centroid literal table, which costs analyzer time per invocation
     pqCache.computeIfAbsent(s"$sfDir|$fp:resid", _ => trainPq(residBase))
   }
 
@@ -1610,14 +1630,28 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = corpus(spark, sfDir)
     val cents = trainedCentroids(spark, sfDir, base)
-    val centTable = array(cents.map(centroidCol): _*)
-    val resid = assignTo(cents)(base)
-      .withColumn("rv", graft.functions.VectorExpressions.vec_sub(
-        col("v"), element_at(centTable, col("list_id") + 1)))
-      .select(col("vec_id"), col("list_id"), col("rv").as("v"))
-    val rbooks = trainedResidBooks(spark, sfDir, resid.select("vec_id", "v"))
-    val encoded = encodedSubspaces(rbooks)(resid)
-      .select("vec_id", "list_id", "s", "code")
+    // training input (cold path only — by-name, memoized): the residual
+    // frame built the classic way, so the trained codebooks are a pure
+    // function of the same lineage as before
+    def resid = {
+      val centTable = array(cents.map(centroidCol): _*)
+      assignTo(cents)(base)
+        .withColumn("rv", graft.functions.VectorExpressions.vec_sub(
+          col("v"), element_at(centTable, col("list_id") + 1)))
+        .select(col("vec_id"), col("rv").as("v"))
+    }
+    val rbooks = trainedResidBooks(spark, sfDir, resid)
+    // r14-opt: coarse argmin + residual subtraction + all PqM subspace
+    // codes in ONE fused codegen'd expression — the three stacked
+    // projections (assignTo, vec_sub over an element_at(centTable)
+    // re-literalization, encodedSubspaces) collapse into a single
+    // narrow one with the models as reference objects; bit-identical
+    // float sequence (see [[graft.functions.VectorExpressions.ivfPqEncode]])
+    val encoded = base
+      .select(col("vec_id"), graft.functions.VectorExpressions.ivf_pq_encode(
+        col("v"), cents, (0 until PqM).map(rbooks), PqSubDim, residual = true).as("e"))
+      .select(col("vec_id"), col("e.list_id").as("list_id"),
+        posexplode(col("e.codes")).as(Seq("s", "code")))
     val probes = probeFrame(base, cents, IvfNProbe)
       .select("query_id", "list_id").distinct()
     val qVecs = base.filter(col("vec_id") < 5).orderBy("vec_id").collect()
@@ -1730,7 +1764,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         round((graft.functions.VectorExpressions.dot_product(col("v"), col("v"))
           + col("best_d")) * 1000000).cast("bigint").as("score_m"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.embOutliers.scored"))
     val cutRank = scored.agg(count(lit(1)).as("n"))
       .select(expr("(19 * n + 19) div 20").as("cut_rk"))
     val thr = Ranks.valueAtRank(scored, "score_m", cutRank, OutlierBucketWidth)
@@ -1786,7 +1820,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot("qv", "v") / (col("qn") * col("nrm")), 4).as("sim"),
         expr("cast(bit_count(code ^ qcode) as int)").as("ham"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.binaryHammingRecall.scored"))
     val we = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     val exact5 = scored.withColumn("rk", row_number().over(we)).filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
@@ -1871,7 +1905,7 @@ object Similarity {
     val scoredAll = coded.join(broadcast(qCodes), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr("cast(bit_count(code ^ qcode) as int)").as("ham"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.mih.scoredAll"))
     val exact10 = scoredAll.withColumn("rk", row_number().over(wc))
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
@@ -1928,7 +1962,7 @@ object Similarity {
     val top5 = perDim.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("m"), col("query_id"), col("vec_id").as("neighbor_id"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.matryoshka.top5"))
     val exact5 = top5.filter(col("m") === Dim)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     top5.join(broadcast(exact5), Seq("query_id", "neighbor_id"), "left")
@@ -1978,7 +2012,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         round((element_at(col("es"), 2) - element_at(col("es"), 1)) * 1000000)
           .cast("bigint").as("margin_m"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.assignmentMargin.scored"))
     val global = scored.agg(
       count(lit(1)).as("n_all"), sum("margin_m").as("sum_all"))
     scored.crossJoin(broadcast(global))
@@ -2026,11 +2060,11 @@ object Similarity {
       .distinct()
     val adj = und.select(col("a").as("v"), col("b").as("nb"))
       .union(und.select(col("b").as("v"), col("a").as("nb")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.labelPropagation.adj"))
     var lbl = corpus(spark, sfDir).select(col("vec_id"))
       .withColumn("lbl", col("vec_id"))
-      .localCheckpoint()
-    for (it <- 1 to LpaIters) {
+      .transform(graft.Ckpt.pin("Similarity.labelPropagation.lbl"))
+    for (_ <- 1 to LpaIters) {
       val counts = adj
         .join(lbl.select(col("vec_id").as("nb"), col("lbl")), "nb")
         .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
@@ -2041,9 +2075,12 @@ object Similarity {
       // every round checkpoints — the final rollup ends in an orderBy
       // whose range sampling re-executes an un-checkpointed last round
       // (the pagerankFrames r13-opt lesson)
+      // same-site pin: materializing round N+1 releases round N (the
+      // pagerankFrames discipline) — only the final round outlives
+      // the loop
       lbl = lbl.join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.pin("Similarity.labelPropagation.lbl"))
     }
     lbl.groupBy(col("lbl").as("community"))
       .agg(
@@ -2097,9 +2134,9 @@ object Similarity {
       .distinct()
     val adj = und.select(col("a").as("v"), col("b").as("nb"))
       .union(und.select(col("b").as("v"), col("a").as("nb")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.kCore.adj"))
     var active = corpus(spark, sfDir).select(col("vec_id").as("v"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("Similarity.kCore.active0"))
     var census: DataFrame = null
     for (r <- 1 to KCoreRounds) {
       val deg = adj
@@ -2109,8 +2146,12 @@ object Similarity {
       // every round checkpoints — the census ends in an orderBy whose
       // range sampling re-executes an un-checkpointed last round (the
       // pagerankFrames r13-opt lesson: measured +20% when skipped)
+      // ROUND-DISTINCT pin sites: the census union's FINAL plan reads
+      // every round's survivor frame, so no round may be released
+      // while the query is still assembling — each round instead
+      // releases its own predecessor from the PREVIOUS invocation
       val next = deg.filter(col("deg") >= KCoreK).select("v")
-        .localCheckpoint()
+        .transform(graft.Ckpt.pin(s"Similarity.kCore.next.r$r"))
       val row = active.agg(count(lit(1)).as("n_before"))
         .crossJoin(next.agg(count(lit(1)).as("n_after"),
           coalesce(sum("v"), lit(0L)).as("survivor_id_sum")))

@@ -477,7 +477,7 @@ object TextOps {
     // factor), and so consumers that join the model twice don't replay
     // the tokenize either.
     val model = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.unigramModel.model"))
     // corpus token total: one exact integer scalar — model-sized
     // extraction (like IVF centroids), becomes a plan literal that the
     // oracle recomputes identically as a subquery. Σ cnt over the
@@ -559,7 +559,8 @@ object TextOps {
     * n-doc two-long-column block.
     */
   def perplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = surprisePerDoc(spark, sfDir).localCheckpoint()
+    val perDoc = surprisePerDoc(spark, sfDir)
+      .transform(graft.Ckpt.pin("TextOps.perplexityFilter.perDoc"))
     val cutRank = perDoc.agg(count(lit(1)).as("n"))
       .select(expr("(9 * n + 9) div 10").as("cut_rk"))
     val thr = Ranks.valueAtRank(perDoc, "avg_micro_nats", cutRank, SurpriseBucketWidth)
@@ -591,7 +592,8 @@ object TextOps {
     * by tie mass — the price of a value-deterministic split.
     */
   def curriculumPhases(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = surprisePerDoc(spark, sfDir).localCheckpoint()
+    val perDoc = surprisePerDoc(spark, sfDir)
+      .transform(graft.Ckpt.pin("TextOps.curriculumPhases.perDoc"))
     val cutRanks = perDoc.agg(count(lit(1)).as("n"))
       .selectExpr("""stack(3, 'q1', (1 * n + 3) div 4,
                     |         'q2', (2 * n + 3) div 4,
@@ -714,7 +716,7 @@ object TextOps {
     val perDoc = toks.join(broadcast(model), "b")
       .groupBy("doc_id", "source")
       .agg(sum("w_micro").as("sum_w_micro"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.dsir.perDoc"))
     val cutRank = perDoc.agg(count(lit(1)).as("n"))
       .select(expr("(3 * n + 3) div 4").as("cut_rk"))
     val thr = Ranks.valueAtRank(perDoc, "sum_w_micro", cutRank, 100000L)
@@ -961,7 +963,7 @@ object TextOps {
     val model = tokenized(spark, sfDir)
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .withColumn("h", expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.featureHashing.model"))
     val perBucket = model
       .select(explode(array(HashDims.map(lit): _*)).as("dim"),
         col("h"), col("cnt"))
@@ -1056,7 +1058,7 @@ object TextOps {
     // was 3 tokenize passes for the model alone).
     val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.bigramLm.c2"))
     val c1 = c2.groupBy(col("mw1").as("w1")).agg(sum("c2").as("c1"))
     val vocab = c2.select(col("mw1")).distinct().count()
     val model = c2
@@ -1113,7 +1115,7 @@ object TextOps {
     // marginals, and the gated survivors are aggregates OF it — one
     // corpus pass instead of four (jsdSources discipline)
     val cxyAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.collocations.cxy"))
     // one exact integer scalar off the model frame, a plan literal the
     // oracle recomputes
     val n = cxyAll.agg(coalesce(sum("c_xy"), lit(0L))).first().getLong(0)
@@ -1423,7 +1425,7 @@ object TextOps {
     val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("mw1", expr("substring_index(bg, ' ', 1)"))
       .withColumn("mw2", expr("substring_index(bg, ' ', -1)"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.kneserNey.c2"))
     // c(w1·) = Σ_w2 c(w1 w2): the marginal derives from the CHECKPOINTED
     // model, not from a second corpus aggregate.
     val c1 = c2.groupBy(col("mw1").as("w1")).agg(sum("c2").as("c1"))
@@ -1696,7 +1698,7 @@ object TextOps {
     val toks = Tables.fanOut(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
     val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.mixKl.perSrc"))
     // corpus token total: one exact integer scalar off the model frame,
     // a plan literal the oracle recomputes
     val total = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
@@ -1797,7 +1799,7 @@ object TextOps {
     // unigramModel discipline); the corpus total, global counts, and
     // per-source totals are aggregates OF the model, not re-scans
     val perSrc = toks.groupBy("source", "t").agg(count(lit(1)).as("cnt_s"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.jsdSources.perSrc"))
     // corpus token total: one exact integer scalar off the model frame,
     // a plan literal the oracle recomputes
     val n = perSrc.agg(coalesce(sum("cnt_s"), lit(0L))).first().getLong(0)
@@ -2020,7 +2022,7 @@ object TextOps {
     val perDoc = toks.join(unigramModel(spark, sfDir), "t")
       .groupBy("doc_id", "lang")
       .agg(expr("sum(micro_nats) div count(1)").as("avg_micro_nats"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.ccnetBuckets.perDoc"))
     val cutRanks = perDoc.groupBy("lang").agg(count(lit(1)).as("n"))
       .select(col("lang"), explode(array(
         struct(lit("t1").as("qlabel"), expr("(n + 2) div 3").as("cut_rk")),
@@ -2180,11 +2182,11 @@ object TextOps {
       // 3-gram md5 + winnow-window chain runs once, not 4-5× per
       // subtree (r13-opt, the bandedCandidates discipline; both frames
       // are winnow-selected fingerprint sets, far below token mass)
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.winnowing.fps"))
     val kept = fps.join(
       fps.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= WinnowDfCap),
       "h")
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("TextOps.winnowing.kept"))
     val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -222,7 +222,7 @@ object EventStreams {
     val wb = spark.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("b"), col("c"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.pin("EventStreams.streamDrift.sinkGrid"))
     val glob = wb.groupBy("b").agg(sum("c").as("cnt_g"))
     val nDay = wb.groupBy("day").agg(sum("c").as("n_w"))
     // two exact integer scalars off the model-sized sink grid

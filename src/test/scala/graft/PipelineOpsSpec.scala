@@ -275,18 +275,30 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("sketch verify joins carry no broadcast hints and avoid re-scanning the corpus") {
-    for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhash(spark, sf))) {
-      val analyzed = df.queryExecution.analyzed
-      val hints = analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-      }
-      assert(hints.isEmpty, "verify join must not force-broadcast the corpus")
-    }
+    // r14: the banded-candidate spine is localCheckpointed, which
+    // truncates the registered query's own plan to RDD scans — the
+    // contract is asserted through Ckpt.lineage, which expands every
+    // registered checkpoint back to its pre-checkpoint plan (the
+    // semi-join RUNS at checkpoint materialization; this keeps it
+    // plan-verifiable). Each frame is fully checked before the next
+    // is built: rebuilding a spine releases the previous generation's
+    // pins, so lineage must be read while its pins are current.
+    val lsh = Dedup.minhashLsh(spark, sf)
+    val lshQes = Ckpt.lineage(lsh)
+    assert(lshQes.size > 1,
+      "minhash lineage must surface the checkpointed spine's pre-checkpoint plans")
+    val lshHints = lshQes.flatMap(_.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    })
+    assert(lshHints.isEmpty, "verify join must not force-broadcast the corpus")
     // minhash verifies on shingle SETS, so the corpus is semi-joined
     // down to candidate ids before the (heavy-payload) verify join
-    assert(Dedup.minhashLsh(spark, sf).queryExecution.optimizedPlan.toString
-      .contains("LeftSemi"),
+    assert(lshQes.exists(_.optimizedPlan.toString.contains("LeftSemi")),
       "minhash corpus must be semi-joined down to candidate ids before the verify join")
+    val simHints = Ckpt.lineage(Dedup.simhash(spark, sf)).flatMap(_.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    })
+    assert(simHints.isEmpty, "verify join must not force-broadcast the corpus")
     // simhash signatures are small enough to ride THROUGH the band join:
     // exactly one join in the whole plan (the banded self-join), no
     // re-join of candidates against the signature table
@@ -295,6 +307,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(simJoins.length === 1,
       s"simhash must join once (banded self-join), found ${simJoins.length}")
+  }
+
+  test("checkpoint pins are generation-bounded: re-running a query never grows the cached-RDD set") {
+    // r14 leak guard, extended to every checkpointing query family (the
+    // r13 verdict's ask): each Ckpt.pin site releases its previous
+    // generation, so steady-state persisted-RDD count is CONSTANT under
+    // repeated invocations — exactly Bench's repeat pattern. A bare
+    // localCheckpoint would grow the set by one per site per run and
+    // fail here.
+    val names = Seq(
+      "x_dedup_minhash",          // Dedup.bandedCandidates spine
+      "x_dedup_threshold_sweep",  // + the verified-pairs pin
+      "x_dedup_embedding_lsh",    // Dedup.embeddingCosineLsh spine
+      "x_graph_triangles",        // Similarity.knnTriangles und/orient
+      "x_graph_kcore",            // round-distinct loop pins
+      "x_text_winnowing",         // TextOps.winnowing fps/kept
+      "x_eval_bleu",              // Curation.evalPairSpine + pair frame
+      "x_perplexity_filter")      // TextOps per-doc model pin
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      fn(spark, sf).collect()
+      val after1 = spark.sparkContext.getPersistentRDDs.keySet.size
+      fn(spark, sf).collect()
+      val after2 = spark.sparkContext.getPersistentRDDs.keySet.size
+      assert(after2 <= after1,
+        s"$n grew the persistent-RDD set on re-run: $after1 -> $after2 (leaked checkpoint pins)")
+    }
   }
 
   /** Recursive parquet-file census of a bucketed layout: (total files,
