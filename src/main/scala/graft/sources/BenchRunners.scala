@@ -495,8 +495,11 @@ object BenchRunners {
       spark: SparkSession, nc: Int, numRows: Long, workDir: String): DataFrame = {
     import spark.implicits._
     val path = s"$workDir/wide_probe_${nc}cols"
+    // single-partition generation (r14): one nc-column file instead of
+    // 32 three-row ones — the cold fixture build was dominated by
+    // per-file column-writer/footer overhead (see WideTableGen.wide)
     if (!wideFileMatches(spark, path, nc, numRows))
-      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, numPartitions = 1), path,
         ParquetKnobs.WriteConfig(codec = "snappy"))
     val (thriftUs, schemaUs, nColsRead) = footerTimesUs(spark, path)
     val df = spark.read.parquet(path)
@@ -525,8 +528,10 @@ object BenchRunners {
     import org.apache.spark.sql.functions.{count, lit, max => fmax, min => fmin}
     import spark.implicits._
     val path = s"$workDir/wide_probe_${nc}cols"
+    // identical write to wideFooterProbe's — the two build-if-absent
+    // gates share this fixture and must produce the same bytes
     if (!wideFileMatches(spark, path, nc, numRows))
-      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows), path,
+      ParquetKnobs.write(WideTableGen.wide(spark, nc, numRows, numPartitions = 1), path,
         ParquetKnobs.WriteConfig(codec = "snappy"))
     val conf = spark.sparkContext.hadoopConfiguration
     val file = FooterMeta.parquetFiles(conf, path).head

@@ -23,15 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object WideTableGen {
 
-  /** N cols × M rows of uniform floats in [lo, hi), columns col_0..col_{n-1}. */
+  /** N cols × M rows of uniform floats in [lo, hi), columns col_0..col_{n-1}.
+    *
+    * `numPartitions` ≤ 0 keeps the session default (the historical
+    * behavior — at local[32] a 100-row frame writes as 32 tiny files).
+    * The very-wide write-once fixtures pass 1 (r14): at 10,000 columns
+    * each output FILE pays 10k column-writer initializations and a 10k-
+    * entry footer, so 32 three-row files cost ~32× the writer/footer
+    * overhead of one file for the same data — a cold 10k-col fixture
+    * build measured ~110 s multi-file. Values stay deterministic (rand
+    * is seeded per (seed, output partition)); content differs from the
+    * multi-file layout, which is fine because every oracle re-derives
+    * its expectations from the produced file itself.
+    */
   def wide(
       spark: SparkSession,
       numCols: Int,
       numRows: Long,
       seed: Long = 42L,
       lo: Double = -1000.0,
-      hi: Double = 1000.0): DataFrame =
-    spark.range(numRows).select(
+      hi: Double = 1000.0,
+      numPartitions: Int = 0): DataFrame = {
+    val base = if (numPartitions > 0) spark.range(0L, numRows, 1L, numPartitions)
+               else spark.range(numRows)
+    base.select(
       (0 until numCols).map(i =>
         (rand(seed + i) * (hi - lo) + lo).cast("float").as(s"col_$i")): _*)
+  }
 }
