@@ -279,7 +279,8 @@ object VectorExpressions {
       v: ArrayData,
       cents: Array[Array[Double]], c2: Array[Double],
       books: Array[Array[Array[Double]]], bc2: Array[Array[Double]],
-      subDim: Int, residual: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+      subDim: Int, residual: Boolean,
+      withDist: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     var listId = -1
     var bestD = 0.0
     var j = 0
@@ -296,6 +297,7 @@ object VectorExpressions {
     val cent: Array[Double] = if (residual && listId >= 0) cents(listId) else null
     val m = books.length
     val codes = new Array[Int](m)
+    val dists: Array[Double] = if (withDist) new Array[Double](m) else null
     var s = 0
     while (s < m) {
       val bs = books(s)
@@ -319,10 +321,30 @@ object VectorExpressions {
         k += 1
       }
       codes(s) = best
+      if (withDist) {
+        // reconstruction distance ||sv - c(sv)||^2 = sv.sv + mind:
+        // the self-dot is the same index-order fold as DotProduct, and
+        // the single addition is the same IEEE add the unfused census
+        // performed on (svsv + mind) — bit-identical
+        var svsv = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x =
+            if (cent == null) v.getDouble(off + i)
+            else v.getDouble(off + i) - cent(off + i)
+          svsv += x * x
+          i += 1
+        }
+        dists(s) = svsv + bd
+      }
       s += 1
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](listId, new GenericArrayData(codes)))
+    if (withDist)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](listId, new GenericArrayData(codes), new GenericArrayData(dists)))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](listId, new GenericArrayData(codes)))
   }
 
   case class IvfPqEncode(
@@ -330,20 +352,26 @@ object VectorExpressions {
       cents: Seq[Array[Double]],
       books: Seq[Seq[Array[Double]]],
       subDim: Int,
-      residual: Boolean) extends UnaryExpression {
+      residual: Boolean,
+      withDist: Boolean = false) extends UnaryExpression {
     private lazy val centsArr: Array[Array[Double]] = cents.toArray
     private lazy val c2Arr: Array[Double] = centsArr.map(_.map(x => x * x).sum)
     private lazy val booksArr: Array[Array[Array[Double]]] = books.map(_.toArray).toArray
     private lazy val bc2Arr: Array[Array[Double]] =
       booksArr.map(_.map(_.map(x => x * x).sum))
-    override def dataType: DataType =
-      org.apache.spark.sql.types.StructType(Seq(
+    override def dataType: DataType = {
+      val base = Seq(
         org.apache.spark.sql.types.StructField("list_id", IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("codes",
-          ArrayType(IntegerType, containsNull = false), nullable = false)))
+          ArrayType(IntegerType, containsNull = false), nullable = false))
+      org.apache.spark.sql.types.StructType(
+        if (withDist) base :+ org.apache.spark.sql.types.StructField("dists",
+          ArrayType(DoubleType, containsNull = false), nullable = false)
+        else base)
+    }
     override def nullSafeEval(v: Any): Any =
       VectorExpressions.ivfPqEncode(v.asInstanceOf[ArrayData],
-        centsArr, c2Arr, booksArr, bc2Arr, subDim, residual)
+        centsArr, c2Arr, booksArr, bc2Arr, subDim, residual, withDist)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val centsRef = ctx.addReferenceObj("pqCents", centsArr, "double[][]")
       val c2Ref = ctx.addReferenceObj("pqC2", c2Arr, "double[]")
@@ -351,7 +379,7 @@ object VectorExpressions {
       val bc2Ref = ctx.addReferenceObj("pqBc2", bc2Arr, "double[][]")
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.VectorExpressions.ivfPqEncode($c, $centsRef, $c2Ref, " +
-          s"$booksRef, $bc2Ref, $subDim, $residual)")
+          s"$booksRef, $bc2Ref, $subDim, $residual, $withDist)")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     // the model arrays are reference objects, not literal subtrees —
@@ -384,7 +412,8 @@ object VectorExpressions {
   def vec_sub(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecSub(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def ivf_pq_encode(v: Column, cents: Seq[Array[Double]],
-      books: Seq[Seq[Array[Double]]], subDim: Int, residual: Boolean): Column =
+      books: Seq[Seq[Array[Double]]], subDim: Int, residual: Boolean,
+      withDist: Boolean = false): Column =
     GraftColumnBridge.column(IvfPqEncode(
-      GraftColumnBridge.expression(v), cents, books, subDim, residual))
+      GraftColumnBridge.expression(v), cents, books, subDim, residual, withDist))
 }

@@ -1431,13 +1431,19 @@ object Similarity {
     * publish-time cost, no shuffle beyond the 8-row rollup.
     */
   def pqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.VectorExpressions.dot_product
     val base = corpus(spark, sfDir).select("vec_id", "v")
     val books = trainedBooks(spark, sfDir, base)
-    encodedSubspaces(books, Seq("mind", "sv"))(base)
-      .withColumn("svsv", dot_product(col("sv"), col("sv")))
+    // r14-opt: the fused encode emits ||sv − c(sv)||² = sv·sv + mind
+    // per subspace directly (same index-order self-dot as the old
+    // dot_product(sv, sv), same single IEEE add) — no wide literal
+    // projection, no per-row subvector materialization
+    base
+      .select(col("vec_id"), graft.functions.VectorExpressions.ivf_pq_encode(
+        col("v"), Nil, (0 until PqM).map(books), PqSubDim,
+        residual = false, withDist = true).as("e"))
+      .select(posexplode(col("e.dists")).as(Seq("s", "d")))
       .withColumn("dist_micro", expr(
-        "greatest(cast(round((svsv + mind) * 1000000) as bigint), cast(0 as bigint))"))
+        "greatest(cast(round(d * 1000000) as bigint), cast(0 as bigint))"))
       .groupBy("s")
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist_micro) div count(1)").as("mean_dist_micro"),
