@@ -443,28 +443,46 @@ object Bench {
     val bySlowest = finalResults.sortBy { case (_, v) => -v }
     val ordered = bySlowest.filter(e => priorKeys(e._1)) ++
       bySlowest.filterNot(e => priorKeys(e._1))
+    val nPriority = ordered.count(e => priorKeys(e._1))
     val entries = ordered.map { case (k, v) => (k, jq(k) + ":" + fmt(v)) }
     var kept = entries.length
     // digest-local suspects: only names the digest itself carries — a
     // suspect flag on an omitted query is dead weight in the driver's
     // byte-budgeted window (the FULL suspect list is in the full map);
     // r13's digest spent ~800 bytes flagging 30 omitted queries.
-    def digest(n: Int): String = {
+    // `maxSusp` additionally caps the shown suspect names when the
+    // budget demands it (a noisy sweep can flag half the digest):
+    // suspect flags are advisory, carried-key PRESENCE is the contract.
+    def digest(n: Int, maxSusp: Int): String = {
       val names = entries.take(n).map(_._1).toSet
-      val sj = suspects.filter(names).map(jq).mkString("[", ",", "]")
+      val sj = suspects.filter(names).take(maxSusp).map(jq).mkString("[", ",", "]")
       val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"sf":"$sfDir","contended":$contended,"sentinel_drift":${f"$maxDrift%.2f"},"floor_ratio":${f"$baselineVsBest%.2f"},"remedianed_n":${reMedianNote.size},"suspects":$sj,"suspects_total":${suspects.size},"full_map":"bench-results/BENCH_FULL.json","errors":$errJson,"queries":{"""
       val omitted = if (n < entries.length)
         s""","omitted":${entries.length - n}""" else ""
       head + entries.take(n).map(_._2).mkString(",") + "}" + omitted + "}"
     }
-    while (kept > 1 && digest(kept).length > budget) kept -= 1
-    // persist this digest's key set for the next sweep's priority list
-    // — full sweeps only (a SPARK_GRAFT_BENCH_ONLY subset would shrink
-    // the carry-set and reintroduce phantom drops)
+    // Trim order (the r14 full-sweep bug: a grown carry-set plus a
+    // suspect-heavy window trimmed INTO the priority prefix, cutting
+    // exactly the improved queries the carry exists to protect):
+    //  1. drop non-priority entries (slowest-first fill is best-effort);
+    //  2. then shorten the shown suspect list;
+    //  3. only then — never observed within the 2000-char driver
+    //     window at realistic carry sizes — cut priority entries.
+    var maxSusp = entries.length
+    while (kept > math.min(nPriority, entries.length) &&
+      digest(kept, maxSusp).length > budget) kept -= 1
+    while (maxSusp > 0 && digest(kept, maxSusp).length > budget) maxSusp -= 1
+    while (kept > 1 && digest(kept, maxSusp).length > budget) kept -= 1
+    // persist the carry-set for the next sweep — full sweeps only (a
+    // SPARK_GRAFT_BENCH_ONLY subset would shrink it and reintroduce
+    // phantom drops), CAPPED so it cannot ratchet past what the budget
+    // can hold: this sweep's surviving priority keys first (they were
+    // last round's contract), then the newly-slowest fill.
+    val CarryCap = 40
     if (only.isEmpty)
       Files.writeString(keysPath,
-        entries.take(kept).map(_._1).mkString("", "\n", "\n"))
-    println(digest(kept))
+        entries.take(kept).map(_._1).take(CarryCap).mkString("", "\n", "\n"))
+    println(digest(kept, maxSusp))
     spark.stop()
   }
 }
